@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * `functions._` expressions (whole-stage codegen, no UDFs), so they run
+  * at scan speed and push column pruning to the parquet reader.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric non-space characters — a cheap proxy for subword
+    * tokenizer counts. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val punctPattern = "[^.,!?;:]"
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, punctPattern, "")).cast("double") / length(text))
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) === 0, lit(0.0)).otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters. */
+  def meanWordLength(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation density and a sane stopword ratio. Deterministic, cheap,
+    * and monotone in each component — intended as a filterable column, not
+    * a model. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(5.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    round((lenScore + punctScore + stopScore) / lit(3.0), 6)
+  }
+
+  /** Stopword vocabularies for the n-gram/stopword-hit language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "y", "es", "las")
+  )
+
+  /** Heuristic language ID: count marker-stopword hits per language over
+    * the token stream, pick the argmax (fixed priority order on ties,
+    * 'und' = undetermined when nothing matches). */
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Normalized-content fingerprint: lowercase, strip non-alphanumerics
+    * (keeping spaces), collapse whitespace, md5. Collisions across
+    * formatting variants of the same content collapse to one fingerprint —
+    * the cheap exact-after-normalization dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(
+      trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+        .cast("binary"))
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Exact dedup is a hash group-by (one shuffle, map-side combined).
+  * Near-dup has three scale paths, all shuffle-bounded by candidate pairs
+  * rather than n^2:
+  *   - word/shingle-set Jaccard via an inverted-index self-join,
+  *   - MinHash + LSH banding (shingle -> minhash signature -> band buckets
+  *     -> bucket join -> exact-signature Jaccard confirm),
+  *   - SimHash (64-bit, hamming-bucket by band).
+  *
+  * Everything is pure `functions._` column algebra (codegen'd) — no UDFs.
+  * Token hashing uses `xxhash64`, seeded per hash function, so signatures
+  * are deterministic across runs and cluster layouts.
+  */
+object Dedup {
+
+  /** Exact duplicates: group rows by the md5 of `textCol`; keep the minimum
+    * id as the canonical representative. One hash-aggregate shuffle whose
+    * volume is the number of *distinct* texts (map-side combine). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct lowercase whitespace tokens of `textCol` as an array column. */
+  def tokenSet(textCol: Column): Column =
+    array_distinct(split(lower(textCol), "\\s+"))
+
+  /** Word n-gram (shingle) set. n=1 degenerates to the token set. */
+  def shingleSet(textCol: Column, n: Int): Column =
+    if (n <= 1) tokenSet(textCol)
+    else {
+      val toks = split(lower(textCol), "\\s+")
+      // sliding window of n tokens, joined by a single space
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)) )
+      array_distinct(
+        when(size(toks) >= n,
+          transform(idx, i => array_join(slice(toks, i + 1, n), " ")))
+          .otherwise(array(array_join(toks, " "))))
+    }
+
+  /** Pairwise n-gram Jaccard similarity >= `threshold` via inverted index:
+    * explode shingles -> self-join on shingle (only docs sharing a shingle
+    * ever meet) -> count common shingles per pair -> |A ∩ B| / |A ∪ B|.
+    * Shuffle is keyed by shingle then by pair — no cross join anywhere.
+    * At 100 TB, add a document-frequency cap on shingles (stop-shingle
+    * removal) to bound the hottest inverted-index keys; `maxDf` does that.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.8,
+      maxDf: Option[Long] = None
+  ): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+    val inv0 = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        val dfreq = inv0.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= cap)
+        inv0.join(dfreq.select("shingle"), Seq("shingle"))
+      case None => inv0
+    }
+    val a = inv.select(col("shingle"), col("id").as("id_a"), col("set_size").as("size_a"))
+    val b = inv.select(col("shingle"), col("id").as("id_b"), col("set_size").as("size_b"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .where(col("jaccard") >= lit(threshold))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` independent 64-bit minima over the
+    * shingle set. Hash i of shingle s = xxhash64(s, i) (seeded, stateless,
+    * codegen'd). Returns the input plus a `signature` array column. */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      shingleN: Int = 2
+  ): DataFrame = {
+    val sh = shingleSet(col(textCol), shingleN)
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+    df.select(col(idCol).as("id"), sig.as("signature"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and bucket each band by its hash. Docs sharing any band bucket become
+    * candidate pairs; candidates are confirmed by estimated Jaccard =
+    * fraction of agreeing signature positions. The only shuffles are the
+    * bucket group-by and the pair group-by — candidate volume is controlled
+    * by (bands, rowsPerBand), the standard LSH S-curve. */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      shingleN: Int = 2,
+      bands: Int = 8,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val banded = sigs.select(
+      col("id"), col("signature"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r)): _*), lit(b))
+      }: _*)).as(Seq("band", "bucket"))
+    )
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("signature").as("sig_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+    val agree = (0 until numHashes)
+      .map(i => when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= lit(threshold))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over the token set: bit j of the hash is 1 iff the sum
+    * over tokens of sign(bit j of xxhash64(token)) is positive. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenSet(col(textCol))
+    val h = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val bitSum = aggregate(
+        h, lit(0L),
+        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+      )
+      when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    df.select(col(idCol).as("id"), bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
+    * chunks (pigeonhole: hamming distance <= 3 implies an identical chunk),
+    * bucket-join, then confirm with exact hamming distance. */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val hashed = simHash(df, idCol, textCol)
+    val banded = hashed.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("simhash").as("h_b"))
+    val hamming = bit_count(col("h_a").bitwiseXOR(col("h_b")))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single narrow scan with the
+  * dot product evaluated as a codegen'd `aggregate`/`zip_with` expression
+  * (no UDF, no shuffle except the final top-k, which Spark plans as
+  * TakeOrderedAndProject: per-partition heaps + driver merge of k rows).
+  *
+  * Scale path: random-hyperplane LSH. Each vector gets a `nBits`-bit
+  * signature (sign of dot product with deterministic pseudo-random
+  * hyperplanes); queries probe only their own bucket (and optionally
+  * neighboring buckets). The bucketing is a plain repartition-by-key:
+  * at 100 TB the index is written once, bucketed/partitioned by signature,
+  * and each query touches one partition instead of the full corpus.
+  */
+object Similarity {
+
+  /** Sequential dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against a constant query vector. */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int
+  ): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol).as("id"), cosine(v, q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** All-pairs top-k for a set of query rows against the corpus, via a
+    * broadcast of the (small) query side — no cartesian shuffle. */
+  def topKForQueries(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-1, 1). Stateless, reproducible everywhere. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-random-projection signature: bit p = [dot(vec, plane_p) >= 0]. */
+  def lshSignature(vecCol: Column, nBits: Int): Column = {
+    val v = transform(vecCol, x => x.cast("double"))
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Index the corpus into LSH buckets (one row per vector, keyed by
+    * signature). At scale, persist this partitioned by `bucket`. */
+  def lshIndex(df: DataFrame, idCol: String, vecCol: String, nBits: Int = 12): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), nBits).as("bucket"))
+
+  /** ANN top-k: probe only the query's bucket, then rank by exact cosine.
+    * Recall is tuned by nBits (fewer bits = bigger buckets = higher recall,
+    * more compute). */
+  def annTopK(
+      index: DataFrame,
+      query: Seq[Double],
+      nBits: Int,
+      k: Int
+  ): DataFrame = {
+    val qArr = array(query.map(lit): _*)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qSig = spark.range(1).select(lshSignature(qArr, nBits).as("bucket"))
+      .as[Long].head()
+    val v = transform(col("vec"), x => x.cast("double"))
+    index.where(col("bucket") === lit(qSig))
+      .select(col("id"), cosine(v, qArr).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+}

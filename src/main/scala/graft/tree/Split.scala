@@ -1,0 +1,200 @@
+package graft.tree
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Exhaustive best-split search by information gain.
+  *
+  * Reproduces the reference's split-search dataflow
+  * (reference: efficient_trees/tree.py:206-348): per feature —
+  * project+null-filter -> group-by feature value with per-class conditional
+  * counts -> sort ascending -> cumulative + total counts -> drop the last
+  * cumulative row (so the right branch is non-empty) -> left/right/parent
+  * class proportions -> criterion (entropy or gini) -> weighted child
+  * criterion -> information gain -> top-1 per feature.
+  *
+  * Spark-first architecture: instead of the reference's one-lazy-plan-per-
+  * feature fan-out joined by `pl.collect_all` (tree.py:338-339), we *melt*
+  * all feature columns into (feature, feature_value, target) rows with a
+  * single `explode` and run ONE aggregation job for every feature at once:
+  * one scan, one partial-aggregated shuffle keyed by (feature, value), then
+  * windows over the tiny post-aggregation frame partitioned by feature.
+  * At cluster scale this replaces k full input scans with 1, and the
+  * shuffle volume is bounded by the number of distinct (feature, value)
+  * pairs, not the row count (hash aggregation does map-side combine).
+  */
+object SplitSearch {
+
+  /** Winning split candidate for one feature (collected to the driver —
+    * at most one row per feature, reference: tree.py:341-348). */
+  final case class Candidate(
+      feature: String,
+      threshold: Double,
+      informationGain: Double,
+      parentCriterion: Double
+  )
+
+  /** 0*log2(0) := 0 convention: the reference computes p*log2(p) then
+    * `fill_nan(0.0)` (tree.py:215). Spark's `log` returns NULL (not NaN)
+    * for non-positive input, so we need coalesce as well as nanvl. */
+  private def pLog2p(p: Column): Column =
+    coalesce(nanvl(p * log(2.0, p), lit(0.0)), lit(0.0))
+
+  /** Criterion over proportion columns `{direction}_proportion_class_{i}`.
+    * Entropy: -sum(p*log2 p) (tree.py:206-221); Gini: 1 - sum(p^2)
+    * (tree.py:222-231). */
+  def criterionExpr(direction: String, numClasses: Int, criterion: Criterion): Column = {
+    val ps = (0 until numClasses).map(i => col(s"${direction}_proportion_class_$i"))
+    val e = criterion match {
+      case Criterion.Entropy => lit(-1.0) * ps.map(pLog2p).reduce(_ + _)
+      case Criterion.Gini    => lit(1.0) - ps.map(p => p * p).reduce(_ + _)
+    }
+    e.as(s"${direction}_criterion")
+  }
+
+  /** One row per (feature, observed value) with per-class conditional counts
+    * and the total count — the split histogram (reference: tree.py:243-254).
+    * `targets` is the list of distinct target values; class columns are
+    * named by index (`class_{i}_count`) for name-safety.
+    */
+  def meltedHistogram(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any]
+  ): DataFrame = {
+    val fv = features.map(f =>
+      struct(lit(f).as("feature"), col(f).cast(DoubleType).as("feature_value")))
+    val melted = df
+      .select(col(targetName).as("__target"), explode(array(fv: _*)).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.feature_value").as("feature_value"), col("__target"))
+      .where(col("feature_value").isNotNull) // per-feature null filter (tree.py:239)
+    val classCounts = targets.zipWithIndex.map { case (v, i) =>
+      count(when(col("__target") === lit(v), 1)).as(s"class_${i}_count")
+    }
+    melted
+      .groupBy("feature", "feature_value")
+      .agg(classCounts.head, (classCounts.tail :+ count(lit(1)).as("count_examples")): _*)
+  }
+
+  /** From the histogram: cumulative and total counts per feature
+    * (reference: tree.py:255-273 — cum_sum after sort, plus scalar totals;
+    * Polars broadcasts scalar aggregates inside a projection, Spark needs
+    * an unbounded window. Post-aggregation frames are tiny — at most the
+    * number of distinct feature values — so the per-feature window is cheap).
+    */
+  def cumulativeCounts(hist: DataFrame, numClasses: Int): DataFrame = {
+    val wCum = Window.partitionBy("feature").orderBy("feature_value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+    val cums = (0 until numClasses).flatMap { i =>
+      Seq(
+        sum(col(s"class_${i}_count")).over(wCum).as(s"cum_sum_class_${i}_count"),
+        sum(col(s"class_${i}_count")).over(wAll).as(s"sum_class_${i}_count")
+      )
+    } ++ Seq(
+      sum(col("count_examples")).over(wCum).as("cum_sum_count_examples"),
+      sum(col("count_examples")).over(wAll).as("sum_count_examples")
+    )
+    hist.select((Seq(col("feature"), col("feature_value")) ++ cums): _*)
+  }
+
+  /** Full gain pipeline: histogram -> cumulative counts -> candidate filter
+    * -> proportions -> criteria -> weighted child criterion -> gain
+    * (reference: tree.py:274-331). Returns one row per candidate threshold.
+    */
+  def gainPerThreshold(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      criterion: Criterion
+  ): DataFrame = {
+    val k = targets.size
+    val cum = cumulativeCounts(meltedHistogram(df, features, targetName, targets), k)
+      // "at least one example available" on the right (tree.py:274-277)
+      .where(col("sum_count_examples") > col("cum_sum_count_examples"))
+    val proportions = (0 until k).flatMap { i =>
+      Seq(
+        (col(s"cum_sum_class_${i}_count") / col("cum_sum_count_examples"))
+          .as(s"left_proportion_class_$i"),
+        ((col(s"sum_class_${i}_count") - col(s"cum_sum_class_${i}_count")) /
+          (col("sum_count_examples") - col("cum_sum_count_examples")))
+          .as(s"right_proportion_class_$i"),
+        (col(s"sum_class_${i}_count") / col("sum_count_examples"))
+          .as(s"parent_proportion_class_$i")
+      )
+    }
+    val withProps = cum.select(
+      (Seq(col("feature"), col("feature_value"),
+        col("cum_sum_count_examples"), col("sum_count_examples")) ++ proportions): _*)
+    val withCrit = withProps.select(
+      col("feature"), col("feature_value"),
+      col("cum_sum_count_examples"), col("sum_count_examples"),
+      criterionExpr("left", k, criterion),
+      criterionExpr("right", k, criterion),
+      criterionExpr("parent", k, criterion)
+    )
+    // weighted child criterion + gain (tree.py:314-330)
+    withCrit
+      .withColumn(
+        "child_criterion",
+        col("cum_sum_count_examples") / col("sum_count_examples") * col("left_criterion") +
+          (col("sum_count_examples") - col("cum_sum_count_examples")) /
+            col("sum_count_examples") * col("right_criterion")
+      )
+      .select(
+        col("feature"),
+        col("feature_value"),
+        (col("parent_criterion") - col("child_criterion")).as("information_gain"),
+        col("parent_criterion")
+      )
+      .where(!isnan(col("information_gain")) && col("information_gain").isNotNull) // (tree.py:331)
+  }
+
+  /** Top-1 candidate per feature (reference: tree.py:332-334), with a
+    * deterministic tie-break (gain DESC, threshold ASC) the reference
+    * leaves unspecified (documented divergence, SURVEY.md §2.11).
+    */
+  def bestSplitsPerFeature(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      criterion: Criterion
+  ): DataFrame = {
+    val w = Window.partitionBy("feature")
+      .orderBy(col("information_gain").desc, col("feature_value").asc)
+    gainPerThreshold(df, features, targetName, targets, criterion)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Collect the per-feature winners and pick the global best on the driver
+    * (<= one row per feature; reference: tree.py:341-348). Deterministic
+    * global tie-break: gain DESC, feature ASC, threshold ASC. Returns None
+    * when no candidate threshold exists anywhere (reference: tree.py:345-346).
+    */
+  def bestSplit(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      criterion: Criterion
+  ): Option[Candidate] = {
+    val rows = bestSplitsPerFeature(df, features, targetName, targets, criterion).collect()
+    val cands = rows.toSeq.map { r =>
+      Candidate(
+        r.getAs[String]("feature"),
+        r.getAs[Double]("feature_value"),
+        r.getAs[Double]("information_gain"),
+        r.getAs[Double]("parent_criterion")
+      )
+    }
+    if (cands.isEmpty) None
+    else Some(cands.minBy(c => (-c.informationGain, c.feature, c.threshold)))
+  }
+}
