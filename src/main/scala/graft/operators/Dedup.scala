@@ -40,7 +40,7 @@ object Dedup {
       val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)) )
       array_distinct(
         when(size(toks) >= n,
-          transform(idx, i => array_join(slice(toks, i + 1, n), " ")))
+          transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
           .otherwise(array(array_join(toks, " "))))
     }
 

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Dedup
+
+/** Dev smoke runner: exercises the dedup operators end-to-end on the
+  * driver-provided testdata. Not part of the driver contract; used for
+  * quick local verification (`sbt "runMain graft.tools.Smoke"`).
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[smoke] documents rows=${docs.count()}")
+    val exact = Dedup.exact(docs, "doc_id", "text")
+    println(s"[smoke] exact dedup groups=${exact.count()} dupGroups=${exact.where(org.apache.spark.sql.functions.col("n_copies") > 1).count()}")
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    println(s"[smoke] jaccard(n=3,t=0.8) pairs=${jac.count()}")
+    jac.show(5, truncate = false)
+    val mh = Dedup.minHashLshPairs(docs, "doc_id", "text", numHashes = 32, shingleN = 3, bands = 8, threshold = 0.7)
+    println(s"[smoke] minhash-lsh pairs=${mh.count()}")
+    val sh = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+    println(s"[smoke] simhash pairs=${sh.count()}")
+    spark.stop()
+  }
+}
