@@ -1,5 +1,17 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.tree.{Criterion, DecisionTreeClassifier}
+
+/** Benchmark main: times every registered query plus a depth-4 tree fit on
+  * the scale dir, printing ONE JSON line for the driver.
+  *
+  * Queries are forced through a `noop`-format write (full evaluation of
+  * every output column) rather than `count()` — Catalyst prunes unreferenced
+  * computed columns under count, which would flatter expression-heavy
+  * queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case e: Throwable => System.err.println(s"[bench] failed: $e") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+    }
+    // The headline ML workload: depth-4 entropy fit on lineitem numeric
+    // features + single-pass batch predict, reference EP1+EP2 shape.
+    results("fit_depth4_entropy") = time {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
+      val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy)
+        .fit(df, "l_returnflag")
+      graft.tree.Predict.predictMany(model, df)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,461 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.tree._
+import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.functions.TextFunctions
+
+/** The driver contract's query catalog: every implemented operator from
+  * SURVEY.md §2 plus the LLM-pipeline extensions, each as a
+  * `(SparkSession, sfDir) => DataFrame` paired (where SQL-expressible)
+  * with DuckDB oracle SQL over the same parquet tables.
+  *
+  * Determinism rules (the driver hash-compares values):
+  *   - every query ends in an ORDER BY over its full output column list
+  *     (no natural unique key exists in the synthetic lineitem — duplicate
+  *     (l_orderkey, l_linenumber) pairs are present);
+  *   - every floating-point output column is `round(_, 6)` on BOTH sides,
+  *     and both sides compute the float with the same association order;
+  *   - aggregate integer outputs are cast to 64-bit on both sides (DuckDB
+  *     `sum(BIGINT)` is HUGEINT otherwise).
+  */
+object QueryCatalog {
+
+  // ---- table loaders ------------------------------------------------------
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def nation(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS); Spark 4 only reads it with
+    * nanosAsLong (the column then arrives as LongType nanos — see
+    * [[graft.operators.Sessionize.epochMicros]]). Runtime-settable conf. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  // ---- shared tree-query fixtures ----------------------------------------
+
+  /** Low-cardinality features only (50/11/9 distinct values at sf0.01):
+    * keeps candidate gain gaps far above cross-engine float noise so the
+    * per-feature argmax is stable between Spark and DuckDB. */
+  private val TreeFeatures = Seq("l_quantity", "l_discount", "l_tax")
+  private val Target = "l_returnflag"
+  private val Targets = Seq[Any]("A", "N", "R")
+
+  /** Fixed 2-level demo tree for the predict-query oracles (EP2 shape). */
+  private val demoModel = DecisionTreeModel(
+    SplitNode("l_discount", 0.05, 0.1, 0.5, Seq(1L, 1L, 1L),
+      SplitNode("l_quantity", 25.0, 0.1, 0.5, Seq(1L, 1L, 1L),
+        LeafNode("lo"), LeafNode("mid")),
+      LeafNode("hi")),
+    Map.empty, StringType)
+
+  private val demoCaseSql =
+    "CASE WHEN l_discount <= 0.05 THEN (CASE WHEN l_quantity <= 25.0 THEN 'lo' ELSE 'mid' END) ELSE 'hi' END"
+
+  private val LineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  private def orderedByAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+
+  // ---- oracle SQL fragments (tree pipeline) ------------------------------
+
+  private val meltCte =
+    """m AS (
+      |  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS feature_value, l_returnflag AS t FROM lineitem WHERE l_quantity IS NOT NULL
+      |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_returnflag FROM lineitem WHERE l_discount IS NOT NULL
+      |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_returnflag FROM lineitem WHERE l_tax IS NOT NULL)""".stripMargin
+
+  private val histCte =
+    """h AS (
+      |  SELECT feature, feature_value,
+      |    count(*) FILTER (WHERE t = 'A') AS class_0_count,
+      |    count(*) FILTER (WHERE t = 'N') AS class_1_count,
+      |    count(*) FILTER (WHERE t = 'R') AS class_2_count,
+      |    count(*) AS count_examples
+      |  FROM m GROUP BY feature, feature_value)""".stripMargin
+
+  private val cumCte = {
+    val cols = (0 to 2).map { i =>
+      s"""    CAST(sum(class_${i}_count) OVER w AS BIGINT) AS cum_sum_class_${i}_count,
+         |    CAST(sum(class_${i}_count) OVER wa AS BIGINT) AS sum_class_${i}_count,""".stripMargin
+    }.mkString("\n")
+    s"""c AS (
+       |  SELECT feature, feature_value,
+       |$cols
+       |    CAST(sum(count_examples) OVER w AS BIGINT) AS cum_sum_count_examples,
+       |    CAST(sum(count_examples) OVER wa AS BIGINT) AS sum_count_examples
+       |  FROM h
+       |  WINDOW w AS (PARTITION BY feature ORDER BY feature_value ROWS UNBOUNDED PRECEDING),
+       |         wa AS (PARTITION BY feature))""".stripMargin
+  }
+
+  /** `p * (ln(p)/ln(2))` with the 0*log2(0):=0 convention, association
+    * matching Spark's `p * log(2.0, p)` exactly. */
+  private def plogSql(p: String): String =
+    s"CASE WHEN $p > 0 THEN $p * (ln($p) / ln(2.0)) ELSE 0.0 END"
+
+  private def critSql(criterion: Criterion, ps: Seq[String]): String = criterion match {
+    case Criterion.Entropy => "-1.0 * (" + ps.map(plogSql).mkString(" + ") + ")"
+    case Criterion.Gini    => "1.0 - (" + ps.map(p => s"$p * $p").mkString(" + ") + ")"
+  }
+
+  private def bestSplitSql(criterion: Criterion): String = {
+    val props = (0 to 2).map { i =>
+      s"""    cum_sum_class_${i}_count / cum_sum_count_examples AS l$i,
+         |    (sum_class_${i}_count - cum_sum_class_${i}_count) / (sum_count_examples - cum_sum_count_examples) AS r$i,
+         |    sum_class_${i}_count / sum_count_examples AS p$i,""".stripMargin
+    }.mkString("\n")
+    val lc = critSql(criterion, Seq("l0", "l1", "l2"))
+    val rc = critSql(criterion, Seq("r0", "r1", "r2"))
+    val pc = critSql(criterion, Seq("p0", "p1", "p2"))
+    s"""WITH $meltCte,
+       |$histCte,
+       |$cumCte,
+       |f AS (SELECT * FROM c WHERE sum_count_examples > cum_sum_count_examples),
+       |p AS (
+       |  SELECT feature, feature_value, cum_sum_count_examples, sum_count_examples,
+       |$props
+       |  FROM f),
+       |crit AS (
+       |  SELECT feature, feature_value, cum_sum_count_examples, sum_count_examples,
+       |    $lc AS left_criterion, $rc AS right_criterion, $pc AS parent_criterion
+       |  FROM p),
+       |g AS (
+       |  SELECT feature, feature_value,
+       |    parent_criterion - (cum_sum_count_examples / sum_count_examples * left_criterion
+       |      + (sum_count_examples - cum_sum_count_examples) / sum_count_examples * right_criterion) AS information_gain,
+       |    parent_criterion
+       |  FROM crit),
+       |g2 AS (SELECT * FROM g WHERE NOT isnan(information_gain) AND information_gain IS NOT NULL),
+       |r AS (
+       |  SELECT feature, feature_value, information_gain, parent_criterion,
+       |    row_number() OVER (PARTITION BY feature ORDER BY information_gain DESC, feature_value ASC) AS rn
+       |  FROM g2)
+       |SELECT feature, feature_value, round(information_gain, 6) AS information_gain,
+       |       round(parent_criterion, 6) AS parent_criterion
+       |FROM r WHERE rn = 1 ORDER BY feature""".stripMargin
+  }
+
+  private def bestSplitQuery(criterion: Criterion)(s: SparkSession, dir: String): DataFrame =
+    SplitSearch.bestSplitsPerFeature(lineitem(s, dir), TreeFeatures, Target, Targets, criterion)
+      .select(col("feature"), col("feature_value"),
+        round(col("information_gain"), 6).as("information_gain"),
+        round(col("parent_criterion"), 6).as("parent_criterion"))
+      .orderBy("feature")
+
+  // ---- similarity SQL fragments ------------------------------------------
+
+  /** Exact-shape cosine: dot/(sqrt(dot_aa)*sqrt(dot_bb)), matching
+    * [[Similarity.cosine]]'s association. */
+  private def cosSql(a: String, b: String): String =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  // ---- text SQL fragments -------------------------------------------------
+
+  private val stopListSql = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+
+  // ---- the catalog --------------------------------------------------------
+
+  /** name -> ((spark, sfDir) => result). Keys with no [[oracleSql]] entry get
+    * the driver's weaker rows-only check (non-SQL-expressible: xxhash64-based
+    * signatures have no DuckDB twin). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- SURVEY §2 tree-pipeline oracles ------------------------------------
+    "split_histogram" -> ((s, dir) =>
+      SplitSearch.meltedHistogram(lineitem(s, dir), TreeFeatures, Target, Targets)
+        .orderBy("feature", "feature_value")),
+    "cum_counts" -> ((s, dir) =>
+      SplitSearch.cumulativeCounts(
+        SplitSearch.meltedHistogram(lineitem(s, dir), TreeFeatures, Target, Targets), Targets.size)
+        .orderBy("feature", "feature_value")),
+    "best_split_gain_entropy" -> bestSplitQuery(Criterion.Entropy) _,
+    "best_split_gain_gini" -> bestSplitQuery(Criterion.Gini) _,
+    "target_encoding" -> ((s, dir) => {
+      val m = TargetEncoder.fitMappings(lineitem(s, dir), Seq("l_linestatus"), "l_quantity")("l_linestatus")
+      import s.implicits._
+      m.toSeq.map { case (k, v) => (k, v.toLong) }.toDF("category", "code").orderBy("code")
+    }),
+    "majority_class" -> ((s, dir) =>
+      lineitem(s, dir).groupBy(col(Target).as("target")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("target").asc).limit(1)),
+    "distinct_targets" -> ((s, dir) =>
+      lineitem(s, dir).select(col(Target).as("target")).distinct().orderBy("target")),
+    "class_distribution" -> ((s, dir) =>
+      lineitem(s, dir).groupBy(col(Target).as("target")).agg(count(lit(1)).as("n"))
+        .orderBy("target")),
+    "split_partition_left" -> ((s, dir) =>
+      orderedByAll(lineitem(s, dir).where(col("l_discount") <= lit(0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))),
+    "split_partition_right" -> ((s, dir) =>
+      orderedByAll(lineitem(s, dir).where(!(col("l_discount") <= lit(0.05)))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))),
+    "predict_union" -> ((s, dir) =>
+      orderedByAll(Predict.planScore(demoModel, lineitem(s, dir), Seq("l_orderkey", "l_linenumber")))),
+    "predict_expr" -> ((s, dir) =>
+      orderedByAll(lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), Predict.scoreExpr(demoModel).as("prediction")))),
+    "predict_union_rowindex" -> ((s, dir) => {
+      val sorted = lineitem(s, dir).orderBy(LineitemCols.map(col).toIndexedSeq: _*)
+      val indexed = Predict.withRowIndex(sorted, "temp_prediction_index")
+      Predict.planScore(demoModel, indexed, Seq("temp_prediction_index"))
+        .orderBy("temp_prediction_index")
+    }),
+    "fill_null" -> ((s, dir) =>
+      orderedByAll(Prep.fillNull(
+        lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") < 0.03, lit(null)).otherwise(col("l_discount")).as("d")),
+        0.0, Seq("d")))),
+    "csv_scan" -> ((s, dir) => orderedByAll(nationViaCsv(s, dir))),
+    "csv_target_encoding" -> ((s, dir) => {
+      val m = TargetEncoder.fitMappings(nationViaCsv(s, dir), Seq("n_name"), "n_regionkey")("n_name")
+      import s.implicits._
+      m.toSeq.map { case (k, v) => (k, v.toLong) }.toDF("category", "code").orderBy("code")
+    }),
+    // -- LLM-pipeline operators --------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("text_hash")),
+    "jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+    "minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minHashLshPairs(documents(s, dir), "doc_id", "text",
+          numHashes = 32, shingleN = 3, bands = 8, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+    "text_stats" -> ((s, dir) => {
+      val t = col("text")
+      documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.wsTokenCount(t).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeishTokenCount(t).cast("long").as("n_bpe_tokens"),
+        round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextFunctions.meanWordLength(t), 6).as("mean_word_len"),
+        TextFunctions.qualityScore(t).as("quality"),
+        TextFunctions.fingerprint(t).as("fingerprint")
+      ).orderBy("doc_id")
+    }),
+    "lang_id" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+        .orderBy("doc_id")),
+    "brute_force_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = queryVector(e)
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, k = 10)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+    }),
+    "topk_for_queries" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.topKForQueries(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = queryVector(e)
+      Similarity.annTopK(Similarity.lshIndex(e, "vec_id", "embedding", nBits = 8), q, nBits = 8, k = 10)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+    }),
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx"))
+  )
+
+  /** Embedding of vec_id=0 as the constant query vector (float -> double
+    * widening is exact). One tiny driver collect, not part of the scored
+    * dataflow. */
+  private def queryVector(emb: DataFrame): Seq[Double] =
+    emb.where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+
+  /** The CSV source path (S2, reference: examples/heart_disease.py:12):
+    * round-trips the nation table through CSV with header + schema
+    * inference. The CSV lives under java.io.tmpdir, keyed by scale dir. */
+  private def nationViaCsv(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_nation_csv_$key"
+    nation(s, dir).coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+    s.read.option("header", "true").option("inferSchema", "true").csv(csvDir)
+  }
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private val histSelectSql =
+    s"""WITH $meltCte,
+       |$histCte
+       |SELECT feature, feature_value, class_0_count, class_1_count, class_2_count, count_examples
+       |FROM h ORDER BY feature, feature_value""".stripMargin
+
+  private val cumSelectSql = {
+    val cumCols = (0 to 2).flatMap(i =>
+      Seq(s"cum_sum_class_${i}_count", s"sum_class_${i}_count")) ++
+      Seq("cum_sum_count_examples", "sum_count_examples")
+    s"""WITH $meltCte,
+       |$histCte,
+       |$cumCte
+       |SELECT feature, feature_value, ${cumCols.mkString(", ")}
+       |FROM c ORDER BY feature, feature_value""".stripMargin
+  }
+
+  private val textStatsSql = {
+    val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+    val tkRaw = """regexp_split_to_array(trim(text), '\s+')"""
+    val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
+    val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
+    val meanLen = s"""CASE WHEN len($tkRaw) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($tkRaw, x -> length(x))) AS DOUBLE) / len($tkRaw) END"""
+    val lenScore = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+    val punctScore = s"1.0 - least(($punct) * 5.0, 1.0)"
+    val stopScore = s"least(($stop) * 4.0, 1.0)"
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens,
+       |  round($punct, 6) AS punct_ratio,
+       |  round($stop, 6) AS stopword_ratio,
+       |  round($meanLen, 6) AS mean_word_len,
+       |  round((($lenScore) + ($punctScore) + ($stopScore)) / 3.0, 6) AS quality,
+       |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val langIdSql = {
+    val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+    def hits(markers: Seq[String]) =
+      s"len(list_filter($tk, x -> list_contains([${markers.map("'" + _ + "'").mkString(", ")}], x)))"
+    val en = hits(Seq("the", "and", "is", "of", "to"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "et", "les", "est"))
+    val es = hits(Seq("el", "los", "y", "es", "las"))
+    s"""WITH c AS (SELECT doc_id, $en AS en, $de AS de, $fr AS fr, $es AS es FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+       |       WHEN en = greatest(en, de, fr, es) THEN 'en'
+       |       WHEN de = greatest(en, de, fr, es) THEN 'de'
+       |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+       |       WHEN es = greatest(en, de, fr, es) THEN 'es'
+       |       ELSE 'und' END AS lang
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  private val jaccardSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+       |sets AS (
+       |  SELECT id,
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+       |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+       |  FROM toks),
+       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
+       |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, round(n_common / (size_a + size_b - n_common), 6) AS jaccard
+       |FROM pairs
+       |WHERE n_common / (size_a + size_b - n_common) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val sessionizeSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      |b AS (
+      |  SELECT user_id, us, value,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (
+      |  SELECT user_id, us, value,
+      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM b)
+      |SELECT user_id, session_idx, count(*) AS n_events, round(sum(value), 6) AS sum_value,
+      |       min(us) AS start_us, max(us) AS end_us
+      |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+
+  private val topkSql =
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |s AS (
+       |  SELECT e.vec_id AS id, ${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS cos
+       |  FROM embeddings e, q)
+       |SELECT id, round(cos, 6) AS cosine FROM s ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin
+
+  private val topkForQueriesSql =
+    s"""WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+       |s AS (
+       |  SELECT query_id, corpus_id, ${cosSql("cv", "qv")} AS cos
+       |  FROM c JOIN q ON corpus_id <> query_id),
+       |r AS (
+       |  SELECT query_id, corpus_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "split_histogram" -> histSelectSql,
+    "cum_counts" -> cumSelectSql,
+    "best_split_gain_entropy" -> bestSplitSql(Criterion.Entropy),
+    "best_split_gain_gini" -> bestSplitSql(Criterion.Gini),
+    "target_encoding" ->
+      """SELECT category, CAST(row_number() OVER (ORDER BY avg_t ASC, category ASC) - 1 AS BIGINT) AS code
+        |FROM (SELECT l_linestatus AS category, avg(CAST(l_quantity AS DOUBLE)) AS avg_t FROM lineitem GROUP BY 1)
+        |ORDER BY code""".stripMargin,
+    "majority_class" ->
+      "SELECT l_returnflag AS target, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY n DESC, target ASC LIMIT 1",
+    "distinct_targets" ->
+      "SELECT DISTINCT l_returnflag AS target FROM lineitem ORDER BY target",
+    "class_distribution" ->
+      "SELECT l_returnflag AS target, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY target",
+    "split_partition_left" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_discount <= 0.05 ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+    "split_partition_right" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE NOT (l_discount <= 0.05) ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+    "predict_union" ->
+      s"""SELECT l_orderkey, l_linenumber, $demoCaseSql AS prediction FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber, prediction""".stripMargin,
+    "predict_expr" ->
+      s"""SELECT l_orderkey, l_linenumber, $demoCaseSql AS prediction FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber, prediction""".stripMargin,
+    "predict_union_rowindex" ->
+      s"""SELECT row_number() OVER (ORDER BY ${LineitemCols.mkString(", ")}) - 1 AS temp_prediction_index,
+         |  $demoCaseSql AS prediction
+         |FROM lineitem ORDER BY temp_prediction_index""".stripMargin,
+    "fill_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(CASE WHEN l_discount < 0.03 THEN NULL ELSE l_discount END, 0.0) AS d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, d""".stripMargin,
+    "csv_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey, n_name, n_regionkey",
+    "csv_target_encoding" ->
+      """SELECT category, CAST(row_number() OVER (ORDER BY avg_t ASC, category ASC) - 1 AS BIGINT) AS code
+        |FROM (SELECT n_name AS category, avg(CAST(n_regionkey AS DOUBLE)) AS avg_t FROM nation GROUP BY 1)
+        |ORDER BY code""".stripMargin,
+    "dedup_exact" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
+    "jaccard_pairs" -> jaccardSql,
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "brute_force_topk" -> topkSql,
+    "topk_for_queries" -> topkForQueriesSql,
+    "sessionize" -> sessionizeSql
+  )
+}

@@ -44,7 +44,14 @@ object Similarity {
   }
 
   /** All-pairs top-k for a set of query rows against the corpus, via a
-    * broadcast of the (small) query side — no cartesian shuffle. */
+    * broadcast of the (small) query side — no cartesian shuffle.
+    *
+    * SCALE GUARD: the `corpus_id =!= query_id` join condition is non-equi,
+    * so Spark plans a broadcast nested-loop — every corpus row is scored
+    * against every query. Work is O(|corpus| x |queries|); this is the
+    * intended brute-force batch scorer and is only appropriate while the
+    * query set is small (hundreds). Bulk query sets belong on the LSH path
+    * ([[lshIndex]] + [[annTopK]]), where candidates are bucket-bounded. */
   def topKForQueries(
       corpus: DataFrame,
       queries: DataFrame,
@@ -88,9 +95,29 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), nBits).as("bucket"))
 
+  /** Driver-side twin of [[lshSignature]] for a single query vector — the
+    * query's bucket is a pure function of the vector, so computing it must
+    * not cost a Spark job. Hash components are evaluated through the same
+    * Catalyst XxHash64 expression the distributed signature uses, and the
+    * fold runs in the same element order, so the two paths agree bitwise. */
+  def lshSignatureLocal(vec: Seq[Double], nBits: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    def component(plane: Int, dim: Int): Double = {
+      val h = XxHash64(Seq(Literal(plane), Literal(dim)), 42L).eval(null).asInstanceOf[Long]
+      h.toDouble / Long.MaxValue.toDouble
+    }
+    (0 until nBits).map { p =>
+      val proj = vec.zipWithIndex
+        .map { case (x, i) => x * component(p, i) }
+        .foldLeft(0.0d)(_ + _)
+      if (proj >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+  }
+
   /** ANN top-k: probe only the query's bucket, then rank by exact cosine.
     * Recall is tuned by nBits (fewer bits = bigger buckets = higher recall,
-    * more compute). */
+    * more compute). The query's bucket is computed on the driver
+    * ([[lshSignatureLocal]]) — no Spark job for a scalar. */
   def annTopK(
       index: DataFrame,
       query: Seq[Double],
@@ -98,10 +125,7 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val qArr = array(query.map(lit): _*)
-    val spark = index.sparkSession
-    import spark.implicits._
-    val qSig = spark.range(1).select(lshSignature(qArr, nBits).as("bucket"))
-      .as[Long].head()
+    val qSig = lshSignatureLocal(query, nBits)
     val v = transform(col("vec"), x => x.cast("double"))
     index.where(col("bucket") === lit(qSig))
       .select(col("id"), cosine(v, qArr).as("cosine"))
