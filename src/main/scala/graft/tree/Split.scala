@@ -36,6 +36,51 @@ object SplitSearch {
       parentCriterion: Double
   )
 
+  /** Per-feature winner enriched with the class-count columns the gain was
+    * computed from, so the trainer can derive both children's class
+    * distributions (left = cum counts at the threshold, right = feature
+    * totals - cum) without running any further Spark job. */
+  final case class CandidateStats(
+      candidate: Candidate,
+      leftClassCounts: Seq[Long],
+      featureClassTotals: Seq[Long]
+  )
+
+  /** One split-search job's full result: the per-feature winners plus the
+    * node's own class distribution (in `targets` order). */
+  final case class NodeSearch(
+      candidates: Seq[CandidateStats],
+      nodeDistribution: Seq[Long]
+  ) {
+    /** Global best with deterministic tie-break (gain DESC, feature ASC,
+      * threshold ASC — reference leaves this unspecified, SURVEY §2.11). */
+    def best: Option[CandidateStats] =
+      if (candidates.isEmpty) None
+      else Some(candidates.minBy(c =>
+        (-c.candidate.informationGain, c.candidate.feature, c.candidate.threshold)))
+  }
+
+  /** Sentinel pseudo-feature melted alongside the real ones: its constant
+    * value yields exactly one histogram row per node whose totals are the
+    * node's class distribution over ALL rows (a `lit` is never null, so no
+    * per-feature null filter applies). It can never produce a split
+    * candidate — a single distinct value leaves no right-hand side. */
+  private val NodeSentinel = "__node__"
+
+  /** Snap a feature value to the smallest bin edge >= value (edges sorted
+    * ascending); values beyond the last edge collapse into a +Infinity
+    * catch-all bucket, which sorts last and is dropped by the
+    * "right side non-empty" rule. Counts at every edge threshold remain
+    * EXACT (v <= e  <=>  snap(v) <= e for e in edges); only the candidate
+    * set is restricted — the standard MLlib-style maxBins trade. */
+  def snapToEdges(c: Column, edges: Seq[Double]): Column = {
+    require(edges.nonEmpty, "snapToEdges needs at least one edge")
+    val sorted = edges.sorted
+    sorted.tail.foldLeft(when(c <= sorted.head, lit(sorted.head))) {
+      case (chain, e) => chain.when(c <= e, lit(e))
+    }.otherwise(lit(Double.PositiveInfinity))
+  }
+
   /** 0*log2(0) := 0 convention: the reference computes p*log2(p) then
     * `fill_nan(0.0)` (tree.py:215). Spark's `log` returns NULL (not NaN)
     * for non-positive input, so we need coalesce as well as nanvl. */
@@ -63,10 +108,19 @@ object SplitSearch {
       df: DataFrame,
       features: Seq[String],
       targetName: String,
-      targets: Seq[Any]
+      targets: Seq[Any],
+      binEdges: Map[String, Seq[Double]] = Map.empty,
+      withNodeSentinel: Boolean = false
   ): DataFrame = {
-    val fv = features.map(f =>
-      struct(lit(f).as("feature"), col(f).cast(DoubleType).as("feature_value")))
+    val fv = features.map { f =>
+      val v = binEdges.get(f) match {
+        case Some(edges) => snapToEdges(col(f).cast(DoubleType), edges)
+        case None        => col(f).cast(DoubleType)
+      }
+      struct(lit(f).as("feature"), v.as("feature_value"))
+    } ++ (if (withNodeSentinel)
+            Seq(struct(lit(NodeSentinel).as("feature"), lit(0.0).as("feature_value")))
+          else Nil)
     val melted = df
       .select(col(targetName).as("__target"), explode(array(fv: _*)).as("fv"))
       .select(col("fv.feature").as("feature"), col("fv.feature_value").as("feature_value"), col("__target"))
@@ -171,6 +225,100 @@ object SplitSearch {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** The trainer's ONE Spark job per tree node: per-feature best splits AND
+    * the node's class distribution, in a single collect.
+    *
+    * Differences from the oracle-shaped [[bestSplitsPerFeature]] pipeline:
+    *   - the [[NodeSentinel]] pseudo-feature is melted in, contributing one
+    *     histogram row whose totals are the node's class distribution;
+    *   - instead of filtering out the last cumulative row (F3) and NaN
+    *     gains (F4), the gain is computed as
+    *     `when(valid, gain).otherwise(null)` and the per-feature top-1
+    *     window orders gain DESC NULLS LAST — so a feature with no valid
+    *     candidate (and the sentinel, which never has one) still emits its
+    *     winner row carrying the count columns. Null-gain rows become
+    *     distribution carriers; non-null rows are real candidates.
+    *
+    * Replaces the reference's ~3 executions per node (collect_all fan-out +
+    * mask collect + distribution collect, tree.py:339-372) with one.
+    *
+    * `binEdges`: optional per-feature quantile-bin edges (maxBins mode) —
+    * bounds every per-feature window partition at |edges|+1 rows, which is
+    * what makes the cumulative windows scale-safe on continuous features.
+    */
+  def searchWithStats(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      criterion: Criterion,
+      binEdges: Map[String, Seq[Double]] = Map.empty
+  ): NodeSearch = {
+    val k = targets.size
+    val hist = meltedHistogram(df, features, targetName, targets, binEdges, withNodeSentinel = true)
+    val cum = cumulativeCounts(hist, k)
+    // Rows where cum == sum (the per-feature maximum and the sentinel) are
+    // not candidates; under ANSI mode (Spark 4 default) their right-side
+    // proportion would throw DIVIDE_BY_ZERO, so guard it to NULL — the
+    // criterion's 0*log2(0) coalesce then yields 0, and the validity filter
+    // below nulls the gain anyway (the oracle-shaped pipeline instead
+    // filters these rows out before dividing, F3).
+    val hasRight = col("sum_count_examples") > col("cum_sum_count_examples")
+    val proportions = (0 until k).flatMap { i =>
+      Seq(
+        (col(s"cum_sum_class_${i}_count") / col("cum_sum_count_examples"))
+          .as(s"left_proportion_class_$i"),
+        when(hasRight,
+          (col(s"sum_class_${i}_count") - col(s"cum_sum_class_${i}_count")) /
+            (col("sum_count_examples") - col("cum_sum_count_examples")))
+          .as(s"right_proportion_class_$i"),
+        (col(s"sum_class_${i}_count") / col("sum_count_examples"))
+          .as(s"parent_proportion_class_$i")
+      )
+    }
+    val countCols = (0 until k).flatMap(i =>
+      Seq(col(s"cum_sum_class_${i}_count"), col(s"sum_class_${i}_count"))) ++
+      Seq(col("cum_sum_count_examples"), col("sum_count_examples"))
+    val withCrit = cum
+      .select((Seq(col("feature"), col("feature_value")) ++ countCols ++ proportions): _*)
+      .select((Seq(col("feature"), col("feature_value")) ++ countCols ++ Seq(
+        criterionExpr("left", k, criterion),
+        criterionExpr("right", k, criterion),
+        criterionExpr("parent", k, criterion))): _*)
+    val rawGain = col("parent_criterion") -
+      (col("cum_sum_count_examples") / col("sum_count_examples") * col("left_criterion") +
+        (col("sum_count_examples") - col("cum_sum_count_examples")) /
+          col("sum_count_examples") * col("right_criterion"))
+    val valid = (col("sum_count_examples") > col("cum_sum_count_examples")) &&
+      !isnan(rawGain) && rawGain.isNotNull
+    val withGain = withCrit.withColumn("information_gain", when(valid, rawGain))
+    val w = Window.partitionBy("feature")
+      .orderBy(col("information_gain").desc_nulls_last, col("feature_value").asc)
+    val winners = withGain
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select((Seq(col("feature"), col("feature_value"), col("information_gain"),
+        col("parent_criterion")) ++ countCols): _*)
+      .collect()
+
+    val (sentinelRows, featureRows) = winners.toSeq.partition(_.getAs[String]("feature") == NodeSentinel)
+    require(sentinelRows.nonEmpty, "searchWithStats on empty node data")
+    val nodeDist = (0 until k).map(i => sentinelRows.head.getAs[Long](s"sum_class_${i}_count"))
+    val candidates = featureRows
+      .filter(r => !r.isNullAt(r.fieldIndex("information_gain")))
+      .map { r =>
+        CandidateStats(
+          Candidate(
+            r.getAs[String]("feature"),
+            r.getAs[Double]("feature_value"),
+            r.getAs[Double]("information_gain"),
+            r.getAs[Double]("parent_criterion")),
+          (0 until k).map(i => r.getAs[Long](s"cum_sum_class_${i}_count")),
+          (0 until k).map(i => r.getAs[Long](s"sum_class_${i}_count")))
+      }
+    NodeSearch(candidates, nodeDist)
   }
 
   /** Collect the per-feature winners and pick the global best on the driver

@@ -8,11 +8,28 @@ import org.apache.spark.storage.StorageLevel
   * DataFrame dataflow — the Spark-native rebuild of the reference's
   * Polars-backed `DecisionTreeClassifier` (reference: efficient_trees/tree.py:16-385).
   *
+  * Execution shape per tree node: ONE Spark job
+  * ([[SplitSearch.searchWithStats]]) that returns every feature's best
+  * split AND the node's class distribution; the children's distributions
+  * fall out of the winner's cumulative counts, so leaves cost zero jobs.
+  * The reference runs ~3 executions per node (per-feature `collect_all`
+  * fan-out + mask collect + distribution collect, tree.py:339-372).
+  *
   * @param maxDepth       depth cap; at `depth >= maxDepth` a majority-class
   *                       leaf is emitted (reference: tree.py:202-203)
   * @param categoricalColumns columns to ordinal-target-encode before
   *                       training (reference: tree.py:93-108)
   * @param criterion      entropy or gini (reference: enums.py:8-14)
+  * @param maxBins        when set, candidate thresholds per feature are
+  *                       restricted to `maxBins` approximate quantile edges
+  *                       computed ONCE on the training data (MLlib-style).
+  *                       This bounds the per-feature cumulative-count window
+  *                       partition at maxBins+1 rows — the scale-safe mode
+  *                       for continuous features, where exact mode's
+  *                       candidate set (every distinct value) would put O(n)
+  *                       rows in a single window task. Counts at the chosen
+  *                       edges stay exact; only the candidate set shrinks.
+  *                       None = exact mode (reference parity, golden tests).
   * @param cacheNodes     persist each node's rows (MEMORY_AND_DISK) for the
   *                       duration of its subtree build. The reference's
   *                       lazy/streaming mode re-derives every node from the
@@ -33,6 +50,7 @@ final case class DecisionTreeClassifier(
     maxDepth: Option[Int] = None,
     categoricalColumns: Seq[String] = Nil,
     criterion: Criterion = Criterion.Entropy,
+    maxBins: Option[Int] = None,
     cacheNodes: Boolean = true,
     checkpointDepthInterval: Int = 0
 ) {
@@ -40,6 +58,7 @@ final case class DecisionTreeClassifier(
   /** Train. Pipeline mirrors the reference's `fit` (tree.py:79-115):
     * schema introspection -> (dtype shrink: a no-op under Tungsten) ->
     * target-encode categoricals -> collect distinct targets ->
+    * (maxBins mode: one approxQuantile pass for bin edges) ->
     * recursive build.
     */
   def fit(data: DataFrame, targetName: String): DecisionTreeModel = {
@@ -57,44 +76,59 @@ final case class DecisionTreeClassifier(
     val targets: Seq[Any] =
       encoded.select(col(targetName)).distinct().orderBy(col(targetName)).collect().map(_.get(0)).toSeq
 
-    val tree = buildTree(encoded, featureNames, targetName, targets, depth = 0)
+    // maxBins mode: per-feature quantile edges, computed once on the root
+    // data and reused for every node (MLlib-style binning).
+    val binEdges: Map[String, Seq[Double]] = maxBins match {
+      case Some(b) =>
+        require(b >= 2, s"maxBins must be >= 2, got $b")
+        val probs = (1 until b).map(_.toDouble / b).toArray
+        val doubled = featureNames.foldLeft(encoded) { (d, f) =>
+          d.withColumn(f, col(f).cast("double"))
+        }
+        val quantiles =
+          doubled.stat.approxQuantile(featureNames.toArray, probs, 1.0 / (4 * b))
+        featureNames.zip(quantiles.map(_.distinct.sorted.toSeq))
+          .filter(_._2.nonEmpty).toMap
+      case None => Map.empty
+    }
+
+    val tree = buildTree(encoded, featureNames, targetName, targets, binEdges,
+      depth = 0, inheritedDist = None)
     DecisionTreeModel(tree, mappings, targetType)
   }
 
-  /** Majority class with deterministic smallest-label tie-break
-    * (reference: tree.py:166-178 takes an arbitrary row on ties —
-    * documented divergence, SURVEY.md §2.11). Planned as
-    * TakeOrderedAndProject: no global sort. */
-  private def majorityClass(df: DataFrame, targetName: String): Any = {
-    val rows = df.groupBy(col(targetName)).agg(count(lit(1)).as("len"))
-      .orderBy(col("len").desc, col(targetName).asc)
-      .limit(1)
-      .collect()
-    require(rows.nonEmpty, "majorityClass on empty node")
-    rows(0).get(0)
+  /** Majority label from a class-count vector aligned to the (sorted)
+    * `targets`: argmax count, smallest label on ties (the reference takes
+    * an arbitrary row on ties — documented divergence, SURVEY.md §2.11). */
+  private def majorityFromDist(dist: Seq[Long], targets: Seq[Any]): Any = {
+    require(dist.exists(_ > 0), "majority of empty node")
+    targets(dist.indexOf(dist.max))
   }
 
-  /** Class counts sorted by class value (reference: tree.py:363-372). */
-  private def targetDistribution(df: DataFrame, targetName: String): Seq[Long] =
-    df.groupBy(col(targetName)).agg(count(lit(1)).as("count"))
-      .orderBy(col(targetName).asc)
-      .collect()
-      .map(_.getAs[Long]("count"))
-      .toSeq
+  /** Fallback single job for the rare no-inherited-distribution case
+    * (depth cap at the root). */
+  private def distributionJob(df: DataFrame, targetName: String, targets: Seq[Any]): Seq[Long] = {
+    val counts = df.groupBy(col(targetName)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getAs[Long]("n")).toMap
+    targets.map(t => counts.getOrElse(t, 0L))
+  }
 
-  /** Recursive node build (reference: tree.py:180-385). Per node: ONE
-    * all-features split-search job (SplitSearch melt, replacing the
-    * reference's per-feature collect_all fan-out) + one tiny distribution
-    * job; leaves run one majority job. */
+  /** Recursive node build (reference: tree.py:180-385). */
   private def buildTree(
       data: DataFrame,
       featureNames: Seq[String],
       targetName: String,
       targets: Seq[Any],
-      depth: Int
+      binEdges: Map[String, Seq[Double]],
+      depth: Int,
+      inheritedDist: Option[Seq[Long]]
   ): TreeNode = {
-    if (maxDepth.exists(depth >= _))
-      return LeafNode(majorityClass(data, targetName))
+    if (maxDepth.exists(depth >= _)) {
+      // Depth-capped leaf: zero Spark jobs when the parent handed us the
+      // distribution (always, except a root-level cap).
+      val dist = inheritedDist.getOrElse(distributionJob(data, targetName, targets))
+      return LeafNode(majorityFromDist(dist, targets))
+    }
 
     val node = {
       val checkpointed =
@@ -104,21 +138,25 @@ final case class DecisionTreeClassifier(
       if (cacheNodes) checkpointed.persist(StorageLevel.MEMORY_AND_DISK) else checkpointed
     }
     try {
-      val best = SplitSearch.bestSplit(node, featureNames, targetName, targets, criterion)
-      best match {
-        case Some(c) if c.informationGain > 0 =>
+      val search = SplitSearch.searchWithStats(
+        node, featureNames, targetName, targets, criterion, binEdges)
+      search.best match {
+        case Some(cs) if cs.candidate.informationGain > 0 =>
+          val c = cs.candidate
           // Split by re-applying the predicate on each side — same 3-valued
           // semantics as the reference's materialized mask + ~mask
           // (tree.py:351-358): NULL-feature rows leave both children.
           val pred = col(c.feature).cast("double") <= lit(c.threshold)
-          val leftDf = node.where(pred)
-          val rightDf = node.where(!pred)
-          val left = buildTree(leftDf, featureNames, targetName, targets, depth + 1)
-          val right = buildTree(rightDf, featureNames, targetName, targets, depth + 1)
-          val dist = targetDistribution(node, targetName)
-          SplitNode(c.feature, c.threshold, c.informationGain, c.parentCriterion, dist, left, right)
+          val leftDist = cs.leftClassCounts
+          val rightDist = cs.featureClassTotals.zip(cs.leftClassCounts).map { case (t, l) => t - l }
+          val left = buildTree(node.where(pred), featureNames, targetName, targets,
+            binEdges, depth + 1, Some(leftDist))
+          val right = buildTree(node.where(!pred), featureNames, targetName, targets,
+            binEdges, depth + 1, Some(rightDist))
+          SplitNode(c.feature, c.threshold, c.informationGain, c.parentCriterion,
+            search.nodeDistribution, left, right)
         case _ =>
-          LeafNode(majorityClass(node, targetName))
+          LeafNode(majorityFromDist(search.nodeDistribution, targets))
       }
     } finally {
       if (cacheNodes) node.unpersist(blocking = false)
