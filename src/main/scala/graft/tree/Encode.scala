@@ -41,8 +41,9 @@ object TargetEncoder {
       c -> rows.iterator.zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
     }.toMap
 
-  private def recodeColumn(df: DataFrame, c: String, mapping: Map[String, Int]): DataFrame =
-    if (mapping.size <= WhenChainThreshold) {
+  private def recodeColumn(df: DataFrame, c: String, mapping: Map[String, Int],
+      whenChainThreshold: Int): DataFrame =
+    if (mapping.size <= whenChainThreshold) {
       val key = col(c).cast(StringType)
       val chain = mapping.toSeq.sortBy(_._2).foldLeft(Option.empty[Column]) {
         case (acc, (k, v)) =>
@@ -62,6 +63,7 @@ object TargetEncoder {
         .drop("__cat_join_key", "__cat_key", "__cat_code")
     }
 
-  def applyMappings(df: DataFrame, mappings: Map[String, Map[String, Int]]): DataFrame =
-    mappings.foldLeft(df) { case (d, (c, m)) => recodeColumn(d, c, m) }
+  def applyMappings(df: DataFrame, mappings: Map[String, Map[String, Int]],
+      whenChainThreshold: Int = WhenChainThreshold): DataFrame =
+    mappings.foldLeft(df) { case (d, (c, m)) => recodeColumn(d, c, m, whenChainThreshold) }
 }

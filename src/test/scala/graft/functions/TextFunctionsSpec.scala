@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def one(text: String) = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(text)), 1),
+      StructType(Seq(StructField("text", StringType))))
+    df.select(
+      TextFunctions.wsTokenCount(col("text")).as("ws"),
+      TextFunctions.bpeishTokenCount(col("text")).as("bpe"),
+      TextFunctions.punctRatio(col("text")).as("punct"),
+      TextFunctions.stopwordRatio(col("text")).as("stop"),
+      TextFunctions.meanWordLength(col("text")).as("mwl"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp")
+    ).head()
+  }
+
+  test("token counts") {
+    val r = one("Hello world, this is fine.")
+    assert(r.getAs[Int]("ws") == 5)
+    // Hello|world|,|this|is|fine|. = 7
+    assert(r.getAs[Int]("bpe") == 7)
+  }
+
+  test("punctuation ratio counts only .,!?;: characters") {
+    val r = one("ab.,!?") // 4 punct of 6 chars
+    assert(math.abs(r.getAs[Double]("punct") - 4.0 / 6.0) < 1e-12)
+  }
+
+  test("stopword ratio and mean word length") {
+    val r = one("the cat sat") // 1 stopword of 3; lengths 3,3,3
+    assert(math.abs(r.getAs[Double]("stop") - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mwl") - 3.0) < 1e-12)
+  }
+
+  test("language id picks marker-stopword argmax, und when none") {
+    assert(one("the cat and the dog is here").getAs[String]("lang") == "en")
+    assert(one("der hund und die katze ist da").getAs[String]("lang") == "de")
+    assert(one("le chat et la porte est ici").getAs[String]("lang") == "fr")
+    assert(one("el gato y los perros es aqui").getAs[String]("lang") == "es")
+    assert(one("xyzzy plugh quux").getAs[String]("lang") == "und")
+  }
+
+  test("fingerprint collapses formatting variants") {
+    val a = one("Hello,   World!").getAs[String]("fp")
+    val b = one("hello world").getAs[String]("fp")
+    val c = one("different text").getAs[String]("fp")
+    assert(a == b && a != c)
+  }
+
+  test("quality score bounded in [0,1] and favors clean prose") {
+    val clean = one("the quick brown fox jumps over the lazy dog and it is a fine day in the park today")
+    val junk = one("!!!;;;...???")
+    assert(clean.getAs[Double]("q") > junk.getAs[Double]("q"))
+    for (r <- Seq(clean, junk)) {
+      val q = r.getAs[Double]("q")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+}

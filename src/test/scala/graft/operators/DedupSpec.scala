@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = docs(1L -> "hello world", 2L -> "hello world", 3L -> "goodbye", 4L -> "hello world")
+    val groups = Dedup.exact(d, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups == Map(1L -> 3L, 3L -> 1L)) // keep_id -> n_copies
+  }
+
+  test("jaccard pairs: hand-computed similarity on unigram sets") {
+    // A={a,b,c,d}, B={a,b,c,e}: |∩|=3, |∪|=5, J=0.6
+    val d = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "x y z w")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0.6)))
+  }
+
+  test("shingle sets: trigram count and short-doc fallback") {
+    import org.apache.spark.sql.functions._
+    val d = docs(1L -> "one two three four", 2L -> "tiny doc")
+    val sizes = d.select(col("doc_id"), size(Dedup.shingleSet(col("text"), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sizes(1L) == 2) // "one two three", "two three four"
+    assert(sizes(2L) == 1) // whole-text fallback
+  }
+
+  test("minhash-LSH finds near-duplicates and skips distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base.replace("tonight", "today")
+    val other = "completely different content with no overlap whatsoever in any shingle at all"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other, 4L -> base)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        numHashes = 32, shingleN = 2, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc clean
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within band reach") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = docs(1L -> base, 2L -> base, 3L -> "unrelated words entirely disjoint vocabulary set")
+    val pairs = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("minhash estimate tracks exact jaccard on sf0.001 documents") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = Dedup.minHashLshPairs(real, "doc_id", "text",
+        numHashes = 32, shingleN = 3, bands = 8, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high-similarity pairs must be recalled by the LSH path
+    assert(exact.subsetOf(est) || (exact -- est).size <= exact.size / 10,
+      s"LSH missed ${(exact -- est).size} of ${exact.size} exact pairs")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def emb(rows: (Long, Seq[Double])*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }, 2),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    import org.apache.spark.sql.functions._
+    val d = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0), 3L -> Seq(-1.0, 0.0))
+    val q = array(lit(1.0), lit(0.0))
+    val cos = d.select(col("vec_id"), Similarity.cosine(col("embedding"), q).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cos(1L) - 1.0) < 1e-12)
+    assert(math.abs(cos(2L)) < 1e-12)
+    assert(math.abs(cos(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine, self first") {
+    val d = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1), 3L -> Seq(0.0, 1.0), 4L -> Seq(0.5, 0.5))
+    val top = Similarity.bruteForceTopK(d, "vec_id", "embedding", Seq(1.0, 0.0), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L, 4L))
+  }
+
+  test("driver-side LSH signature equals the distributed one") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      Seq(0.2, -0.7, 1.1, 0.4), Seq(-1.0, 0.3, 0.0, 2.2), Seq(5.0, 5.0, 5.0, 5.0))
+    val d = emb(vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }: _*)
+    val dist = Similarity.lshIndex(d, "vec_id", "embedding", nBits = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(Similarity.lshSignatureLocal(v, 12) == dist(i.toLong),
+        s"signature mismatch for vector $i")
+    }
+  }
+
+  test("annTopK probes the query's own bucket and finds the query vector") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = real.where(org.apache.spark.sql.functions.col("vec_id") === 7)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val idx = Similarity.lshIndex(real, "vec_id", "embedding", nBits = 8)
+    val top = Similarity.annTopK(idx, q, nBits = 8, k = 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) == 7L) // self-match first, cosine 1
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("topKForQueries excludes self and respects k") {
+    val d = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1), 3L -> Seq(0.0, 1.0), 4L -> Seq(0.5, 0.5))
+    val res = Similarity.topKForQueries(d, d.where(org.apache.spark.sql.functions.col("vec_id") <= 2), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(res.forall { case (q, c, _) => q != c })
+    assert(res.count(_._1 == 1L) == 2 && res.count(_._2 == 1L) >= 1)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.tree
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed split-search values on a tiny fixture, plus agreement
+  * between the oracle-shaped pipeline and the trainer's single-job path. */
+class SplitSearchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // 8 rows, feature x in {1,2,3,4}, two classes. x<=2 -> class 0 (pure),
+  // x>2 -> class 1 except one noise row at x=3.
+  private def df = {
+    val rows = Seq(
+      Row(1.0, 0), Row(1.0, 0), Row(2.0, 0), Row(2.0, 0),
+      Row(3.0, 1), Row(3.0, 0), Row(4.0, 1), Row(4.0, 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("x", DoubleType), StructField("target", IntegerType))))
+  }
+
+  private def entropy(ps: Seq[Double]): Double =
+    -ps.filter(_ > 0).map(p => p * math.log(p) / math.log(2)).sum
+
+  test("gainPerThreshold matches hand computation (entropy)") {
+    val rows = SplitSearch.gainPerThreshold(df, Seq("x"), "target", Seq(0, 1), Criterion.Entropy)
+      .orderBy("feature_value").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.0)) // max (4.0) excluded
+    val parent = entropy(Seq(5.0 / 8, 3.0 / 8))
+    // threshold 2: left = 4x class0 (entropy 0), right = {0,1,1,1}
+    val g2 = parent - (4.0 / 8 * 0.0 + 4.0 / 8 * entropy(Seq(1.0 / 4, 3.0 / 4)))
+    val got = rows.find(_.getDouble(1) == 2.0).get.getAs[Double]("information_gain")
+    assert(math.abs(got - g2) < 1e-12, s"got $got expected $g2")
+    assert(math.abs(rows.head.getAs[Double]("parent_criterion") - parent) < 1e-12)
+  }
+
+  test("best split picks threshold 2 and searchWithStats agrees with bestSplit") {
+    for (crit <- Seq(Criterion.Entropy, Criterion.Gini)) {
+      val best = SplitSearch.bestSplit(df, Seq("x"), "target", Seq(0, 1), crit).get
+      assert(best.feature == "x" && best.threshold == 2.0)
+      val search = SplitSearch.searchWithStats(df, Seq("x"), "target", Seq(0, 1), crit)
+      val sBest = search.best.get
+      assert(sBest.candidate == best)
+      assert(search.nodeDistribution == Seq(5L, 3L))
+      assert(sBest.leftClassCounts == Seq(4L, 0L))
+      assert(sBest.featureClassTotals == Seq(5L, 3L))
+    }
+  }
+
+  test("searchWithStats node distribution counts null-feature rows; candidates do not") {
+    val rows = Seq(Row(1.0, 0), Row(2.0, 0), Row(9.0, 1), Row(null, 1))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("x", DoubleType, nullable = true), StructField("target", IntegerType))))
+    val s = SplitSearch.searchWithStats(d, Seq("x"), "target", Seq(0, 1), Criterion.Entropy)
+    assert(s.nodeDistribution == Seq(2L, 2L)) // null row counted in node
+    assert(s.best.get.featureClassTotals == Seq(2L, 1L)) // but not under the feature
+  }
+
+  test("single-valued feature yields no candidates (right side must be non-empty)") {
+    val rows = Seq(Row(5.0, 0), Row(5.0, 1))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("x", DoubleType), StructField("target", IntegerType))))
+    val s = SplitSearch.searchWithStats(d, Seq("x"), "target", Seq(0, 1), Criterion.Entropy)
+    assert(s.candidates.isEmpty && s.nodeDistribution == Seq(1L, 1L))
+    assert(SplitSearch.bestSplit(d, Seq("x"), "target", Seq(0, 1), Criterion.Entropy).isEmpty)
+  }
+
+  test("snapToEdges: exact counts at edges, +inf catch-all") {
+    import org.apache.spark.sql.functions._
+    val vals = spark.range(1, 101).select((col("id").cast("double") / 10.0).as("v"))
+    val edges = Seq(2.0, 5.0, 8.0)
+    val snapped = vals.select(SplitSearch.snapToEdges(col("v"), edges).as("s"))
+      .groupBy("s").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(snapped(2.0) == 20)  // 0.1..2.0
+    assert(snapped(5.0) == 30)  // 2.1..5.0
+    assert(snapped(8.0) == 30)  // 5.1..8.0
+    assert(snapped(Double.PositiveInfinity) == 20) // 8.1..10.0
+  }
+
+  test("binned search gives exact gain at a chosen edge") {
+    val search = SplitSearch.searchWithStats(df, Seq("x"), "target", Seq(0, 1),
+      Criterion.Entropy, binEdges = Map("x" -> Seq(2.0, 3.0)))
+    val exact = SplitSearch.bestSplit(df, Seq("x"), "target", Seq(0, 1), Criterion.Entropy).get
+    val b = search.best.get.candidate
+    // 2.0 is in the edge set, so the binned winner must equal the exact one
+    assert(b == exact)
+  }
+}

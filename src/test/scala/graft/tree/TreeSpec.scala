@@ -1,0 +1,160 @@
+package graft.tree
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Port of the reference's integration test structure
+  * (reference: tests/integration/test_tree.py:67-102): a 16-case matrix of
+  * {target dtype int/str} x {cache on/off — the lazy/eager axis collapses
+  * in Spark} x {with/without the cyclic categorical_feature column} x
+  * {entropy/gini}, asserting
+  *   (a) the engine tree equals an independent in-memory reference
+  *       implementation ([[RefTree]]) — structure and golden predictions,
+  *   (b) `predict` (local walker) == `predict_many` (engine path), the
+  *       reference's differential assertion (test_tree.py:91-95).
+  *
+  * The sklearn iris fixture and its hard-coded golden lists are not
+  * reproducible in this offline environment (no sklearn, no iris data);
+  * RefTree supplies the golden predictions instead. Like the reference's
+  * fixture, the categorical_feature column is a plain numeric feature —
+  * the reference never passes categorical_columns in its test.
+  */
+class TreeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic 150x4 three-class dataset with real signal (seeded JVM
+    * LCG — stable across runs/platforms), standing in for iris. */
+  private val rnd = new scala.util.Random(42)
+  private val featureNames = Seq("sepal_length", "sepal_width", "petal_length", "petal_width")
+  private val baseRows: Seq[(Seq[Double], Int)] = (0 until 150).map { i =>
+    val c = i % 3
+    val f = Seq(
+      4.5 + c * 0.8 + rnd.nextGaussian() * 0.6,
+      2.5 + (2 - c) * 0.4 + rnd.nextGaussian() * 0.5,
+      1.5 + c * 1.6 + rnd.nextGaussian() * 0.7,
+      0.2 + c * 0.7 + rnd.nextGaussian() * 0.3
+    ).map(v => math.rint(v * 10) / 10.0) // 1-decimal grid like iris
+    (f, c)
+  }
+  private val labelStr = Map(0 -> "setosa", 1 -> "versicolor", 2 -> "virginica")
+
+  private def makeDf(strTarget: Boolean, withCat: Boolean) = {
+    val catVals = Iterator.continually(Seq(1, 2, 3)).flatten
+    val rows = baseRows.map { case (f, c) =>
+      val cat = catVals.next()
+      val tail: Seq[Any] =
+        (if (withCat) Seq(cat.toDouble) else Nil) :+
+          (if (strTarget) labelStr(c) else c)
+      Row.fromSeq(f ++ tail)
+    }
+    val fields =
+      featureNames.map(StructField(_, DoubleType, nullable = false)) ++
+        (if (withCat) Seq(StructField("categorical_feature", DoubleType, nullable = false)) else Nil) :+
+        StructField("target", if (strTarget) StringType else IntegerType, nullable = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), StructType(fields))
+  }
+
+  private def refRows(strTarget: Boolean, withCat: Boolean): (Seq[Map[String, Option[Double]]], Seq[Any]) = {
+    val catVals = Iterator.continually(Seq(1, 2, 3)).flatten
+    val feats = featureNames ++ (if (withCat) Seq("categorical_feature") else Nil)
+    val rows = baseRows.map { case (f, _) =>
+      val cat = catVals.next()
+      val vals = f ++ (if (withCat) Seq(cat.toDouble) else Nil)
+      feats.zip(vals.map(Option(_))).toMap
+    }
+    val ys: Seq[Any] = baseRows.map { case (_, c) => if (strTarget) labelStr(c) else c }
+    (rows, ys)
+  }
+
+  private def sameTree(a: TreeNode, b: TreeNode): Boolean = (a, b) match {
+    case (LeafNode(x), LeafNode(y)) => x == y
+    case (SplitNode(f1, t1, g1, c1, _, l1, r1), SplitNode(f2, t2, g2, c2, _, l2, r2)) =>
+      f1 == f2 && t1 == t2 && math.abs(g1 - g2) < 1e-9 && math.abs(c1 - c2) < 1e-9 &&
+        sameTree(l1, l2) && sameTree(r1, r2)
+    case _ => false
+  }
+
+  for {
+    strTarget <- Seq(false, true)
+    cache <- Seq(true, false)
+    withCat <- Seq(true, false)
+    crit <- Seq(Criterion.Entropy, Criterion.Gini)
+  } test(s"matrix: target=${if (strTarget) "str" else "int"} cache=$cache cat=$withCat ${crit.name}") {
+    val df = makeDf(strTarget, withCat)
+    val (rrows, rys) = refRows(strTarget, withCat)
+    val feats = featureNames ++ (if (withCat) Seq("categorical_feature") else Nil)
+
+    val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = crit, cacheNodes = cache)
+      .fit(df, "target")
+    val ref = RefTree.fit(rrows, rys, feats, crit, maxDepth = 4)
+
+    assert(sameTree(model.tree, ref.tree),
+      s"engine tree != reference tree\nengine: ${model.tree}\nref: ${ref.tree}")
+
+    // golden predictions from the reference implementation
+    val engine = Predict.predictMany(model, df)
+      .select((feats.map(org.apache.spark.sql.functions.col) :+
+        org.apache.spark.sql.functions.col("prediction")): _*)
+      .collect()
+    engine.foreach { r =>
+      val row = feats.zipWithIndex.map { case (f, i) => f -> Option(r.getDouble(i)) }.toMap
+      val expected = RefTree.predict(ref.tree, row).get
+      assert(r.get(feats.size) == expected, s"prediction mismatch at $row")
+    }
+
+    // differential: local walker == engine scorer (test_tree.py:91-95)
+    engine.foreach { r =>
+      val sample = feats.zipWithIndex.map { case (f, i) => f -> (r.getDouble(i): Any) }.toMap
+      assert(Predict.predictRow(model.tree, sample) == r.get(feats.size))
+    }
+  }
+
+  test("maxBins mode: valid tree, exact counts at edges, differential holds") {
+    val df = makeDf(strTarget = false, withCat = false)
+    val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
+      maxBins = Some(8)).fit(df, "target")
+    assert(model.tree.depth <= 4 && model.tree.numLeaves >= 2)
+    def gains(n: TreeNode): Seq[Double] = n match {
+      case _: LeafNode => Nil
+      case s: SplitNode => s.informationGain +: (gains(s.left) ++ gains(s.right))
+    }
+    assert(gains(model.tree).forall(_ > 0))
+    val preds = Predict.predictMany(model, df).collect()
+    preds.foreach { r =>
+      val sample = featureNames.zipWithIndex.map { case (f, i) => f -> (r.getDouble(i): Any) }.toMap
+      assert(Predict.predictRow(model.tree, sample) == r.getAs[Any]("prediction"))
+    }
+  }
+
+  test("planScore (reference EP2 plan shape) agrees with expression scorer") {
+    val df = makeDf(strTarget = true, withCat = false)
+    val model = DecisionTreeClassifier(maxDepth = Some(3), criterion = Criterion.Gini)
+      .fit(df, "target")
+    val indexed = Predict.withRowIndex(df, "idx")
+    val viaPlan = Predict.planScore(model, indexed, Seq("idx"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val viaExpr = Predict.predictMany(model, indexed)
+      .select("idx", "prediction")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(viaPlan == viaExpr)
+  }
+
+  test("null split feature: row reaches no leaf (NULL prediction), dropped by plan scorer") {
+    val schema = StructType(Seq(
+      StructField("f", DoubleType, nullable = true),
+      StructField("target", IntegerType, nullable = false)))
+    val rows = Seq(Row(1.0, 0), Row(2.0, 0), Row(9.0, 1), Row(10.0, 1), Row(null, 1))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val model = DecisionTreeClassifier(maxDepth = Some(2)).fit(df, "target")
+    val preds = Predict.predictMany(model, df).where(org.apache.spark.sql.functions.col("f").isNull)
+      .select("prediction").collect()
+    assert(preds.length == 1 && preds.head.isNullAt(0))
+    val indexed = Predict.withRowIndex(df, "idx")
+    assert(Predict.planScore(model, indexed, Seq("idx")).count() == 4)
+  }
+}
