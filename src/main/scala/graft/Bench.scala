@@ -39,13 +39,17 @@ object Bench {
     }
     // The headline ML workload: depth-4 entropy fit on lineitem numeric
     // features + single-pass batch predict, reference EP1+EP2 shape.
-    results("fit_depth4_entropy") = time {
-      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
-      val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy)
-        .fit(df, "l_returnflag")
-      graft.tree.Predict.predictMany(model, df)
-        .write.format("noop").mode("overwrite").save()
+    // Exact mode = reference-parity candidate set (every distinct value);
+    // bins32 = the scale path (quantile-binned thresholds).
+    for ((label, bins) <- Seq("fit_depth4_entropy" -> None, "fit_depth4_entropy_bins32" -> Some(32))) {
+      results(label) = time {
+        val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
+        val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
+          maxBins = bins).fit(df, "l_returnflag")
+        graft.tree.Predict.predictMany(model, df)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

