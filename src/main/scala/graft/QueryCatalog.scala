@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
 import graft.functions.TextFunctions
 
 /** The driver contract's query catalog: every implemented operator from
@@ -279,7 +279,22 @@ object QueryCatalog {
         .orderBy(col("cosine").desc, col("id").asc)
     }),
     "sessionize" -> ((s, dir) =>
-      Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx"))
+      Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx")),
+    // Multimodal plumbing demo over real testdata: documents' text bytes
+    // stand in for an opaque image payload; the decode stub is a
+    // deterministic fake (no codecs in this container), so no SQL oracle —
+    // rows-only check. Mean of the fake features exercises the
+    // binary -> mapPartitions -> array<float> -> aggregate path.
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        documents(s, dir).withColumn("bytes", col("text").cast("binary")),
+        "doc_id", "bytes", "image", "png")
+      val feats = Multimodal.extractFeatures(media, dim = 16)
+      feats.select(col("media_id"),
+        round(aggregate(col("features"), lit(0.0d), (a, x) => a + x) / size(col("features")), 6)
+          .as("mean_feature"))
+        .orderBy("media_id")
+    })
   )
 
   /** Embedding of vec_id=0 as the constant query vector (float -> double

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def media = {
+    val rows = Seq(
+      Row(1L, "fake png bytes one".getBytes("UTF-8")),
+      Row(2L, "fake png bytes two".getBytes("UTF-8")),
+      Row(3L, "fake png bytes one".getBytes("UTF-8"))) // dup payload of 1
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("id", LongType), StructField("bytes", BinaryType))))
+    Multimodal.asMedia(df, "id", "bytes", "image", "png")
+  }
+
+  test("asMedia produces the canonical schema (names + types)") {
+    def shape(t: StructType): Seq[(String, DataType)] = t.fields.toSeq.map {
+      case StructField(n, s: StructType, _, _) => n -> StructType(shape(s).map { case (fn, ft) => StructField(fn, ft) })
+      case StructField(n, d, _, _)             => n -> d
+    }
+    assert(shape(media.schema) == shape(Multimodal.MediaSchema))
+    assert(media.count() == 3)
+  }
+
+  test("extractFeatures: fixed dim, deterministic, equal payloads -> equal features") {
+    val f = Multimodal.extractFeatures(media, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f.values.forall(_.size == 16))
+    assert(f(1L) == f(3L)) // identical payloads
+    assert(f(1L) != f(2L)) // different payloads
+    assert(f.values.flatten.forall(v => v >= 0f && v < 1f))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == f)
+  }
+
+  test("resizeFeatures downsamples to requested dim") {
+    val f = Multimodal.extractFeatures(media, dim = 64)
+    val r = Multimodal.resizeFeatures(f, 8).collect().map(_.getSeq[Float](1))
+    assert(r.forall(_.size == 8))
+  }
+
+  test("media features feed the similarity operators (pipeline integration)") {
+    val feats = Multimodal.extractFeatures(media, dim = 32)
+      .withColumnRenamed("media_id", "vec_id").withColumnRenamed("features", "embedding")
+    val q = feats.where(org.apache.spark.sql.functions.col("vec_id") === 1)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val top = Similarity.bruteForceTopK(feats, "vec_id", "embedding", q, 3).collect()
+    // ids 1 and 3 share a payload -> cosine 1.0 for both, id asc tie-break
+    assert(top.map(_.getLong(0)).take(2).toSeq == Seq(1L, 3L))
+    assert(math.abs(top(1).getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("plannedFrameSample never reads the payload column") {
+    import org.apache.spark.sql.functions._
+    val withFrames = media.withColumn("meta",
+      struct(col("meta.media_type"), col("meta.format"), col("meta.width"),
+        col("meta.height"), lit(10).as("n_frames"), col("meta.sample_rate")))
+    val plan = Multimodal.plannedFrameSample(withFrames, every = 3)
+    val kept = plan.collect().map(r => r.getSeq[Int](r.fieldIndex("kept_frames")).toSeq).head
+    assert(kept == Seq(0, 3, 6, 9))
+    assert(Multimodal.DecodeStub.sampleFrames(10, 3).toSeq == kept)
+    // column pruning: the optimized plan must not reference `content`
+    val optimized = plan.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("content"), s"payload not pruned:\n$optimized")
+  }
+}
