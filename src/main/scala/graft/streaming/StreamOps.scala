@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Structured Streaming counterparts of the batch pipeline operators.
+  *
+  * The reference has no stream processing (its `streaming` flag is the
+  * Polars out-of-core engine, SURVEY.md §0) — these are the
+  * beyond-parity streaming surfaces a large-scale ingest pipeline needs,
+  * expressed with stock Structured Streaming primitives so state stores,
+  * watermark semantics, and exactly-once sinks come for free:
+  *
+  *  - [[sessionize]]: event-time session windows per user via the native
+  *    `session_window` (gap-based), state bounded by the watermark;
+  *  - [[dedupByFingerprint]]: streaming near-exact dedup on the
+  *    normalized-content fingerprint via `dropDuplicates` within the
+  *    watermark horizon (the standard bounded-state trade: duplicates
+  *    farther apart than the horizon require the batch pass);
+  *  - [[textStats]]: stateless per-document enrichment (same codegen'd
+  *    expressions as batch — usable verbatim on a stream).
+  *
+  * All three take/return plain DataFrames, so they compose with
+  * `spark.readStream` sources and `writeStream` sinks unchanged.
+  */
+object StreamOps {
+
+  /** Per-user gap-based sessions over an event-time stream.
+    *
+    * @param events     streaming DataFrame with `userCol`, `tsCol`
+    *                   (TimestampType event time) and `valueCol`
+    * @param gapSeconds session gap; also used as the watermark delay so a
+    *                   session closes once the watermark passes its end
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "30 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(userCol), session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 6).as("sum_value"),
+        min(unix_micros(col(s"session_window.start"))).as("start_us"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup: first occurrence of each normalized-content
+    * fingerprint within the watermark horizon survives. */
+  def dedupByFingerprint(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("fingerprint")
+
+  /** Stateless text enrichment — identical expressions to the batch path. */
+  def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t: Column = col(textCol)
+    docs
+      .withColumn("n_ws_tokens", TextFunctions.wsTokenCount(t))
+      .withColumn("quality", TextFunctions.qualityScore(t))
+      .withColumn("lang", TextFunctions.langId(t))
+      .withColumn("fingerprint", TextFunctions.fingerprint(t))
+  }
+}
