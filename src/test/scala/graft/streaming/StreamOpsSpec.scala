@@ -11,7 +11,9 @@ class StreamOpsSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+  // keep event times well above epoch 0: the initial watermark is 0 and
+  // a row at exactly epoch 0 would be discarded as late data
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
 
   test("streaming sessionize: session_window groups by gap, watermark closes sessions") {
     import spark.implicits._
