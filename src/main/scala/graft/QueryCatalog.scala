@@ -280,6 +280,29 @@ object QueryCatalog {
     }),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx")),
+    // Embedding-cosine near-dup: brute variant is the oracle-checked
+    // exactness reference (subset: O(n^2)); banded-LSH variant is the
+    // scale path (rows-only: xxhash planes have no DuckDB twin). The
+    // synthetic embeddings have no true near-dups (max pairwise cosine
+    // ~0.46), so the demo threshold is 0.35.
+    "embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsBrute(
+        embeddings(s, dir).where(col("vec_id") < 300), "vec_id", "embedding", threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+    "embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        embeddings(s, dir), "vec_id", "embedding", threshold = 0.35,
+        nBits = 8, bands = 4, dim = Some(64))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+    // End-to-end dedup materialization: corpus minus the greedy-dropped
+    // side of the jaccard near-dup pairs.
+    "dedup_drop" -> ((s, dir) => {
+      val docs0 = documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.dropDuplicatePairs(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
+    }),
     // Multimodal plumbing demo over real testdata: documents' text bytes
     // stand in for an opaque image payload; the decode stub is a
     // deterministic fake (no codecs in this container), so no SQL oracle —
@@ -469,6 +492,33 @@ object QueryCatalog {
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
     "jaccard_pairs" -> jaccardSql,
+    "embedding_neardup" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
+         |s AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
+         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_drop" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+         |sets AS (
+         |  SELECT id,
+         |    CASE WHEN len(tk) >= 3
+         |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+         |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+         |  FROM toks),
+         |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
+         |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4),
+         |dropped AS (
+         |  SELECT DISTINCT id_b FROM pairs
+         |  WHERE n_common / (size_a + size_b - n_common) >= 0.8)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "brute_force_topk" -> topkSql,

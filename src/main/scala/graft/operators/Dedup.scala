@@ -27,6 +27,18 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Materialize a deduplicated corpus from a near-duplicate pair list:
+    * greedily drop every id that appears on the RIGHT of a pair (pairs are
+    * emitted with id_a < id_b by all the pair operators here), keeping the
+    * smallest id of each duplicate cluster — the standard one-pass greedy
+    * used by large-scale pipelines. In an a~b, b~c chain with no a~c pair,
+    * c is dropped only if some surviving doc pairs with it; exact
+    * transitive clustering would need connected components (iterative),
+    * which the greedy deliberately trades away. One broadcast-friendly
+    * left-anti join. */
+  def dropDuplicatePairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Distinct lowercase whitespace tokens of `textCol` as an array column. */
   def tokenSet(textCol: Column): Column =
     array_distinct(split(lower(textCol), "\\s+"))
