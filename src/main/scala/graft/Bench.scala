@@ -41,12 +41,16 @@ object Bench {
     // features + single-pass batch predict, reference EP1+EP2 shape.
     // Exact mode = reference-parity candidate set (every distinct value);
     // bins32 = the scale path (quantile-binned thresholds).
-    for ((label, bins) <- Seq("fit_depth4_entropy" -> None, "fit_depth4_entropy_bins32" -> Some(32))) {
+    val fitVariants = Seq(
+      ("fit_depth4_entropy", None, None),               // exact, windowed cum
+      ("fit_depth4_entropy_scalable", None, Some(32)),  // exact, partitioned prefix sums
+      ("fit_depth4_entropy_bins32", Some(32), None))    // quantile-binned
+    for ((label, bins, cumParts) <- fitVariants) {
       results(label) = time {
         val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
         val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
-          maxBins = bins).fit(df, "l_returnflag")
+          maxBins = bins, exactCumulativePartitions = cumParts).fit(df, "l_returnflag")
         graft.tree.Predict.predictMany(model, df)
           .write.format("noop").mode("overwrite").save()
       }

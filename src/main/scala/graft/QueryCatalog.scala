@@ -182,6 +182,13 @@ object QueryCatalog {
       SplitSearch.cumulativeCounts(
         SplitSearch.meltedHistogram(lineitem(s, dir), TreeFeatures, Target, Targets), Targets.size)
         .orderBy("feature", "feature_value")),
+    // same math through the scale-safe two-pass partitioned prefix sum;
+    // shares cum_counts' oracle SQL — DuckDB proves row-identical output
+    "cum_counts_partitioned" -> ((s, dir) =>
+      SplitSearch.cumulativeCountsPartitioned(
+        SplitSearch.meltedHistogram(lineitem(s, dir), TreeFeatures, Target, Targets),
+        Targets.size, numPartitions = 8)
+        .orderBy("feature", "feature_value")),
     "best_split_gain_entropy" -> bestSplitQuery(Criterion.Entropy) _,
     "best_split_gain_gini" -> bestSplitQuery(Criterion.Gini) _,
     "target_encoding" -> ((s, dir) => {
@@ -291,9 +298,12 @@ object QueryCatalog {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
     "embedding_neardup_lsh" -> ((s, dir) =>
+      // 8-bit bands (256 buckets each) keep the candidate volume ~n^2/256
+      // per band; recall at this low demo threshold is partial by design
+      // (true near-dup thresholds ~0.9 recall well) — rows-only check.
       Similarity.cosineNearDupPairs(
         embeddings(s, dir), "vec_id", "embedding", threshold = 0.35,
-        nBits = 8, bands = 4, dim = Some(64))
+        nBits = 16, bands = 2, dim = Some(64))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
     // End-to-end dedup materialization: corpus minus the greedy-dropped
@@ -451,6 +461,7 @@ object QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "split_histogram" -> histSelectSql,
     "cum_counts" -> cumSelectSql,
+    "cum_counts_partitioned" -> cumSelectSql,
     "best_split_gain_entropy" -> bestSplitSql(Criterion.Entropy),
     "best_split_gain_gini" -> bestSplitSql(Criterion.Gini),
     "target_encoding" ->

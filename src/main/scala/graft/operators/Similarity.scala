@@ -195,20 +195,28 @@ object Similarity {
       if (proj >= 0) 1L << p else 0L
     }.reduce(_ | _)
 
-  /** ANN top-k: probe only the query's bucket, then rank by exact cosine.
-    * Recall is tuned by nBits (fewer bits = bigger buckets = higher recall,
-    * more compute). The query's bucket is computed on the driver
-    * ([[lshSignatureLocal]]) — no Spark job for a scalar. */
+  /** ANN top-k: probe the query's bucket, then rank by exact cosine.
+    * Recall is tuned by nBits (fewer bits = bigger buckets = higher
+    * recall, more compute) and by `multiProbe`: when true, the nBits
+    * hamming-distance-1 buckets are probed too — sign-LSH's near misses
+    * are exactly the single-flipped-bit buckets, so multi-probe trades
+    * nBits+1 bucket reads for a recall jump without growing the index.
+    * The probe signatures are computed on the driver
+    * ([[lshSignatureLocal]]) — no Spark job for scalars. */
   def annTopK(
       index: DataFrame,
       query: Seq[Double],
       nBits: Int,
-      k: Int
+      k: Int,
+      multiProbe: Boolean = true
   ): DataFrame = {
     val qArr = array(query.map(lit): _*)
     val qSig = lshSignatureLocal(query, nBits)
+    val probes: Seq[Long] =
+      if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
+      else Seq(qSig)
     val v = transform(col("vec"), x => x.cast("double"))
-    index.where(col("bucket") === lit(qSig))
+    index.where(col("bucket").isin(probes: _*))
       .select(col("id"), cosine(v, qArr).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)

@@ -1,9 +1,9 @@
 package graft.tree
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Exhaustive best-split search by information gain.
   *
@@ -155,6 +155,75 @@ object SplitSearch {
     hist.select((Seq(col("feature"), col("feature_value")) ++ cums): _*)
   }
 
+  /** Scale-safe twin of [[cumulativeCounts]] for EXACT mode on continuous
+    * features, where the per-feature window would put O(distinct values)
+    * rows in a single task. Classic two-pass distributed prefix sum:
+    *
+    *  1. range-partition the histogram by (feature, feature_value) and
+    *     freeze it (localCheckpoint — partition ids must be identical for
+    *     both passes);
+    *  2. one tiny job collects per-(feature, partition) totals; the driver
+    *     turns them into per-partition offsets and per-feature grand
+    *     totals (<= #features x #partitions rows);
+    *  3. running sums inside each (feature, partition) window — bounded by
+    *     the range-partition size, never a whole feature — plus the
+    *     broadcast offsets.
+    *
+    * Output is row-identical to [[cumulativeCounts]] (asserted by the
+    * cum_counts_partitioned DuckDB oracle and SplitSearchSpec).
+    */
+  def cumulativeCountsPartitioned(
+      hist: DataFrame,
+      numClasses: Int,
+      numPartitions: Int
+  ): DataFrame = {
+    val countCols = (0 until numClasses).map(i => s"class_${i}_count") :+ "count_examples"
+    val parts = hist
+      .repartitionByRange(numPartitions, col("feature"), col("feature_value"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+
+    val totalRows = parts.groupBy("feature", "__pid")
+      .agg(sum(col(countCols.head)).as(countCols.head),
+        countCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .collect()
+    // driver-side: per-(feature, pid) exclusive prefix offsets + feature totals
+    val byFeature = totalRows.groupBy(_.getAs[String]("feature"))
+    val offsetRows = byFeature.toSeq.flatMap { case (feature, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("__pid"))
+      val grand = countCols.map(c => c -> sorted.map(_.getAs[Long](c)).sum).toMap
+      sorted.scanLeft((Option.empty[Row], countCols.map(_ -> 0L).toMap)) {
+        case ((_, acc), r) =>
+          (Some(r), countCols.map(c => c -> (acc(c) + r.getAs[Long](c))).toMap)
+      }.toList.sliding(2).collect { case List((_, acc), (Some(r), _)) =>
+        Row.fromSeq(
+          feature +: r.getAs[Int]("__pid") +:
+            (countCols.map(acc) ++ countCols.map(grand)))
+      }.toSeq
+    }
+    val spark = hist.sparkSession
+    val offsetSchema = StructType(
+      Seq(StructField("feature", StringType), StructField("__pid", IntegerType)) ++
+        countCols.map(c => StructField(s"__off_$c", LongType)) ++
+        countCols.map(c => StructField(s"__tot_$c", LongType)))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
+
+    val wCum = Window.partitionBy("feature", "__pid").orderBy("feature_value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = parts.join(broadcast(offsets), Seq("feature", "__pid"))
+    val outCols = (0 until numClasses).flatMap { i =>
+      val c = s"class_${i}_count"
+      Seq(
+        (sum(col(c)).over(wCum) + col(s"__off_$c")).as(s"cum_sum_class_${i}_count"),
+        col(s"__tot_$c").as(s"sum_class_${i}_count"))
+    } ++ Seq(
+      (sum(col("count_examples")).over(wCum) + col("__off_count_examples"))
+        .as("cum_sum_count_examples"),
+      col("__tot_count_examples").as("sum_count_examples"))
+    joined.select((Seq(col("feature"), col("feature_value")) ++ outCols): _*)
+  }
+
   /** Full gain pipeline: histogram -> cumulative counts -> candidate filter
     * -> proportions -> criteria -> weighted child criterion -> gain
     * (reference: tree.py:274-331). Returns one row per candidate threshold.
@@ -254,11 +323,15 @@ object SplitSearch {
       targetName: String,
       targets: Seq[Any],
       criterion: Criterion,
-      binEdges: Map[String, Seq[Double]] = Map.empty
+      binEdges: Map[String, Seq[Double]] = Map.empty,
+      cumPartitions: Option[Int] = None
   ): NodeSearch = {
     val k = targets.size
     val hist = meltedHistogram(df, features, targetName, targets, binEdges, withNodeSentinel = true)
-    val cum = cumulativeCounts(hist, k)
+    val cum = cumPartitions match {
+      case Some(p) => cumulativeCountsPartitioned(hist, k, p)
+      case None    => cumulativeCounts(hist, k)
+    }
     // Rows where cum == sum (the per-feature maximum and the sentinel) are
     // not candidates; under ANSI mode (Spark 4 default) their right-side
     // proportion would throw DIVIDE_BY_ZERO, so guard it to NULL — the

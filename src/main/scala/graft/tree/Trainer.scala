@@ -30,6 +30,14 @@ import org.apache.spark.storage.StorageLevel
   *                       rows in a single window task. Counts at the chosen
   *                       edges stay exact; only the candidate set shrinks.
   *                       None = exact mode (reference parity, golden tests).
+  * @param exactCumulativePartitions exact mode's other scale lever: when
+  *                       set, the cumulative class counts use the two-pass
+  *                       partitioned prefix sum
+  *                       ([[SplitSearch.cumulativeCountsPartitioned]])
+  *                       instead of one window task per feature — same
+  *                       results, bounded tasks, at the cost of an extra
+  *                       tiny job + a histogram materialization per node.
+  *                       Ignored when maxBins already bounds the windows.
   * @param cacheNodes     persist each node's rows (MEMORY_AND_DISK) for the
   *                       duration of its subtree build. The reference's
   *                       lazy/streaming mode re-derives every node from the
@@ -51,6 +59,7 @@ final case class DecisionTreeClassifier(
     categoricalColumns: Seq[String] = Nil,
     criterion: Criterion = Criterion.Entropy,
     maxBins: Option[Int] = None,
+    exactCumulativePartitions: Option[Int] = None,
     cacheNodes: Boolean = true,
     checkpointDepthInterval: Int = 0
 ) {
@@ -139,7 +148,8 @@ final case class DecisionTreeClassifier(
     }
     try {
       val search = SplitSearch.searchWithStats(
-        node, featureNames, targetName, targets, criterion, binEdges)
+        node, featureNames, targetName, targets, criterion, binEdges,
+        if (binEdges.isEmpty) exactCumulativePartitions else None)
       search.best match {
         case Some(cs) if cs.candidate.informationGain > 0 =>
           val c = cs.candidate

@@ -68,6 +68,32 @@ class SplitSearchSpec extends AnyFunSuite {
     assert(SplitSearch.bestSplit(d, Seq("x"), "target", Seq(0, 1), Criterion.Entropy).isEmpty)
   }
 
+  test("partitioned prefix-sum cumulative counts match the windowed version") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val hist = SplitSearch.meltedHistogram(
+      li, Seq("l_quantity", "l_discount", "l_extendedprice"), "l_returnflag",
+      Seq("A", "N", "R"))
+    def canon(d: org.apache.spark.sql.DataFrame) = {
+      val cols = d.columns.sorted
+      d.select(cols.head, cols.tail: _*).orderBy("feature", "feature_value")
+        .collect().map(_.toSeq).toSeq
+    }
+    val windowed = canon(SplitSearch.cumulativeCounts(hist, 3))
+    for (p <- Seq(1, 3, 16)) {
+      assert(canon(SplitSearch.cumulativeCountsPartitioned(hist, 3, p)) == windowed,
+        s"partitioned(p=$p) differs from windowed")
+    }
+  }
+
+  test("exactCumulativePartitions trainer mode builds the identical tree") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_quantity", "l_discount", "l_tax", "l_returnflag")
+    val a = DecisionTreeClassifier(maxDepth = Some(3)).fit(li, "l_returnflag")
+    val b = DecisionTreeClassifier(maxDepth = Some(3), exactCumulativePartitions = Some(8))
+      .fit(li, "l_returnflag")
+    assert(a.tree == b.tree)
+  }
+
   test("snapToEdges: exact counts at edges, +inf catch-all") {
     import org.apache.spark.sql.functions._
     val vals = spark.range(1, 101).select((col("id").cast("double") / 10.0).as("v"))
