@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** One-pass multi-feature class-count histogram — the custom memory
+  * optimization sketched in SURVEY.md §7/§4: an MLlib-style
+  * `TypedImperativeAggregate` that computes EVERY feature's binned
+  * (class x threshold-candidate) counts in a single scan of the node's
+  * rows, with no row melt.
+  *
+  * The melted-explode formulation multiplies every input row by
+  * (#features + 1) before the map-side combine — pure CPU overhead that
+  * scales with feature count (the reference's flagship workload has 190
+  * columns). Here the aggregation buffer is one flat Long array of
+  * (numFeatures + 1) x (numBins + 1) x numClasses cells:
+  *
+  *   - feature f, bin b (upper-edge index; bin numBins = the +inf
+  *     catch-all), class k -> count of rows with value <= edges(f)(b)
+  *     boundary semantics identical to [[graft.tree.SplitSearch.snapToEdges]];
+  *   - the extra feature block (index numFeatures) is the node sentinel:
+  *     class counts over ALL rows regardless of feature nulls.
+  *
+  * Rows with a null feature value skip that feature's block only; rows
+  * with a null/unknown target count toward no class (matching
+  * `count(when(target === v, 1))`).
+  *
+  * `eval` emits the flat array; the caller unpacks it driver-side (the
+  * buffer is tiny: (F+1) x (B+1) x K longs) and runs the gain math there —
+  * one Spark job per tree node, no shuffle beyond the single-row merge.
+  */
+case class MultiFeatureHistogram(
+    features: Seq[Expression],     // double feature columns, in order
+    classIndex: Expression,        // int class index, -1/null = no class
+    edges: Seq[Seq[Double]],       // per-feature ascending bin edges
+    numClasses: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  private val numFeatures = features.size
+  private val numBins = edges.map(_.size).max + 1  // +1 for the +inf bucket
+  private val blockSize = numBins * numClasses
+  private val bufferLen = (numFeatures + 1) * blockSize
+  // immutable snapshot for executor-side binary search
+  private val edgeArrays: Array[Array[Double]] = edges.map(_.toArray).toArray
+
+  override def children: Seq[Expression] = features :+ classIndex
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_feature_histogram"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bufferLen)
+
+  /** First edge index with value <= edge, else the +inf bucket. */
+  private def binOf(f: Int, v: Double): Int = {
+    val e = edgeArrays(f)
+    var lo = 0
+    var hi = e.length // answer in [lo, hi]; e(i) >= v forall i >= answer
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (e(mid) >= v) hi = mid else lo = mid + 1
+    }
+    lo // == e.length -> +inf bucket
+  }
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val cls = classIndex.eval(input)
+    if (cls != null) {
+      val k = cls.asInstanceOf[Int]
+      if (k >= 0 && k < numClasses) {
+        var f = 0
+        while (f < numFeatures) {
+          val v = features(f).eval(input)
+          if (v != null) {
+            val b = binOf(f, v.asInstanceOf[Double])
+            buffer(f * blockSize + b * numClasses + k) += 1L
+          }
+          f += 1
+        }
+        // node sentinel block: all rows, bin 0
+        buffer(numFeatures * blockSize + k) += 1L
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bufferLen) { buffer(i) += input(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(bufferLen * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bufferLen)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MultiFeatureHistogram =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MultiFeatureHistogram =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MultiFeatureHistogram =
+    copy(features = newChildren.dropRight(1), classIndex = newChildren.last)
+}

@@ -394,6 +394,87 @@ object SplitSearch {
     NodeSearch(candidates, nodeDist)
   }
 
+  /** Binned-mode fast path: ONE [[graft.functions.MultiFeatureHistogram]]
+    * aggregate job (no melt — a single pass over un-exploded rows, buffer
+    * = (F+1) x (B+1) x K longs merged to one row) and the entire gain
+    * computation on the driver. Requires bin edges for every feature and
+    * non-null targets; candidate set, counts, tie-breaks, and float
+    * association order mirror the DataFrame pipeline exactly (equality is
+    * asserted in SplitSearchSpec).
+    */
+  def searchWithStatsAggregated(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      criterion: Criterion,
+      binEdges: Map[String, Seq[Double]]
+  ): NodeSearch = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val k = targets.size
+    val feats = features.filter(binEdges.contains) // all-null features have no edges
+    val edges = feats.map(binEdges)
+    val classIdx = targets.zipWithIndex.foldLeft(
+      when(lit(false), lit(-1))) { case (chain, (v, i)) =>
+      chain.when(col(targetName) === lit(v), lit(i))
+    }.otherwise(lit(-1)).cast("int")
+    val agg = graft.functions.MultiFeatureHistogram(
+      feats.map(f => ColumnBridge.expression(col(f).cast(DoubleType))),
+      ColumnBridge.expression(classIdx), edges, k)
+    val buffer: Seq[Long] = df
+      .select(ColumnBridge.column(agg.toAggregateExpression()).as("hist"))
+      .head().getSeq[Long](0)
+
+    val numBins = edges.map(_.size).max + 1
+    val block = numBins * k
+    def cell(f: Int, b: Int, c: Int): Long = buffer(f * block + b * k + c)
+
+    // gain math mirroring the column expressions' association order
+    def crit(ps: Seq[Double]): Double = criterion match {
+      case Criterion.Entropy =>
+        -1.0 * ps.map(p => if (p > 0) p * (math.log(p) / math.log(2.0)) else 0.0)
+          .reduce(_ + _)
+      case Criterion.Gini =>
+        1.0 - ps.map(p => p * p).reduce(_ + _)
+    }
+
+    val candidates = feats.indices.flatMap { f =>
+      val fEdges = edges(f)
+      val totals = (0 until k).map(c => (0 to fEdges.size).map(b => cell(f, b, c)).sum)
+      val totN = totals.sum
+      if (totN == 0) None
+      else {
+        val parentCrit = crit(totals.map(t => t.toDouble / totN.toDouble))
+        val cums = new Array[Long](k)
+        var cumN = 0L
+        val scored = (0 until fEdges.size).flatMap { b =>
+          val binCount = (0 until k).map(c => cell(f, b, c)).sum
+          (0 until k).foreach(c => cums(c) += cell(f, b, c))
+          cumN += binCount
+          if (binCount == 0 || cumN >= totN) None // empty bin / right side empty
+          else {
+            val left = crit((0 until k).map(c => cums(c).toDouble / cumN.toDouble))
+            val right = crit((0 until k).map(c =>
+              (totals(c) - cums(c)).toDouble / (totN - cumN).toDouble))
+            val child = cumN.toDouble / totN.toDouble * left +
+              (totN - cumN).toDouble / totN.toDouble * right
+            val gain = parentCrit - child
+            if (gain.isNaN) None
+            else Some((fEdges(b), gain, (0 until k).map(cums(_)).toIndexedSeq))
+          }
+        }
+        if (scored.isEmpty) None
+        else {
+          val (thr, gain, leftCounts) = scored.minBy { case (t, g, _) => (-g, t) }
+          Some(CandidateStats(
+            Candidate(feats(f), thr, gain, parentCrit), leftCounts, totals))
+        }
+      }
+    }
+    val nodeDist = (0 until k).map(c => cell(feats.size, 0, c))
+    NodeSearch(candidates, nodeDist)
+  }
+
   /** Collect the per-feature winners and pick the global best on the driver
     * (<= one row per feature; reference: tree.py:341-348). Deterministic
     * global tie-break: gain DESC, feature ASC, threshold ASC. Returns None

@@ -38,6 +38,13 @@ import org.apache.spark.storage.StorageLevel
   *                       results, bounded tasks, at the cost of an extra
   *                       tiny job + a histogram materialization per node.
   *                       Ignored when maxBins already bounds the windows.
+  * @param useAggregatedHistogram binned mode's fast path (default on): the
+  *                       single-pass [[graft.functions.MultiFeatureHistogram]]
+  *                       aggregate replaces the melt + window pipeline —
+  *                       no (#features+1)x row explosion, one tiny-row
+  *                       merge instead of a histogram shuffle, gain math
+  *                       on the driver. Same splits; stored gain metadata
+  *                       can differ in the last ulp vs the pipeline path.
   * @param cacheNodes     persist each node's rows (MEMORY_AND_DISK) for the
   *                       duration of its subtree build. The reference's
   *                       lazy/streaming mode re-derives every node from the
@@ -60,6 +67,7 @@ final case class DecisionTreeClassifier(
     criterion: Criterion = Criterion.Entropy,
     maxBins: Option[Int] = None,
     exactCumulativePartitions: Option[Int] = None,
+    useAggregatedHistogram: Boolean = true,
     cacheNodes: Boolean = true,
     checkpointDepthInterval: Int = 0
 ) {
@@ -147,9 +155,16 @@ final case class DecisionTreeClassifier(
       if (cacheNodes) checkpointed.persist(StorageLevel.MEMORY_AND_DISK) else checkpointed
     }
     try {
-      val search = SplitSearch.searchWithStats(
-        node, featureNames, targetName, targets, criterion, binEdges,
-        if (binEdges.isEmpty) exactCumulativePartitions else None)
+      // Binned mode takes the single-pass aggregate fast path (no melt,
+      // driver-side gain math); exact mode runs the DataFrame pipeline.
+      val search =
+        if (binEdges.nonEmpty && useAggregatedHistogram)
+          SplitSearch.searchWithStatsAggregated(
+            node, featureNames, targetName, targets, criterion, binEdges)
+        else
+          SplitSearch.searchWithStats(
+            node, featureNames, targetName, targets, criterion, binEdges,
+            if (binEdges.isEmpty) exactCumulativePartitions else None)
       search.best match {
         case Some(cs) if cs.candidate.informationGain > 0 =>
           val c = cs.candidate

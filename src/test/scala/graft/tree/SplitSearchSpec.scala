@@ -94,6 +94,55 @@ class SplitSearchSpec extends AnyFunSuite {
     assert(a.tree == b.tree)
   }
 
+  test("aggregated single-pass histogram search matches the DataFrame pipeline") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val features = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    val targets = Seq[Any]("A", "N", "R")
+    val edges = Map(
+      "l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
+      "l_discount" -> Seq(0.02, 0.05, 0.08),
+      "l_tax" -> Seq(0.03, 0.06),
+      "l_extendedprice" -> Seq(10000.0, 30000.0, 60000.0, 90000.0))
+    for (crit <- Seq(Criterion.Entropy, Criterion.Gini)) {
+      val viaPipeline = SplitSearch.searchWithStats(
+        li, features, "l_returnflag", targets, crit, edges)
+      val viaAggregate = SplitSearch.searchWithStatsAggregated(
+        li, features, "l_returnflag", targets, crit, edges)
+      assert(viaAggregate.nodeDistribution == viaPipeline.nodeDistribution)
+      val p = viaPipeline.candidates.map(c => c.candidate.feature -> c).toMap
+      val a = viaAggregate.candidates.map(c => c.candidate.feature -> c).toMap
+      assert(a.keySet == p.keySet)
+      a.foreach { case (f, ca) =>
+        val cp = p(f)
+        assert(ca.candidate.threshold == cp.candidate.threshold, s"$f threshold")
+        assert(math.abs(ca.candidate.informationGain - cp.candidate.informationGain) < 1e-12, s"$f gain")
+        assert(math.abs(ca.candidate.parentCriterion - cp.candidate.parentCriterion) < 1e-12, s"$f crit")
+        assert(ca.leftClassCounts == cp.leftClassCounts, s"$f left counts")
+        assert(ca.featureClassTotals == cp.featureClassTotals, s"$f totals")
+      }
+    }
+  }
+
+  test("aggregated and pipeline binned trainers build the same tree") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_quantity", "l_discount", "l_tax", "l_extendedprice", "l_returnflag")
+    val fast = DecisionTreeClassifier(maxDepth = Some(3), maxBins = Some(16)).fit(li, "l_returnflag")
+    val slow = DecisionTreeClassifier(maxDepth = Some(3), maxBins = Some(16),
+      useAggregatedHistogram = false).fit(li, "l_returnflag")
+    // identical structure/thresholds/distributions; stored gain metadata
+    // may differ in the last ulp between the column-expression and
+    // driver-side float paths
+    def same(a: TreeNode, b: TreeNode): Boolean = (a, b) match {
+      case (LeafNode(x), LeafNode(y)) => x == y
+      case (SplitNode(f1, t1, g1, c1, d1, l1, r1), SplitNode(f2, t2, g2, c2, d2, l2, r2)) =>
+        f1 == f2 && t1 == t2 && d1 == d2 &&
+          math.abs(g1 - g2) < 1e-12 && math.abs(c1 - c2) < 1e-12 &&
+          same(l1, l2) && same(r1, r2)
+      case _ => false
+    }
+    assert(same(fast.tree, slow.tree), s"\nfast: ${fast.tree}\nslow: ${slow.tree}")
+  }
+
   test("snapToEdges: exact counts at edges, +inf catch-all") {
     import org.apache.spark.sql.functions._
     val vals = spark.range(1, 101).select((col("id").cast("double") / 10.0).as("v"))
