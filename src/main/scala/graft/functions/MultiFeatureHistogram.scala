@@ -31,14 +31,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `count(when(target === v, 1))`).
   *
   * `eval` emits the flat array; the caller unpacks it driver-side (the
-  * buffer is tiny: (F+1) x (B+1) x K longs) and runs the gain math there —
-  * one Spark job per tree node, no shuffle beyond the single-row merge.
+  * buffer is tiny: N x (F+1) x (B+1) x K longs) and runs the gain math
+  * there. With the `nodeIndex` dimension the SAME single job serves a
+  * whole tree LEVEL: every pending node's histograms come back in one
+  * row — the level-wise trainer's per-level cost is exactly one scan.
   */
 case class MultiFeatureHistogram(
     features: Seq[Expression],     // double feature columns, in order
     classIndex: Expression,        // int class index, -1/null = no class
+    nodeIndex: Expression,         // int pending-node index, null = settled row
     edges: Seq[Seq[Double]],       // per-feature ascending bin edges
     numClasses: Int,
+    numNodes: Int = 1,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[Array[Long]] {
@@ -46,11 +50,12 @@ case class MultiFeatureHistogram(
   private val numFeatures = features.size
   private val numBins = edges.map(_.size).max + 1  // +1 for the +inf bucket
   private val blockSize = numBins * numClasses
-  private val bufferLen = (numFeatures + 1) * blockSize
+  private val nodeLen = (numFeatures + 1) * blockSize
+  private val bufferLen = numNodes * nodeLen
   // immutable snapshot for executor-side binary search
   private val edgeArrays: Array[Array[Double]] = edges.map(_.toArray).toArray
 
-  override def children: Seq[Expression] = features :+ classIndex
+  override def children: Seq[Expression] = features :+ classIndex :+ nodeIndex
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "multi_feature_histogram"
@@ -70,21 +75,28 @@ case class MultiFeatureHistogram(
   }
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
-    val cls = classIndex.eval(input)
-    if (cls != null) {
-      val k = cls.asInstanceOf[Int]
-      if (k >= 0 && k < numClasses) {
-        var f = 0
-        while (f < numFeatures) {
-          val v = features(f).eval(input)
-          if (v != null) {
-            val b = binOf(f, v.asInstanceOf[Double])
-            buffer(f * blockSize + b * numClasses + k) += 1L
+    val node = nodeIndex.eval(input)
+    if (node != null) {
+      val n = node.asInstanceOf[Int]
+      if (n >= 0 && n < numNodes) {
+        val cls = classIndex.eval(input)
+        if (cls != null) {
+          val k = cls.asInstanceOf[Int]
+          if (k >= 0 && k < numClasses) {
+            val off = n * nodeLen
+            var f = 0
+            while (f < numFeatures) {
+              val v = features(f).eval(input)
+              if (v != null) {
+                val b = binOf(f, v.asInstanceOf[Double])
+                buffer(off + f * blockSize + b * numClasses + k) += 1L
+              }
+              f += 1
+            }
+            // node sentinel block: all rows of the node, bin 0
+            buffer(off + numFeatures * blockSize + k) += 1L
           }
-          f += 1
         }
-        // node sentinel block: all rows, bin 0
-        buffer(numFeatures * blockSize + k) += 1L
       }
     }
     buffer
@@ -115,5 +127,6 @@ case class MultiFeatureHistogram(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): MultiFeatureHistogram =
-    copy(features = newChildren.dropRight(1), classIndex = newChildren.last)
+    copy(features = newChildren.dropRight(2),
+      classIndex = newChildren(newChildren.size - 2), nodeIndex = newChildren.last)
 }

@@ -110,7 +110,8 @@ object SplitSearch {
       targetName: String,
       targets: Seq[Any],
       binEdges: Map[String, Seq[Double]] = Map.empty,
-      withNodeSentinel: Boolean = false
+      withNodeSentinel: Boolean = false,
+      extraKeys: Seq[String] = Nil
   ): DataFrame = {
     val fv = features.map { f =>
       val v = binEdges.get(f) match {
@@ -121,15 +122,17 @@ object SplitSearch {
     } ++ (if (withNodeSentinel)
             Seq(struct(lit(NodeSentinel).as("feature"), lit(0.0).as("feature_value")))
           else Nil)
+    val keyed = extraKeys.map(col)
     val melted = df
-      .select(col(targetName).as("__target"), explode(array(fv: _*)).as("fv"))
-      .select(col("fv.feature").as("feature"), col("fv.feature_value").as("feature_value"), col("__target"))
+      .select((keyed :+ col(targetName).as("__target") :+ explode(array(fv: _*)).as("fv")): _*)
+      .select((keyed :+ col("fv.feature").as("feature") :+
+        col("fv.feature_value").as("feature_value") :+ col("__target")): _*)
       .where(col("feature_value").isNotNull) // per-feature null filter (tree.py:239)
     val classCounts = targets.zipWithIndex.map { case (v, i) =>
       count(when(col("__target") === lit(v), 1)).as(s"class_${i}_count")
     }
     melted
-      .groupBy("feature", "feature_value")
+      .groupBy((extraKeys :+ "feature" :+ "feature_value").map(col): _*)
       .agg(classCounts.head, (classCounts.tail :+ count(lit(1)).as("count_examples")): _*)
   }
 
@@ -139,10 +142,11 @@ object SplitSearch {
     * an unbounded window. Post-aggregation frames are tiny — at most the
     * number of distinct feature values — so the per-feature window is cheap).
     */
-  def cumulativeCounts(hist: DataFrame, numClasses: Int): DataFrame = {
-    val wCum = Window.partitionBy("feature").orderBy("feature_value")
+  def cumulativeCounts(hist: DataFrame, numClasses: Int,
+      keyCols: Seq[String] = Seq("feature")): DataFrame = {
+    val wCum = Window.partitionBy(keyCols.map(col): _*).orderBy("feature_value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("feature")
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
     val cums = (0 until numClasses).flatMap { i =>
       Seq(
         sum(col(s"class_${i}_count")).over(wCum).as(s"cum_sum_class_${i}_count"),
@@ -152,7 +156,7 @@ object SplitSearch {
       sum(col("count_examples")).over(wCum).as("cum_sum_count_examples"),
       sum(col("count_examples")).over(wAll).as("sum_count_examples")
     )
-    hist.select((Seq(col("feature"), col("feature_value")) ++ cums): _*)
+    hist.select((keyCols.map(col) ++ Seq(col("feature_value")) ++ cums): _*)
   }
 
   /** Scale-safe twin of [[cumulativeCounts]] for EXACT mode on continuous
@@ -175,21 +179,22 @@ object SplitSearch {
   def cumulativeCountsPartitioned(
       hist: DataFrame,
       numClasses: Int,
-      numPartitions: Int
+      numPartitions: Int,
+      keyCols: Seq[String] = Seq("feature")
   ): DataFrame = {
     val countCols = (0 until numClasses).map(i => s"class_${i}_count") :+ "count_examples"
     val parts = hist
-      .repartitionByRange(numPartitions, col("feature"), col("feature_value"))
+      .repartitionByRange(numPartitions, (keyCols :+ "feature_value").map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
 
-    val totalRows = parts.groupBy("feature", "__pid")
+    val totalRows = parts.groupBy((keyCols :+ "__pid").map(col): _*)
       .agg(sum(col(countCols.head)).as(countCols.head),
         countCols.tail.map(c => sum(col(c)).as(c)): _*)
       .collect()
-    // driver-side: per-(feature, pid) exclusive prefix offsets + feature totals
-    val byFeature = totalRows.groupBy(_.getAs[String]("feature"))
-    val offsetRows = byFeature.toSeq.flatMap { case (feature, rows) =>
+    // driver-side: per-(key, pid) exclusive prefix offsets + key grand totals
+    val byKey = totalRows.groupBy(r => keyCols.map(r.getAs[Any]))
+    val offsetRows = byKey.toSeq.flatMap { case (key, rows) =>
       val sorted = rows.sortBy(_.getAs[Int]("__pid"))
       val grand = countCols.map(c => c -> sorted.map(_.getAs[Long](c)).sum).toMap
       sorted.scanLeft((Option.empty[Row], countCols.map(_ -> 0L).toMap)) {
@@ -197,21 +202,22 @@ object SplitSearch {
           (Some(r), countCols.map(c => c -> (acc(c) + r.getAs[Long](c))).toMap)
       }.toList.sliding(2).collect { case List((_, acc), (Some(r), _)) =>
         Row.fromSeq(
-          feature +: r.getAs[Int]("__pid") +:
-            (countCols.map(acc) ++ countCols.map(grand)))
+          key ++ (r.getAs[Int]("__pid") +:
+            (countCols.map(acc) ++ countCols.map(grand))))
       }.toSeq
     }
     val spark = hist.sparkSession
+    val keyFields = keyCols.map(kc => hist.schema(kc))
     val offsetSchema = StructType(
-      Seq(StructField("feature", StringType), StructField("__pid", IntegerType)) ++
+      keyFields ++ Seq(StructField("__pid", IntegerType)) ++
         countCols.map(c => StructField(s"__off_$c", LongType)) ++
         countCols.map(c => StructField(s"__tot_$c", LongType)))
     val offsets = spark.createDataFrame(
       spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
 
-    val wCum = Window.partitionBy("feature", "__pid").orderBy("feature_value")
+    val wCum = Window.partitionBy((keyCols :+ "__pid").map(col): _*).orderBy("feature_value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = parts.join(broadcast(offsets), Seq("feature", "__pid"))
+    val joined = parts.join(broadcast(offsets), keyCols :+ "__pid")
     val outCols = (0 until numClasses).flatMap { i =>
       val c = s"class_${i}_count"
       Seq(
@@ -221,7 +227,7 @@ object SplitSearch {
       (sum(col("count_examples")).over(wCum) + col("__off_count_examples"))
         .as("cum_sum_count_examples"),
       col("__tot_count_examples").as("sum_count_examples"))
-    joined.select((Seq(col("feature"), col("feature_value")) ++ outCols): _*)
+    joined.select((keyCols.map(col) ++ Seq(col("feature_value")) ++ outCols): _*)
   }
 
   /** Full gain pipeline: histogram -> cumulative counts -> candidate filter
@@ -325,12 +331,34 @@ object SplitSearch {
       criterion: Criterion,
       binEdges: Map[String, Seq[Double]] = Map.empty,
       cumPartitions: Option[Int] = None
-  ): NodeSearch = {
+  ): NodeSearch =
+    searchLevelWithStats(df, lit(0), features, targetName, targets, criterion,
+      binEdges, cumPartitions)(0)
+
+  /** Level-wise generalization of [[searchWithStats]]: `nodeId` assigns
+    * every row to a pending tree node (NULL = row settled in a finalized
+    * leaf or dropped by a NULL split feature — excluded), and ONE job
+    * returns every pending node's candidates + distribution, keyed by id.
+    * This is what makes whole-level training cost one scan: histograms,
+    * windows, and winners are all additionally keyed by `__node`.
+    */
+  def searchLevelWithStats(
+      df: DataFrame,
+      nodeId: Column,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      criterion: Criterion,
+      binEdges: Map[String, Seq[Double]] = Map.empty,
+      cumPartitions: Option[Int] = None
+  ): Map[Int, NodeSearch] = {
     val k = targets.size
-    val hist = meltedHistogram(df, features, targetName, targets, binEdges, withNodeSentinel = true)
+    val base = df.withColumn("__node", nodeId.cast("int")).where(col("__node").isNotNull)
+    val hist = meltedHistogram(base, features, targetName, targets, binEdges,
+      withNodeSentinel = true, extraKeys = Seq("__node"))
     val cum = cumPartitions match {
-      case Some(p) => cumulativeCountsPartitioned(hist, k, p)
-      case None    => cumulativeCounts(hist, k)
+      case Some(p) => cumulativeCountsPartitioned(hist, k, p, keyCols = Seq("__node", "feature"))
+      case None    => cumulativeCounts(hist, k, keyCols = Seq("__node", "feature"))
     }
     // Rows where cum == sum (the per-feature maximum and the sentinel) are
     // not candidates; under ANSI mode (Spark 4 default) their right-side
@@ -354,9 +382,10 @@ object SplitSearch {
     val countCols = (0 until k).flatMap(i =>
       Seq(col(s"cum_sum_class_${i}_count"), col(s"sum_class_${i}_count"))) ++
       Seq(col("cum_sum_count_examples"), col("sum_count_examples"))
+    val keyed = Seq(col("__node"), col("feature"), col("feature_value"))
     val withCrit = cum
-      .select((Seq(col("feature"), col("feature_value")) ++ countCols ++ proportions): _*)
-      .select((Seq(col("feature"), col("feature_value")) ++ countCols ++ Seq(
+      .select((keyed ++ countCols ++ proportions): _*)
+      .select((keyed ++ countCols ++ Seq(
         criterionExpr("left", k, criterion),
         criterionExpr("right", k, criterion),
         criterionExpr("parent", k, criterion))): _*)
@@ -367,31 +396,32 @@ object SplitSearch {
     val valid = (col("sum_count_examples") > col("cum_sum_count_examples")) &&
       !isnan(rawGain) && rawGain.isNotNull
     val withGain = withCrit.withColumn("information_gain", when(valid, rawGain))
-    val w = Window.partitionBy("feature")
+    val w = Window.partitionBy("__node", "feature")
       .orderBy(col("information_gain").desc_nulls_last, col("feature_value").asc)
     val winners = withGain
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .select((Seq(col("feature"), col("feature_value"), col("information_gain"),
-        col("parent_criterion")) ++ countCols): _*)
+      .select((keyed ++ Seq(col("information_gain"), col("parent_criterion")) ++ countCols): _*)
       .collect()
 
-    val (sentinelRows, featureRows) = winners.toSeq.partition(_.getAs[String]("feature") == NodeSentinel)
-    require(sentinelRows.nonEmpty, "searchWithStats on empty node data")
-    val nodeDist = (0 until k).map(i => sentinelRows.head.getAs[Long](s"sum_class_${i}_count"))
-    val candidates = featureRows
-      .filter(r => !r.isNullAt(r.fieldIndex("information_gain")))
-      .map { r =>
-        CandidateStats(
-          Candidate(
-            r.getAs[String]("feature"),
-            r.getAs[Double]("feature_value"),
-            r.getAs[Double]("information_gain"),
-            r.getAs[Double]("parent_criterion")),
-          (0 until k).map(i => r.getAs[Long](s"cum_sum_class_${i}_count")),
-          (0 until k).map(i => r.getAs[Long](s"sum_class_${i}_count")))
-      }
-    NodeSearch(candidates, nodeDist)
+    winners.toSeq.groupBy(_.getAs[Int]("__node")).map { case (node, rows) =>
+      val (sentinelRows, featureRows) = rows.partition(_.getAs[String]("feature") == NodeSentinel)
+      require(sentinelRows.nonEmpty, s"searchLevelWithStats: node $node has no sentinel row")
+      val nodeDist = (0 until k).map(i => sentinelRows.head.getAs[Long](s"sum_class_${i}_count"))
+      val candidates = featureRows
+        .filter(r => !r.isNullAt(r.fieldIndex("information_gain")))
+        .map { r =>
+          CandidateStats(
+            Candidate(
+              r.getAs[String]("feature"),
+              r.getAs[Double]("feature_value"),
+              r.getAs[Double]("information_gain"),
+              r.getAs[Double]("parent_criterion")),
+            (0 until k).map(i => r.getAs[Long](s"cum_sum_class_${i}_count")),
+            (0 until k).map(i => r.getAs[Long](s"sum_class_${i}_count")))
+        }
+      node -> NodeSearch(candidates, nodeDist)
+    }
   }
 
   /** Binned-mode fast path: ONE [[graft.functions.MultiFeatureHistogram]]
@@ -409,7 +439,23 @@ object SplitSearch {
       targets: Seq[Any],
       criterion: Criterion,
       binEdges: Map[String, Seq[Double]]
-  ): NodeSearch = {
+  ): NodeSearch =
+    searchLevelAggregated(df, lit(0), 1, features, targetName, targets, criterion, binEdges)(0)
+
+  /** Level-wise twin of [[searchWithStatsAggregated]]: one
+    * [[graft.functions.MultiFeatureHistogram]] job per tree LEVEL (the
+    * aggregate buffer carries a node dimension), gain math on the driver.
+    * Nodes with no rows are absent from the result map. */
+  def searchLevelAggregated(
+      df: DataFrame,
+      nodeId: Column,
+      numNodes: Int,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      criterion: Criterion,
+      binEdges: Map[String, Seq[Double]]
+  ): Map[Int, NodeSearch] = {
     import org.apache.spark.sql.graft.ColumnBridge
     val k = targets.size
     val feats = features.filter(binEdges.contains) // all-null features have no edges
@@ -420,14 +466,33 @@ object SplitSearch {
     }.otherwise(lit(-1)).cast("int")
     val agg = graft.functions.MultiFeatureHistogram(
       feats.map(f => ColumnBridge.expression(col(f).cast(DoubleType))),
-      ColumnBridge.expression(classIdx), edges, k)
+      ColumnBridge.expression(classIdx),
+      ColumnBridge.expression(nodeId.cast("int")), edges, k, numNodes)
     val buffer: Seq[Long] = df
       .select(ColumnBridge.column(agg.toAggregateExpression()).as("hist"))
       .head().getSeq[Long](0)
 
     val numBins = edges.map(_.size).max + 1
     val block = numBins * k
-    def cell(f: Int, b: Int, c: Int): Long = buffer(f * block + b * k + c)
+    val nodeLen = (feats.size + 1) * block
+    (0 until numNodes).flatMap { node =>
+      def cell(f: Int, b: Int, c: Int): Long = buffer(node * nodeLen + f * block + b * k + c)
+      val nodeDist = (0 until k).map(c => cell(feats.size, 0, c))
+      if (nodeDist.sum == 0) None
+      else Some(node -> unpackNode(cell, feats, edges, k, criterion, nodeDist))
+    }.toMap
+  }
+
+  /** Driver-side gain math over one node's histogram block, mirroring the
+    * column expressions' association order. */
+  private def unpackNode(
+      cell: (Int, Int, Int) => Long,
+      feats: Seq[String],
+      edges: Seq[Seq[Double]],
+      k: Int,
+      criterion: Criterion,
+      nodeDist: Seq[Long]
+  ): NodeSearch = {
 
     // gain math mirroring the column expressions' association order
     def crit(ps: Seq[Double]): Double = criterion match {
@@ -471,7 +536,6 @@ object SplitSearch {
         }
       }
     }
-    val nodeDist = (0 until k).map(c => cell(feats.size, 0, c))
     NodeSearch(candidates, nodeDist)
   }
 

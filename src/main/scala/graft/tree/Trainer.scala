@@ -68,9 +68,20 @@ final case class DecisionTreeClassifier(
     maxBins: Option[Int] = None,
     exactCumulativePartitions: Option[Int] = None,
     useAggregatedHistogram: Boolean = true,
+    levelWise: Boolean = true,
     cacheNodes: Boolean = true,
     checkpointDepthInterval: Int = 0
 ) {
+
+  /** Level-wise construction state: the partially built tree, where
+    * [[BPending]] marks nodes whose split is still to be decided. Pending
+    * ids are (re)assigned every level in pre-order, matching the order the
+    * nodeId expression emits them. */
+  private sealed trait Building
+  private final case class BSplit(feature: String, threshold: Double, gain: Double,
+      crit: Double, dist: Seq[Long], left: Building, right: Building) extends Building
+  private final case class BLeaf(value: Any) extends Building
+  private final case class BPending(inherited: Option[Seq[Long]]) extends Building
 
   /** Train. Pipeline mirrors the reference's `fit` (tree.py:79-115):
     * schema introspection -> (dtype shrink: a no-op under Tungsten) ->
@@ -109,9 +120,132 @@ final case class DecisionTreeClassifier(
       case None => Map.empty
     }
 
-    val tree = buildTree(encoded, featureNames, targetName, targets, binEdges,
-      depth = 0, inheritedDist = None)
+    val tree =
+      if (levelWise)
+        buildTreeLevelWise(encoded, featureNames, targetName, targets, binEdges)
+      else
+        buildTree(encoded, featureNames, targetName, targets, binEdges,
+          depth = 0, inheritedDist = None)
     DecisionTreeModel(tree, mappings, targetType)
+  }
+
+  // ---- level-wise construction (one Spark job per tree LEVEL) -------------
+
+  /** Breadth-first trainer: each level runs ONE job
+    * ([[SplitSearch.searchLevelWithStats]], or the
+    * [[SplitSearch.searchLevelAggregated]] single-pass aggregate in binned
+    * mode) that answers every pending node at once — rows are routed to
+    * their pending node by a when-chain id expression over the partial
+    * tree. Jobs per tree = depth, not node count; the source is cached
+    * once instead of per node. Identical trees to the depth-first builder
+    * (node membership and per-node math are the same; asserted in
+    * SplitSearchSpec). The id when-chain has one branch per node at the
+    * current frontier, so keep depth <= ~12 (the reference's own examples
+    * cap at 4-8).
+    */
+  private def buildTreeLevelWise(
+      data: DataFrame,
+      featureNames: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      binEdges: Map[String, Seq[Double]]
+  ): TreeNode = {
+    val source = if (cacheNodes) data.persist(StorageLevel.MEMORY_AND_DISK) else data
+
+    def countPendings(b: Building): Int = b match {
+      case s: BSplit   => countPendings(s.left) + countPendings(s.right)
+      case _: BLeaf    => 0
+      case _: BPending => 1
+    }
+
+    /** Pre-order pending-node id routing expression over the partial tree.
+      * NULL id = row sits in a finalized leaf or drops out at a NULL split
+      * feature (3-valued logic — same as the recursive builder's filters). */
+    def idExpr(b: Building): org.apache.spark.sql.Column = {
+      var idx = -1
+      def walk(n: Building): org.apache.spark.sql.Column = n match {
+        case _: BLeaf => lit(null).cast("int")
+        case _: BPending =>
+          idx += 1; lit(idx).cast("int")
+        case s: BSplit =>
+          val c = col(s.feature).cast("double")
+          val lc = walk(s.left)
+          val rc = walk(s.right)
+          when(c <= lit(s.threshold), lc).when(c > lit(s.threshold), rc)
+            .otherwise(lit(null).cast("int"))
+      }
+      walk(b)
+    }
+
+    def finalizeAtDepthCap(b: Building): Building = b match {
+      case s: BSplit => s.copy(left = finalizeAtDepthCap(s.left), right = finalizeAtDepthCap(s.right))
+      case l: BLeaf  => l
+      case BPending(inherited) =>
+        val dist = inherited.getOrElse(distributionJob(source, targetName, targets))
+        BLeaf(majorityFromDist(dist, targets))
+    }
+
+    def toTree(b: Building): TreeNode = b match {
+      case BSplit(f, t, g, c, d, l, r) => SplitNode(f, t, g, c, d, toTree(l), toTree(r))
+      case BLeaf(v)                    => LeafNode(v)
+      case _: BPending =>
+        throw new IllegalStateException("pending node survived construction")
+    }
+
+    try {
+      var tree: Building = BPending(None)
+      var depth = 0
+      while (countPendings(tree) > 0) {
+        if (maxDepth.exists(depth >= _)) {
+          tree = finalizeAtDepthCap(tree)
+        } else {
+          val numPendings = countPendings(tree)
+          val nodeId = idExpr(tree)
+          val results: Map[Int, SplitSearch.NodeSearch] =
+            if (binEdges.nonEmpty && useAggregatedHistogram)
+              SplitSearch.searchLevelAggregated(source, nodeId, numPendings,
+                featureNames, targetName, targets, criterion, binEdges)
+            else
+              SplitSearch.searchLevelWithStats(source, nodeId,
+                featureNames, targetName, targets, criterion, binEdges,
+                if (binEdges.isEmpty) exactCumulativePartitions else None)
+          var idx = -1
+          def rebuild(b: Building): Building = b match {
+            case s: BSplit => s.copy(left = rebuild(s.left), right = rebuild(s.right))
+            case l: BLeaf  => l
+            case BPending(inherited) =>
+              idx += 1
+              results.get(idx) match {
+                case Some(search) =>
+                  search.best match {
+                    case Some(cs) if cs.candidate.informationGain > 0 =>
+                      val c = cs.candidate
+                      val leftDist = cs.leftClassCounts
+                      val rightDist = cs.featureClassTotals.zip(cs.leftClassCounts)
+                        .map { case (t, l) => t - l }
+                      BSplit(c.feature, c.threshold, c.informationGain, c.parentCriterion,
+                        search.nodeDistribution,
+                        BPending(Some(leftDist)), BPending(Some(rightDist)))
+                    case _ =>
+                      BLeaf(majorityFromDist(search.nodeDistribution, targets))
+                  }
+                case None =>
+                  // node received no rows — only reachable through an
+                  // inherited distribution, which then decides the leaf
+                  BLeaf(majorityFromDist(
+                    inherited.getOrElse(throw new IllegalStateException(
+                      s"pending node $idx has neither rows nor an inherited distribution")),
+                    targets))
+              }
+          }
+          tree = rebuild(tree)
+          depth += 1
+        }
+      }
+      toTree(tree)
+    } finally {
+      if (cacheNodes) source.unpersist(blocking = false)
+    }
   }
 
   /** Majority label from a class-count vector aligned to the (sorted)

@@ -143,6 +143,35 @@ class SplitSearchSpec extends AnyFunSuite {
     assert(same(fast.tree, slow.tree), s"\nfast: ${fast.tree}\nslow: ${slow.tree}")
   }
 
+  test("level-wise trainer builds the identical tree to the depth-first trainer") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_quantity", "l_discount", "l_tax", "l_extendedprice", "l_returnflag")
+    for (crit <- Seq(Criterion.Entropy, Criterion.Gini)) {
+      val level = DecisionTreeClassifier(maxDepth = Some(3), criterion = crit)
+        .fit(li, "l_returnflag")
+      val depthFirst = DecisionTreeClassifier(maxDepth = Some(3), criterion = crit,
+        levelWise = false).fit(li, "l_returnflag")
+      assert(level.tree == depthFirst.tree, s"${crit.name} trees differ")
+    }
+  }
+
+  test("level-wise binned (aggregated) trainer matches depth-first binned pipeline") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_quantity", "l_discount", "l_tax", "l_extendedprice", "l_returnflag")
+    val level = DecisionTreeClassifier(maxDepth = Some(3), maxBins = Some(16))
+      .fit(li, "l_returnflag")
+    val depthFirst = DecisionTreeClassifier(maxDepth = Some(3), maxBins = Some(16),
+      levelWise = false, useAggregatedHistogram = false).fit(li, "l_returnflag")
+    def same(a: TreeNode, b: TreeNode): Boolean = (a, b) match {
+      case (LeafNode(x), LeafNode(y)) => x == y
+      case (SplitNode(f1, t1, g1, _, d1, l1, r1), SplitNode(f2, t2, g2, _, d2, l2, r2)) =>
+        f1 == f2 && t1 == t2 && d1 == d2 && math.abs(g1 - g2) < 1e-12 &&
+          same(l1, l2) && same(r1, r2)
+      case _ => false
+    }
+    assert(same(level.tree, depthFirst.tree))
+  }
+
   test("snapToEdges: exact counts at edges, +inf catch-all") {
     import org.apache.spark.sql.functions._
     val vals = spark.range(1, 101).select((col("id").cast("double") / 10.0).as("v"))
