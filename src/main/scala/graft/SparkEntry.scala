@@ -14,7 +14,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
-    val model = DecisionTreeClassifier(maxDepth = Some(2), criterion = Criterion.Entropy)
+    val model = DecisionTreeClassifier(maxDepth = Some(2), criterion = Criterion.Entropy,
+      maxBins = Some(32)) // level-wise single-pass aggregate scale path
       .fit(df, "l_returnflag")
     Predict.predictMany(model, df).groupBy("prediction").count().orderBy("prediction")
   }

@@ -172,6 +172,28 @@ class SplitSearchSpec extends AnyFunSuite {
     assert(same(level.tree, depthFirst.tree))
   }
 
+  test("level-wise null routing matches depth-first on null-laden data") {
+    // nulls in the split features: rows must drop out of BOTH children at
+    // the level-wise id when-chain exactly as they do in the recursive
+    // builder's filter/negated-filter pair
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      val c = i % 2
+      Row(
+        if (i % 7 == 0) null else java.lang.Double.valueOf(c * 2.0 + rnd.nextGaussian()),
+        if (i % 11 == 0) null else java.lang.Double.valueOf(3.0 - c + rnd.nextGaussian()),
+        c)
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3),
+      StructType(Seq(StructField("f1", DoubleType, nullable = true),
+        StructField("f2", DoubleType, nullable = true),
+        StructField("target", IntegerType))))
+    val level = DecisionTreeClassifier(maxDepth = Some(3)).fit(df, "target")
+    val depthFirst = DecisionTreeClassifier(maxDepth = Some(3), levelWise = false)
+      .fit(df, "target")
+    assert(level.tree == depthFirst.tree)
+  }
+
   test("snapToEdges: exact counts at edges, +inf catch-all") {
     import org.apache.spark.sql.functions._
     val vals = spark.range(1, 101).select((col("id").cast("double") / 10.0).as("v"))
