@@ -58,7 +58,24 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val peakGb = peakHeapBytes.get() / 1e9
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Driver-JVM peak heap sampler (the reference's headline metric is peak
+    * memory — README.md:57-60); sampled at 100ms by a daemon thread. */
+  private val peakHeapBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  locally {
+    val t = new Thread(() => {
+      val rt = Runtime.getRuntime
+      while (true) {
+        val used = rt.totalMemory() - rt.freeMemory()
+        peakHeapBytes.updateAndGet(p => math.max(p, used))
+        Thread.sleep(100)
+      }
+    }, "graft-peak-heap-sampler")
+    t.setDaemon(true)
+    t.start()
   }
 }

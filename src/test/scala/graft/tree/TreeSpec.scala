@@ -114,6 +114,34 @@ class TreeSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-feature fit (40 columns): correct tree via the melt-free aggregate path") {
+    // the reference's flagship workload is 190 columns; the level-wise
+    // aggregate must stay correct when the feature list is wide
+    val rnd = new scala.util.Random(17)
+    val wideNames = (0 until 40).map(i => s"f_$i")
+    val rows = (0 until 300).map { i =>
+      val c = i % 3
+      Row.fromSeq(wideNames.zipWithIndex.map { case (_, j) =>
+        // feature j carries signal only when j % 10 == c
+        math.rint((if (j % 10 == c) c * 2.0 else 0.0) + rnd.nextGaussian() * 4) / 4.0
+      } :+ c)
+    }
+    val schema = StructType(wideNames.map(StructField(_, DoubleType)) :+
+      StructField("target", IntegerType))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val binned = DecisionTreeClassifier(maxDepth = Some(3), maxBins = Some(16))
+      .fit(df, "target")
+    val exact = DecisionTreeClassifier(maxDepth = Some(3)).fit(df, "target")
+    // both paths produce valid trees and agree with the local walker
+    for (model <- Seq(binned, exact)) {
+      assert(model.tree.depth <= 3 && model.tree.numLeaves >= 2)
+      Predict.predictMany(model, df).collect().foreach { r =>
+        val sample = wideNames.zipWithIndex.map { case (f, j) => f -> (r.getDouble(j): Any) }.toMap
+        assert(Predict.predictRow(model.tree, sample) == r.getAs[Any]("prediction"))
+      }
+    }
+  }
+
   test("maxBins mode: valid tree, exact counts at edges, differential holds") {
     val df = makeDf(strTarget = false, withCat = false)
     val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
