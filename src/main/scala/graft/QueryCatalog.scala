@@ -287,6 +287,16 @@ object QueryCatalog {
     }),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx")),
+    // IVF ANN scale path (k-means cells + nprobe). Seeded but k-means
+    // centroid floats depend on aggregation order -> rows-only check.
+    "ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = queryVector(e)
+      val (index, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfTopK(index, centroids, q, nprobe = 4, k = 10)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+    }),
     // Embedding-cosine near-dup: brute variant is the oracle-checked
     // exactness reference (subset: O(n^2)); banded-LSH variant is the
     // scale path (rows-only: xxhash planes have no DuckDB twin). The

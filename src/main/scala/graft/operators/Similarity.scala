@@ -182,6 +182,59 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** IVF (inverted-file) ANN index: a k-means coarse quantizer (stock
+    * MLlib, seeded) assigns every vector to one of `nlist` cells; queries
+    * probe only the `nprobe` nearest cells. The other classic ANN scale
+    * path beside sign-LSH: cells adapt to the data distribution, and at
+    * 100 TB the index is written once partitioned by `cell` so a probe
+    * reads nprobe/nlist of the corpus.
+    *
+    * @return (index with a `cell` column, cell centroids in cell order)
+    */
+  def ivfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L
+  ): (DataFrame, Seq[Seq[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("__features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("cell").fit(base)
+    val indexed = model.transform(base).select(col("id"), col("vec"), col("cell"))
+    (indexed, model.clusterCenters.toSeq.map(_.toArray.toSeq))
+  }
+
+  /** IVF probe: rank the `nprobe` cells nearest to the query (driver-side
+    * euclidean, matching the quantizer's metric), scan only those cells,
+    * return the exact-cosine top-k. `nprobe = nlist` degenerates to exact
+    * brute force — the recall knob. */
+  def ivfTopK(
+      index: DataFrame,
+      centroids: Seq[Seq[Double]],
+      query: Seq[Double],
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }
+      .take(math.max(1, nprobe))
+      .map(_._1)
+    val qArr = array(query.map(lit): _*)
+    val v = transform(col("vec"), x => x.cast("double"))
+    index.where(col("cell").isin(probes: _*))
+      .select(col("id"), cosine(v, qArr).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Driver-side twin of [[lshSignature]] for a single query vector — the
     * query's bucket is a pure function of the vector, so computing it must
     * not cost a Spark job. Hash components are evaluated through the same

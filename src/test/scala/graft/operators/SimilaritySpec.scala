@@ -79,6 +79,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi >= 0.1, s"even the self-match was missed: $multi")
   }
 
+  test("IVF: full probe equals brute force; partial probe finds the self-match") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = real.where(org.apache.spark.sql.functions.col("vec_id") === 7)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val truth = Similarity.bruteForceTopK(real, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val (index, centroids) = Similarity.ivfIndex(real, "vec_id", "embedding", nlist = 8)
+    assert(centroids.size == 8 && centroids.forall(_.size == 64))
+    // probing every cell degenerates to exact brute force
+    val full = Similarity.ivfTopK(index, centroids, q, nprobe = 8, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(full == truth)
+    // single-cell probe still returns the query's own cell, self first
+    val partial = Similarity.ivfTopK(index, centroids, q, nprobe = 1, k = 10).collect()
+    assert(partial.nonEmpty && partial.head.getLong(0) == 7L)
+    assert(math.abs(partial.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("topKForQueries excludes self and respects k") {
     val d = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1), 3L -> Seq(0.0, 1.0), 4L -> Seq(0.5, 0.5))
     val res = Similarity.topKForQueries(d, d.where(org.apache.spark.sql.functions.col("vec_id") <= 2), "vec_id", "embedding", 2)
