@@ -25,10 +25,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    /** Elapsed seconds, or -1 when the query failed — a failure must stay
+      * visible in the JSON, not read as a suspiciously fast success. */
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case e: Throwable => System.err.println(s"[bench] failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => System.err.println(s"[bench] failed: $e"); -1.0 }
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -57,7 +59,7 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.values.sum
+    val total = results.values.filter(_ >= 0).sum
     val peakGb = peakHeapBytes.get() / 1e9
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"sf":"$sfDir"}""")
     spark.stop()

@@ -28,14 +28,14 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Materialize a deduplicated corpus from a near-duplicate pair list:
-    * greedily drop every id that appears on the RIGHT of a pair (pairs are
-    * emitted with id_a < id_b by all the pair operators here), keeping the
-    * smallest id of each duplicate cluster — the standard one-pass greedy
-    * used by large-scale pipelines. In an a~b, b~c chain with no a~c pair,
-    * c is dropped only if some surviving doc pairs with it; exact
-    * transitive clustering would need connected components (iterative),
-    * which the greedy deliberately trades away. One broadcast-friendly
-    * left-anti join. */
+    * drop every id that appears on the RIGHT of any pair (pairs are
+    * emitted with id_a < id_b by all the pair operators here) — the
+    * standard one-pass greedy used by large-scale pipelines, as one
+    * broadcast-friendly left-anti join. The drop is unconditional: in an
+    * a~b, b~c chain with no a~c pair, BOTH b and c are dropped even though
+    * c's only witness b did not survive — the greedy over-deletes relative
+    * to transitive clustering, trading a little recall for avoiding the
+    * iterative connected-components pass exact clustering would need. */
   def dropDuplicatePairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
@@ -67,7 +67,10 @@ object Dedup {
     *        the self-join — the shingle computation is the expensive
     *        (interpreted higher-order) part, and without materialization
     *        both join sides recompute it. At cluster scale this is the
-    *        standard persist-the-index step. */
+    *        standard persist-the-index step. NOTE: eager means a Spark job
+    *        runs when the DataFrame is CONSTRUCTED, not when it is first
+    *        acted on — pass false for plan-only inspection or lazy
+    *        composition (same applies to the other pair operators). */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,

@@ -104,7 +104,9 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        Row(id, DecodeStub.decodeFeatures(bytes, dim).toSeq)
+        // null payload -> null features (the row survives; callers filter)
+        if (bytes == null) Row(id, null)
+        else Row(id, DecodeStub.decodeFeatures(bytes, dim).toSeq)
       }
     }(enc)
   }
@@ -120,8 +122,12 @@ object Multimodal {
     val fIdx = features.schema.fieldIndex("features")
     features.mapPartitions { rows =>
       rows.map { r =>
-        val f = r.getSeq[Float](fIdx).toArray
-        Row(r.getLong(idIdx), DecodeStub.resize(f, newDim).toSeq)
+        if (r.isNullAt(fIdx)) Row(r.getLong(idIdx), null)
+        else {
+          val f = r.getSeq[Float](fIdx).toArray
+          val resized = if (f.isEmpty) new Array[Float](newDim) else DecodeStub.resize(f, newDim)
+          Row(r.getLong(idIdx), resized.toSeq)
+        }
       }
     }(enc)
   }
@@ -133,6 +139,9 @@ object Multimodal {
     media.select(col("media_id"), col("meta.n_frames").as("n_frames"))
       .where(col("n_frames").isNotNull)
       .withColumn("kept_frames",
-        sequence(lit(0), col("n_frames") - 1, lit(math.max(1, every))))
+        // n_frames = 0 would make sequence(0, -1, +1) throw; emit empty
+        when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(math.max(1, every))))
+          .otherwise(typedLit(Seq.empty[Int])))
       .withColumn("n_kept", size(col("kept_frames")))
 }

@@ -107,7 +107,12 @@ object Similarity {
           // typedlit -> one ArrayType literal (array(lit...) would rebuild
           // a CreateArray of d children for every row)
           val weights = typedLit((0 until d).map(i => planeComponentLocal(p, i)))
-          aggregate(zip_with(v, weights, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
+          val proj = aggregate(zip_with(v, weights, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
+          // zip_with pads the shorter side with NULLs: a wrong dim hint
+          // would silently zero every bit. Fail loudly instead.
+          when(proj.isNotNull, proj).otherwise(raise_error(concat(
+            lit(s"lshSignature: dim hint $d does not match vector length "),
+            size(v).cast("string"))).cast("double"))
         case None =>
           aggregate(
             zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),

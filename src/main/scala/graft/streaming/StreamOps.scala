@@ -47,13 +47,18 @@ object StreamOps {
       .groupBy(col(userCol), session_window(col(tsCol), s"$gapSeconds seconds"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 6).as("sum_value"),
-        min(unix_micros(col(s"session_window.start"))).as("start_us"))
+        round(sum(col(valueCol)), 6).as("sum_value"))
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
 
   /** Streaming dedup: first occurrence of each normalized-content
-    * fingerprint within the watermark horizon survives. */
+    * fingerprint within the watermark horizon survives.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) is what
+    * bounds the state store: fingerprints older than the watermark delay
+    * are evicted, so duplicates farther apart than the horizon need the
+    * batch pass — the documented trade. Plain `dropDuplicates` on a
+    * non-event-time key would keep one state row per distinct fingerprint
+    * forever. */
   def dedupByFingerprint(
       docs: DataFrame,
       textCol: String = "text",
@@ -63,7 +68,7 @@ object StreamOps {
     docs
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("fingerprint")
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Stateless text enrichment — identical expressions to the batch path. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -333,7 +333,9 @@ object SplitSearch {
       cumPartitions: Option[Int] = None
   ): NodeSearch =
     searchLevelWithStats(df, lit(0), features, targetName, targets, criterion,
-      binEdges, cumPartitions)(0)
+      binEdges, cumPartitions)
+      .getOrElse(0, throw new IllegalArgumentException(
+        "searchWithStats on empty input data (no rows reached the search)"))
 
   /** Level-wise generalization of [[searchWithStats]]: `nodeId` assigns
     * every row to a pending tree node (NULL = row settled in a finalized

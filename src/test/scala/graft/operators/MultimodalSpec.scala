@@ -59,6 +59,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(top(1).getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("null payload survives extract/resize as null features; zero frames -> empty plan") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(Row(1L, "bytes".getBytes("UTF-8")), Row(2L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("bytes", BinaryType, true))))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(df, "id", "bytes", "image", "png"), dim = 8)
+    val collected = feats.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(collected == Map(1L -> false, 2L -> true))
+    val resized = Multimodal.resizeFeatures(feats, 4).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(resized == Map(1L -> false, 2L -> true))
+    // n_frames = 0 must not crash sequence()
+    val zeroFrames = media.withColumn("meta",
+      struct(col("meta.media_type"), col("meta.format"), col("meta.width"),
+        col("meta.height"), lit(0).as("n_frames"), col("meta.sample_rate")))
+    val plan = Multimodal.plannedFrameSample(zeroFrames, 2).collect()
+    assert(plan.forall(_.getAs[Int]("n_kept") == 0))
+  }
+
   test("plannedFrameSample never reads the payload column") {
     import org.apache.spark.sql.functions._
     val withFrames = media.withColumn("meta",

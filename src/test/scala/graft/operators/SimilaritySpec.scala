@@ -97,6 +97,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(partial.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("wrong dim hint fails loudly instead of zeroing signatures") {
+    val d = emb(1L -> Seq(1.0, 2.0, 3.0, 4.0))
+    val e = intercept[Exception] {
+      Similarity.lshIndex(d, "vec_id", "embedding", nBits = 4, dim = Some(2)).collect()
+    }
+    assert(e.getMessage.contains("dim hint") || e.getMessage.contains("USER_RAISED_EXCEPTION"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("topKForQueries excludes self and respects k") {
     val d = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1), 3L -> Seq(0.0, 1.0), 4L -> Seq(0.5, 0.5))
     val res = Similarity.topKForQueries(d, d.where(org.apache.spark.sql.functions.col("vec_id") <= 2), "vec_id", "embedding", 2)

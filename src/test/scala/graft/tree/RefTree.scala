@@ -44,7 +44,15 @@ object RefTree {
       crit: Criterion,
       maxDepth: Int
   ): Fitted = {
-    val targets = ys.distinct.sortBy(_.toString)
+    // natural ordering per type, matching the trainer's orderBy(target):
+    // a toString sort would order Int targets 0,1,10,2,... for 10+ classes
+    val targets = ys.distinct.sortWith {
+      case (a: Int, b: Int)       => a < b
+      case (a: Long, b: Long)     => a < b
+      case (a: Double, b: Double) => a < b
+      case (a: String, b: String) => a < b
+      case (a, b)                 => a.toString < b.toString
+    }
     Fitted(build(rows.zip(ys), features, targets, crit, 0, maxDepth), targets)
   }
 
