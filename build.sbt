@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE bare JSON line from `sbt runMain graft.Bench`
+// stdout; sbt's default logger prefixes forked output with "[info] ",
+// which breaks that parse (BENCH_r02.json: rc=0, parsed=null). Pass the
+// forked JVM's stdout/stderr straight through instead.
+run / connectInput := true
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
