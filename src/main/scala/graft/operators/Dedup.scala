@@ -39,15 +39,22 @@ object Dedup {
   def dropDuplicatePairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
-  /** Distinct lowercase whitespace tokens of `textCol` as an array column. */
+  /** Distinct lowercase whitespace tokens of `textCol` as an array column.
+    *
+    * NULL text coalesces to the empty string (one "" token) so every
+    * document keeps a signature downstream — without this, exploding a null
+    * shingle array emits zero rows and the doc silently vanishes from the
+    * minhash/simhash indexes while [[exact]] still groups null texts
+    * together (inconsistent null semantics across the dedup operators). */
   def tokenSet(textCol: Column): Column =
-    array_distinct(split(lower(textCol), "\\s+"))
+    array_distinct(split(lower(coalesce(textCol, lit(""))), "\\s+"))
 
-  /** Word n-gram (shingle) set. n=1 degenerates to the token set. */
+  /** Word n-gram (shingle) set. n=1 degenerates to the token set.
+    * NULL text -> empty string, as in [[tokenSet]]. */
   def shingleSet(textCol: Column, n: Int): Column =
     if (n <= 1) tokenSet(textCol)
     else {
-      val toks = split(lower(textCol), "\\s+")
+      val toks = split(lower(coalesce(textCol, lit(""))), "\\s+")
       // sliding window of n tokens, joined by a single space
       val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)) )
       array_distinct(

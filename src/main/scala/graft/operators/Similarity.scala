@@ -120,7 +120,14 @@ object Similarity {
       }
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // Degenerate inputs, resolved BEFORE the projection math so the
+    // dim-hint raise_error never fires on them: a NULL vector yields a
+    // NULL signature (row keeps flowing; bucket joins drop it), and an
+    // empty vector folds to proj = 0.0 >= 0 on every plane — all bits
+    // set — exactly matching [[lshSignatureLocal]]'s driver-side fold.
+    when(vecCol.isNull, lit(null).cast("long"))
+      .when(size(v) === 0, lit((1L << nBits) - 1))
+      .otherwise(bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
   /** Index the corpus into LSH buckets (one row per vector, keyed by
@@ -224,6 +231,12 @@ object Similarity {
       nprobe: Int,
       k: Int
   ): DataFrame = {
+    // zip would silently truncate a mismatched query -> wrong probe cells;
+    // fail loudly like lshSignature's dim-hint check does.
+    centroids.headOption.foreach { c =>
+      require(query.size == c.size,
+        s"ivfTopK: query dim ${query.size} does not match centroid dim ${c.size}")
+    }
     val probes = centroids.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum

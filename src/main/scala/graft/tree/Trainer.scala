@@ -93,11 +93,20 @@ final case class DecisionTreeClassifier(
     val featureNames = data.schema.fieldNames.filterNot(_ == targetName).toSeq
     val targetType = data.schema(targetName).dataType
 
+    // NULL targets are excluded up front: `=== lit(null)` never matches, so
+    // a null class could never accrue histogram counts — the pipeline path
+    // would still count those rows in count_examples while the aggregated
+    // path dropped them (different trees per useAggregatedHistogram), and an
+    // all-null node would throw "majority of empty node". One filter makes
+    // every path see identical data. (The reference never defines null-target
+    // behavior; its examples fill_null before fit — amex_default.py:23.)
+    val nonNullTarget = data.where(col(targetName).isNotNull)
+
     val (encoded, mappings) =
       if (categoricalColumns.nonEmpty) {
-        val m = TargetEncoder.fitMappings(data, categoricalColumns, targetName)
-        (TargetEncoder.applyMappings(data, m), m)
-      } else (data, Map.empty[String, Map[String, Int]])
+        val m = TargetEncoder.fitMappings(nonNullTarget, categoricalColumns, targetName)
+        (TargetEncoder.applyMappings(nonNullTarget, m), m)
+      } else (nonNullTarget, Map.empty[String, Map[String, Int]])
 
     // Distinct target values (tree.py:110-113). The reference's order is
     // engine-arbitrary; we sort for deterministic class indexing.

@@ -39,6 +39,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes(2L) == 1) // whole-text fallback
   }
 
+  test("null text keeps a signature: minhash/simhash treat it as empty string") {
+    val d = docs(1L -> "hello world", 2L -> null, 3L -> null)
+    val sigIds = Dedup.minHashSignatures(d, "doc_id", "text", numHashes = 8, shingleN = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 3L), "null-text docs must not vanish from the signature index")
+    val simIds = Dedup.simHash(d, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(simIds == Set(1L, 2L, 3L))
+    // the two null-text docs are mutual duplicates under the '' coalescion
+    val pairs = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
   test("minhash-LSH finds near-duplicates and skips distinct docs") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val nearDup = base.replace("tonight", "today")

@@ -106,6 +106,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("degenerate vectors: NULL -> null signature, empty -> all-ones, both paths agree") {
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1.0, -2.0)), Row(2L, null), Row(3L, Seq.empty[Double])), 2),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    for (dim <- Seq(None, Some(2))) {
+      val sigs = Similarity.lshIndex(d, "vec_id", "embedding", nBits = 4, dim = dim)
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(sigs(2L).isEmpty, s"null vector must get a null signature (dim=$dim)")
+      assert(sigs(3L).contains(15L), s"empty vector: all $dim bits set, matching the driver fold")
+      assert(sigs(1L).contains(Similarity.lshSignatureLocal(Seq(1.0, -2.0), 4)))
+    }
+    assert(Similarity.lshSignatureLocal(Seq.empty, 4) == 15L)
+  }
+
+  test("ivfTopK rejects a query whose dimension mismatches the centroids") {
+    val d = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0), 3L -> Seq(0.5, 0.5), 4L -> Seq(0.7, 0.1))
+    val (index, centroids) = Similarity.ivfIndex(d, "vec_id", "embedding", nlist = 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(index, centroids, Seq(1.0, 0.0, 0.0), nprobe = 1, k = 2)
+    }
+    assert(e.getMessage.contains("query dim"))
+  }
+
   test("topKForQueries excludes self and respects k") {
     val d = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1), 3L -> Seq(0.0, 1.0), 4L -> Seq(0.5, 0.5))
     val res = Similarity.topKForQueries(d, d.where(org.apache.spark.sql.functions.col("vec_id") <= 2), "vec_id", "embedding", 2)

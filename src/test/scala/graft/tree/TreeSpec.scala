@@ -114,6 +114,24 @@ class TreeSpec extends AnyFunSuite {
     }
   }
 
+  test("null targets are excluded from fit: same tree as pre-filtered data, all paths") {
+    import org.apache.spark.sql.functions._
+    val clean = makeDf(strTarget = true, withCat = false)
+    // poison every 7th row's target with NULL
+    val dirty = clean.withColumn("target",
+      when(pmod(hash(col("sepal_length"), col("petal_length")), lit(7)) === 0, lit(null))
+        .otherwise(col("target")))
+    val prefiltered = dirty.where(col("target").isNotNull)
+    for (agg <- Seq(true, false)) {
+      val m1 = DecisionTreeClassifier(maxDepth = Some(3), useAggregatedHistogram = agg)
+        .fit(dirty, "target")
+      val m2 = DecisionTreeClassifier(maxDepth = Some(3), useAggregatedHistogram = agg)
+        .fit(prefiltered, "target")
+      assert(sameTree(m1.tree, m2.tree),
+        s"null-target rows leaked into training (useAggregatedHistogram=$agg)")
+    }
+  }
+
   test("wide-feature fit (40 columns): correct tree via the melt-free aggregate path") {
     // the reference's flagship workload is 190 columns; the level-wise
     // aggregate must stay correct when the feature list is wide
