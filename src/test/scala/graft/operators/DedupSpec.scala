@@ -69,8 +69,33 @@ class DedupSpec extends AnyFunSuite {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val d = docs(1L -> base, 2L -> base, 3L -> "unrelated words entirely disjoint vocabulary set")
     val pairs = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("verified minhash-LSH pairs equal the exact all-pairs jaccard answer") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6))).toSet
+    val verified = Dedup.minHashLshJaccardPairs(real, "doc_id", "text",
+        numHashes = 32, shingleN = 3, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6))).toSet
+    assert(verified == exact,
+      s"missed=${(exact -- verified).size} spurious=${(verified -- exact).size}")
+  }
+
+  test("simHashPairs60: banding is pigeonhole-complete vs brute-force hamming") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = Dedup.simHash60(real, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if h <= 3
+    } yield (sigs(i)._1, sigs(j)._1, h.toLong)).toSet
+    val banded = Dedup.simHashPairs60(real, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"missed=${(brute -- banded).size} spurious=${(banded -- brute).size}")
   }
 
   test("minhash estimate tracks exact jaccard on sf0.001 documents") {

@@ -35,7 +35,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.values.forall(_.size == 16))
     assert(f(1L) == f(3L)) // identical payloads
     assert(f(1L) != f(2L)) // different payloads
-    assert(f.values.flatten.forall(v => v >= 0f && v < 1f))
+    assert(f.values.flatten.forall(v => v >= 0f && v <= 1f))
     // deterministic across runs
     val again = Multimodal.extractFeatures(media, dim = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap

@@ -65,12 +65,12 @@ class SimilaritySpec extends AnyFunSuite {
     val truth = Similarity.bruteForceTopK(real, "vec_id", "embedding", q, 10)
       .collect().map(_.getLong(0)).toSet
     val idx = Similarity.lshIndex(real, "vec_id", "embedding", nBits = 8, dim = Some(64))
-    def recall(multiProbe: Boolean): Double = {
-      val got = Similarity.annTopK(idx, q, nBits = 8, k = 10, multiProbe = multiProbe)
+    def recall(probeRadius: Int): Double = {
+      val got = Similarity.annTopK(idx, q, nBits = 8, k = 10, probeRadius = probeRadius)
         .collect().map(_.getLong(0)).toSet
       (truth & got).size.toDouble / truth.size
     }
-    val (single, multi) = (recall(false), recall(true))
+    val (single, multi) = (recall(0), recall(1))
     assert(multi >= single)
     // these embeddings are random vectors: a random query's true top-10
     // sit near 68deg, which no sign-LSH buckets together — the planted
@@ -120,6 +120,18 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sigs(1L).contains(Similarity.lshSignatureLocal(Seq(1.0, -2.0), 4)))
     }
     assert(Similarity.lshSignatureLocal(Seq.empty, 4) == 15L)
+  }
+
+  test("ivfIndex is deterministic: same centroids and cells across runs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def build() = {
+      val (index, centroids) = Similarity.ivfIndex(real, "vec_id", "embedding", nlist = 8)
+      (index.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap, centroids)
+    }
+    val (cells1, c1) = build()
+    val (cells2, c2) = build()
+    assert(c1 == c2, "centroids differ across runs")
+    assert(cells1 == cells2, "cell assignments differ across runs")
   }
 
   test("ivfTopK rejects a query whose dimension mismatches the centroids") {
