@@ -433,7 +433,7 @@ object QueryCatalog {
 
   private val jaccardSql =
     s"""WITH toks AS (
-       |  SELECT doc_id AS id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
        |sets AS (
        |  SELECT id,
        |    CASE WHEN len(tk) >= 3
@@ -460,7 +460,7 @@ object QueryCatalog {
     val bitsExpr = (0 until 60).map(j =>
       s"CASE WHEN b_$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END").mkString(" + ")
     s"""WITH toks AS (
-       |  SELECT doc_id AS id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+       |  SELECT doc_id AS id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
        |  FROM documents),
        |h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
        |b AS (SELECT id,
@@ -580,7 +580,7 @@ object QueryCatalog {
          |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
     "dedup_drop" ->
       s"""WITH toks AS (
-         |  SELECT doc_id AS id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+         |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
          |sets AS (
          |  SELECT id,
          |    CASE WHEN len(tk) >= 3

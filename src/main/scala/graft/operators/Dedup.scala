@@ -39,7 +39,8 @@ object Dedup {
   def dropDuplicatePairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
-  /** Distinct lowercase whitespace tokens of `textCol` as an array column.
+  /** Distinct lowercase whitespace tokens of trimmed `textCol` as an
+    * array column.
     *
     * NULL text coalesces to the empty string (one "" token) so every
     * document keeps a signature downstream — without this, exploding a null
@@ -47,19 +48,27 @@ object Dedup {
     * minhash/simhash indexes while [[exact]] still groups null texts
     * together (inconsistent null semantics across the dedup operators). */
   def tokenSet(textCol: Column): Column =
-    array_distinct(split(lower(coalesce(textCol, lit(""))), "\\s+"))
+    array_distinct(split(lower(trim(coalesce(textCol, lit("")))), "\\s+"))
 
   /** Word n-gram (shingle) set. n=1 degenerates to the token set.
-    * NULL text -> empty string, as in [[tokenSet]]. */
+    * NULL text -> empty string, as in [[tokenSet]].
+    *
+    * Shape: whitespace-normalize once (codegen'd regexp_replace), then
+    * pull every overlapping n-gram with a single zero-width-lookahead
+    * regex anchored at token starts — `(?:^|(?<= ))(?=(\S+( \S+){n-1}))`.
+    * Replaces the previous `transform(sequence(...), i =>
+    * array_join(slice(toks, i+1, n), " "))` formulation: higher-order
+    * functions evaluate interpreted per element and dominated the dedup
+    * pipelines, while regexp_extract_all stays inside whole-stage
+    * codegen. */
   def shingleSet(textCol: Column, n: Int): Column =
     if (n <= 1) tokenSet(textCol)
     else {
-      val toks = split(lower(coalesce(textCol, lit(""))), "\\s+")
-      // sliding window of n tokens, joined by a single space
-      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)) )
+      val norm = regexp_replace(lower(trim(coalesce(textCol, lit("")))), "\\s+", " ")
+      val toks = split(norm, " ")
+      val pat = "(?:^|(?<= ))(?=(" + Seq.fill(n)("\\S+").mkString(" ") + "))"
       array_distinct(
-        when(size(toks) >= n,
-          transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        when(size(toks) >= n, regexp_extract_all(norm, lit(pat), lit(1)))
           .otherwise(array(array_join(toks, " "))))
     }
 
