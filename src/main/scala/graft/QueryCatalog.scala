@@ -187,7 +187,7 @@ object QueryCatalog {
     "cum_counts_partitioned" -> ((s, dir) =>
       SplitSearch.cumulativeCountsPartitioned(
         SplitSearch.meltedHistogram(lineitem(s, dir), TreeFeatures, Target, Targets),
-        Targets.size, numPartitions = 8)
+        Targets.size, numBuckets = 8)
         .orderBy("feature", "feature_value")),
     "best_split_gain_entropy" -> bestSplitQuery(Criterion.Entropy) _,
     "best_split_gain_gini" -> bestSplitQuery(Criterion.Gini) _,

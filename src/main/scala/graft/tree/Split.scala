@@ -1,9 +1,9 @@
 package graft.tree
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Exhaustive best-split search by information gain.
   *
@@ -161,63 +161,85 @@ object SplitSearch {
 
   /** Scale-safe twin of [[cumulativeCounts]] for EXACT mode on continuous
     * features, where the per-feature window would put O(distinct values)
-    * rows in a single task. Classic two-pass distributed prefix sum:
+    * rows in a single task. A fully declarative distributed prefix sum —
+    * ONE query, no checkpoint, no repartition sampling, no driver collect:
     *
-    *  1. range-partition the histogram by (feature, feature_value) and
-    *     freeze it (localCheckpoint — partition ids must be identical for
-    *     both passes);
-    *  2. one tiny job collects per-(feature, partition) totals; the driver
-    *     turns them into per-partition offsets and per-feature grand
-    *     totals (<= #features x #partitions rows);
-    *  3. running sums inside each (feature, partition) window — bounded by
-    *     the range-partition size, never a whole feature — plus the
-    *     broadcast offsets.
+    *  1. per-key min/max of `feature_value` (a tiny order-independent
+    *     aggregate, broadcast back) defines `numBuckets` uniform value
+    *     ranges; the bucket id is a monotonic codegen'd arithmetic
+    *     expression, so every cumulative window partition is bounded by
+    *     one bucket's worth of distinct values;
+    *  2. per-(key, bucket) totals -> exclusive prefix offsets + key grand
+    *     totals, via windows over the tiny totals frame (<= keys x
+    *     buckets rows), broadcast back;
+    *  3. running sums inside each (key, bucket) window plus the offsets.
     *
-    * Output is row-identical to [[cumulativeCounts]] (asserted by the
-    * cum_counts_partitioned DuckDB oracle and SplitSearchSpec).
+    * The histogram subplan feeds the min/max branch, the totals branch,
+    * and the final window; its shuffle runs once and is ReusedExchange'd
+    * into the others. Degenerate groups (constant value, NaN) collapse
+    * into a single bucket — monotonicity trivially holds. Value-uniform
+    * (not frequency-uniform) buckets can skew under pathological value
+    * distributions; quantile edges would fix that at the cost of a
+    * nondeterministic-merge aggregate, and the windowed math is exact
+    * either way. Output is row-identical to [[cumulativeCounts]]
+    * (asserted by the cum_counts_partitioned DuckDB oracle and
+    * SplitSearchSpec).
     */
   def cumulativeCountsPartitioned(
       hist: DataFrame,
       numClasses: Int,
-      numPartitions: Int,
-      keyCols: Seq[String] = Seq("feature")
+      numBuckets: Int,
+      keyCols: Seq[String] = Seq("feature"),
+      featureRanges: Map[String, (Double, Double)] = Map.empty
   ): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val countCols = (0 until numClasses).map(i => s"class_${i}_count") :+ "count_examples"
-    val parts = hist
-      .repartitionByRange(numPartitions, (keyCols :+ "feature_value").map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val key = keyCols.map(col)
+    val fv = col("feature_value")
 
-    val totalRows = parts.groupBy((keyCols :+ "__pid").map(col): _*)
+    // NaN sorts above every double in Spark orderings, so NaN rows belong in
+    // the last bucket; a constant-valued (or all-NaN) group collapses there
+    // too, which keeps the expression total without an ANSI divide-by-zero.
+    def bucketFor(mn: Column, mx: Column): Column =
+      when(isnan(fv) || mx.isNull || mx === mn, lit(numBuckets - 1))
+        .otherwise(least(
+          floor((fv - mn) / ((mx - mn) / lit(numBuckets.toDouble))).cast("int"),
+          lit(numBuckets - 1)))
+    // Callers that know per-feature (min, max) up front (the trainer
+    // computes them once at fit time) get a pure literal bucket expression;
+    // otherwise the ranges come from one extra tiny in-plan aggregate of
+    // the histogram, broadcast back. Features absent from a non-empty map
+    // (e.g. the node sentinel) collapse into the last bucket.
+    val withBucket =
+      if (featureRanges.nonEmpty) {
+        val chain = featureRanges.foldLeft(when(lit(false), lit(0))) {
+          case (c, (f, (mn, mx))) =>
+            c.when(col("feature") === lit(f), bucketFor(lit(mn), lit(mx)))
+        }.otherwise(lit(numBuckets - 1))
+        hist.withColumn("__bkt", chain)
+      } else {
+        val ranges = hist.groupBy(key: _*).agg(
+          min(when(!isnan(fv), fv)).as("__mn"),
+          max(when(!isnan(fv), fv)).as("__mx"))
+        hist.join(broadcast(ranges), keyCols)
+          .withColumn("__bkt", bucketFor(col("__mn"), col("__mx")))
+          .drop("__mn", "__mx")
+      }
+
+    val bucketTotals = withBucket.groupBy((keyCols :+ "__bkt").map(col): _*)
       .agg(sum(col(countCols.head)).as(countCols.head),
         countCols.tail.map(c => sum(col(c)).as(c)): _*)
-      .collect()
-    // driver-side: per-(key, pid) exclusive prefix offsets + key grand totals
-    val byKey = totalRows.groupBy(r => keyCols.map(r.getAs[Any]))
-    val offsetRows = byKey.toSeq.flatMap { case (key, rows) =>
-      val sorted = rows.sortBy(_.getAs[Int]("__pid"))
-      val grand = countCols.map(c => c -> sorted.map(_.getAs[Long](c)).sum).toMap
-      sorted.scanLeft((Option.empty[Row], countCols.map(_ -> 0L).toMap)) {
-        case ((_, acc), r) =>
-          (Some(r), countCols.map(c => c -> (acc(c) + r.getAs[Long](c))).toMap)
-      }.toList.sliding(2).collect { case List((_, acc), (Some(r), _)) =>
-        Row.fromSeq(
-          key ++ (r.getAs[Int]("__pid") +:
-            (countCols.map(acc) ++ countCols.map(grand))))
-      }.toSeq
-    }
-    val spark = hist.sparkSession
-    val keyFields = keyCols.map(kc => hist.schema(kc))
-    val offsetSchema = StructType(
-      keyFields ++ Seq(StructField("__pid", IntegerType)) ++
-        countCols.map(c => StructField(s"__off_$c", LongType)) ++
-        countCols.map(c => StructField(s"__tot_$c", LongType)))
-    val offsets = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
+    val wPrev = Window.partitionBy(key: _*).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(key: _*)
+    val offsets = bucketTotals.select(
+      (key :+ col("__bkt")) ++
+        countCols.map(c => coalesce(sum(col(c)).over(wPrev), lit(0L)).as(s"__off_$c")) ++
+        countCols.map(c => sum(col(c)).over(wTot).as(s"__tot_$c")): _*)
 
-    val wCum = Window.partitionBy((keyCols :+ "__pid").map(col): _*).orderBy("feature_value")
+    val wCum = Window.partitionBy((keyCols :+ "__bkt").map(col): _*).orderBy("feature_value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = parts.join(broadcast(offsets), keyCols :+ "__pid")
+    val joined = withBucket.join(broadcast(offsets), keyCols :+ "__bkt")
     val outCols = (0 until numClasses).flatMap { i =>
       val c = s"class_${i}_count"
       Seq(
@@ -330,10 +352,11 @@ object SplitSearch {
       targets: Seq[Any],
       criterion: Criterion,
       binEdges: Map[String, Seq[Double]] = Map.empty,
-      cumPartitions: Option[Int] = None
+      cumBuckets: Option[Int] = None,
+      cumRanges: Map[String, (Double, Double)] = Map.empty
   ): NodeSearch =
     searchLevelWithStats(df, lit(0), features, targetName, targets, criterion,
-      binEdges, cumPartitions)
+      binEdges, cumBuckets, cumRanges)
       .getOrElse(0, throw new IllegalArgumentException(
         "searchWithStats on empty input data (no rows reached the search)"))
 
@@ -352,14 +375,16 @@ object SplitSearch {
       targets: Seq[Any],
       criterion: Criterion,
       binEdges: Map[String, Seq[Double]] = Map.empty,
-      cumPartitions: Option[Int] = None
+      cumBuckets: Option[Int] = None,
+      cumRanges: Map[String, (Double, Double)] = Map.empty
   ): Map[Int, NodeSearch] = {
     val k = targets.size
     val base = df.withColumn("__node", nodeId.cast("int")).where(col("__node").isNotNull)
     val hist = meltedHistogram(base, features, targetName, targets, binEdges,
       withNodeSentinel = true, extraKeys = Seq("__node"))
-    val cum = cumPartitions match {
-      case Some(p) => cumulativeCountsPartitioned(hist, k, p, keyCols = Seq("__node", "feature"))
+    val cum = cumBuckets match {
+      case Some(p) => cumulativeCountsPartitioned(hist, k, p,
+        keyCols = Seq("__node", "feature"), featureRanges = cumRanges)
       case None    => cumulativeCounts(hist, k, keyCols = Seq("__node", "feature"))
     }
     // Rows where cum == sum (the per-feature maximum and the sentinel) are
@@ -398,12 +423,22 @@ object SplitSearch {
     val valid = (col("sum_count_examples") > col("cum_sum_count_examples")) &&
       !isnan(rawGain) && rawGain.isNotNull
     val withGain = withCrit.withColumn("information_gain", when(valid, rawGain))
-    val w = Window.partitionBy("__node", "feature")
-      .orderBy(col("information_gain").desc_nulls_last, col("feature_value").asc)
+    // Per-feature argmax as an AGGREGATION, not a window: min over a
+    // (sort-key, payload) struct does map-side combine, so no single task
+    // ever gathers a whole feature's candidate rows (a row_number window
+    // partitioned by (node, feature) would — the one remaining single-task
+    // stage of the exact path at scale). Null gains (distribution-carrier
+    // rows) sort last via the MaxValue key; ties break on feature_value
+    // ASC — same order as (gain DESC NULLS LAST, feature_value ASC).
+    val payload = struct((Seq(col("feature_value"), col("information_gain"),
+      col("parent_criterion")) ++ countCols): _*)
+    val sortKey = struct(
+      coalesce(col("information_gain") * lit(-1.0), lit(Double.MaxValue)).as("k1"),
+      col("feature_value").as("k2"))
     val winners = withGain
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select((keyed ++ Seq(col("information_gain"), col("parent_criterion")) ++ countCols): _*)
+      .groupBy(col("__node"), col("feature"))
+      .agg(min(struct(sortKey.as("k"), payload.as("p"))).as("w"))
+      .select(col("__node"), col("feature"), col("w.p.*"))
       .collect()
 
     winners.toSeq.groupBy(_.getAs[Int]("__node")).map { case (node, rows) =>

@@ -31,13 +31,14 @@ import org.apache.spark.storage.StorageLevel
   *                       edges stay exact; only the candidate set shrinks.
   *                       None = exact mode (reference parity, golden tests).
   * @param exactCumulativePartitions exact mode's other scale lever: when
-  *                       set, the cumulative class counts use the two-pass
-  *                       partitioned prefix sum
+  *                       set, the cumulative class counts use the
+  *                       declarative bucketed prefix sum
   *                       ([[SplitSearch.cumulativeCountsPartitioned]])
   *                       instead of one window task per feature — same
-  *                       results, bounded tasks, at the cost of an extra
-  *                       tiny job + a histogram materialization per node.
-  *                       Ignored when maxBins already bounds the windows.
+  *                       results, bounded window partitions, still one
+  *                       query per level (two tiny broadcast side
+  *                       aggregates, no checkpoint). Ignored when maxBins
+  *                       already bounds the windows.
   * @param useAggregatedHistogram binned mode's fast path (default on): the
   *                       single-pass [[graft.functions.MultiFeatureHistogram]]
   *                       aggregate replaces the melt + window pipeline —
@@ -129,11 +130,30 @@ final case class DecisionTreeClassifier(
       case None => Map.empty
     }
 
+    // Exact+partitioned mode: per-feature (min, max) computed ONCE here give
+    // every level's bucketed prefix sum a literal bucket expression (no
+    // in-plan ranges aggregate). Root-data ranges over-cover deeper nodes'
+    // value slices — fewer effective buckets, never wrong answers.
+    val cumRanges: Map[String, (Double, Double)] =
+      if (binEdges.isEmpty && exactCumulativePartitions.isDefined) {
+        val aggs = featureNames.flatMap { f =>
+          val c = col(f).cast("double")
+          Seq(min(when(!isnan(c), c)).as(s"__mn_$f"), max(when(!isnan(c), c)).as(s"__mx_$f"))
+        }
+        val r = encoded.agg(aggs.head, aggs.tail: _*).head()
+        featureNames.flatMap { f =>
+          (Option(r.getAs[Any](s"__mn_$f")), Option(r.getAs[Any](s"__mx_$f"))) match {
+            case (Some(mn: Double), Some(mx: Double)) => Some(f -> (mn, mx))
+            case _                                    => None // all-null/NaN feature
+          }
+        }.toMap
+      } else Map.empty
+
     val tree =
       if (levelWise)
-        buildTreeLevelWise(encoded, featureNames, targetName, targets, binEdges)
+        buildTreeLevelWise(encoded, featureNames, targetName, targets, binEdges, cumRanges)
       else
-        buildTree(encoded, featureNames, targetName, targets, binEdges,
+        buildTree(encoded, featureNames, targetName, targets, binEdges, cumRanges,
           depth = 0, inheritedDist = None)
     DecisionTreeModel(tree, mappings, targetType)
   }
@@ -157,7 +177,8 @@ final case class DecisionTreeClassifier(
       featureNames: Seq[String],
       targetName: String,
       targets: Seq[Any],
-      binEdges: Map[String, Seq[Double]]
+      binEdges: Map[String, Seq[Double]],
+      cumRanges: Map[String, (Double, Double)]
   ): TreeNode = {
     val source = if (cacheNodes) data.persist(StorageLevel.MEMORY_AND_DISK) else data
 
@@ -217,7 +238,7 @@ final case class DecisionTreeClassifier(
             else
               SplitSearch.searchLevelWithStats(source, nodeId,
                 featureNames, targetName, targets, criterion, binEdges,
-                if (binEdges.isEmpty) exactCumulativePartitions else None)
+                if (binEdges.isEmpty) exactCumulativePartitions else None, cumRanges)
           var idx = -1
           def rebuild(b: Building): Building = b match {
             case s: BSplit => s.copy(left = rebuild(s.left), right = rebuild(s.right))
@@ -280,6 +301,7 @@ final case class DecisionTreeClassifier(
       targetName: String,
       targets: Seq[Any],
       binEdges: Map[String, Seq[Double]],
+      cumRanges: Map[String, (Double, Double)],
       depth: Int,
       inheritedDist: Option[Seq[Long]]
   ): TreeNode = {
@@ -307,7 +329,7 @@ final case class DecisionTreeClassifier(
         else
           SplitSearch.searchWithStats(
             node, featureNames, targetName, targets, criterion, binEdges,
-            if (binEdges.isEmpty) exactCumulativePartitions else None)
+            if (binEdges.isEmpty) exactCumulativePartitions else None, cumRanges)
       search.best match {
         case Some(cs) if cs.candidate.informationGain > 0 =>
           val c = cs.candidate
@@ -318,9 +340,9 @@ final case class DecisionTreeClassifier(
           val leftDist = cs.leftClassCounts
           val rightDist = cs.featureClassTotals.zip(cs.leftClassCounts).map { case (t, l) => t - l }
           val left = buildTree(node.where(pred), featureNames, targetName, targets,
-            binEdges, depth + 1, Some(leftDist))
+            binEdges, cumRanges, depth + 1, Some(leftDist))
           val right = buildTree(node.where(!pred), featureNames, targetName, targets,
-            binEdges, depth + 1, Some(rightDist))
+            binEdges, cumRanges, depth + 1, Some(rightDist))
           SplitNode(c.feature, c.threshold, c.informationGain, c.parentCriterion,
             search.nodeDistribution, left, right)
         case _ =>
