@@ -19,6 +19,17 @@ import org.apache.spark.storage.StorageLevel
   *                       leaf is emitted (reference: tree.py:202-203)
   * @param categoricalColumns columns to ordinal-target-encode before
   *                       training (reference: tree.py:93-108)
+  * @param shrinkDtype    mirror the reference's `shrink_dtype()` projection
+  *                       (tree.py:90): double feature columns pass through
+  *                       Float32 during FIT, so learned thresholds sit on
+  *                       the f32 grid (e.g. 1.9 -> 1.8999999761581421).
+  *                       Prediction runs on the caller's unshrunk frame —
+  *                       exactly like the reference, where a full-precision
+  *                       1.9 then lands in the RIGHT branch of that
+  *                       threshold. The reference's golden iris lists
+  *                       depend on this (IrisGoldenSpec); integer-typed
+  *                       columns are value-preserving under the
+  *                       reference's shrink, so only doubles are touched.
   * @param criterion      entropy or gini (reference: enums.py:8-14)
   * @param maxBins        when set, candidate thresholds per feature are
   *                       restricted to `maxBins` approximate quantile edges
@@ -65,6 +76,7 @@ import org.apache.spark.storage.StorageLevel
 final case class DecisionTreeClassifier(
     maxDepth: Option[Int] = None,
     categoricalColumns: Seq[String] = Nil,
+    shrinkDtype: Boolean = true,
     criterion: Criterion = Criterion.Entropy,
     maxBins: Option[Int] = None,
     exactCumulativePartitions: Option[Int] = None,
@@ -103,11 +115,24 @@ final case class DecisionTreeClassifier(
     // behavior; its examples fill_null before fit — amex_default.py:23.)
     val nonNullTarget = data.where(col(targetName).isNotNull)
 
-    val (encoded, mappings) =
+    val (encoded0, mappings) =
       if (categoricalColumns.nonEmpty) {
         val m = TargetEncoder.fitMappings(nonNullTarget, categoricalColumns, targetName)
         (TargetEncoder.applyMappings(nonNullTarget, m), m)
       } else (nonNullTarget, Map.empty[String, Map[String, Int]])
+
+    // shrink_dtype parity (tree.py:90): double features lose to f32 grid
+    // during fit only. Encoded categoricals are small ints — untouched.
+    val encoded =
+      if (shrinkDtype)
+        featureNames.foldLeft(encoded0) { (d, f) =>
+          d.schema(f).dataType match {
+            case org.apache.spark.sql.types.DoubleType =>
+              d.withColumn(f, col(f).cast("float").cast("double"))
+            case _ => d
+          }
+        }
+      else encoded0
 
     // Distinct target values (tree.py:110-113). The reference's order is
     // engine-arbitrary; we sort for deterministic class indexing.

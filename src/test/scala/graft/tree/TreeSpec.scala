@@ -64,7 +64,8 @@ class TreeSpec extends AnyFunSuite {
     val feats = featureNames ++ (if (withCat) Seq("categorical_feature") else Nil)
     val rows = baseRows.map { case (f, _) =>
       val cat = catVals.next()
-      val vals = f ++ (if (withCat) Seq(cat.toDouble) else Nil)
+      // mirror the engine's shrinkDtype fit projection (f32 grid)
+      val vals = (f ++ (if (withCat) Seq(cat.toDouble) else Nil)).map(_.toFloat.toDouble)
       feats.zip(vals.map(Option(_))).toMap
     }
     val ys: Seq[Any] = baseRows.map { case (_, c) => if (strTarget) labelStr(c) else c }
