@@ -313,31 +313,60 @@ object QueryCatalog {
         .select(col("id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id").asc)
     }),
-    // Embedding-cosine near-dup: brute variant is the oracle-checked
-    // exactness reference (subset: O(n^2)); banded-LSH variant is the
-    // scale path (rows-only: xxhash planes have no DuckDB twin). The
+    // Embedding-cosine near-dup at a REALISTIC threshold (0.9): the
     // synthetic embeddings have no true near-dups (max pairwise cosine
-    // ~0.46), so the demo threshold is 0.35.
+    // ~0.46), so the corpus is augmented with 100 planted twins
+    // ([[plantedEmbeddings]] — deterministic scaling, cosine ~0.9998).
+    // Brute variant: O(n^2) exactness reference on a 400-vector subset.
     "embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairsBrute(
-        embeddings(s, dir).where(col("vec_id") < 300), "vec_id", "embedding", threshold = 0.35)
+        plantedEmbeddings(s, dir).where(col("vec_id") < 300 || col("vec_id") >= TwinIdBase),
+        "vec_id", "embedding", threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    // Banded-LSH scale path over the full planted corpus, md5-flavored
+    // signature: plane weights, projection fold, banding, and the exact
+    // cosine verify all have DuckDB twins, so this is hash-checked against
+    // a SQL reimplementation (the simhash60 move). At threshold 0.9 the
+    // S-curve starves candidates (8-bit bands ~ n^2/256 per band before
+    // the cosine gate) instead of flooding them like the old 0.35 demo.
     "embedding_neardup_lsh" -> ((s, dir) =>
-      // 8-bit bands (256 buckets each) keep the candidate volume ~n^2/256
-      // per band; recall at this low demo threshold is partial by design
-      // (true near-dup thresholds ~0.9 recall well) — rows-only check.
       Similarity.cosineNearDupPairs(
-        embeddings(s, dir), "vec_id", "embedding", threshold = 0.35,
-        nBits = 16, bands = 2, dim = Some(64))
+        plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.9,
+        nBits = 16, bands = 2, dim = Some(64),
+        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    // Bucketed batch ANN: probe-ball equi-join on bucket (hash join, not
+    // the BroadcastNestedLoop of topk_for_queries). probeRadius = nBits
+    // makes the probe ball exhaustive — recall 1.0 by construction, so
+    // the brute-force SQL is an exact oracle while the PLAN keeps the
+    // production shape (production: nBits ~16, radius 1).
+    "batch_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val index = Similarity.lshIndex(e, "vec_id", "embedding", nBits = 4, dim = Some(64))
+      Similarity.annTopKForQueries(index, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", nBits = 4, k = 5, probeRadius = 4, dim = Some(64))
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // End-to-end dedup materialization: corpus minus the greedy-dropped
     // side of the jaccard near-dup pairs.
     "dedup_drop" -> ((s, dir) => {
       val docs0 = documents(s, dir)
       val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.dropDuplicatePairs(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
+    }),
+    // Witness-exact materialization (lexicographic MIS over the pair
+    // graph): every dropped doc keeps a surviving near-duplicate. On this
+    // corpus every near-dup component is a CLIQUE (checked via DuckDB:
+    // 23 components, all transitively closed at threshold 0.8), where MIS
+    // and greedy provably coincide — so the greedy SQL is an exact oracle
+    // here; the semantics that differ on chains are pinned by DedupSpec.
+    "dedup_drop_exact" -> ((s, dir) => {
+      val docs0 = documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.dropDuplicatePairsExact(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
     // Multimodal plumbing demo over real testdata: documents' text bytes
     // stand in for an opaque image payload; the decode stub is a
@@ -362,6 +391,25 @@ object QueryCatalog {
   private def queryVector(emb: DataFrame): Seq[Double] =
     emb.where(col("vec_id") === 0).select("embedding").head()
       .getSeq[Float](0).map(_.toDouble)
+
+  private val TwinIdBase = 1000000L
+
+  /** Embeddings corpus with planted near-duplicates: every vec_id < 100
+    * gets a twin (id + [[TwinIdBase]]) whose elements are scaled 1.02 on
+    * even indices / 0.98 on odd — cosine(v, twin) ~ 0.9998, far above the
+    * 0.9 near-dup line, while the random corpus tops out ~0.46. The
+    * float->double->scale->float arithmetic is deterministic with an exact
+    * DuckDB twin, so planted-pair queries stay hash-checkable. */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val base = e.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val twins = e.where(col("vec_id") < 100).select(
+      (col("vec_id").cast("long") + lit(TwinIdBase)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * when(pmod(i, lit(2)) === 0, lit(1.02)).otherwise(lit(0.98)))
+          .cast("float")).as("embedding"))
+    base.unionByName(twins)
+  }
 
   /** The CSV source path (S2, reference: examples/heart_disease.py:12):
     * round-trips the nation table through CSV with header + schema
@@ -507,6 +555,52 @@ object QueryCatalog {
        |  FROM embeddings e, q)
        |SELECT id, round(cos, 6) AS cosine FROM s ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin
 
+  /** Planted-twin corpus CTE (DuckDB twin of [[plantedEmbeddings]]): the
+    * element arithmetic goes double -> scale -> REAL -> double exactly like
+    * the Spark side's cast chain. */
+  private val plantedCorpusCte =
+    """corpus AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id,
+      |    [CAST(CAST(CAST(embedding[i + 1] AS DOUBLE)
+      |        * (CASE WHEN i % 2 = 0 THEN CAST(1.02 AS DOUBLE) ELSE CAST(0.98 AS DOUBLE) END)
+      |      AS REAL) AS DOUBLE) FOR i IN range(0, len(embedding))] AS v
+      |  FROM embeddings WHERE vec_id < 100)""".stripMargin
+
+  /** SQL twin of the md5-flavored banded LSH near-dup pipeline
+    * ([[graft.operators.Similarity.lshSignatureMd5]] + banding + exact
+    * cosine verify): plane weight = first 60 bits of md5("p_i") mapped to
+    * [-1,1), projection summed in list order, sign bit per plane, 2 bands
+    * of 8 bits, candidate pairs on band-bucket equality, cosine >= 0.9. */
+  private val embeddingNeardupLshSql = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH $plantedCorpusCte,
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corpus c, range(0, 16) p(p)),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
+       |  FROM sig, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM banded a JOIN banded bb USING (band, bucket)
+       |  WHERE a.vec_id < bb.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM cand
+       |  JOIN corpus ca ON ca.vec_id = id_a
+       |  JOIN corpus cb ON cb.vec_id = id_b)
+       |SELECT id_a, id_b, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val topkForQueriesSql =
     s"""WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
@@ -572,13 +666,27 @@ object QueryCatalog {
     "ann_topk" -> topkSql,
     "ivf_topk" -> topkSql,
     "embedding_neardup" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
+      s"""WITH $plantedCorpusCte,
+         |c AS (SELECT * FROM corpus WHERE vec_id < 300 OR vec_id >= 1000000),
          |s AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
          |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
-         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
-    "dedup_drop" ->
+         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "embedding_neardup_lsh" -> embeddingNeardupLshSql,
+    "batch_ann_topk" -> topkForQueriesSql,
+    // dedup_drop_exact: see the catalog comment — clique components make
+    // the greedy dropped-set SQL exact for the MIS materialization too.
+    "dedup_drop_exact" -> dedupDropSql,
+    "dedup_drop" -> dedupDropSql,
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "brute_force_topk" -> topkSql,
+    "topk_for_queries" -> topkForQueriesSql,
+    "sessionize" -> sessionizeSql
+  )
+
+  private lazy val dedupDropSql =
       s"""WITH toks AS (
          |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
          |sets AS (
@@ -597,11 +705,5 @@ object QueryCatalog {
          |  WHERE n_common / (size_a + size_b - n_common) >= 0.8)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
-         |ORDER BY doc_id""".stripMargin,
-    "text_stats" -> textStatsSql,
-    "lang_id" -> langIdSql,
-    "brute_force_topk" -> topkSql,
-    "topk_for_queries" -> topkForQueriesSql,
-    "sessionize" -> sessionizeSql
-  )
+         |ORDER BY doc_id""".stripMargin
 }

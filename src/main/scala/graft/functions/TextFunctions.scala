@@ -81,10 +81,25 @@ object TextFunctions {
 
   /** Heuristic language ID: count marker-stopword hits per language over
     * the token stream, pick the argmax (fixed priority order on ties,
-    * 'und' = undetermined when nothing matches). */
+    * 'und' = undetermined when nothing matches).
+    *
+    * Single regex pass: ONE combined whole-token alternation over all
+    * languages' markers extracts the hit tokens (the r3 per-language
+    * version ran 4 separate regex passes over the full text — 2.6x the
+    * baseline); per-language counts then filter the extracted hits, a
+    * tiny array (a few entries per doc), where the interpreted HOF lambda
+    * costs nothing. Marker vocabularies are disjoint across languages, so
+    * each hit counts toward exactly one language; whole-token lookarounds
+    * make alternation order irrelevant. Identical counts to the
+    * per-language regexes (the DuckDB lang_id oracle pins this). */
   def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(trim(text)), lit(" "))
+    val allPat = "(?<=\\s)(?:" +
+      LangMarkers.flatMap(_._2).distinct.map(java.util.regex.Pattern.quote).mkString("|") +
+      ")(?=\\s)"
+    val hits = regexp_extract_all(padded, lit(allPat), lit(0))
     val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> tokenHitCount(text, markers)
+      lang -> size(filter(hits, t => t.isInCollection(markers)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, s)) =>

@@ -39,6 +39,56 @@ object Dedup {
   def dropDuplicatePairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Witness-exact dedup materialization: keep the lexicographically-first
+    * MAXIMAL INDEPENDENT SET of the near-dup pair graph — a doc is dropped
+    * only when a KEPT smaller doc witnesses it as a near-dup. Fixes the
+    * greedy's over-deletion: in an a~b, b~c chain with no a~c pair, the
+    * greedy drops both b and c, but c's only witness b did not survive, so
+    * this keeps c (every dropped doc has a kept near-duplicate).
+    *
+    * Distributed simulation of the sequential scan-in-id-order greedy,
+    * GraphFrames-free: each round (1) drops undecided nodes adjacent to a
+    * kept node, (2) keeps undecided nodes with no smaller undecided
+    * neighbor. Rounds needed = length of the longest dependency chain
+    * (graph diameter bound); each round is two shuffles over the PAIR
+    * graph only (orders of magnitude smaller than the corpus), with the
+    * frontier state checkpointed to keep plans flat. Docs outside the pair
+    * graph never enter the loop and are kept unconditionally. */
+  def dropDuplicatePairsExact(
+      df: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    var und = edges.select(col("u").as("id")).distinct().localCheckpoint(true)
+    var kept = und.limit(0).localCheckpoint(true)
+    var dropped = und.limit(0).localCheckpoint(true)
+    var remaining = und.count()
+    var iter = 0
+    while (remaining > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"dropDuplicatePairsExact: no convergence after $maxIter rounds ($remaining undecided)")
+      // (1) undecided nodes witnessed by a kept neighbor are dropped
+      val newlyDropped = und
+        .join(edges.join(kept.select(col("id").as("u")), Seq("u")).select(col("v").as("id")),
+          Seq("id"), "left_semi")
+      val und1 = und.join(newlyDropped, Seq("id"), "left_anti").localCheckpoint(true)
+      // (2) undecided nodes with no smaller undecided neighbor are kept
+      val undEdges = edges
+        .join(und1.select(col("id").as("u")), Seq("u"))
+        .join(und1.select(col("id").as("v")), Seq("v"))
+      val minNbr = undEdges.where(col("v") < col("u"))
+        .groupBy(col("u").as("id")).agg(min(col("v")).as("__mn"))
+      val newlyKept = und1.join(minNbr, Seq("id"), "left_anti")
+      kept = kept.unionByName(newlyKept).localCheckpoint(true)
+      dropped = dropped.unionByName(newlyDropped).localCheckpoint(true)
+      und = und1.join(newlyKept, Seq("id"), "left_anti").localCheckpoint(true)
+      remaining = und.count()
+      iter += 1
+    }
+    df.join(dropped.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Distinct lowercase whitespace tokens of trimmed `textCol` as an
     * array column.
     *

@@ -37,15 +37,25 @@ object Sessionize {
           s"sessionize: unsupported timestamp column type $other for `$tsCol`")
     }
 
-  /** Input events plus `event_us` (epoch micros) and `session_idx`. */
+  /** Input events plus `event_us` (epoch micros) and `session_idx`.
+    *
+    * The window order carries a deterministic tie-break (`tieBreakCol`
+    * when present in the frame): equal-timestamp events of one user would
+    * otherwise make the evaluation order — and, under task retries, the
+    * window's row stream — nondeterministic. Gap-0 ties can't change
+    * `session_idx` values, but a total order is what makes the operator
+    * safely re-executable at scale. */
   def sessions(
       events: DataFrame,
       userCol: String = "user_id",
       tsCol: String = "ts",
-      gapSeconds: Long = 1800
+      gapSeconds: Long = 1800,
+      tieBreakCol: String = "event_id"
   ): DataFrame = {
     val us = epochMicros(events, tsCol)
-    val w = Window.partitionBy(userCol).orderBy("event_us")
+    val orderCols = col("event_us") +:
+      (if (events.columns.contains(tieBreakCol)) Seq(col(tieBreakCol)) else Nil)
+    val w = Window.partitionBy(userCol).orderBy(orderCols: _*)
     val prev = lag(col("event_us"), 1).over(w)
     events
       .withColumn("event_us", us)

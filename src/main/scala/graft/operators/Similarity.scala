@@ -138,6 +138,37 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), nBits, dim).as("bucket"))
 
+  /** md5-derived hyperplane component for (plane, dim): the first 60 bits
+    * of md5("p_i") mapped onto [-1, 1). Slower than the xxhash64 flavor but
+    * recomputable in DuckDB SQL — the same exact-verifiability move as the
+    * 60-bit md5 simhash ([[Dedup.simHashPairs60]]). */
+  private def md5Component(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+  }
+
+  /** Oracle-flavor twin of [[lshSignature]]: identical banding semantics,
+    * md5-derived plane weights embedded as literals (dim must be known).
+    * Every piece — weight, projection fold order, sign, bit position — has
+    * an exact DuckDB twin, so LSH pair queries built on it hash-match a
+    * SQL reimplementation. */
+  def lshSignatureMd5(vecCol: Column, nBits: Int, dim: Int): Column = {
+    val v = transform(vecCol, x => x.cast("double"))
+    val bits = (0 until nBits).map { p =>
+      val weights = typedLit((0 until dim).map(i => md5Component(p, i)))
+      val proj = aggregate(zip_with(v, weights, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
+      val checked = when(proj.isNotNull, proj).otherwise(raise_error(concat(
+        lit(s"lshSignatureMd5: dim $dim does not match vector length "),
+        size(v).cast("string"))).cast("double"))
+      when(checked >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    when(vecCol.isNull, lit(null).cast("long"))
+      .when(size(v) === 0, lit((1L << nBits) - 1))
+      .otherwise(bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute force: every id_a < id_b
     * pair scored. O(n^2) work via a broadcast nested-loop — ONLY for small
     * corpora and as the exactness oracle for [[cosineNearDupPairs]]. */
@@ -170,13 +201,14 @@ object Similarity {
       threshold: Double,
       nBits: Int = 16,
       bands: Int = 4,
-      dim: Option[Int] = None
+      dim: Option[Int] = None,
+      signature: (Column, Int, Option[Int]) => Column = lshSignature
   ): DataFrame = {
     require(nBits % bands == 0, "nBits must be divisible by bands")
     val rowsPerBand = nBits / bands
     val signed = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),
-      lshSignature(col(vecCol), nBits, dim).as("sig"))
+      signature(col(vecCol), nBits, dim).as("sig"))
       .localCheckpoint(true) // signature index computed once for both sides
     val bandMask = (1L << rowsPerBand) - 1
     val banded = signed.select(col("id"), col("vec"),
@@ -352,5 +384,58 @@ object Similarity {
       .select(col("id"), cosine(v, qArr).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** All xor-masks with at most `radius` bits of `nBits` set (mask 0 = the
+    * home bucket). `sig ^ mask` over these masks enumerates the probe ball
+    * as column arithmetic — the batch twin of [[probeBall]]. */
+  def probeBallMasks(nBits: Int, radius: Int): Seq[Long] = {
+    var ball = Set(0L)
+    var r = 0
+    while (r < radius) {
+      ball = ball ++ ball.flatMap(m => (0 until nBits).map(b => m | (1L << b)))
+      r += 1
+    }
+    ball.toSeq.sorted
+  }
+
+  /** Bucketed BATCH ANN: top-k for every row of a query DataFrame in one
+    * dataflow. Each query expands to its multi-probe bucket set (xor of
+    * literal flip masks — no driver-side per-query work), which EQUI-JOINS
+    * the LSH index on `bucket`: a shuffled hash join whose probe side is
+    * |queries| x |ball| rows, never the BroadcastNestedLoop of
+    * [[topKForQueries]]. Exact cosine + a per-query top-k window rerank
+    * the candidates. A corpus row lives in exactly one bucket and probe
+    * buckets are distinct, so no candidate dedup is needed.
+    *
+    * At 100 TB: the index is written once, bucketed by `bucket`; the join
+    * touches |ball|/2^nBits of the corpus per query. Production near-dup
+    * lookups run nBits ~16, radius 1 (ball = 17 of 65536 buckets);
+    * `probeRadius = nBits` degenerates to an exhaustive-but-bucketed scan,
+    * which is the recall-1.0 oracle setting. */
+  def annTopKForQueries(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int,
+      k: Int,
+      probeRadius: Int = 1,
+      dim: Option[Int] = None
+  ): DataFrame = {
+    val masks = probeBallMasks(nBits, probeRadius)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"),
+      lshSignature(col(vecCol), nBits, dim).as("qsig"))
+    val probed = q.select(col("query_id"), col("qvec"),
+      explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = probed.join(index, Seq("bucket"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("cosine", cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("corpus_id"), col("cosine"), col("rank"))
   }
 }

@@ -232,11 +232,20 @@ final case class DecisionTreeClassifier(
       walk(b)
     }
 
-    def finalizeAtDepthCap(b: Building): Building = b match {
+    def finalizeAtDepthCap(b: Building, isRoot: Boolean = false): Building = b match {
       case s: BSplit => s.copy(left = finalizeAtDepthCap(s.left), right = finalizeAtDepthCap(s.right))
       case l: BLeaf  => l
       case BPending(inherited) =>
-        val dist = inherited.getOrElse(distributionJob(source, targetName, targets))
+        // Only the root can legitimately lack an inherited distribution
+        // (maxDepth = 0: no level job ever ran). Every deeper pending node
+        // was created alongside its distribution; falling back to a
+        // distributionJob over the ROOT source there would silently
+        // compute the wrong majority — make the invariant loud instead.
+        val dist = inherited.getOrElse {
+          if (isRoot) distributionJob(source, targetName, targets)
+          else throw new IllegalStateException(
+            "pending node below the root hit the depth cap without an inherited distribution")
+        }
         BLeaf(majorityFromDist(dist, targets))
     }
 
@@ -252,7 +261,7 @@ final case class DecisionTreeClassifier(
       var depth = 0
       while (countPendings(tree) > 0) {
         if (maxDepth.exists(depth >= _)) {
-          tree = finalizeAtDepthCap(tree)
+          tree = finalizeAtDepthCap(tree, isRoot = depth == 0)
         } else {
           val numPendings = countPendings(tree)
           val nodeId = idExpr(tree)

@@ -39,6 +39,29 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes(2L) == 1) // whole-text fallback
   }
 
+  test("witness-exact dedup: a~b~c chain keeps c, greedy drops it") {
+    import spark.implicits._
+    val d = docs(1L -> "doc a", 2L -> "doc b", 3L -> "doc c", 9L -> "unrelated")
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val greedy = Dedup.dropDuplicatePairs(d, "doc_id", chain)
+      .collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 9L), "greedy drops every right-hand id (over-delete)")
+    val exact = Dedup.dropDuplicatePairsExact(d, "doc_id", chain)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 3L, 9L),
+      "c's only witness b was dropped, so the witness-exact pass keeps c")
+  }
+
+  test("witness-exact dedup: triangle keeps only the minimum; every drop has a kept witness") {
+    import spark.implicits._
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    // triangle 1-2-3 plus chain 4~5
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val exact = Dedup.dropDuplicatePairsExact(d, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 4L))
+  }
+
   test("null text keeps a signature: minhash/simhash treat it as empty string") {
     val d = docs(1L -> "hello world", 2L -> null, 3L -> null)
     val sigIds = Dedup.minHashSignatures(d, "doc_id", "text", numHashes = 8, shingleN = 2)

@@ -39,6 +39,25 @@ class SessionizeSpec extends AnyFunSuite {
     assert(sessions == Seq(1L, 2L)) // 2h gap -> two sessions
   }
 
+  test("equal-timestamp ties: deterministic ordering, one session, stable stats") {
+    // three events of one user share the same timestamp; event_id breaks
+    // the window-order tie so every evaluation sees the same row stream
+    val ns = (s: Long) => s * 1000000000L
+    val rows = Seq(
+      Row(10L, 1L, ns(100), 1.0), Row(11L, 1L, ns(100), 2.0), Row(12L, 1L, ns(100), 4.0),
+      Row(13L, 1L, ns(100 + 31 * 60), 8.0))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3),
+      StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", LongType), StructField("value", DoubleType))))
+    val first = Sessionize.sessionStats(d).orderBy("user_id", "session_idx").collect().toSeq
+    // tied rows all land in session 1, the post-gap event in session 2
+    assert(first.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))) ==
+      Seq((1L, 3L, 7.0), (2L, 1L, 8.0)))
+    // re-evaluation returns the identical result (total window order)
+    val again = Sessionize.sessionStats(d).orderBy("user_id", "session_idx").collect().toSeq
+    assert(first == again)
+  }
+
   test("reads the provided nanos events table end-to-end") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert(ev.schema("ts").dataType == LongType) // nanosAsLong in effect

@@ -47,6 +47,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("batch ANN at full probe ball equals the brute-force batch scorer") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.where(col("vec_id") < 3)
+    val brute = Similarity.topKForQueries(real, queries, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val index = Similarity.lshIndex(real, "vec_id", "embedding", nBits = 4, dim = Some(64))
+    val batch = Similarity.annTopKForQueries(index, queries, "vec_id", "embedding",
+      nBits = 4, k = 4, probeRadius = 4, dim = Some(64)) // full ball: recall 1.0
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(batch == brute)
+  }
+
+  test("md5 LSH signature flavor: deterministic, null/empty guards match lshSignature") {
+    import org.apache.spark.sql.functions._
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(0.2, -0.7, 1.1)), Row(2L, null), Row(3L, Seq.empty[Double])), 2),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val sigs = d.select(col("vec_id"),
+      Similarity.lshSignatureMd5(col("embedding"), nBits = 8, dim = 3).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(sigs(2L).isEmpty)          // NULL vector -> NULL signature
+    assert(sigs(3L).contains(255L))   // empty vector -> all bits set (fold = 0.0 >= 0)
+    assert(sigs(1L).exists(s => s >= 0 && s < 256))
+    // second evaluation is bitwise identical
+    val again = d.where(col("vec_id") === 1)
+      .select(Similarity.lshSignatureMd5(col("embedding"), 8, 3)).head().getLong(0)
+    assert(sigs(1L).contains(again))
+  }
+
   test("annTopK probes the query's own bucket and finds the query vector") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = real.where(org.apache.spark.sql.functions.col("vec_id") === 7)

@@ -133,6 +133,12 @@ class TreeSpec extends AnyFunSuite {
     }
   }
 
+  test("maxDepth = 0: root majority leaf via the depth-cap fallback job") {
+    val df = makeDf(strTarget = false, withCat = false)
+    val model = DecisionTreeClassifier(maxDepth = Some(0)).fit(df, "target")
+    assert(model.tree == LeafNode(0)) // classes are balanced 50/50/50; smallest label wins
+  }
+
   test("wide-feature fit (40 columns): correct tree via the melt-free aggregate path") {
     // the reference's flagship workload is 190 columns; the level-wise
     // aggregate must stay correct when the feature list is wide
