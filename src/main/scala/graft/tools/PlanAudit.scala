@@ -66,6 +66,18 @@ object PlanAudit {
     audit("dedup_exact", q("dedup_exact")(spark, sfDir), Seq(
       "map-side combined hash agg" -> (_.contains("HashAggregate"))
     ))
+    audit("batch_ann_topk (bucketed batch ANN)", q("batch_ann_topk")(spark, sfDir), Seq(
+      "equi-join on bucket (hash join, NOT nested loop)" ->
+        (p => p.contains("HashJoin") && !p.contains("BroadcastNestedLoopJoin"))
+    ))
+    audit("cum_counts_partitioned (declarative prefix sum)", q("cum_counts_partitioned")(spark, sfDir), Seq(
+      "histogram shuffle computed once (ReusedExchange)" -> (_.contains("ReusedExchange")),
+      "offsets broadcast back (no big-side shuffle join)" -> (_.contains("BroadcastHashJoin"))
+    ))
+    audit("embedding_neardup_lsh (banded md5 LSH)", q("embedding_neardup_lsh")(spark, sfDir), Seq(
+      "band-bucket join (no cartesian)" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    ))
     val enc = graft.tree.TargetEncoder.applyMappings(
       spark.read.parquet(s"$sfDir/lineitem.parquet"),
       Map("l_linestatus" -> (0 until 200).map(i => s"v$i" -> i).toMap))
