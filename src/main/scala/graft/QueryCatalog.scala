@@ -368,6 +368,23 @@ object QueryCatalog {
       val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.dropDuplicatePairsExact(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
+    // End-to-end curation composition, gate-checked: language-ID +
+    // quality-score + token-count filters, then trigram-jaccard near-dup
+    // greedy materialization over the SURVIVORS — the realistic chaining
+    // of the text and dedup operators a training-data pipeline runs.
+    // Every stage has a SQL twin, so the whole composition hash-checks.
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val scored = docs
+        .withColumn("lang", TextFunctions.langId(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")).cast("long"))
+      val kept = scored.where(col("quality") >= 0.5 && col("n_tokens") >= 10)
+      val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.dropDuplicatePairs(kept, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // Multimodal plumbing demo over real testdata: documents' text bytes
     // stand in for an opaque image payload; the decode stub is a
     // deterministic md5-based fake (no codecs in this container) with an
@@ -601,6 +618,58 @@ object QueryCatalog {
        |FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** SQL twin of the curation_pipeline composition: the text_stats
+    * quality/token expressions + the lang_id argmax + the jaccard
+    * dropped-set, with the pair stage running over the FILTERED survivors
+    * exactly as the Spark side chains them. */
+  private val curationPipelineSql = {
+    val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+    val tkRaw = """regexp_split_to_array(trim(text), '\s+')"""
+    val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
+    val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
+    val lenScore = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+    val punctScore = s"1.0 - least(($punct) * 5.0, 1.0)"
+    val stopScore = s"least(($stop) * 4.0, 1.0)"
+    def hits(markers: Seq[String]) =
+      s"len(list_filter($tk, x -> list_contains([${markers.map("'" + _ + "'").mkString(", ")}], x)))"
+    val en = hits(Seq("the", "and", "is", "of", "to"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "et", "les", "est"))
+    val es = hits(Seq("el", "los", "y", "es", "las"))
+    s"""WITH langc AS (SELECT doc_id, text, $en AS en, $de AS de, $fr AS fr, $es AS es FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+       |         WHEN en = greatest(en, de, fr, es) THEN 'en'
+       |         WHEN de = greatest(en, de, fr, es) THEN 'de'
+       |         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+       |         WHEN es = greatest(en, de, fr, es) THEN 'es'
+       |         ELSE 'und' END AS lang,
+       |    round((($lenScore) + ($punctScore) + ($stopScore)) / 3.0, 6) AS quality,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS n_tokens
+       |  FROM langc),
+       |kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10),
+       |toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tkn FROM kept),
+       |sets AS (
+       |  SELECT id,
+       |    CASE WHEN len(tkn) >= 3
+       |      THEN list_distinct([array_to_string(tkn[i + 1 : i + 3], ' ') FOR i IN range(0, len(tkn) - 2)])
+       |      ELSE list_distinct([array_to_string(tkn, ' ')]) END AS sh
+       |  FROM toks),
+       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
+       |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2, 3, 4),
+       |dropped AS (
+       |  SELECT DISTINCT id_b FROM pairs
+       |  WHERE n_common / (size_a + size_b - n_common) >= 0.8)
+       |SELECT doc_id, lang, quality, n_tokens FROM kept
+       |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val topkForQueriesSql =
     s"""WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
@@ -675,6 +744,7 @@ object QueryCatalog {
          |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "batch_ann_topk" -> topkForQueriesSql,
+    "curation_pipeline" -> curationPipelineSql,
     // dedup_drop_exact: see the catalog comment — clique components make
     // the greedy dropped-set SQL exact for the MIS materialization too.
     "dedup_drop_exact" -> dedupDropSql,

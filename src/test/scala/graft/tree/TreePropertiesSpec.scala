@@ -99,6 +99,22 @@ class TreePropertiesSpec extends AnyFunSuite {
     }, minSuccessful = 12)
   }
 
+  test("shrinkDtype fit == unshrunk fit on f32-pre-rounded data (reference tree.py:90 parity)") {
+    // 0.1-grid values are NOT f32-exact (1.9f != 1.9d) — the case the
+    // reference's shrink_dtype semantics actually bite on (IrisGoldenSpec)
+    check(Prop.forAllNoShrink(datasetGen) { case (rows, seed) =>
+      val tenths = rows.map { case (a, b, c) =>
+        (math.rint(a * 10) / 10.0, math.rint(b * 10) / 10.0, c) }
+      val rounded = tenths.map { case (a, b, c) => (a.toFloat.toDouble, b.toFloat.toDouble, c) }
+      val crit = if (seed % 2 == 0) Criterion.Entropy else Criterion.Gini
+      val viaShrink = DecisionTreeClassifier(maxDepth = Some(3), criterion = crit)
+        .fit(toDf(tenths), "target")
+      val viaPreRound = DecisionTreeClassifier(maxDepth = Some(3), criterion = crit,
+        shrinkDtype = false).fit(toDf(rounded), "target")
+      viaShrink.tree == viaPreRound.tree
+    }, minSuccessful = 6)
+  }
+
   test("TreePrinter renders every node once") {
     val df = toDf((0 until 90).map { i =>
       val c = i % 3
