@@ -76,6 +76,25 @@ object Bench {
       }
     }
 
+    // Width scaling: the reference's flagship table is 190 columns. Derive
+    // 24 numeric features and fit binned level-wise — the
+    // MultiFeatureHistogram path costs one un-melted pass per level
+    // regardless of feature count, which is what makes wide tables viable
+    // (the melt formulation multiplies rows by #features+1).
+    results("fit_depth4_entropy_bins32_wide24") = time {
+      val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select((baseCols :+ "l_returnflag").map(org.apache.spark.sql.functions.col): _*)
+      val wide = (0 until 20).foldLeft(base) { (d, i) =>
+        d.withColumn(s"f_$i",
+          org.apache.spark.sql.functions.col(baseCols(i % 4)) * (1.0 + i * 0.1) + i)
+      }
+      val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
+        maxBins = Some(32)).fit(wide, "l_returnflag")
+      graft.tree.Predict.predictMany(model, wide)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val peakGb = peakHeapBytes.get() / 1e9
