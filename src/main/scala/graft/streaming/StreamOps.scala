@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.operators.Similarity
 
 /** Structured Streaming counterparts of the batch pipeline operators.
   *
@@ -69,6 +70,40 @@ object StreamOps {
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming ANN probe: a stream of query vectors equi-joins the STATIC
+    * LSH bucket index ([[Similarity.lshIndex]] output, persisted and
+    * bucketed by `bucket` at scale) — the stream-static join pattern, so
+    * only the probed buckets of the index are read per micro-batch and no
+    * state store is involved in the join. Exact cosine reranks the
+    * candidates; the per-query best match is a plain streaming aggregation
+    * (max over a (cosine, -id) struct: ties go to the smaller corpus id).
+    * Use update/complete output mode, or add a watermark upstream for
+    * append. Same probe-ball semantics as [[Similarity.annTopKForQueries]]
+    * (`probeRadius = nBits` degenerates to an exhaustive bucketed scan). */
+  def annProbe(
+      queries: DataFrame,
+      index: DataFrame,
+      queryIdCol: String = "query_id",
+      vecCol: String = "embedding",
+      nBits: Int = 12,
+      probeRadius: Int = 1,
+      dim: Option[Int] = None
+  ): DataFrame = {
+    val masks = Similarity.probeBallMasks(nBits, probeRadius)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"),
+      Similarity.lshSignature(col(vecCol), nBits, dim).as("qsig"))
+    val probed = q.select(col("query_id"), col("qvec"),
+      explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = probed.join(index, Seq("bucket"))
+      .withColumn("cosine",
+        Similarity.cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))
+    scored
+      .groupBy("query_id")
+      .agg(max(struct(col("cosine"), (-col("id").cast("long")).as("nid"))).as("best"))
+      .select(col("query_id"), (-col("best.nid")).as("corpus_id"), col("best.cosine").as("cosine"))
+  }
 
   /** Stateless text enrichment — identical expressions to the batch path. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.operators.Similarity
 
 class StreamOpsSpec extends AnyFunSuite {
 
@@ -57,6 +58,43 @@ class StreamOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val ids = spark.table("dedup_out").select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("streaming ANN probe: stream-static bucket join finds the exact best match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Similarity.lshIndex(corpus, "vec_id", "embedding", nBits = 4, dim = Some(64))
+      .localCheckpoint(true) // the persisted static index
+    // queries = corpus vectors 3 and 4; at the exhaustive probe setting the
+    // best non-self match must equal the batch brute-force answer
+    val qVecs = corpus.where(org.apache.spark.sql.functions.col("vec_id").isin(3L, 4L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toSeq
+    val brute = Similarity.topKForQueries(corpus,
+        corpus.where(org.apache.spark.sql.functions.col("vec_id").isin(3L, 4L)),
+        "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, Seq[Double])]
+    val best = StreamOps.annProbe(
+      input.toDF().toDF("query_id", "embedding"), index,
+      nBits = 4, probeRadius = 4, dim = Some(64))
+    val q = best.writeStream.format("memory").queryName("ann_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(qVecs: _*)
+      q.processAllAvailable()
+      val out = spark.table("ann_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the probe sees the query vector itself in the corpus (cosine 1);
+      // compare against brute with self excluded by dropping self matches
+      assert(out.keySet == Set(3L, 4L))
+      out.foreach { case (qid, cid) =>
+        assert(cid == qid || cid == brute(qid),
+          s"query $qid: best=$cid, expected self or ${brute(qid)}")
+      }
+      // self IS in the corpus, so the top hit must be the query itself
+      assert(out == Map(3L -> 3L, 4L -> 4L))
     } finally q.stop()
   }
 
