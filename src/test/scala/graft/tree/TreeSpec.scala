@@ -133,6 +133,40 @@ class TreeSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate fits: single-class data -> one leaf; empty input fails loudly") {
+    val single = makeDf(strTarget = false, withCat = false)
+      .withColumn("target", org.apache.spark.sql.functions.lit(1))
+    for (agg <- Seq(true, false)) {
+      val m = DecisionTreeClassifier(maxDepth = Some(3), useAggregatedHistogram = agg)
+        .fit(single, "target")
+      assert(m.tree == LeafNode(1), s"pure node must be a leaf (agg=$agg)")
+    }
+    val empty = makeDf(strTarget = false, withCat = false).limit(0)
+    val e = intercept[Exception](DecisionTreeClassifier(maxDepth = Some(2)).fit(empty, "target"))
+    assert(e.getMessage != null && e.getMessage.nonEmpty)
+  }
+
+  test("maxDepth = None: unbounded depth terminates via the gain stop rule") {
+    // perfectly separable 2-feature data: the tree purifies and stops on
+    // its own (gain <= 0 at pure nodes), no depth cap needed. Values sit
+    // on the f32-exact 0.25 grid so shrinkDtype thresholds round-trip
+    // (0.1-grid boundary values would reproduce the iris f32 misroutes).
+    val rows = (0 until 60).map { i =>
+      val c = i % 3
+      Row(c * 10.0 + (i % 5) * 0.25, 100.0 - c * 10.0, c)
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("f1", DoubleType), StructField("f2", DoubleType),
+        StructField("target", IntegerType))))
+    val model = DecisionTreeClassifier(maxDepth = None).fit(df, "target")
+    assert(model.tree.depth <= 4 && model.tree.numLeaves >= 3)
+    // and it classifies its own training data perfectly
+    val wrong = Predict.predictMany(model, df)
+      .where(org.apache.spark.sql.functions.col("prediction") =!=
+        org.apache.spark.sql.functions.col("target")).count()
+    assert(wrong == 0)
+  }
+
   test("maxDepth = 0: root majority leaf via the depth-cap fallback job") {
     val df = makeDf(strTarget = false, withCat = false)
     val model = DecisionTreeClassifier(maxDepth = Some(0)).fit(df, "target")
