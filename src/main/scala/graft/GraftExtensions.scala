@@ -15,11 +15,35 @@ import graft.functions.ArrayDotProduct
   *     .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * then `SELECT array_dot(a, b)` / `array_cosine(a, b)` work in plain SQL.
+  * then `SELECT array_dot(a, b)` / `array_cosine(a, b)` work in plain SQL,
+  * along with the text-pipeline functions `graft_lang_id`,
+  * `graft_quality`, `graft_fingerprint`, and `graft_ws_tokens` (each the
+  * exact expression tree the Column API builds — one implementation, two
+  * surfaces).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Register a 1-arg function whose body is a Column-API expression
+    * builder — the SQL surface reuses the library's codegen'd column
+    * functions verbatim. */
+  private def injectUnary(
+      ext: SparkSessionExtensions,
+      name: String,
+      build: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"$name(text) takes one argument")
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.catalystExpression(build(ColumnBridge.column(children.head)))
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    injectUnary(ext, "graft_lang_id", graft.functions.TextFunctions.langId)
+    injectUnary(ext, "graft_quality", graft.functions.TextFunctions.qualityScore)
+    injectUnary(ext, "graft_fingerprint", graft.functions.TextFunctions.fingerprint)
+    injectUnary(ext, "graft_ws_tokens", graft.functions.TextFunctions.wsTokenCount)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode -> catalyst conversion. Unlike [[expression]] (which
+    * defers behind an opaque wrapper the analyzer treats as a leaf), this
+    * yields the real catalyst tree — with UnresolvedFunction nodes the
+    * analyzer then resolves — which is what an injected FunctionBuilder
+    * must return when its body is built with the Column API. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -27,6 +27,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     ).head()
   }
 
+  test("SQL surface: graft_* functions equal the Column API") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "the quick brown fox is here and the dog too"),
+        Row(2L, "der hund und die katze ist da, ja!")), 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    df.createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_lang_id(text) AS lang, graft_quality(text) AS q,
+        |       graft_fingerprint(text) AS fp, graft_ws_tokens(text) AS ws
+        |FROM sql_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3), r.getInt(4))).toMap
+    val viaApi = df.select(col("doc_id"),
+        TextFunctions.langId(col("text")), TextFunctions.qualityScore(col("text")),
+        TextFunctions.fingerprint(col("text")), TextFunctions.wsTokenCount(col("text")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3), r.getInt(4))).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql(2L)._1 == "de")
+  }
+
   test("token counts") {
     val r = one("Hello world, this is fine.")
     assert(r.getAs[Int]("ws") == 5)
