@@ -97,24 +97,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val peakGb = peakHeapBytes.get() / 1e9
+    val peakGb = heap.peakBytes / 1e9
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 
-  /** Driver-JVM peak heap sampler (the reference's headline metric is peak
-    * memory — README.md:57-60); sampled at 100ms by a daemon thread. */
-  private val peakHeapBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-  locally {
-    val t = new Thread(() => {
-      val rt = Runtime.getRuntime
-      while (true) {
-        val used = rt.totalMemory() - rt.freeMemory()
-        peakHeapBytes.updateAndGet(p => math.max(p, used))
-        Thread.sleep(100)
-      }
-    }, "graft-peak-heap-sampler")
-    t.setDaemon(true)
-    t.start()
-  }
+  private val heap = new PeakHeapSampler(100)
 }

@@ -16,38 +16,29 @@ import graft.tree.{Criterion, DecisionTreeClassifier}
   *    (MEMORY_AND_DISK) for the duration of the build — faster rescans
   *    for deeper trees at the price of resident blocks.
   *
-  * Peak driver-JVM heap is sampled at 50 ms by a daemon thread, reset
-  * (with a forced GC) between modes. `sbt "runMain
+  * Peak driver-JVM heap is sampled at 50 ms ([[graft.PeakHeapSampler]]),
+  * reset (with a forced GC) between modes. `sbt "runMain
   * graft.examples.MemoryProfile [sfDir]"`.
   */
 object MemoryProfile {
-  private val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val heap = new graft.PeakHeapSampler(50)
 
   def main(args: Array[String]): Unit = {
     val spark = ExampleSession.make()
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val t = new Thread(() => {
-      val rt = Runtime.getRuntime
-      while (true) {
-        peak.updateAndGet(p => math.max(p, rt.totalMemory() - rt.freeMemory()))
-        Thread.sleep(50)
-      }
-    }, "graft-memprofile-sampler")
-    t.setDaemon(true)
-    t.start()
 
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
     for ((label, cache) <- Seq("lazy-recompute" -> false, "cached" -> true)) {
       System.gc()
       Thread.sleep(200)
-      peak.set(0L)
+      heap.reset()
       val t0 = System.nanoTime()
       val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
         maxBins = Some(32), cacheNodes = cache).fit(df, "l_returnflag")
       val n = graft.tree.Predict.predictMany(model, df).where(col("prediction").isNotNull).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[mem-profile] $label%-15s fit+predict ${secs}%5.1fs peak-heap ${peak.get() / 1e9}%.2f GB (scored $n rows)")
+      println(f"[mem-profile] $label%-15s fit+predict ${secs}%5.1fs peak-heap ${heap.peakBytes / 1e9}%.2f GB (scored $n rows)")
     }
     spark.stop()
   }

@@ -60,7 +60,11 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
     var und = edges.select(col("u").as("id")).distinct().localCheckpoint(true)
-    var kept = und.limit(0).localCheckpoint(true)
+    // only the PREVIOUS round's newly-kept nodes can witness new drops
+    // (older kept nodes' undecided neighbors were dropped the round after
+    // those nodes were kept), so the drop join runs against the frontier,
+    // not the cumulative kept set
+    var keptFrontier = und.limit(0).localCheckpoint(true)
     var dropped = und.limit(0).localCheckpoint(true)
     var remaining = und.count()
     var iter = 0
@@ -68,10 +72,10 @@ object Dedup {
       if (iter >= maxIter)
         throw new IllegalStateException(
           s"dropDuplicatePairsExact: no convergence after $maxIter rounds ($remaining undecided)")
-      // (1) undecided nodes witnessed by a kept neighbor are dropped
+      // (1) undecided nodes witnessed by a just-kept neighbor are dropped
       val newlyDropped = und
-        .join(edges.join(kept.select(col("id").as("u")), Seq("u")).select(col("v").as("id")),
-          Seq("id"), "left_semi")
+        .join(edges.join(keptFrontier.select(col("id").as("u")), Seq("u"))
+          .select(col("v").as("id")), Seq("id"), "left_semi")
       val und1 = und.join(newlyDropped, Seq("id"), "left_anti").localCheckpoint(true)
       // (2) undecided nodes with no smaller undecided neighbor are kept
       val undEdges = edges
@@ -80,9 +84,9 @@ object Dedup {
       val minNbr = undEdges.where(col("v") < col("u"))
         .groupBy(col("u").as("id")).agg(min(col("v")).as("__mn"))
       val newlyKept = und1.join(minNbr, Seq("id"), "left_anti")
-      kept = kept.unionByName(newlyKept).localCheckpoint(true)
+      keptFrontier = newlyKept.localCheckpoint(true)
       dropped = dropped.unionByName(newlyDropped).localCheckpoint(true)
-      und = und1.join(newlyKept, Seq("id"), "left_anti").localCheckpoint(true)
+      und = und1.join(keptFrontier, Seq("id"), "left_anti").localCheckpoint(true)
       remaining = und.count()
       iter += 1
     }

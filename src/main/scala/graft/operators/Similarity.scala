@@ -92,42 +92,63 @@ object Similarity {
     h.toDouble / Long.MaxValue.toDouble
   }
 
+  /** Shared literal-weights signature builder: bit p = [dot(vec, w_p) >= 0]
+    * with driver-precomputed per-plane weight arrays, a loud dim-hint
+    * check, and caller-chosen degenerate-input semantics (NULL vector ->
+    * NULL signature always; empty vector -> `emptySig`). */
+  private def signatureFromWeights(
+      vecCol: Column,
+      nBits: Int,
+      dim: Int,
+      component: (Int, Int) => Double,
+      emptySig: Long,
+      label: String
+  ): Column = {
+    val v = transform(vecCol, x => x.cast("double"))
+    val bits = (0 until nBits).map { p =>
+      // typedlit -> one ArrayType literal (array(lit...) would rebuild
+      // a CreateArray of d children for every row)
+      val weights = typedLit((0 until dim).map(i => component(p, i)))
+      val proj = aggregate(zip_with(v, weights, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
+      // zip_with pads the shorter side with NULLs: a wrong dim hint
+      // would silently zero every bit. Fail loudly instead.
+      val checked = when(proj.isNotNull, proj).otherwise(raise_error(concat(
+        lit(s"$label: dim hint $dim does not match vector length "),
+        size(v).cast("string"))).cast("double"))
+      when(checked >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    // degenerate inputs resolve BEFORE the projection math so the
+    // dim-hint raise_error never fires on them
+    when(vecCol.isNull, lit(null).cast("long"))
+      .when(size(v) === 0, lit(emptySig))
+      .otherwise(bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
   /** Sign-random-projection signature: bit p = [dot(vec, plane_p) >= 0].
     *
     * When the embedding dimension is known (`dim`), the plane weights are
     * precomputed on the driver and embedded as literal arrays — the
     * per-element `xxhash64(plane, i)` otherwise re-evaluates inside an
     * interpreted higher-order function for every row. Both paths produce
-    * bitwise-identical signatures (same hash, same fold order). */
-  def lshSignature(vecCol: Column, nBits: Int, dim: Option[Int] = None): Column = {
-    val v = transform(vecCol, x => x.cast("double"))
-    val bits = (0 until nBits).map { p =>
-      val proj = dim match {
-        case Some(d) =>
-          // typedlit -> one ArrayType literal (array(lit...) would rebuild
-          // a CreateArray of d children for every row)
-          val weights = typedLit((0 until d).map(i => planeComponentLocal(p, i)))
-          val proj = aggregate(zip_with(v, weights, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
-          // zip_with pads the shorter side with NULLs: a wrong dim hint
-          // would silently zero every bit. Fail loudly instead.
-          when(proj.isNotNull, proj).otherwise(raise_error(concat(
-            lit(s"lshSignature: dim hint $d does not match vector length "),
-            size(v).cast("string"))).cast("double"))
-        case None =>
-          aggregate(
-            zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
-            lit(0.0d), (acc, x) => acc + x)
+    * bitwise-identical signatures (same hash, same fold order). A NULL
+    * vector yields a NULL signature (bucket joins drop it); an empty
+    * vector folds to proj = 0.0 >= 0 on every plane — all bits set —
+    * exactly matching [[lshSignatureLocal]]'s driver-side fold. */
+  def lshSignature(vecCol: Column, nBits: Int, dim: Option[Int] = None): Column = dim match {
+    case Some(d) =>
+      signatureFromWeights(vecCol, nBits, d, planeComponentLocal,
+        emptySig = (1L << nBits) - 1, label = "lshSignature")
+    case None =>
+      val v = transform(vecCol, x => x.cast("double"))
+      val bits = (0 until nBits).map { p =>
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    // Degenerate inputs, resolved BEFORE the projection math so the
-    // dim-hint raise_error never fires on them: a NULL vector yields a
-    // NULL signature (row keeps flowing; bucket joins drop it), and an
-    // empty vector folds to proj = 0.0 >= 0 on every plane — all bits
-    // set — exactly matching [[lshSignatureLocal]]'s driver-side fold.
-    when(vecCol.isNull, lit(null).cast("long"))
-      .when(size(v) === 0, lit((1L << nBits) - 1))
-      .otherwise(bits.reduce((a, b) => a.bitwiseOR(b)))
+      when(vecCol.isNull, lit(null).cast("long"))
+        .when(size(v) === 0, lit((1L << nBits) - 1))
+        .otherwise(bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
   /** Index the corpus into LSH buckets (one row per vector, keyed by
@@ -153,21 +174,13 @@ object Similarity {
     * md5-derived plane weights embedded as literals (dim must be known).
     * Every piece — weight, projection fold order, sign, bit position — has
     * an exact DuckDB twin, so LSH pair queries built on it hash-match a
-    * SQL reimplementation. */
-  def lshSignatureMd5(vecCol: Column, nBits: Int, dim: Int): Column = {
-    val v = transform(vecCol, x => x.cast("double"))
-    val bits = (0 until nBits).map { p =>
-      val weights = typedLit((0 until dim).map(i => md5Component(p, i)))
-      val proj = aggregate(zip_with(v, weights, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
-      val checked = when(proj.isNotNull, proj).otherwise(raise_error(concat(
-        lit(s"lshSignatureMd5: dim $dim does not match vector length "),
-        size(v).cast("string"))).cast("double"))
-      when(checked >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    when(vecCol.isNull, lit(null).cast("long"))
-      .when(size(v) === 0, lit((1L << nBits) - 1))
-      .otherwise(bits.reduce((a, b) => a.bitwiseOR(b)))
-  }
+    * SQL reimplementation. Divergence from the xxhash flavor on the
+    * empty-vector degenerate: signature 0, because the SQL twin's
+    * `list_sum([])` is NULL and `CASE WHEN NULL >= 0` takes the 0 arm —
+    * twin-exactness is this flavor's whole contract. */
+  def lshSignatureMd5(vecCol: Column, nBits: Int, dim: Int): Column =
+    signatureFromWeights(vecCol, nBits, dim, md5Component,
+      emptySig = 0L, label = "lshSignatureMd5")
 
   /** Embedding-cosine near-duplicate pairs, brute force: every id_a < id_b
     * pair scored. O(n^2) work via a broadcast nested-loop — ONLY for small
@@ -413,6 +426,29 @@ object Similarity {
     * lookups run nBits ~16, radius 1 (ball = 17 of 65536 buckets);
     * `probeRadius = nBits` degenerates to an exhaustive-but-bucketed scan,
     * which is the recall-1.0 oracle setting. */
+  /** Expand query rows to their multi-probe bucket set: one row per
+    * (query, probe bucket), with the double-cast query vector carried
+    * along. Shared by the batch and streaming ANN paths so probe
+    * semantics (signature flavor, ball shape, null handling) live in one
+    * place. A NULL/absent signature yields NULL buckets, which the
+    * downstream equi-join drops. */
+  def probeBuckets(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int,
+      probeRadius: Int,
+      dim: Option[Int]
+  ): DataFrame = {
+    val masks = probeBallMasks(nBits, probeRadius)
+    queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qvec"),
+        lshSignature(col(vecCol), nBits, dim).as("qsig"))
+      .select(col("query_id"), col("qvec"),
+        explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("bucket"))
+  }
+
   def annTopKForQueries(
       index: DataFrame,
       queries: DataFrame,
@@ -423,12 +459,7 @@ object Similarity {
       probeRadius: Int = 1,
       dim: Option[Int] = None
   ): DataFrame = {
-    val masks = probeBallMasks(nBits, probeRadius)
-    val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qvec"),
-      lshSignature(col(vecCol), nBits, dim).as("qsig"))
-    val probed = q.select(col("query_id"), col("qvec"),
-      explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val probed = probeBuckets(queries, idCol, vecCol, nBits, probeRadius, dim)
     val scored = probed.join(index, Seq("bucket"))
       .where(col("query_id") =!= col("id"))
       .withColumn("cosine", cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))

@@ -90,12 +90,12 @@ object StreamOps {
       probeRadius: Int = 1,
       dim: Option[Int] = None
   ): DataFrame = {
-    val masks = Similarity.probeBallMasks(nBits, probeRadius)
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qvec"),
-      Similarity.lshSignature(col(vecCol), nBits, dim).as("qsig"))
-    val probed = q.select(col("query_id"), col("qvec"),
-      explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    // the tie-break negates the corpus id inside a max(), which needs a
+    // numeric id — fail at plan-build time, not per-row under ANSI
+    require(index.schema("id").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"annProbe: index id column must be numeric for the deterministic tie-break, " +
+        s"got ${index.schema("id").dataType}")
+    val probed = Similarity.probeBuckets(queries, queryIdCol, vecCol, nBits, probeRadius, dim)
     val scored = probed.join(index, Seq("bucket"))
       .withColumn("cosine",
         Similarity.cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))

@@ -29,7 +29,10 @@ import org.apache.spark.storage.StorageLevel
   *                       threshold. The reference's golden iris lists
   *                       depend on this (IrisGoldenSpec); integer-typed
   *                       columns are value-preserving under the
-  *                       reference's shrink, so only doubles are touched.
+  *                       reference's shrink, so only doubles are touched,
+  *                       and (like Polars) only when the column's values
+  *                       fit f32 range — out-of-range features stay f64
+  *                       instead of collapsing to Infinity.
   * @param criterion      entropy or gini (reference: enums.py:8-14)
   * @param maxBins        when set, candidate thresholds per feature are
   *                       restricted to `maxBins` approximate quantile edges
@@ -122,17 +125,25 @@ final case class DecisionTreeClassifier(
       } else (nonNullTarget, Map.empty[String, Map[String, Int]])
 
     // shrink_dtype parity (tree.py:90): double features lose to f32 grid
-    // during fit only. Encoded categoricals are small ints — untouched.
+    // during fit only. Like Polars, shrink is a COLUMN-level decision
+    // gated on the values fitting f32 range — a feature with magnitudes
+    // beyond Float.MaxValue stays f64 rather than collapsing to Infinity
+    // (one tiny all-features max(abs) aggregate decides). Encoded
+    // categoricals are small ints — untouched.
+    val doubleFeatures = featureNames.filter(f =>
+      encoded0.schema(f).dataType == org.apache.spark.sql.types.DoubleType)
     val encoded =
-      if (shrinkDtype)
-        featureNames.foldLeft(encoded0) { (d, f) =>
-          d.schema(f).dataType match {
-            case org.apache.spark.sql.types.DoubleType =>
-              d.withColumn(f, col(f).cast("float").cast("double"))
-            case _ => d
+      if (shrinkDtype && doubleFeatures.nonEmpty) {
+        val aggs = doubleFeatures.map(f => max(abs(col(f))).as(s"__ma_$f"))
+        val maxAbs = encoded0.agg(aggs.head, aggs.tail: _*).head()
+        doubleFeatures.foldLeft(encoded0) { (d, f) =>
+          val fits = Option(maxAbs.getAs[Any](s"__ma_$f")) match {
+            case Some(m: Double) => m <= Float.MaxValue.toDouble
+            case _               => true // all-null feature: cast is a no-op
           }
+          if (fits) d.withColumn(f, col(f).cast("float").cast("double")) else d
         }
-      else encoded0
+      } else encoded0
 
     // Distinct target values (tree.py:110-113). The reference's order is
     // engine-arbitrary; we sort for deterministic class indexing.

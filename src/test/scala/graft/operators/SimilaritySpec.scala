@@ -70,8 +70,9 @@ class SimilaritySpec extends AnyFunSuite {
     val sigs = d.select(col("vec_id"),
       Similarity.lshSignatureMd5(col("embedding"), nBits = 8, dim = 3).as("s"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    assert(sigs(2L).isEmpty)          // NULL vector -> NULL signature
-    assert(sigs(3L).contains(255L))   // empty vector -> all bits set (fold = 0.0 >= 0)
+    assert(sigs(2L).isEmpty)        // NULL vector -> NULL signature
+    assert(sigs(3L).contains(0L))   // empty vector -> 0, matching the SQL twin's
+                                    // list_sum([]) = NULL -> CASE 0 arm
     assert(sigs(1L).exists(s => s >= 0 && s < 256))
     // second evaluation is bitwise identical
     val again = d.where(col("vec_id") === 1)
