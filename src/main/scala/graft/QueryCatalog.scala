@@ -254,6 +254,13 @@ object QueryCatalog {
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs60(documents(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
+    // Winnowed-fingerprint partial-overlap pairs (MOSS scheme), md5-60
+    // hash flavor so every stage — gram sequence, hash, sliding-window
+    // min, selection, pair counts — reproduces in DuckDB.
+    "winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowedOverlapPairs(documents(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, tokHash = Dedup.md5TokenHash60)
+        .orderBy("id_a", "id_b")),
     "text_stats" -> ((s, dir) => {
       val t = col("text")
       documents(s, dir).select(
@@ -728,6 +735,26 @@ object QueryCatalog {
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
     "jaccard_pairs" -> jaccardSql,
+    "winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT id,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)]
+        |      ELSE [array_to_string(tk, ' ')] END AS gs
+        |  FROM toks),
+        |pg AS (SELECT id, len(gs) AS n, unnest(gs) AS gram, unnest(range(0, len(gs))) AS pos FROM g),
+        |h AS (SELECT id, n, pos, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM pg),
+        |wmin AS (
+        |  SELECT id, n, pos,
+        |    min(hv) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM h),
+        |fps AS (SELECT DISTINCT id, fp FROM wmin WHERE pos >= 3 OR pos = n - 1),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
     // verified-LSH pairs reduce to the same exact-Jaccard answer
     "minhash_lsh_pairs" -> jaccardSql,
     "simhash_pairs" -> simhash60Sql,

@@ -172,6 +172,97 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** POSITIONAL word k-grams of trimmed lowered `textCol` — like
+    * [[shingleSet]] but order-preserving and WITH duplicates (winnowing
+    * needs the gram sequence, not the set). Short docs (< k tokens)
+    * collapse to one whole-text gram; NULL text -> empty string. */
+  def shingleSeq(textCol: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(trim(coalesce(textCol, lit("")))), "\\s+", " ")
+    val toks = split(norm, " ")
+    val pat = "(?:^|(?<= ))(?=(" + Seq.fill(k)("\\S+").mkString(" ") + "))"
+    when(size(toks) >= k, regexp_extract_all(norm, lit(pat), lit(1)))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Winnowed document fingerprints (the MOSS scheme): hash every
+    * positional k-gram, slide a window of `w` hashes, keep each window's
+    * minimum, emit the distinct selected hashes per document — one row per
+    * (id, fingerprint). Any shared substring of at least w + k - 1 tokens
+    * between two documents is GUARANTEED to share a fingerprint
+    * (winnowing's coverage property), which is what makes this the robust
+    * partial-overlap detector: unlike the whole-document
+    * [[graft.functions.TextFunctions.fingerprint]], a plagiarized
+    * paragraph inside an otherwise different document still collides.
+    *
+    * Columnar-engine note on "rolling" hashes: Rabin-Karp's incremental
+    * update is a scalar-loop optimization; under codegen each k-gram is
+    * hashed directly (same fingerprints, no sequential dependency). The
+    * sliding min is a per-document ordered window — partition size is
+    * bounded by the document's token count, so the operator scales with
+    * corpus size by documents, not by any global dimension. Ties inside a
+    * window (equal min at several positions) collapse in the final
+    * distinct, so no robust-winnowing tie rule is needed.
+    *
+    * `tokHash`: xxhash64 default; pass [[md5TokenHash60]] for the
+    * SQL-twin flavor (exactly the simhash60 move — every stage then
+    * reproduces in DuckDB for oracle checks). */
+  def winnowedFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      tokHash: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowedFingerprints: k=$k, w=$w must be >= 1")
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(shingleSeq(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), tokHash(col("gram")).as("h"))
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      // full windows only — except each doc's last window, kept so docs
+      // shorter than w tokens still carry at least one fingerprint
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
+      .where(col("pos") >= w - 1 || col("pos") === col("__n") - 1)
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /** Partial-overlap candidate pairs from winnowed fingerprints: an
+    * inverted-index self-join on fingerprint (the [[jaccardPairs]] shape —
+    * only docs sharing a selected hash ever meet), thresholded on the
+    * number of shared fingerprints. `maxDf` caps boilerplate fingerprints
+    * that would flood the index (stop-gram removal at scale). */
+  def winnowedOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Option[Long] = None,
+      tokHash: Column => Column = c => xxhash64(c),
+      materialize: Boolean = true
+  ): DataFrame = {
+    val fps0 = winnowedFingerprints(df, idCol, textCol, k, w, tokHash)
+    val fps1 = if (materialize) fps0.localCheckpoint(true) else fps0
+    val fps = maxDf match {
+      case Some(cap) =>
+        val dfreq = fps1.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= cap)
+        fps1.join(dfreq.select("fp"), Seq("fp"))
+      case None => fps1
+    }
+    val a = fps.select(col("fp"), col("id").as("id_a"))
+    val b = fps.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature: `numHashes` independent 64-bit minima over the
     * shingle set. Hash i of shingle s = xxhash64(s, i) (seeded, stateless).
     *

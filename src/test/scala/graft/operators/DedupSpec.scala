@@ -39,6 +39,29 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes(2L) == 1) // whole-text fallback
   }
 
+  test("winnowing: shared run of >= w+k-1 tokens guarantees a common fingerprint") {
+    // k=3, w=4: any 6-token shared substring must collide (MOSS coverage)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = docs(
+      1L -> s"one two $shared three four",
+      2L -> s"nine eight seven $shared six",
+      3L -> "completely different words entirely here now today")
+    val pairs = Dedup.winnowedOverlapPairs(d, "doc_id", "text",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "planted 6-token overlap must share a fingerprint")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc must not pair")
+    // fingerprints are a strict subset of gram hashes (winnowing selects)
+    val fps = Dedup.winnowedFingerprints(d, "doc_id", "text", k = 3, w = 4)
+    val grams = d.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.explode(
+        Dedup.shingleSeq(org.apache.spark.sql.functions.col("text"), 3)))
+    assert(fps.count() < grams.count(), "winnowing must select fewer hashes than grams")
+    // short doc (< k tokens) still carries exactly one fingerprint
+    val tiny = docs(9L -> "tiny doc")
+    assert(Dedup.winnowedFingerprints(tiny, "doc_id", "text", k = 3, w = 4).count() == 1)
+  }
+
   test("witness-exact dedup: a~b~c chain keeps c, greedy drops it") {
     import spark.implicits._
     val d = docs(1L -> "doc a", 2L -> "doc b", 3L -> "doc c", 9L -> "unrelated")
