@@ -117,14 +117,7 @@ object Dedup {
     * codegen. */
   def shingleSet(textCol: Column, n: Int): Column =
     if (n <= 1) tokenSet(textCol)
-    else {
-      val norm = regexp_replace(lower(trim(coalesce(textCol, lit("")))), "\\s+", " ")
-      val toks = split(norm, " ")
-      val pat = "(?:^|(?<= ))(?=(" + Seq.fill(n)("\\S+").mkString(" ") + "))"
-      array_distinct(
-        when(size(toks) >= n, regexp_extract_all(norm, lit(pat), lit(1)))
-          .otherwise(array(array_join(toks, " "))))
-    }
+    else array_distinct(shingleSeq(textCol, n))
 
   /** Pairwise n-gram Jaccard similarity >= `threshold` via inverted index:
     * explode shingles -> self-join on shingle (only docs sharing a shingle
