@@ -305,6 +305,18 @@ object QueryCatalog {
         .select(col("id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id").asc)
     }),
+    // Batch IVF ANN at the exhaustive nprobe = nlist setting (recall 1.0
+    // by construction -> the brute-force SQL is an exact oracle); the
+    // PLAN keeps the production shape: per-query cell ranking in-plan,
+    // hash join on cell, window rerank. Production runs nprobe << nlist.
+    "batch_ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val (index, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfTopKForQueries(index, centroids, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", nprobe = 16, k = 5)
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx")),
     // IVF ANN scale path: deterministic sample-trained k-means quantizer
@@ -771,6 +783,7 @@ object QueryCatalog {
          |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "batch_ann_topk" -> topkForQueriesSql,
+    "batch_ivf_topk" -> topkForQueriesSql,
     "curation_pipeline" -> curationPipelineSql,
     // dedup_drop_exact: see the catalog comment — clique components make
     // the greedy dropped-set SQL exact for the MIS materialization too.

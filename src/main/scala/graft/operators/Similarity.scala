@@ -347,6 +347,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch twin of [[ivfTopK]]: top-k for every row of a query DataFrame.
+    * Each query ranks the `nlist` centroids in-plan (an `array_sort` over
+    * (distance, cell) structs built from literal centroids — same
+    * |c|^2 - 2 v.c expansion as the index assignment) and explodes its
+    * `nprobe` nearest cells; the probe set equi-joins the index on `cell`
+    * (hash join), exact cosine + a per-query window rerank finish. At
+    * scale the index is stored partitioned by cell, so the join touches
+    * nprobe/nlist of the corpus per query. `nprobe = nlist` is the
+    * exhaustive recall-1.0 setting (oracle-checkable against brute force).
+    */
+  def ivfTopKForQueries(
+      index: DataFrame,
+      centroids: Seq[Seq[Double]],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKForQueries: empty centroid list")
+    val qv = transform(col(vecCol), x => x.cast("double"))
+    val scoredCells = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cNorm2 = c.map(x => x * x).sum
+      struct((lit(cNorm2) - dot(qv, typedLit(c)) * 2).as("d"), lit(i).as("i"))
+    }
+    val probeCells = slice(array_sort(array(scoredCells: _*)), 1, math.max(1, nprobe))
+    val probed = queries.select(col(idCol).as("query_id"), qv.as("qvec"),
+      explode(probeCells.getField("i")).as("cell"))
+    val scored = probed.join(index, Seq("cell"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("cosine", cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("corpus_id"), col("cosine"), col("rank"))
+  }
+
   /** Driver-side twin of [[lshSignature]] for a single query vector — the
     * query's bucket is a pure function of the vector, so computing it must
     * not cost a Spark job. Hash components are evaluated through the same

@@ -60,6 +60,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(batch == brute)
   }
 
+  test("batch IVF at full nprobe equals the brute-force batch scorer") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.where(col("vec_id") < 3)
+    val brute = Similarity.topKForQueries(real, queries, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val (index, centroids) = Similarity.ivfIndex(real, "vec_id", "embedding", nlist = 8)
+    val batch = Similarity.ivfTopKForQueries(index, centroids, queries,
+      "vec_id", "embedding", nprobe = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(batch == brute)
+    // a partial probe returns a subset-consistent ranking (no crash, k rows max)
+    val partial = Similarity.ivfTopKForQueries(index, centroids, queries,
+      "vec_id", "embedding", nprobe = 2, k = 4)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(partial.forall(_ <= 4))
+  }
+
   test("md5 LSH signature flavor: deterministic, null/empty guards match lshSignature") {
     import org.apache.spark.sql.functions._
     val d = spark.createDataFrame(
