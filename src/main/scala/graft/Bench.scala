@@ -38,9 +38,23 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] failed: $e"); -1.0 }
     }
 
+    /** Session hygiene between runs: the pair/ANN operators materialize
+      * their indices with eager `localCheckpoint(true)` and nothing frees
+      * those RDD blocks. In a single long-lived bench session they
+      * accumulated across all ~40 entries (peak heap climbed 2.0→5.9→7.8 GB
+      * across rounds and trivial queries drifted up with unchanged code).
+      * Dropping persistent blocks and cached relations outside the timed
+      * region makes each measurement a plan measurement, not a measurement
+      * of accumulated session state.
+      */
+    def release(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+
     /** Median of 3 runs; any failed run poisons the entry to -1. */
     def time(body: => Unit): Double = {
-      val ts = Seq.fill(3)(timeOnce(body))
+      val ts = Seq.fill(3) { val t = timeOnce(body); release(); t }
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
     }
 
@@ -50,6 +64,7 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
     }
+    release()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

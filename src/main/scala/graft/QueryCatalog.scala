@@ -387,6 +387,19 @@ object QueryCatalog {
       val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.dropDuplicatePairsExact(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
+    // Cluster-id materialization: connected-component label (min reachable
+    // doc_id) per doc via min-label propagation over the pair graph. On
+    // THIS corpus every near-dup component is a clique (the
+    // dedup_drop_exact structure check), so one propagation round reaches
+    // the fixpoint and cluster_id = least(doc_id, min(direct neighbor)) —
+    // giving the iterative operator a single-join exact SQL twin. Chain
+    // semantics (where the twin would NOT hold) are pinned by DedupSpec.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs0 = documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.duplicateClusters(docs0.select("doc_id"), "doc_id", pairs)
+        .select("doc_id", "cluster_id").orderBy("doc_id")
+    }),
     // End-to-end curation composition, gate-checked: language-ID +
     // quality-score + token-count filters, then trigram-jaccard near-dup
     // greedy materialization over the SURVIVORS — the realistic chaining
@@ -789,12 +802,37 @@ object QueryCatalog {
     // the greedy dropped-set SQL exact for the MIS materialization too.
     "dedup_drop_exact" -> dedupDropSql,
     "dedup_drop" -> dedupDropSql,
+    "dedup_clusters" -> dedupClustersSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "brute_force_topk" -> topkSql,
     "topk_for_queries" -> topkForQueriesSql,
     "sessionize" -> sessionizeSql
   )
+
+  /** Clique-corpus twin of [[graft.operators.Dedup.duplicateClusters]]:
+    * on transitively-closed components the propagation fixpoint equals
+    * least(own id, min over DIRECT neighbors) — one join, no recursion. */
+  private lazy val dedupClustersSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |sets AS (
+       |  SELECT id,
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+       |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+       |  FROM toks),
+       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
+       |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2, 3, 4),
+       |p AS (SELECT id_a, id_b FROM cand WHERE n_common / (size_a + size_b - n_common) >= 0.8),
+       |e AS (SELECT id_a AS id, id_b AS nbr FROM p UNION ALL SELECT id_b AS id, id_a AS nbr FROM p),
+       |m AS (SELECT id, min(nbr) AS mn FROM e GROUP BY id)
+       |SELECT doc_id, least(doc_id, coalesce(mn, doc_id)) AS cluster_id
+       |FROM documents LEFT JOIN m ON doc_id = m.id
+       |ORDER BY doc_id""".stripMargin
 
   private lazy val dedupDropSql =
       s"""WITH toks AS (

@@ -93,6 +93,55 @@ object Dedup {
     df.join(dropped.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** Connected-component labels over the near-dup pair graph: every doc
+    * gets `cluster_id` = the minimum doc id reachable from it through
+    * pairs (docs outside the pair graph label themselves). Pipelines want
+    * this beyond keep/drop — stratified sampling, provenance, picking a
+    * per-cluster representative by any policy, cluster-size stats.
+    *
+    * Min-label propagation on the PAIR graph only: each round every
+    * undecided label becomes min(own, neighbors' labels); convergence in
+    * O(graph diameter) rounds, each round two shuffles over the edge list
+    * (orders of magnitude smaller than the corpus — the
+    * [[dropDuplicatePairsExact]] frontier scale argument). Per-round state
+    * is checkpointed to keep plans flat; `maxIter` guards pathological
+    * graphs the same way.
+    *
+    * On clique-shaped components (exact-dup groups; this corpus's
+    * near-dup components — see the dedup_drop_exact catalog note) one
+    * round reaches the fixpoint and the result equals the one-join SQL
+    * `least(id, min(neighbor id))`, which is what makes a catalog oracle
+    * possible. Chains need diameter rounds and have no single-join SQL
+    * twin; a chain case is pinned by DedupSpec instead. */
+  def duplicateClusters(
+      df: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"duplicateClusters: no convergence after $maxIter rounds")
+      val nbrMin = edges
+        .join(labels.select(col("id").as("u"), col("label")), Seq("u"))
+        .groupBy(col("v").as("id")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated.where(col("label") < col("old_label")).count()
+      labels = updated.select("id", "label")
+      iter += 1
+    }
+    df.join(labels.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+      .select(df.columns.map(col).toIndexedSeq :+
+        coalesce(col("label"), col(idCol)).as("cluster_id"): _*)
+  }
+
   /** Distinct lowercase whitespace tokens of trimmed `textCol` as an
     * array column.
     *
@@ -315,16 +364,21 @@ object Dedup {
           (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r)): _*), lit(b))
       }: _*)).as(Seq("band", "bucket"))
     )
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("signature").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("signature").as("sig_b"))
+    // candidate stages carry IDs only; the numHashes-long signatures
+    // re-join from the checkpointed signature index after the dedup, so
+    // the pair-dedup exchange shuffles metadata-sized rows
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val agree = (0 until numHashes)
       .map(i => when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
       .reduce(_ + _)
     candidates
+      .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", agree.cast("double") / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= lit(threshold))
       .select("id_a", "id_b", "est_jaccard")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,7 +206,14 @@ object Similarity {
     * vectors sharing ANY band bucket become candidates (recall follows the
     * OR-of-ANDs S-curve: for cosine >= 0.95 with 16 bits in 4 bands,
     * ~0.99), then exact cosine confirms. Shuffles are the band-bucket
-    * join and the candidate dedup — never all pairs. */
+    * join and the candidate dedup — never all pairs.
+    *
+    * The candidate stages carry IDs ONLY: the band self-join and the
+    * (id_a, id_b) dedup shuffle metadata-sized rows, and the full vectors
+    * re-join from the checkpointed signature index afterwards (the
+    * [[Dedup.minHashLshJaccardPairs]] pattern). At 100 TB embeddings this
+    * is the difference between a metadata shuffle and shuffling
+    * O(candidates x dim) doubles through the dedup exchange. */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -224,16 +231,20 @@ object Similarity {
       signature(col(vecCol), nBits, dim).as("sig"))
       .localCheckpoint(true) // signature index computed once for both sides
     val bandMask = (1L << rowsPerBand) - 1
-    val banded = signed.select(col("id"), col("vec"),
+    val banded = signed.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("va"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "va", "vb")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val vecs = signed.select(col("id"), col("vec"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .where(col("cosine") >= lit(threshold))
       .select("id_a", "id_b", "cosine")
@@ -375,6 +386,58 @@ object Similarity {
     val probeCells = slice(array_sort(array(scoredCells: _*)), 1, math.max(1, nprobe))
     val probed = queries.select(col(idCol).as("query_id"), qv.as("qvec"),
       explode(probeCells.getField("i")).as("cell"))
+    val scored = probed.join(index, Seq("cell"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("cosine", cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** Centroids as a (cell, centroid) DataFrame — the input shape for
+    * [[ivfTopKForQueriesTable]] and the form an IVF index's quantizer is
+    * persisted in at scale (alongside the bucketed index table). */
+  def centroidTable(spark: SparkSession, centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+  }
+
+  /** Scale form of [[ivfTopKForQueries]] for large `nlist`: cells are
+    * ranked per query via a BROADCAST JOIN against a centroid TABLE
+    * instead of an `array_sort` over plan-literal centroids. The literal
+    * form is ideal up to ~10^3 centroids; at an nlist realistic for
+    * 100 TB (10^4-10^5) a literal centroid array explodes plan size and
+    * codegen, while a broadcast of nlist * dim doubles stays trivially
+    * small. Costs one extra query-keyed exchange (the per-query cell-rank
+    * window) versus the in-plan sort — amortized over bulk query sets.
+    *
+    * Semantics are identical to the literal path (asserted by
+    * SimilaritySpec at nlist=16): same |c|^2 - 2 q.c distance with the
+    * same association order (the distributed |c|^2 fold runs in the same
+    * element order as the driver-side sum), ties to the lower cell index.
+    */
+  def ivfTopKForQueriesTable(
+      index: DataFrame,
+      centroidTbl: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val qv = transform(col(vecCol), x => x.cast("double"))
+    val cents = centroidTbl.select(col("cell"),
+      transform(col("centroid"), x => x.cast("double")).as("cvec"))
+    val scoredCells = queries.select(col(idCol).as("query_id"), qv.as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", dot(col("cvec"), col("cvec")) - dot(col("qvec"), col("cvec")) * 2)
+    val cellRank = Window.partitionBy("query_id").orderBy(col("d").asc, col("cell").asc)
+    val probed = scoredCells
+      .withColumn("crank", row_number().over(cellRank))
+      .where(col("crank") <= math.max(1, nprobe))
+      .select("query_id", "qvec", "cell")
     val scored = probed.join(index, Seq("cell"))
       .where(col("query_id") =!= col("id"))
       .withColumn("cosine", cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Persisted, bucket-pruned index storage — the executable form of the
+  * "at 100 TB, write the index once bucketed by its probe key" story the
+  * ANN/dedup operators document ([[graft.operators.Similarity.lshIndex]],
+  * [[graft.operators.Similarity.ivfIndex]], minhash signatures).
+  *
+  * Why bucketing, concretely:
+  *   - a probe-side equi-join on the bucket key (batch ANN's candidate
+  *     join) needs NO shuffle on the index side — the scan's output
+  *     partitioning already matches the join requirement, so only the
+  *     (small) query side moves. Rewriting a 100 TB index's shuffle into
+  *     a one-time write cost is the whole point;
+  *   - a single-bucket lookup (`WHERE bucket = x`) prunes to 1/numBuckets
+  *     of the files at planning time (`SelectedBucketsCount` in the scan
+  *     node) — the single-query ANN probe reads only its ball's buckets.
+  *
+  * Both properties are asserted in CI (IndexStoreSpec / PlanAuditSpec),
+  * not just claimed: the candidate join plan must show exactly one
+  * exchange (probe side), and the point lookup must show bucket pruning.
+  *
+  * `saveAsTable` is required because bucketing metadata lives in the
+  * session catalog, not the parquet footer — `parquet(path)` round-trips
+  * the DATA but forgets the bucketing. On a real cluster the catalog is
+  * shared (metastore); in local sessions the table must be (re)registered
+  * by the writing session.
+  */
+object IndexStore {
+
+  /** Write `index` bucketed by `bucketCol` into `numBuckets` buckets,
+    * sorted within each bucket (by `sortCols`, defaulting to the bucket
+    * key) so bucket-local scans are ordered. Choose `numBuckets` so one
+    * bucket's rows fit an executor's working memory at the target scale —
+    * for a 2^nBits-signature LSH index a power of two <= 2^nBits keeps
+    * whole signatures co-located. */
+  def writeBucketed(
+      index: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    // Overwrite semantics must also cover the orphan-location case: with a
+    // local in-memory catalog the table ENTRY dies with the session but its
+    // managed LOCATION survives on disk, and Spark refuses to recreate a
+    // managed table over an existing location. Dropping both makes
+    // overwrite mean overwrite.
+    val spark = index.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = index.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    val sorted = sortCols match {
+      case head +: tail => w.sortBy(head, tail: _*)
+      case _            => w.sortBy(bucketCol)
+    }
+    sorted.saveAsTable(table)
+  }
+
+  /** The bucketed index as a DataFrame; its scan reports the bucketing as
+    * output partitioning, which is what downstream equi-joins exploit. */
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

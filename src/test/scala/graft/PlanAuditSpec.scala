@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PLANS.md invariants as CI assertions: plan regressions (an
+  * accidental cartesian, a lost parquet pushdown, a second sessionize
+  * shuffle) fail `sbt test` instead of waiting for a human to re-run the
+  * `graft.tools.PlanAudit` main. Plans are inspected with AQE disabled —
+  * the audit targets the static plan (AQE's pre-runtime wrapper hides
+  * exchange reuse and codegen annotations), matching the tool.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withConf[T](kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.get(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  private def plan(df: DataFrame): String =
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      df.queryExecution.explainString(FormattedMode)
+    }
+
+  private def q(name: String): DataFrame = QueryCatalog.queries(name)(spark, sfDir)
+
+  test("the cartesian detector fires on an injected crossJoin (suite-red proof)") {
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(spark.range(3).toDF("a").crossJoin(spark.range(3).toDF("b")))
+      assert(p.contains("CartesianProduct"),
+        "detector must recognize a cartesian, or every assertion below is vacuous")
+    }
+  }
+
+  test("no catalog query plans a CartesianProduct") {
+    // topk_for_queries' BroadcastNestedLoopJoin is the documented
+    // small-query-set brute scorer — a different node, still flagged if it
+    // ever degrades to CartesianProduct.
+    QueryCatalog.queries.keys.toSeq.sorted.foreach { name =>
+      assert(!plan(q(name)).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("split partition filters reach the parquet scan") {
+    val p = plan(q("split_partition_left"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount), LessThanOrEqual(l_discount,0.05)]"),
+      s"split filter must push to parquet:\n$p")
+    assert(!p.contains("l_partkey"), "scan must prune to the selected columns")
+  }
+
+  test("sessionize runs on a single user-keyed shuffle") {
+    val p = plan(q("sessionize"))
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1,
+      s"lag + cumsum + rollup must share one user-keyed exchange:\n$p")
+  }
+
+  test("batch ANN candidate join is a hash join, not a nested loop") {
+    val p = plan(q("batch_ann_topk"))
+    assert(p.contains("HashJoin") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("partitioned prefix sum reuses the histogram exchange and broadcasts offsets") {
+    val p = plan(q("cum_counts_partitioned"))
+    assert(p.contains("ReusedExchange"), "histogram shuffle must be computed once")
+    assert(p.contains("BroadcastHashJoin"), "per-bucket offsets must broadcast back")
+  }
+
+  test("pair-candidate dedups shuffle ids only (no vector/signature payload)") {
+    // embedding_neardup_lsh: the (id_a, id_b) dedup must not carry the
+    // va/vb arrays through its exchange (the r4 verdict's #3 finding)
+    val p = plan(q("embedding_neardup_lsh"))
+    // a payload-free dedup is a HashAggregate node whose Keys are exactly
+    // (id_a, id_b) and whose Results are exactly those two columns — a
+    // vector-carrying dedup shows Results [4] (first(va), first(vb) tag along)
+    val dedupAgg = "Keys \\[2\\]: \\[id_a[\\s\\S]{0,120}?id_b[\\s\\S]{0,300}?Results \\[2\\]".r
+    assert(dedupAgg.findFirstIn(p).isDefined,
+      s"candidate dedup must group (id_a, id_b) with no carried payload:\n$p")
+  }
+}

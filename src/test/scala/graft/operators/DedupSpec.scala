@@ -85,6 +85,28 @@ class DedupSpec extends AnyFunSuite {
     assert(exact == Set(1L, 4L))
   }
 
+  test("cluster labels: chain propagates the component min; singletons label themselves") {
+    import spark.implicits._
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e", 9L -> "solo")
+    // chain 2~3~4~5 (diameter 3: needs real propagation, the one-join
+    // direct-neighbor min would mislabel 4 and 5) plus singleton 1 and 9
+    val chain = Seq((2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(d, "doc_id", chain)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 9L -> 9L))
+  }
+
+  test("cluster labels: clique converges in one round to the minimum member") {
+    import spark.implicits._
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 7L -> "d")
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(d, "doc_id", clique)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
+  }
+
   test("null text keeps a signature: minhash/simhash treat it as empty string") {
     val d = docs(1L -> "hello world", 2L -> null, 3L -> null)
     val sigIds = Dedup.minHashSignatures(d, "doc_id", "text", numHashes = 8, shingleN = 2)

@@ -60,6 +60,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(batch == brute)
   }
 
+  test("centroid-table IVF ranking equals the literal-centroid path") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.where(col("vec_id") < 3)
+    val (index, centroids) = Similarity.ivfIndex(real, "vec_id", "embedding", nlist = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    // partial nprobe is the discriminating case: cell RANKING order (not
+    // just membership) decides which candidates exist at nprobe=3
+    for (nprobe <- Seq(3, 16)) {
+      val literal = rows(Similarity.ivfTopKForQueries(
+        index, centroids, queries, "vec_id", "embedding", nprobe, k = 4))
+      val table = rows(Similarity.ivfTopKForQueriesTable(
+        index, Similarity.centroidTable(spark, centroids), queries,
+        "vec_id", "embedding", nprobe, k = 4))
+      assert(table == literal, s"nprobe=$nprobe")
+    }
+  }
+
   test("batch IVF at full nprobe equals the brute-force batch scorer") {
     import org.apache.spark.sql.functions._
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
