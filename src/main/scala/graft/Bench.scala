@@ -27,6 +27,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-index tables (batch_ann_topk_bucketed) land in tmp, not cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

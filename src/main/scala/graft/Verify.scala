@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); without this the scan throws
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-index tables (batch_ann_topk_bucketed) land in tmp, not cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-verify-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -384,8 +384,20 @@ object Similarity {
       struct((lit(cNorm2) - dot(qv, typedLit(c)) * 2).as("d"), lit(i).as("i"))
     }
     val probeCells = slice(array_sort(array(scoredCells: _*)), 1, math.max(1, nprobe))
+    // the codegen'd dot truncates to the shorter array (zip semantics), so
+    // a dim-mismatched query would silently rank cells by a prefix dot —
+    // fail loudly instead, like ivfTopK's driver-side require. A NULL
+    // query vector gets NULL probe cells, which the equi-join drops (the
+    // probeBuckets null-signature semantics).
+    val dim0 = centroids.head.size
     val probed = queries.select(col(idCol).as("query_id"), qv.as("qvec"),
       explode(probeCells.getField("i")).as("cell"))
+      .withColumn("cell",
+        when(col("qvec").isNull, lit(null).cast("int"))
+          .when(size(col("qvec")) === dim0, col("cell"))
+          .otherwise(raise_error(concat(
+            lit(s"ivfTopKForQueries: query dim "), size(col("qvec")).cast("string"),
+            lit(s" does not match centroid dim $dim0"))).cast("int")))
     val scored = probed.join(index, Seq("cell"))
       .where(col("query_id") =!= col("id"))
       .withColumn("cosine", cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))
@@ -430,9 +442,19 @@ object Similarity {
     val qv = transform(col(vecCol), x => x.cast("double"))
     val cents = centroidTbl.select(col("cell"),
       transform(col("centroid"), x => x.cast("double")).as("cvec"))
+    // NULL query vectors can't rank cells — drop them up front (the
+    // null-signature-drops semantics); then the same loud dim guard as
+    // the literal path: the truncating dot must never silently rank
+    // cells by a prefix product
     val scoredCells = queries.select(col(idCol).as("query_id"), qv.as("qvec"))
+      .where(col("qvec").isNotNull)
       .crossJoin(broadcast(cents))
-      .withColumn("d", dot(col("cvec"), col("cvec")) - dot(col("qvec"), col("cvec")) * 2)
+      .withColumn("d", when(size(col("qvec")) === size(col("cvec")),
+          dot(col("cvec"), col("cvec")) - dot(col("qvec"), col("cvec")) * 2)
+        .otherwise(raise_error(concat(
+          lit("ivfTopKForQueriesTable: query dim "), size(col("qvec")).cast("string"),
+          lit(" does not match centroid dim "), size(col("cvec")).cast("string")))
+          .cast("double")))
     val cellRank = Window.partitionBy("query_id").orderBy(col("d").asc, col("cell").asc)
     val probed = scoredCells
       .withColumn("crank", row_number().over(cellRank))

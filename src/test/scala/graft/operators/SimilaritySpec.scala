@@ -79,6 +79,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("batch IVF paths reject dim-mismatched queries loudly") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (index, centroids) = Similarity.ivfIndex(real, "vec_id", "embedding", nlist = 4)
+    val badQueries = emb(0L -> Seq(1.0, 2.0, 3.0)) // dim 3, centroids are 64
+    def assertRaises(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception](df.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("does not match centroid dim")), e.toString)
+    }
+    assertRaises(Similarity.ivfTopKForQueries(
+      index, centroids, badQueries, "vec_id", "embedding", nprobe = 4, k = 2))
+    assertRaises(Similarity.ivfTopKForQueriesTable(
+      index, Similarity.centroidTable(spark, centroids), badQueries,
+      "vec_id", "embedding", nprobe = 4, k = 2))
+    // NULL query vectors drop out silently (null-signature semantics)
+    val nullQ = emb(7L -> null)
+    assert(Similarity.ivfTopKForQueries(
+      index, centroids, nullQ, "vec_id", "embedding", nprobe = 4, k = 2).count() == 0)
+    assert(Similarity.ivfTopKForQueriesTable(
+      index, Similarity.centroidTable(spark, centroids), nullQ,
+      "vec_id", "embedding", nprobe = 4, k = 2).count() == 0)
+  }
+
   test("batch IVF at full nprobe equals the brute-force batch scorer") {
     import org.apache.spark.sql.functions._
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
