@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Sessionize, Similarity, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -278,6 +278,41 @@ object QueryCatalog {
     "lang_id" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
         .orderBy("doc_id")),
+    // Repetition/symbol quality signals (published web-corpus filter
+    // heuristics): duplicate-token fraction, duplicate-line fraction,
+    // symbol-character ratio — all codegen'd per-row expressions.
+    "quality_signals" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        round(TextFunctions.dupTokenFraction(col("text")), 6).as("dup_token_frac"),
+        round(TextFunctions.dupLineFraction(col("text")), 6).as("dup_line_frac"),
+        round(TextFunctions.symbolRatio(col("text")), 6).as("symbol_ratio"))
+        .orderBy("doc_id")),
+    // PII scrubbing: email/URL/long-digit-run placeholders via a
+    // lookaround-free regexp_replace chain that runs verbatim in RE2
+    // engines — the DuckDB twin uses the SAME patterns.
+    "scrub_pii" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextFunctions.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")),
+    // TF-IDF top terms per document: inverted-index-shaped aggregation
+    // (shuffle volume = distinct (doc, term) pairs), smoothed idf,
+    // deterministic tie-break on term.
+    "tfidf_topk" -> ((s, dir) =>
+      Tfidf.topTerms(documents(s, dir), "doc_id", "text", k = 3, minDf = 2)
+        .select(col("id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank"))
+        .orderBy("id", "rank")),
+    // Sequence packing (concat-then-chunk context windows): global token
+    // offsets via the DISTRIBUTED exclusive prefix sum — no
+    // whole-corpus-in-one-task Window.orderBy anywhere in the plan.
+    "pack_sequences" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packByBudget(docs, "doc_id", "n_tokens", budget = 2048L, numBuckets = 8)
+        .select("doc_id", "n_tokens", "offset", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
     "brute_force_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = queryVector(e)
@@ -417,6 +452,18 @@ object QueryCatalog {
       val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.duplicateClusters(docs0.select("doc_id"), "doc_id", pairs)
         .select("doc_id", "cluster_id").orderBy("doc_id")
+    }),
+    // Policy-based dedup materialization: per cluster keep the HIGHEST
+    // QUALITY member (doc_id tie-break), not the min-id — the form
+    // curation pipelines use when a quality signal exists. Quality is the
+    // round-6 text_stats score on both sides, so ordering is exact.
+    "cluster_representatives" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.clusterRepresentatives(docs.select("doc_id", "quality"), "doc_id", pairs,
+          better = Seq(col("quality").desc))
+        .select("doc_id", "cluster_id", "quality").orderBy("doc_id")
     }),
     // End-to-end curation composition, gate-checked: language-ID +
     // quality-score + token-count filters, then trigram-jaccard near-dup
@@ -822,18 +869,87 @@ object QueryCatalog {
     "dedup_drop_exact" -> dedupDropSql,
     "dedup_drop" -> dedupDropSql,
     "dedup_clusters" -> dedupClustersSql,
+    "cluster_representatives" -> clusterRepresentativesSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
+    "quality_signals" -> qualitySignalsSql,
+    "scrub_pii" -> scrubPiiSql,
+    "tfidf_topk" -> tfidfSql,
+    "pack_sequences" -> packSequencesSql,
     "brute_force_topk" -> topkSql,
     "topk_for_queries" -> topkForQueriesSql,
     "sessionize" -> sessionizeSql
   )
 
-  /** Clique-corpus twin of [[graft.operators.Dedup.duplicateClusters]]:
-    * on transitively-closed components the propagation fixpoint equals
+  /** Twin of the repetition/symbol signals; DuckDB `/` on integers is
+    * float division, matching Spark's double cast. */
+  private lazy val qualitySignalsSql = {
+    val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+    val ln = """regexp_split_to_array(text, '\n')"""
+    s"""SELECT doc_id,
+       |  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+       |        ELSE 1.0 - len(list_distinct($tk)) / len($tk) END, 6) AS dup_token_frac,
+       |  round(CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE 1.0 - len(list_distinct($ln)) / len($ln) END, 6) AS dup_line_frac,
+       |  round(CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s.,!?;:''"()-]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS symbol_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Same lookaround-free patterns as [[TextFunctions.scrubPii]], global
+    * flag for Spark's replace-all semantics, same email -> URL -> digits
+    * pass order. */
+  private lazy val scrubPiiSql =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      'https?://[^\s]+', '<URL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[graft.operators.Tfidf.topTerms]] (k=3, minDf=2): same
+    * smoothed idf with the division inside the ln, tf BIGINT * DOUBLE,
+    * ties by term ascending. */
+  private lazy val tfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+      |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1 HAVING count(*) >= 2),
+      |s AS (
+      |  SELECT t.id, t.term, t.tf, d.df,
+      |    t.tf * (ln(((SELECT count(DISTINCT doc_id) FROM documents) + 1) / (d.df + 1)) + 1.0) AS tfidf
+      |  FROM t JOIN d USING (term)),
+      |r AS (
+      |  SELECT id, term, tf, df, tfidf,
+      |    CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+      |  FROM s)
+      |SELECT id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+      |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+
+  /** Twin of the distributed exclusive prefix sum + budget chunking: the
+    * single ordered window IS the semantic definition; the Spark side
+    * computes the same offsets without the one-task window. */
+  private lazy val packSequencesSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS "offset"
+      |  FROM t)
+      |SELECT doc_id, n_tokens, "offset", "offset" // 2048 AS pack_id, "offset" % 2048 AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain for the clique-corpus cluster twins: trigram
+    * jaccard pairs at 0.8 -> direct-neighbor min per doc. On
+    * transitively-closed components the propagation fixpoint equals
     * least(own id, min over DIRECT neighbors) — one join, no recursion. */
-  private lazy val dedupClustersSql =
-    s"""WITH toks AS (
+  private lazy val clusterCtes =
+    s"""toks AS (
        |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
        |sets AS (
        |  SELECT id,
@@ -848,10 +964,35 @@ object QueryCatalog {
        |  GROUP BY 1, 2, 3, 4),
        |p AS (SELECT id_a, id_b FROM cand WHERE n_common / (size_a + size_b - n_common) >= 0.8),
        |e AS (SELECT id_a AS id, id_b AS nbr FROM p UNION ALL SELECT id_b AS id, id_a AS nbr FROM p),
-       |m AS (SELECT id, min(nbr) AS mn FROM e GROUP BY id)
-       |SELECT doc_id, least(doc_id, coalesce(mn, doc_id)) AS cluster_id
-       |FROM documents LEFT JOIN m ON doc_id = m.id
-       |ORDER BY doc_id""".stripMargin
+       |m AS (SELECT id, min(nbr) AS mn FROM e GROUP BY id),
+       |lab AS (
+       |  SELECT doc_id, least(doc_id, coalesce(mn, doc_id)) AS cluster_id
+       |  FROM documents LEFT JOIN m ON doc_id = m.id)""".stripMargin
+
+  private lazy val dedupClustersSql =
+    s"""WITH $clusterCtes
+       |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[graft.operators.Dedup.clusterRepresentatives]] with the
+    * text_stats quality score as the policy: top quality (round-6, both
+    * sides) per cluster, doc_id tie-break. */
+  private lazy val clusterRepresentativesSql = {
+    val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+    val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
+    val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
+    val lenScore = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+    val punctScore = s"1.0 - least(($punct) * 5.0, 1.0)"
+    val stopScore = s"least(($stop) * 4.0, 1.0)"
+    s"""WITH $clusterCtes,
+       |q AS (
+       |  SELECT doc_id, round((($lenScore) + ($punctScore) + ($stopScore)) / 3.0, 6) AS quality
+       |  FROM documents),
+       |r AS (
+       |  SELECT lab.doc_id, lab.cluster_id, q.quality,
+       |    row_number() OVER (PARTITION BY lab.cluster_id ORDER BY q.quality DESC, lab.doc_id ASC) AS rn
+       |  FROM lab JOIN q USING (doc_id))
+       |SELECT doc_id, cluster_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val dedupDropSql =
       s"""WITH toks AS (

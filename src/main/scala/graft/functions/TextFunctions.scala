@@ -107,6 +107,51 @@ object TextFunctions {
     }.otherwise(lit("und"))
   }
 
+  /** Fraction of repeated tokens: 1 - |distinct tokens| / |tokens| — the
+    * word-level repetition signal from published web-corpus quality
+    * filters (high values mark boilerplate/spam). 0 for empty text. */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Fraction of repeated lines: 1 - |distinct lines| / |lines| — the
+    * duplicate-line signal (navigation chrome, repeated headers). Single-
+    * line documents score 0 by construction. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(length(text) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+  }
+
+  /** Ratio of "symbol" characters — anything outside letters, digits,
+    * whitespace, and basic punctuation — to total characters. High values
+    * mark markup/code/emoji-heavy text. */
+  def symbolRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, "[A-Za-z0-9\\s.,!?;:'\"()-]", "")).cast("double") /
+          length(text))
+
+  // Lookaround-free on purpose: these run verbatim in RE2-based engines
+  // (the DuckDB oracle), unlike the java-regex lookbehinds in langId.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val LongDigitRunPattern = "[0-9]{6,}"
+
+  /** PII scrubbing: replace emails, URLs, and long digit runs (phone/ID
+    * numbers) with typed placeholder tokens. Order matters — emails and
+    * URLs are rewritten before the digit-run pass so their digits can't be
+    * partially scrubbed into mixed garbage. Pure regexp_replace chain:
+    * whole-stage codegen, runs at scan speed. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      LongDigitRunPattern, "<NUM>")
+
   /** Normalized-content fingerprint: lowercase, strip non-alphanumerics
     * (keeping spaces), collapse whitespace, md5. Collisions across
     * formatting variants of the same content collapse to one fingerprint —

@@ -142,6 +142,33 @@ object Dedup {
         coalesce(col("label"), col(idCol)).as("cluster_id"): _*)
   }
 
+  /** One representative row per near-dup cluster, chosen by POLICY rather
+    * than the keep-minimum-id convention: rank each cluster's members by
+    * `better` (e.g. quality score descending) and keep the top row, with
+    * the doc id as the deterministic tie-break. This is how curation
+    * pipelines actually materialize a deduplicated corpus when a quality
+    * signal exists — the min-id greedy keeps whichever duplicate happened
+    * to be crawled first.
+    *
+    * Built on [[duplicateClusters]]; the ranking is a per-cluster window
+    * whose partitions are cluster-sized (bounded by the largest near-dup
+    * cluster, not the corpus). */
+  def clusterRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      better: Seq[Column],
+      maxIter: Int = 50
+  ): DataFrame = {
+    val labeled = duplicateClusters(df, idCol, pairs, maxIter)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(better :+ col(idCol).asc: _*)
+    labeled
+      .withColumn("__rep_rank", row_number().over(w))
+      .where(col("__rep_rank") === 1)
+      .drop("__rep_rank")
+  }
+
   /** Distinct lowercase whitespace tokens of trimmed `textCol` as an
     * array column.
     *

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term weighting over a document corpus — the classic
+  * keyword-extraction / relevance signal a curation pipeline uses for
+  * topic filtering and near-boilerplate detection.
+  *
+  * Dataflow is inverted-index shaped and shuffle-bounded, never per-pair:
+  * tokenize once, aggregate term frequency per (doc, term) — map-side
+  * combined, shuffle volume = distinct (doc, term) pairs — then document
+  * frequency per term over the TF table (one row per term), join back,
+  * score, and take the per-doc top-k with a window. The corpus size N is
+  * one driver-side count (a metadata scalar, same posture as the trainer's
+  * distinct-targets collect).
+  *
+  * Smoothed idf = ln((N + 1) / (df + 1)) + 1 (the standard smooth variant:
+  * never zero, never divides by zero), score = tf * idf. Ties rank by term
+  * ascending so results are deterministic and oracle-checkable.
+  */
+object Tfidf {
+
+  def topTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDf: Long = 1L
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val n = df.select(col(idCol)).distinct().count()
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= lit(minDf))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf",
+        col("tf") * (log(lit((n + 1).toDouble) / (col("df") + lit(1))) + lit(1.0)))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+}

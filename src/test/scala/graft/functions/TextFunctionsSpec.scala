@@ -27,6 +27,45 @@ class TextFunctionsSpec extends AnyFunSuite {
     ).head()
   }
 
+  private def signals(text: String) = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(text)), 1),
+      StructType(Seq(StructField("text", StringType))))
+    df.select(
+      TextFunctions.dupTokenFraction(col("text")).as("dupTok"),
+      TextFunctions.dupLineFraction(col("text")).as("dupLine"),
+      TextFunctions.symbolRatio(col("text")).as("sym"),
+      TextFunctions.scrubPii(col("text")).as("scrubbed")
+    ).head()
+  }
+
+  test("repetition signals: duplicate tokens and lines are counted, clean text scores 0") {
+    val spammy = signals("buy now buy now buy now")
+    assert(math.abs(spammy.getDouble(0) - (1.0 - 2.0 / 6.0)) < 1e-12)
+    val multi = signals("header\nbody one\nheader\nbody two\nheader")
+    assert(math.abs(multi.getDouble(1) - (1.0 - 3.0 / 5.0)) < 1e-12)
+    val clean = signals("a perfectly normal sentence.\nanother line here")
+    assert(clean.getDouble(0) == 0.0 && clean.getDouble(1) == 0.0)
+    val empty = signals("")
+    assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0 && empty.getDouble(2) == 0.0)
+  }
+
+  test("symbol ratio counts only non-letter non-digit non-basic-punct chars") {
+    // 4 symbol chars (#, {, }, $) out of 20 total
+    val r = signals("code {x} #tag $5 ok!").getDouble(2)
+    assert(math.abs(r - 4.0 / 20.0) < 1e-12)
+  }
+
+  test("PII scrub: emails, urls, digit runs -> typed placeholders; order protects email digits") {
+    val s = signals(
+      "mail bob123456@example.com or visit https://example.com/a?id=1234567 ref 9876543 end")
+      .getString(3)
+    assert(s == "mail <EMAIL> or visit <URL> ref <NUM> end", s)
+    // short digit runs survive (under the 6-digit threshold)
+    assert(signals("call 12345 now").getString(3) == "call 12345 now")
+  }
+
   test("SQL surface: graft_* functions equal the Column API") {
     import org.apache.spark.sql.functions.col
     val df = spark.createDataFrame(

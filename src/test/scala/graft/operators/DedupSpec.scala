@@ -107,6 +107,22 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
   }
 
+  test("cluster representatives keep the best-quality member, not the min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (9L, 0.1)).toDF("doc_id", "quality")
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val reps = Dedup.clusterRepresentatives(d, "doc_id", clique, Seq(col("quality").desc))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reps == Set(2L, 9L), "cluster {1,2,3} keeps quality-0.9 doc 2; singleton 9 survives")
+    // equal quality falls back to the doc-id tie-break
+    val tied = Seq((1L, 0.5), (2L, 0.5)).toDF("doc_id", "quality")
+    val tiedReps = Dedup.clusterRepresentatives(
+      tied, "doc_id", Seq((1L, 2L)).toDF("id_a", "id_b"), Seq(col("quality").desc))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tiedReps == Set(1L))
+  }
+
   test("null text keeps a signature: minhash/simhash treat it as empty string") {
     val d = docs(1L -> "hello world", 2L -> null, 3L -> null)
     val sigIds = Dedup.minHashSignatures(d, "doc_id", "text", numHashes = 8, shingleN = 2)

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PackingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, 3),
+      StructType(Seq(StructField("doc_id", LongType), StructField("n_tokens", LongType))))
+
+  test("exclusive prefix sum matches the single-window formulation on scattered ids") {
+    // ids deliberately non-contiguous so linear bucketing sees uneven buckets
+    val rows = Seq(3L, 10L, 11L, 57L, 58L, 90L, 1000L, 1001L, 4096L)
+      .zipWithIndex.map { case (id, i) => (id, (i * 37 % 11 + 1).toLong) }
+    val d = docs(rows: _*)
+    for (buckets <- Seq(1, 2, 8, 64)) {
+      val dist = Packing.exclusivePrefixSum(d, "doc_id", "n_tokens", buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val single = d.withColumn("offset",
+        coalesce(sum("n_tokens").over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(dist == single, s"buckets=$buckets")
+    }
+  }
+
+  test("packByBudget: offsets chunk into windows; docs straddle boundaries by design") {
+    val d = docs(1L -> 600L, 2L -> 600L, 3L -> 600L, 4L -> 600L)
+    val packs = Packing.packByBudget(d, "doc_id", "n_tokens", budget = 1000L, numBuckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // offsets 0, 600, 1200, 1800 -> packs 0, 0, 1, 1
+    assert(packs == Map(
+      1L -> (0L, 0L, 0L), 2L -> (600L, 0L, 600L),
+      3L -> (1200L, 1L, 200L), 4L -> (1800L, 1L, 800L)))
+  }
+
+  test("empty input yields an empty packing, not a crash") {
+    assert(Packing.packByBudget(docs(), "doc_id", "n_tokens", 100L).count() == 0)
+  }
+
+  test("the plan has no unpartitioned data-sized window (scale guard)") {
+    val d = docs((1L to 50L).map(i => i -> i): _*)
+    val plan = Packing.exclusivePrefixSum(d, "doc_id", "n_tokens", 8)
+      .queryExecution.optimizedPlan.toString
+    // the only global-ordered window runs over the numBuckets-row totals,
+    // whose input is an Aggregate — the corpus-sized window would sit
+    // directly over the scan
+    val windows = plan.linesIterator.count(_.contains("windowspecdefinition(doc_id"))
+    assert(windows == 0, s"corpus-ordered unpartitioned window found:\n$plan")
+  }
+}
