@@ -114,4 +114,33 @@ object StreamOps {
       .withColumn("lang", TextFunctions.langId(t))
       .withColumn("fingerprint", TextFunctions.fingerprint(t))
   }
+
+  /** Streaming curation: the batch curation pipeline's STATELESS stages —
+    * quality / token-count / repetition / symbol filters, then PII
+    * scrubbing — verbatim on a stream (pure codegen'd projections and
+    * filters, no state store). Survivors carry their signal columns for
+    * downstream routing. Near-dup handling on the stream is
+    * [[dedupByFingerprint]] (bounded state); the pair-graph dedup
+    * (jaccard / MinHash / clusters) stays a batch pass over the
+    * accumulated corpus — candidate generation needs a self-join, which
+    * unbounded streams can't do with bounded state. */
+  def curate(
+      docs: DataFrame,
+      textCol: String = "text",
+      minQuality: Double = 0.5,
+      minTokens: Long = 10,
+      maxDupTokenFrac: Double = 0.5,
+      maxSymbolRatio: Double = 0.2
+  ): DataFrame = {
+    val t: Column = col(textCol)
+    docs
+      .withColumn("lang", TextFunctions.langId(t))
+      .withColumn("quality", TextFunctions.qualityScore(t))
+      .withColumn("n_tokens", TextFunctions.wsTokenCount(t).cast("long"))
+      .withColumn("dup_token_frac", TextFunctions.dupTokenFraction(t))
+      .withColumn("symbol_ratio", TextFunctions.symbolRatio(t))
+      .where(col("quality") >= minQuality && col("n_tokens") >= minTokens &&
+        col("dup_token_frac") <= maxDupTokenFrac && col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn(textCol, TextFunctions.scrubPii(t))
+  }
 }

@@ -121,4 +121,25 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(batch == out)
     } finally q.stop()
   }
+
+  test("streaming curate filters junk and scrubs PII, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val curated = StreamOps.curate(
+      input.toDF().toDF("doc_id", "text"), minQuality = 0.3, minTokens = 5)
+    val q = curated.writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog and mails bob123@example.com today"),
+        (2L, "spam spam spam spam spam spam spam spam"), // dup-token frac 7/8
+        (3L, "too short"))
+      q.processAllAvailable()
+      val rows = spark.table("curate_out").select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L), s"got ${rows.keySet}")
+      assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("example.com"))
+    } finally q.stop()
+  }
 }
