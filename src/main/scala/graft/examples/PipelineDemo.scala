@@ -3,13 +3,17 @@ package graft.examples
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, Tfidf}
+import graft.sources.CorpusSink
 
 /** End-to-end training-data curation pipeline over the provided tables —
-  * the composition story: quality-score and language-filter documents,
-  * drop near-duplicates (jaccard pairs -> greedy materialization), attach
-  * embedding near-dup pruning, and extract multimodal features for what
-  * survives. Prints stage counts; `sbt "runMain graft.examples.PipelineDemo"`.
+  * the composition story: quality/repetition-filter and scrub documents,
+  * cluster near-duplicates and keep the best-quality representative per
+  * cluster, prune the embedding space, extract multimodal features and
+  * TF-IDF keywords for what survives, pack the survivors into
+  * context-window shards, and write the corpus partitioned for pruned
+  * downstream reads. Prints stage counts;
+  * `sbt "runMain graft.examples.PipelineDemo"`.
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
@@ -19,17 +23,23 @@ object PipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n0 = docs.count()
 
-    // 1. text analysis: language ID + quality scoring as filterable columns
+    // 1. text analysis: language, quality, repetition signals as
+    //    filterable columns; PII scrubbed from survivors
     val scored = docs
       .withColumn("lang_detected", TextFunctions.langId(col("text")))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
-      .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")))
-    val kept = scored.where(col("quality") >= 0.5 && col("n_tokens") >= 10)
+      .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")).cast("long"))
+      .withColumn("dup_token_frac", TextFunctions.dupTokenFraction(col("text")))
+    val kept = scored
+      .where(col("quality") >= 0.5 && col("n_tokens") >= 10 && col("dup_token_frac") <= 0.5)
+      .withColumn("text", TextFunctions.scrubPii(col("text")))
     val n1 = kept.count()
 
-    // 2. near-duplicate removal: trigram jaccard pairs -> greedy drop
+    // 2. near-duplicate handling: trigram jaccard pairs -> cluster labels
+    //    -> keep the BEST-QUALITY representative per cluster
     val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", n = 3, threshold = 0.8)
-    val deduped = Dedup.dropDuplicatePairs(kept, "doc_id", pairs)
+    val deduped = Dedup.clusterRepresentatives(kept, "doc_id", pairs,
+      better = Seq(col("quality").desc))
     val n2 = deduped.count()
 
     // 3. embedding-space pruning on the aligned embeddings table
@@ -46,9 +56,25 @@ object PipelineDemo {
     val features = Multimodal.extractFeatures(media, dim = 32)
     val n4 = features.where(col("features").isNotNull).count()
 
-    println(s"[pipeline] docs=$n0 -> quality/lang kept=$n1 -> deduped=$n2; " +
-      s"embeddings kept=$n3; media features=$n4")
-    require(n1 <= n0 && n2 <= n1 && n4 == n2, "pipeline stage counts inconsistent")
+    // 5. keyword extraction over the deduped corpus (topic routing)
+    val keywords = Tfidf.topTerms(deduped, "doc_id", "text", k = 3, minDf = 2)
+    val n5 = keywords.select("id").distinct().count()
+
+    // 6. pack survivors into context-window shards and write the corpus
+    //    partitioned by detected language (pruned downstream reads)
+    val packed = Packing.packByBudget(
+      deduped.select(col("doc_id"), col("lang_detected"), col("text"), col("n_tokens")),
+      "doc_id", "n_tokens", budget = 2048L)
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_pipeline_demo_corpus"
+    CorpusSink.writePartitioned(packed, outDir, Seq("lang_detected"))
+    val n6 = spark.read.parquet(outDir).count()
+    val nPacks = packed.select("pack_id").distinct().count()
+
+    println(s"[pipeline] docs=$n0 -> curated=$n1 -> representatives=$n2; " +
+      s"embeddings kept=$n3; media features=$n4; keyworded=$n5; " +
+      s"packed=$n6 into $nPacks shards")
+    require(n1 <= n0 && n2 <= n1 && n4 == n2 && n6 == n2,
+      "pipeline stage counts inconsistent")
     spark.stop()
   }
 }
