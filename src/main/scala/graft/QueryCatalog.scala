@@ -169,6 +169,40 @@ object QueryCatalog {
 
   private val stopListSql = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
 
+  /** Trigram-shingle jaccard candidate CTEs over `src` (needs doc_id,
+    * text): toks/sets/sized/cand, where cand carries (id_a, id_b, size_a,
+    * size_b, n_common). ONE copy shared by every jaccard-derived oracle
+    * (pairs, drop, clusters, curation) so a re-parameterization cannot
+    * silently desynchronize one twin from the others. */
+  private def jaccardCtes(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM $src),
+       |sets AS (
+       |  SELECT id,
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+       |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+       |  FROM toks),
+       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
+       |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val jaccardExprSql = "n_common / (size_a + size_b - n_common)"
+
+  /** The text_stats quality score over a relation exposing `text` — the
+    * single copy every quality-referencing oracle embeds. */
+  private lazy val qualityExprSql = {
+    val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+    val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
+    val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
+    val lenScore = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+    val punctScore = s"1.0 - least(($punct) * 5.0, 1.0)"
+    val stopScore = s"least(($stop) * 4.0, 1.0)"
+    s"round((($lenScore) + ($punctScore) + ($stopScore)) / 3.0, 6)"
+  }
+
   // ---- the catalog --------------------------------------------------------
 
   /** name -> ((spark, sfDir) => result). Keys with no [[oracleSql]] entry get
@@ -554,22 +588,19 @@ object QueryCatalog {
        |FROM c ORDER BY feature, feature_value""".stripMargin
   }
 
-  private val textStatsSql = {
+  private lazy val textStatsSql = {
     val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
     val tkRaw = """regexp_split_to_array(trim(text), '\s+')"""
     val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
     val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
     val meanLen = s"""CASE WHEN len($tkRaw) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($tkRaw, x -> length(x))) AS DOUBLE) / len($tkRaw) END"""
-    val lenScore = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
-    val punctScore = s"1.0 - least(($punct) * 5.0, 1.0)"
-    val stopScore = s"least(($stop) * 4.0, 1.0)"
     s"""SELECT doc_id,
        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS n_ws_tokens,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens,
        |  round($punct, 6) AS punct_ratio,
        |  round($stop, 6) AS stopword_ratio,
        |  round($meanLen, 6) AS mean_word_len,
-       |  round((($lenScore) + ($punctScore) + ($stopScore)) / 3.0, 6) AS quality,
+       |  $qualityExprSql AS quality,
        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
   }
@@ -593,23 +624,11 @@ object QueryCatalog {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
-  private val jaccardSql =
-    s"""WITH toks AS (
-       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
-       |sets AS (
-       |  SELECT id,
-       |    CASE WHEN len(tk) >= 3
-       |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
-       |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
-       |  FROM toks),
-       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
-       |pairs AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
-       |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
-       |  GROUP BY 1, 2, 3, 4)
-       |SELECT id_a, id_b, round(n_common / (size_a + size_b - n_common), 6) AS jaccard
-       |FROM pairs
-       |WHERE n_common / (size_a + size_b - n_common) >= 0.8
+  private lazy val jaccardSql =
+    s"""WITH ${jaccardCtes("documents")}
+       |SELECT id_a, id_b, round($jaccardExprSql, 6) AS jaccard
+       |FROM cand
+       |WHERE $jaccardExprSql >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Brute-force SQL twin of the 60-bit md5 simhash pairs: recompute the
@@ -719,14 +738,9 @@ object QueryCatalog {
     * quality/token expressions + the lang_id argmax + the jaccard
     * dropped-set, with the pair stage running over the FILTERED survivors
     * exactly as the Spark side chains them. */
-  private val curationPipelineSql = {
+  private lazy val curationPipelineSql = {
     val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
     val tkRaw = """regexp_split_to_array(trim(text), '\s+')"""
-    val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
-    val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
-    val lenScore = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
-    val punctScore = s"1.0 - least(($punct) * 5.0, 1.0)"
-    val stopScore = s"least(($stop) * 4.0, 1.0)"
     def hits(markers: Seq[String]) =
       s"len(list_filter($tk, x -> list_contains([${markers.map("'" + _ + "'").mkString(", ")}], x)))"
     val en = hits(Seq("the", "and", "is", "of", "to"))
@@ -742,26 +756,14 @@ object QueryCatalog {
        |         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
        |         WHEN es = greatest(en, de, fr, es) THEN 'es'
        |         ELSE 'und' END AS lang,
-       |    round((($lenScore) + ($punctScore) + ($stopScore)) / 3.0, 6) AS quality,
+       |    $qualityExprSql AS quality,
        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS n_tokens
        |  FROM langc),
        |kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10),
-       |toks AS (
-       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tkn FROM kept),
-       |sets AS (
-       |  SELECT id,
-       |    CASE WHEN len(tkn) >= 3
-       |      THEN list_distinct([array_to_string(tkn[i + 1 : i + 3], ' ') FOR i IN range(0, len(tkn) - 2)])
-       |      ELSE list_distinct([array_to_string(tkn, ' ')]) END AS sh
-       |  FROM toks),
-       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
-       |pairs AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
-       |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
-       |  GROUP BY 1, 2, 3, 4),
+       |${jaccardCtes("kept")},
        |dropped AS (
-       |  SELECT DISTINCT id_b FROM pairs
-       |  WHERE n_common / (size_a + size_b - n_common) >= 0.8)
+       |  SELECT DISTINCT id_b FROM cand
+       |  WHERE $jaccardExprSql >= 0.8)
        |SELECT doc_id, lang, quality, n_tokens FROM kept
        |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
        |ORDER BY doc_id""".stripMargin
@@ -944,25 +946,13 @@ object QueryCatalog {
       |SELECT doc_id, n_tokens, "offset", "offset" // 2048 AS pack_id, "offset" % 2048 AS pack_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
-  /** Shared CTE chain for the clique-corpus cluster twins: trigram
-    * jaccard pairs at 0.8 -> direct-neighbor min per doc. On
+  /** Shared CTE chain for the clique-corpus cluster twins: the common
+    * trigram jaccard pairs at 0.8 -> direct-neighbor min per doc. On
     * transitively-closed components the propagation fixpoint equals
     * least(own id, min over DIRECT neighbors) — one join, no recursion. */
   private lazy val clusterCtes =
-    s"""toks AS (
-       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
-       |sets AS (
-       |  SELECT id,
-       |    CASE WHEN len(tk) >= 3
-       |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
-       |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
-       |  FROM toks),
-       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
-       |cand AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
-       |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
-       |  GROUP BY 1, 2, 3, 4),
-       |p AS (SELECT id_a, id_b FROM cand WHERE n_common / (size_a + size_b - n_common) >= 0.8),
+    s"""${jaccardCtes("documents")},
+       |p AS (SELECT id_a, id_b FROM cand WHERE $jaccardExprSql >= 0.8),
        |e AS (SELECT id_a AS id, id_b AS nbr FROM p UNION ALL SELECT id_b AS id, id_a AS nbr FROM p),
        |m AS (SELECT id, min(nbr) AS mn FROM e GROUP BY id),
        |lab AS (
@@ -976,41 +966,20 @@ object QueryCatalog {
   /** Twin of [[graft.operators.Dedup.clusterRepresentatives]] with the
     * text_stats quality score as the policy: top quality (round-6, both
     * sides) per cluster, doc_id tie-break. */
-  private lazy val clusterRepresentativesSql = {
-    val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
-    val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
-    val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
-    val lenScore = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
-    val punctScore = s"1.0 - least(($punct) * 5.0, 1.0)"
-    val stopScore = s"least(($stop) * 4.0, 1.0)"
+  private lazy val clusterRepresentativesSql =
     s"""WITH $clusterCtes,
-       |q AS (
-       |  SELECT doc_id, round((($lenScore) + ($punctScore) + ($stopScore)) / 3.0, 6) AS quality
-       |  FROM documents),
+       |q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents),
        |r AS (
        |  SELECT lab.doc_id, lab.cluster_id, q.quality,
        |    row_number() OVER (PARTITION BY lab.cluster_id ORDER BY q.quality DESC, lab.doc_id ASC) AS rn
        |  FROM lab JOIN q USING (doc_id))
        |SELECT doc_id, cluster_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
-  }
 
   private lazy val dedupDropSql =
-      s"""WITH toks AS (
-         |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
-         |sets AS (
-         |  SELECT id,
-         |    CASE WHEN len(tk) >= 3
-         |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
-         |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
-         |  FROM toks),
-         |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
-         |pairs AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
-         |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
-         |  GROUP BY 1, 2, 3, 4),
+      s"""WITH ${jaccardCtes("documents")},
          |dropped AS (
-         |  SELECT DISTINCT id_b FROM pairs
-         |  WHERE n_common / (size_a + size_b - n_common) >= 0.8)
+         |  SELECT DISTINCT id_b FROM cand
+         |  WHERE $jaccardExprSql >= 0.8)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
          |ORDER BY doc_id""".stripMargin

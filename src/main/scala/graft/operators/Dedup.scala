@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBridge
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -72,6 +73,7 @@ object Dedup {
       if (iter >= maxIter)
         throw new IllegalStateException(
           s"dropDuplicatePairsExact: no convergence after $maxIter rounds ($remaining undecided)")
+      val (prevUnd, prevKept, prevDropped) = (und, keptFrontier, dropped)
       // (1) undecided nodes witnessed by a just-kept neighbor are dropped
       val newlyDropped = und
         .join(edges.join(keptFrontier.select(col("id").as("u")), Seq("u"))
@@ -88,8 +90,14 @@ object Dedup {
       dropped = dropped.unionByName(newlyDropped).localCheckpoint(true)
       und = und1.join(keptFrontier, Seq("id"), "left_anti").localCheckpoint(true)
       remaining = und.count()
+      // every checkpoint this round superseded last round's state, whose
+      // blocks nothing will read again — release them so a deep run pins
+      // O(1) copies of the frontier, not O(rounds)
+      Seq(prevUnd, prevKept, prevDropped, und1).foreach(CheckpointBridge.release)
       iter += 1
     }
+    // the result reads only the final `dropped` checkpoint
+    Seq(edges, und, keptFrontier).foreach(CheckpointBridge.release)
     df.join(dropped.select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
@@ -115,11 +123,17 @@ object Dedup {
     * twin; a chain case is pinned by DedupSpec instead. */
   def duplicateClusters(
       df: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // the output column is part of the contract; internal state columns
+    // are __dc-prefixed so a corpus that already carries e.g. a `label`
+    // column can't make the final join ambiguous
+    require(!df.columns.contains("cluster_id"),
+      "duplicateClusters: input already has a cluster_id column")
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var checkpointed = edges.select(col("u").as("__dc_id")).distinct()
+      .select(col("__dc_id"), col("__dc_id").as("__dc_label")).localCheckpoint(true)
+    var labels = checkpointed
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -127,19 +141,23 @@ object Dedup {
         throw new IllegalStateException(
           s"duplicateClusters: no convergence after $maxIter rounds")
       val nbrMin = edges
-        .join(labels.select(col("id").as("u"), col("label")), Seq("u"))
-        .groupBy(col("v").as("id")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .join(labels.select(col("__dc_id").as("u"), col("__dc_label")), Seq("u"))
+        .groupBy(col("v").as("__dc_id")).agg(min(col("__dc_label")).as("__dc_nbr"))
+      val updated = labels.join(nbrMin, Seq("__dc_id"), "left")
+        .select(col("__dc_id"), col("__dc_label").as("__dc_old"),
+          least(col("__dc_label"), coalesce(col("__dc_nbr"), col("__dc_label"))).as("__dc_label"))
         .localCheckpoint(true)
-      changed = updated.where(col("label") < col("old_label")).count()
-      labels = updated.select("id", "label")
+      changed = updated.where(col("__dc_label") < col("__dc_old")).count()
+      // last round's label checkpoint is superseded; nothing reads it again
+      CheckpointBridge.release(checkpointed)
+      checkpointed = updated
+      labels = updated.select("__dc_id", "__dc_label")
       iter += 1
     }
-    df.join(labels.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+    CheckpointBridge.release(edges) // the result reads only the final labels
+    df.join(labels.select(col("__dc_id").as(idCol), col("__dc_label")), Seq(idCol), "left")
       .select(df.columns.map(col).toIndexedSeq :+
-        coalesce(col("label"), col(idCol)).as("cluster_id"): _*)
+        coalesce(col("__dc_label"), col(idCol)).as("cluster_id"): _*)
   }
 
   /** One representative row per near-dup cluster, chosen by POLICY rather
@@ -391,21 +409,37 @@ object Dedup {
           (0 until rowsPerBand).map(r => col("signature")(b * rowsPerBand + r)): _*), lit(b))
       }: _*)).as(Seq("band", "bucket"))
     )
-    // candidate stages carry IDs only; the numHashes-long signatures
-    // re-join from the checkpointed signature index after the dedup, so
-    // the pair-dedup exchange shuffles metadata-sized rows
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
     val agree = (0 until numHashes)
       .map(i => when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
       .reduce(_ + _)
-    candidates
-      .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
+    val paired =
+      if (materialize) {
+        // candidate stages carry IDs only; the numHashes-long signatures
+        // re-join from the CHECKPOINTED signature index after the dedup,
+        // so the pair-dedup exchange shuffles metadata-sized rows
+        val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+        val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+        a.join(b, Seq("band", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
+          .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
+      } else {
+        // non-materialized (plan-only / lazy composition): without a
+        // checkpoint, an id-only dedup plus rejoins would RECOMPUTE the
+        // signature pipeline two extra times — carry the signatures
+        // through the dedup instead (the pre-r5 shape)
+        val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+          col("signature").as("sig_a"))
+        val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+          col("signature").as("sig_b"))
+        a.join(b, Seq("band", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "sig_a", "sig_b")
+          .dropDuplicates("id_a", "id_b")
+      }
+    paired
       .withColumn("est_jaccard", agree.cast("double") / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= lit(threshold))
       .select("id_a", "id_b", "est_jaccard")

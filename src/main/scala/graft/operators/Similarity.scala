@@ -398,6 +398,15 @@ object Similarity {
           .otherwise(raise_error(concat(
             lit(s"ivfTopKForQueries: query dim "), size(col("qvec")).cast("string"),
             lit(s" does not match centroid dim $dim0"))).cast("int")))
+    rankProbedCandidates(probed, index, k)
+  }
+
+  /** Shared scoring tail of the batch IVF paths: equi-join the probe set
+    * with the index on `cell`, exclude self-matches, exact cosine, and
+    * rerank per query. Both variants are documented as semantically
+    * identical — a fix here (tie-break, self-exclusion) reaches both. */
+  private def rankProbedCandidates(
+      probed: DataFrame, index: DataFrame, k: Int): DataFrame = {
     val scored = probed.join(index, Seq("cell"))
       .where(col("query_id") =!= col("id"))
       .withColumn("cosine", cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))
@@ -460,14 +469,7 @@ object Similarity {
       .withColumn("crank", row_number().over(cellRank))
       .where(col("crank") <= math.max(1, nprobe))
       .select("query_id", "qvec", "cell")
-    val scored = probed.join(index, Seq("cell"))
-      .where(col("query_id") =!= col("id"))
-      .withColumn("cosine", cosine(col("qvec"), transform(col("vec"), x => x.cast("double"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("id").as("corpus_id"), col("cosine"), col("rank"))
+    rankProbedCandidates(probed, index, k)
   }
 
   /** Driver-side twin of [[lshSignature]] for a single query vector — the

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Curated-corpus writer: the output side of the pipeline, shaped for the
   * two failure modes that actually hurt at 100 TB:
@@ -12,10 +12,19 @@ import org.apache.spark.sql.functions.col
   *    the scan, whole directories skipped) — asserted in CorpusSinkSpec;
   *  - **the small-files problem**: without care, every task writes a file
   *    into every partition directory (tasks x partitions files). The
-  *    writer repartitions by the partition columns first so each
-  *    directory is written by as few tasks as possible, and
-  *    `maxRecordsPerFile` re-splits oversized partitions so single files
-  *    stay bounded (the skewed-partition guard).
+  *    writer clusters rows by (partition columns, salt) so each directory
+  *    is written by at most `tasksPerPartition` tasks, and
+  *    `maxRecordsPerFile` re-splits oversized outputs so single files
+  *    stay bounded.
+  *
+  * The salt matters: repartitioning by the partition columns ALONE would
+  * funnel every row of a hot partition value (e.g. lang='en' ~ 90% of a
+  * web corpus) through ONE shuffle reducer — a straggler/OOM task that
+  * maxRecordsPerFile cannot help, since it only splits that task's
+  * OUTPUT. `tasksPerPartition` bounds per-task rows at
+  * |hottest partition| / tasksPerPartition while keeping
+  * files-per-directory bounded by the same knob: size it as
+  * ceil(|hottest partition's bytes| / target file bytes).
   *
   * Plain parquet files, no catalog dependency — unlike
   * [[IndexStore.writeBucketed]], whose bucketing metadata must live in a
@@ -28,11 +37,20 @@ object CorpusSink {
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
-      maxRecordsPerFile: Long = 1000000L
+      maxRecordsPerFile: Long = 1000000L,
+      tasksPerPartition: Int = 1
   ): Unit = {
     require(maxRecordsPerFile > 0, s"maxRecordsPerFile must be > 0, got $maxRecordsPerFile")
+    require(tasksPerPartition >= 1, s"tasksPerPartition must be >= 1, got $tasksPerPartition")
     val clustered =
-      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+      if (partitionCols.isEmpty) df
+      else {
+        // deterministic row-content salt: no column dependency, stable
+        // across retries (rand() would break speculative re-execution)
+        val salt = pmod(hash(df.columns.map(col).toIndexedSeq: _*),
+          lit(tasksPerPartition))
+        df.repartition(partitionCols.map(col) :+ salt: _*)
+      }
     clustered.write
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)

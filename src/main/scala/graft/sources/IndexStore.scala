@@ -49,8 +49,11 @@ object IndexStore {
     // overwrite mean overwrite.
     val spark = index.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the catalog lowercases table identifiers, so the managed location is
+    // warehouse/<lowercased name> — cleaning the raw-cased path would miss
+    // the real orphan and saveAsTable would still refuse the location
     val loc = new org.apache.hadoop.fs.Path(
-      s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${table.toLowerCase(java.util.Locale.ROOT)}")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = index.write.mode(SaveMode.Overwrite).format("parquet")

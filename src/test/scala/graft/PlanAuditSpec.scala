@@ -41,6 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // topk_for_queries' BroadcastNestedLoopJoin is the documented
     // small-query-set brute scorer — a different node, still flagged if it
     // ever degrades to CartesianProduct.
+    // Cost note: some builders do driver-side work at construction
+    // (quantizer training, checkpoint materialization, the bucketed-table
+    // write, the cluster convergence loops) — at sf0.001 that's seconds,
+    // accepted for exhaustive sweep coverage.
     QueryCatalog.queries.keys.toSeq.sorted.foreach { name =>
       assert(!plan(q(name)).contains("CartesianProduct"),
         s"$name plans a CartesianProduct")

@@ -51,4 +51,27 @@ class CorpusSinkSpec extends AnyFunSuite {
         s"${d.getName}: $files files — repartition-by-partition-col must prevent task fanout")
     }
   }
+
+  test("tasksPerPartition salts hot partitions across tasks, still bounded") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("lang", TextFunctions.langId(col("text")))
+    val skewDir = s"$outDir-salted"
+    // at test scale AQE would re-coalesce the salted shuffle into one
+    // task (everything is "small"); at real scale it only merges small
+    // partitions and the hot ones keep their salt spread — pin it off so
+    // the test observes the production behavior
+    val coalesceConf = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceConf)
+    try {
+      spark.conf.set(coalesceConf, "false")
+      CorpusSink.writePartitioned(docs, skewDir, Seq("lang"), tasksPerPartition = 3)
+    } finally spark.conf.set(coalesceConf, prev)
+    val back = spark.read.parquet(skewDir)
+    assert(back.count() == docs.count())
+    val dirs = new java.io.File(skewDir).listFiles().filter(_.isDirectory)
+    val fileCounts = dirs.map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fileCounts.forall(_ <= 3), s"per-dir files must stay <= tasksPerPartition: ${fileCounts.toSeq}")
+    // the hot partition actually spreads across more than one writer task
+    assert(fileCounts.max > 1, s"expected the salt to split the hottest partition: ${fileCounts.toSeq}")
+  }
 }
