@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{Dedup, Multimodal, Packing, Sessionize, Similarity, Tfidf}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Packing, Sessionize, Similarity, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -389,6 +389,26 @@ object QueryCatalog {
     }),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx")),
+    // As-of join: every click event enriched with the latest prior view's
+    // value per user — union-tag + carry-forward window, ONE key shuffle,
+    // never the O(|l| x |r|)-per-key range self-join. The oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN, so the semantics (inclusive <=,
+    // left rows with no prior match keep NULLs) are pinned against an
+    // independent implementation, not a SQL re-derivation of ours.
+    "asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val us = Sessionize.epochMicros(e, "ts")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), us.as("us"), col("event_id"))
+      // right side unique per (user, ts): ties keyed by max(value)
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), us.as("us"), col("value"))
+        .groupBy("user_id", "us").agg(max("value").as("view_value"))
+        .withColumn("view_us", col("us"))
+      AsOfJoin.asOf(clicks, views, "user_id", "us",
+          payloadCols = Seq("view_value", "view_us"), leftCols = Seq("event_id"))
+        .orderBy("user_id", "event_id")
+    }),
     // IVF ANN scale path: deterministic sample-trained k-means quantizer
     // + nprobe=4 of 16 cells. Cells nearest the query hold its true
     // neighbors on this corpus, so the probe returns the exact top-k and
@@ -880,8 +900,22 @@ object QueryCatalog {
     "pack_sequences" -> packSequencesSql,
     "brute_force_topk" -> topkSql,
     "topk_for_queries" -> topkForQueriesSql,
-    "sessionize" -> sessionizeSql
+    "sessionize" -> sessionizeSql,
+    "asof_join" -> asofJoinSql
   )
+
+  /** Twin of the asof_join query via DuckDB's NATIVE ASOF LEFT JOIN — an
+    * independent implementation of the temporal-join semantics. */
+  private lazy val asofJoinSql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value FROM events),
+      |l AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, us, max(value) AS view_value, us AS view_us
+      |  FROM e WHERE event_type = 'view' GROUP BY user_id, us)
+      |SELECT l.user_id, l.us, l.event_id,
+      |       r.view_value AS asof_view_value, r.view_us AS asof_view_us
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+      |ORDER BY l.user_id, l.event_id""".stripMargin
 
   /** Twin of the repetition/symbol signals; DuckDB `/` on integers is
     * float division, matching Spark's double cast. */

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def frame(cols: (String, DataType)*)(rows: Seq[Any]*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), 2),
+      StructType(cols.map { case (n, t) => StructField(n, t) }))
+
+  private val left = frame("k" -> LongType, "ts" -> LongType, "tag" -> StringType)(
+    Seq[Any](1L, 10L, "a"), Seq[Any](1L, 20L, "b"), Seq[Any](1L, 5L, "c"),
+    Seq[Any](2L, 10L, "d"), // key with no right rows at all
+    Seq[Any](1L, 15L, "e"))
+
+  // Seq[Any] everywhere: Seq(1L, 8L, 1.0) would numerically widen the
+  // longs to Double and break the LongType encoder
+  private val right = frame("k" -> LongType, "ts" -> LongType, "v" -> DoubleType)(
+    Seq[Any](1L, 8L, 1.0), Seq[Any](1L, 15L, 2.0), Seq[Any](1L, 30L, 3.0),
+    Seq[Any](3L, 1L, 9.0)) // key with no left rows
+
+  private def run() =
+    AsOfJoin.asOf(left, right, "k", "ts", payloadCols = Seq("v"), leftCols = Seq("tag"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+
+  test("each left row gets the latest right row at or before its ts") {
+    val out = run()
+    assert(out("a") == Some(1.0), "ts 10 -> right at 8")
+    assert(out("b") == Some(2.0), "ts 20 -> right at 15, NOT the later 30")
+  }
+
+  test("equal timestamps match inclusively; missing history yields null") {
+    val out = run()
+    assert(out("e") == Some(2.0), "ts 15 == right ts 15: <= is inclusive")
+    assert(out("c") == None, "ts 5 predates all right rows")
+    assert(out("d") == None, "key 2 has no right rows at all")
+  }
+
+  test("per-key isolation and row preservation") {
+    val rows = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"), Seq("tag"))
+    assert(rows.count() == left.count(), "as-of is a LEFT join: every left row survives")
+    // key 3 exists only on the right: must not leak into the output
+    assert(rows.where(org.apache.spark.sql.functions.col("k") === 3L).count() == 0)
+  }
+
+  test("one window node, one key shuffle in the plan") {
+    val plan = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"), Seq("tag"))
+      .queryExecution.optimizedPlan.toString
+    assert("\\bWindow \\[".r.findAllIn(plan).size == 1,
+      s"payload carry-forwards must share one Window node:\n$plan")
+  }
+}
