@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Packing, Sessionize, Similarity, Tfidf}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Packing, RangeJoin, Sessionize, Similarity, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -239,6 +239,16 @@ object QueryCatalog {
     "class_distribution" -> ((s, dir) =>
       lineitem(s, dir).groupBy(col(Target).as("target")).agg(count(lit(1)).as("n"))
         .orderBy("target")),
+    // Exact grouped percentiles (linear interpolation — the same order
+    // statistic DuckDB's quantile_cont computes). The scale path is
+    // approx_percentile/KLL, whose sketches are engine-specific and
+    // therefore uncheckable; the exact form IS oracle-checkable and is
+    // also what the binned trainer uses for candidate thresholds.
+    "group_percentiles" -> ((s, dir) =>
+      lineitem(s, dir).groupBy(col(Target).as("target"))
+        .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"))
+        .orderBy("target")),
     "split_partition_left" -> ((s, dir) =>
       orderedByAll(lineitem(s, dir).where(col("l_discount") <= lit(0.05))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))),
@@ -389,6 +399,25 @@ object QueryCatalog {
     }),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx")),
+    // Range join: every error event attributed to the session interval
+    // containing it, per user — the bin-bucketed form (points land in ONE
+    // bin, intervals explode into their overlapped bins, equi-join on
+    // (key, bin), exact containment filter) instead of the per-key
+    // cartesian Spark plans for a raw BETWEEN join. Oracle: plain
+    // inequality join in DuckDB over the same recomputed sessions.
+    "range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val sessions = Sessionize.sessionStats(e)
+        .select("user_id", "session_idx", "start_us", "end_us")
+      val us = Sessionize.epochMicros(e, "ts")
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), us.as("us"), col("event_id"))
+      RangeJoin.rangeJoin(errors, sessions, "user_id", "us", "start_us", "end_us",
+          rightCols = Seq("session_idx"), binWidth = 30L * 60 * 1000000)
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("r_session_idx").as("session_idx"))
+        .orderBy("user_id", "event_id", "session_idx")
+    }),
     // As-of join: every click event enriched with the latest prior view's
     // value per user — union-tag + carry-forward window, ONE key shuffle,
     // never the O(|l| x |r|)-per-key range self-join. The oracle is
@@ -818,6 +847,11 @@ object QueryCatalog {
       "SELECT DISTINCT l_returnflag AS target FROM lineitem ORDER BY target",
     "class_distribution" ->
       "SELECT l_returnflag AS target, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY target",
+    "group_percentiles" ->
+      """SELECT l_returnflag AS target,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY target""".stripMargin,
     "split_partition_left" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_discount <= 0.05 ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
@@ -901,8 +935,31 @@ object QueryCatalog {
     "brute_force_topk" -> topkSql,
     "topk_for_queries" -> topkForQueriesSql,
     "sessionize" -> sessionizeSql,
-    "asof_join" -> asofJoinSql
+    "asof_join" -> asofJoinSql,
+    "range_join" -> rangeJoinSql
   )
+
+  /** Twin of the range_join query: recompute the session intervals (the
+    * sessionize CTE chain) and attach errors with a plain BETWEEN join —
+    * exact at oracle scale, where the per-key cartesian is affordable. */
+  private lazy val rangeJoinSql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type FROM events),
+      |b AS (
+      |  SELECT user_id, us, event_id,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT user_id, us, event_id,
+      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM b),
+      |sess AS (
+      |  SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+      |  FROM s GROUP BY user_id, session_idx),
+      |err AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'error')
+      |SELECT err.user_id, err.us, err.event_id, sess.session_idx
+      |FROM err JOIN sess ON err.user_id = sess.user_id
+      |  AND err.us BETWEEN sess.start_us AND sess.end_us
+      |ORDER BY err.user_id, err.event_id, sess.session_idx""".stripMargin
 
   /** Twin of the asof_join query via DuckDB's NATIVE ASOF LEFT JOIN — an
     * independent implementation of the temporal-join semantics. */

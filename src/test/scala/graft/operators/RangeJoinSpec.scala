@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RangeJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def frame(cols: (String, DataType)*)(rows: Seq[Any]*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), 2),
+      StructType(cols.map { case (n, t) => StructField(n, t) }))
+
+  private val points = frame("k" -> LongType, "ts" -> LongType, "p" -> StringType)(
+    Seq[Any](1L, 5L, "a"), Seq[Any](1L, 10L, "b"), Seq[Any](1L, 99L, "c"),
+    Seq[Any](2L, 5L, "d"))
+
+  private val intervals = frame(
+    "k" -> LongType, "s" -> LongType, "e" -> LongType, "name" -> StringType)(
+    Seq[Any](1L, 0L, 7L, "i1"),   // contains a (5), boundary-inclusive
+    Seq[Any](1L, 5L, 12L, "i2"),  // overlaps i1: contains a AND b
+    Seq[Any](1L, 50L, 60L, "i3"), // contains nothing
+    Seq[Any](2L, 0L, 7L, "i4"))   // other key: contains d only
+
+  private def run(binWidth: Long) =
+    RangeJoin.rangeJoin(points, intervals, "k", "ts", "s", "e",
+      rightCols = Seq("name"), binWidth = binWidth)
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+
+  test("containment pairs: overlapping intervals both match, boundaries inclusive") {
+    val expected = Set("a" -> "i1", "a" -> "i2", "b" -> "i2", "d" -> "i4")
+    // several bin widths, including ones that split intervals across bins
+    for (w <- Seq(1L, 3L, 8L, 1000L)) {
+      assert(run(w) == expected, s"binWidth=$w")
+    }
+  }
+
+  test("points outside every interval and empty bins drop out (inner join)") {
+    assert(!run(8L).exists(_._1 == "c"), "ts 99 is inside no interval")
+  }
+
+  test("pathological interval fails loudly instead of exploding") {
+    val huge = frame("k" -> LongType, "s" -> LongType, "e" -> LongType, "name" -> StringType)(
+      Seq[Any](1L, 0L, 100000L, "bad"))
+    val e = intercept[Exception] {
+      RangeJoin.rangeJoin(points, huge, "k", "ts", "s", "e", Seq("name"),
+        binWidth = 1L, maxBinsPerInterval = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("spans more than 16 bins")), e.toString)
+  }
+
+  test("inverted and null intervals are dropped, not matched") {
+    val weird = frame("k" -> LongType, "s" -> LongType, "e" -> LongType, "name" -> StringType)(
+      Seq[Any](1L, 10L, 5L, "inverted"), Seq[Any](1L, null, 7L, "nullstart"))
+    val out = RangeJoin.rangeJoin(points, weird, "k", "ts", "s", "e", Seq("name"), 4L)
+    assert(out.count() == 0)
+  }
+}
