@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Packing, RangeJoin, Sessionize, Similarity, Tfidf}
+import graft.operators.{AsOfJoin, Chunking, Dedup, Multimodal, Packing, RangeJoin, Sessionize, Similarity, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -347,6 +347,26 @@ object QueryCatalog {
         .select(col("id"), col("term"), col("tf"), col("df"),
           round(col("tfidf"), 6).as("tfidf"), col("rank"))
         .orderBy("id", "rank")),
+    // Document chunking: 64-token windows with 16-token overlap (stride
+    // 48) — the embedding/RAG prep shape. Pure per-row algebra: no
+    // shuffle, row multiplier = ceil(n_tokens / stride).
+    "chunk_documents" -> ((s, dir) =>
+      Chunking.chunk(documents(s, dir), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+    // Weighted corpus mixture via deterministic content-hash sampling:
+    // survival is a pure function of (doc_id, lang), so the mixture is
+    // reproducible across engines/layouts/retries — which is also what
+    // makes it oracle-checkable (DataFrame.sample is not).
+    "mixture_sample" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("lang", TextFunctions.langId(col("text")))
+      Chunking.mixtureSample(docs, "doc_id", "lang",
+          rates = Map("en" -> 0.5, "de" -> 0.25))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // Sequence packing (concat-then-chunk context windows): global token
     // offsets via the DISTRIBUTED exclusive prefix sum — no
     // whole-corpus-in-one-task Window.orderBy anywhere in the plan.
@@ -654,7 +674,9 @@ object QueryCatalog {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  private val langIdSql = {
+  /** (doc_id, lang) select with no ORDER BY — embeddable as a CTE body
+    * by any oracle needing the language column. */
+  private lazy val langSelectSql = {
     val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
     def hits(markers: Seq[String]) =
       s"len(list_filter($tk, x -> list_contains([${markers.map("'" + _ + "'").mkString(", ")}], x)))"
@@ -670,8 +692,10 @@ object QueryCatalog {
        |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
        |       WHEN es = greatest(en, de, fr, es) THEN 'es'
        |       ELSE 'und' END AS lang
-       |FROM c ORDER BY doc_id""".stripMargin
+       |FROM c""".stripMargin
   }
+
+  private lazy val langIdSql = s"$langSelectSql\nORDER BY doc_id"
 
   private lazy val jaccardSql =
     s"""WITH ${jaccardCtes("documents")}
@@ -936,8 +960,40 @@ object QueryCatalog {
     "topk_for_queries" -> topkForQueriesSql,
     "sessionize" -> sessionizeSql,
     "asof_join" -> asofJoinSql,
-    "range_join" -> rangeJoinSql
+    "range_join" -> rangeJoinSql,
+    "chunk_documents" -> chunkDocumentsSql,
+    "mixture_sample" -> mixtureSampleSql
   )
+
+  /** Twin of the 64/16 chunking: same single-space normalization, same
+    * 1-based inclusive token slice, same short-tail semantics. */
+  private lazy val chunkDocumentsSql = {
+    val tk = """regexp_split_to_array(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+    s"""WITH t AS (
+       |  SELECT doc_id, $tk AS tk,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tk) END AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tk, n, unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS chunk_idx
+       |  FROM t WHERE n > 0)
+       |SELECT doc_id, chunk_idx,
+       |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+       |  least(64, n - chunk_idx * 48) AS chunk_tokens
+       |FROM c WHERE chunk_idx * 48 < n
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Twin of the deterministic md5 mixture: first 4 md5 hex chars of the
+    * id string as an int, thresholded at rate * 65536 per stratum. */
+  private lazy val mixtureSampleSql = {
+    def keep(rate: Double) =
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT < ${(rate * 65536).toInt}"
+    s"""WITH l AS ($langSelectSql)
+       |SELECT doc_id, lang FROM l
+       |WHERE (lang = 'en' AND ${keep(0.5)})
+       |   OR (lang = 'de' AND ${keep(0.25)})
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Twin of the range_join query: recompute the session intervals (the
     * sessionize CTE chain) and attach errors with a plain BETWEEN join —

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ChunkingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("chunking: stride windows with overlap, short tail kept") {
+    val d = docs(1L -> (1 to 10).map(i => s"t$i").mkString(" "))
+    val out = Chunking.chunk(d, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => r.getInt(1) -> (r.getString(2), r.getInt(3))).toMap
+    // stride 3: windows at 0, 3, 6, 9
+    assert(out(0) == ("t1 t2 t3 t4", 4))
+    assert(out(1) == ("t4 t5 t6 t7", 4), "overlap of 1 token repeats the boundary token")
+    assert(out(2) == ("t7 t8 t9 t10", 4))
+    assert(out(3) == ("t10", 1), "the short tail window survives")
+  }
+
+  test("chunking: empty docs yield zero chunks; exact multiples no phantom window") {
+    val d = docs(1L -> "", 2L -> "   ", 3L -> "a b c d e f")
+    val rows = Chunking.chunk(d, "doc_id", "text", chunkTokens = 3, overlapTokens = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSet == Set((3L, 0), (3L, 1)), s"got ${rows.toSeq}")
+  }
+
+  test("hash sampling is deterministic and close to the rate") {
+    val ids = docs((1L to 2000L).map(i => i -> s"doc $i"): _*)
+    val a = Chunking.sampleByHash(ids, "doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Chunking.sampleByHash(ids, "doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same rows must survive every run")
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"rate drifted: ${a.size / 2000.0}")
+    // monotone: a higher rate strictly contains a lower one
+    val wider = Chunking.sampleByHash(ids, "doc_id", 0.6).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider), "threshold sampling must be monotone in the rate")
+  }
+
+  test("mixture sampling applies per-stratum rates and drops unmapped strata") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Chunking.mixtureSample(d, "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.0))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.forall(_._2 == "en"), "rate-0 and unmapped strata must vanish")
+    assert(out.length == 100, "rate 1.0 keeps the whole stratum")
+  }
+}
