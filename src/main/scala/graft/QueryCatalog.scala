@@ -966,7 +966,8 @@ object QueryCatalog {
   )
 
   /** Twin of the 64/16 chunking: same single-space normalization, same
-    * 1-based inclusive token slice, same short-tail semantics. */
+    * 1-based inclusive token slice, same max(1, ceil((n-overlap)/stride))
+    * window count (no pure-overlap tail window). */
   private lazy val chunkDocumentsSql = {
     val tk = """regexp_split_to_array(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
     s"""WITH t AS (
@@ -974,12 +975,13 @@ object QueryCatalog {
        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tk) END AS n
        |  FROM documents),
        |c AS (
-       |  SELECT doc_id, tk, n, unnest(range(0, CAST(ceil(n / 48.0) AS BIGINT))) AS chunk_idx
+       |  SELECT doc_id, tk, n,
+       |    unnest(range(0, greatest(1, CAST(ceil((n - 16) / 48.0) AS BIGINT)))) AS chunk_idx
        |  FROM t WHERE n > 0)
        |SELECT doc_id, chunk_idx,
        |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
        |  least(64, n - chunk_idx * 48) AS chunk_tokens
-       |FROM c WHERE chunk_idx * 48 < n
+       |FROM c
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 

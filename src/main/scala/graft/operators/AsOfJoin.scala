@@ -51,14 +51,21 @@ object AsOfJoin {
         Seq(col(keyCol), col(tsCol).as("__ts"), lit(0).as("__side")) ++
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payloadCols.map(c => col(c).as(s"__p_$c")): _*)
-    // same spec for every payload -> Spark plans ONE Window node
+    // ONE carry-forward over a struct of the whole right payload, not one
+    // last() per column: per-column ignoreNulls would skip right rows
+    // whose payload value is GENUINELY null and could stitch together
+    // fields from different right rows — the struct is non-null for every
+    // right row (even all-null payloads), so ignoreNulls skips exactly
+    // the left-row placeholders, matching ASOF semantics. One window
+    // expression, one Window node.
+    val payloadStruct = when(col("__side") === 0,
+      struct(payloadCols.map(c => col(s"__p_$c").as(c)): _*))
     val w = Window.partitionBy(keyCol).orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(lTag.unionByName(rTag)) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = lTag.unionByName(rTag)
+      .withColumn("__asof", last(payloadStruct, ignoreNulls = true).over(w))
     carried.where(col("__side") === 1)
       .select(Seq(col(keyCol), col("__ts").as(tsCol)) ++ leftCols.map(col) ++
-        payloadCols.map(c => col(s"asof_$c")): _*)
+        payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

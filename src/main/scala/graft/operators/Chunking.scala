@@ -37,9 +37,14 @@ object Chunking {
     val stride = chunkTokens - overlapTokens
     val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
     val n = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
-    // windows start at 0, stride, 2*stride, ... while start < n; a final
-    // window shorter than chunkTokens is kept (the tail must not be lost)
-    val nChunks = when(n === 0, lit(0)).otherwise(ceil((n.cast("double")) / stride).cast("int"))
+    // windows start at 0, stride, 2*stride, ...; the count is
+    // max(1, ceil((n - overlap) / stride)) — NOT ceil(n / stride), which
+    // would add a final window of <= overlapTokens tokens that is a pure
+    // subset of the previous chunk (duplicate content in the corpus).
+    // Coverage still holds: the last window's start + chunkTokens >= n.
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      greatest(lit(1),
+        ceil((n - lit(overlapTokens)).cast("double") / stride).cast("int")))
     // sequence(0, -1) throws (start > stop needs a negative step), so an
     // empty document maps to an explicit empty index array — explode then
     // drops the row, i.e. empty docs yield zero chunks
@@ -47,7 +52,6 @@ object Chunking {
       .otherwise(array().cast("array<int>"))
     df.select(col(idCol), toks.as("__toks"), n.as("__n"),
         explode(idxSeq).as("chunk_idx"))
-      .where(col("chunk_idx") * stride < col("__n")) // guard ceil overshoot on exact multiples
       .select(
         col(idCol),
         col("chunk_idx"),

@@ -44,11 +44,25 @@ object CorpusSink {
     require(tasksPerPartition >= 1, s"tasksPerPartition must be >= 1, got $tasksPerPartition")
     val clustered =
       if (partitionCols.isEmpty) df
+      else if (tasksPerPartition == 1)
+        // no salt needed: one writer task per partition value
+        df.repartition(partitionCols.map(col): _*)
       else {
-        // deterministic row-content salt: no column dependency, stable
-        // across retries (rand() would break speculative re-execution)
-        val salt = pmod(hash(df.columns.map(col).toIndexedSeq: _*),
-          lit(tasksPerPartition))
+        // deterministic row-content salt, stable across retries (rand()
+        // would break speculative re-execution). Spark's hash() rejects
+        // MapType, so only map-free columns feed it — partition columns
+        // alone would be constant within a directory and spread nothing.
+        def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case _: org.apache.spark.sql.types.MapType => false
+          case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => mapFree(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
+          case _ => true
+        }
+        val hashable = df.schema.fields.collect { case f if mapFree(f.dataType) => f.name }
+        require(hashable.exists(!partitionCols.contains(_)),
+          "writePartitioned: no map-free non-partition column to salt by; " +
+            "pass tasksPerPartition = 1 or add a hashable column")
+        val salt = pmod(hash(hashable.map(col).toIndexedSeq: _*), lit(tasksPerPartition))
         df.repartition(partitionCols.map(col) :+ salt: _*)
       }
     clustered.write

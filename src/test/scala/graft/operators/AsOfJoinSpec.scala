@@ -44,6 +44,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("d") == None, "key 2 has no right rows at all")
   }
 
+  test("a matched right row with a NULL payload is returned as-is, not skipped") {
+    // the latest prior row at ts=10 has v = NULL; ASOF semantics return
+    // THAT row's (null) payload — a per-column ignoreNulls carry-forward
+    // would wrongly reach past it to the ts=8 row
+    val r = frame("k" -> LongType, "ts" -> LongType, "v" -> DoubleType, "rts" -> LongType)(
+      Seq[Any](1L, 8L, 1.0, 8L), Seq[Any](1L, 10L, null, 10L))
+    val l = frame("k" -> LongType, "ts" -> LongType, "tag" -> StringType)(
+      Seq[Any](1L, 12L, "x"))
+    val out = AsOfJoin.asOf(l, r, "k", "ts", payloadCols = Seq("v", "rts"), leftCols = Seq("tag"))
+      .collect().head
+    assert(out.isNullAt(3), "asof_v must be the matched row's NULL, not the older 1.0")
+    assert(out.getLong(4) == 10L, "asof_rts proves the ts=10 row was the match")
+  }
+
   test("per-key isolation and row preservation") {
     val rows = AsOfJoin.asOf(left, right, "k", "ts", Seq("v"), Seq("tag"))
     assert(rows.count() == left.count(), "as-of is a LEFT join: every left row survives")

@@ -15,15 +15,28 @@ class ChunkingSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, 2),
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
 
-  test("chunking: stride windows with overlap, short tail kept") {
+  test("chunking: stride windows with overlap cover every token") {
     val d = docs(1L -> (1 to 10).map(i => s"t$i").mkString(" "))
     val out = Chunking.chunk(d, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
       .collect().map(r => r.getInt(1) -> (r.getString(2), r.getInt(3))).toMap
-    // stride 3: windows at 0, 3, 6, 9
-    assert(out(0) == ("t1 t2 t3 t4", 4))
-    assert(out(1) == ("t4 t5 t6 t7", 4), "overlap of 1 token repeats the boundary token")
-    assert(out(2) == ("t7 t8 t9 t10", 4))
-    assert(out(3) == ("t10", 1), "the short tail window survives")
+    // stride 3, nChunks = ceil((10-1)/3) = 3: windows at 0, 3, 6
+    assert(out == Map(
+      0 -> ("t1 t2 t3 t4", 4),
+      1 -> ("t4 t5 t6 t7", 4), // overlap of 1 repeats the boundary token
+      2 -> ("t7 t8 t9 t10", 4)))
+  }
+
+  test("chunking: no pure-overlap tail window (it would duplicate content)") {
+    // n=5, chunk 4, overlap 2 (stride 2): ceil(n/stride) would emit a
+    // third window holding only t5 — a strict subset of window 1
+    val d = docs(1L -> "t1 t2 t3 t4 t5")
+    val out = Chunking.chunk(d, "doc_id", "text", chunkTokens = 4, overlapTokens = 2)
+      .collect().map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(out == Map(0 -> "t1 t2 t3 t4", 1 -> "t3 t4 t5"))
+    // a doc shorter than the chunk is exactly one whole-doc chunk
+    val tiny = Chunking.chunk(docs(2L -> "a b"), "doc_id", "text", 64, 16)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(tiny.toSeq == Seq((0, "a b", 2)))
   }
 
   test("chunking: empty docs yield zero chunks; exact multiples no phantom window") {
