@@ -35,6 +35,10 @@ object QueryCatalog {
     s.read.parquet(s"$dir/embeddings.parquet")
   private def nation(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/nation.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
 
   /** events.parquet stores TIMESTAMP(NANOS); Spark 4 only reads it with
     * nanosAsLong (the column then arrives as LongType nanos — see
@@ -276,6 +280,33 @@ object QueryCatalog {
       val m = TargetEncoder.fitMappings(nationViaCsv(s, dir), Seq("n_name"), "n_regionkey")("n_name")
       import s.implicits._
       m.toSeq.map { case (k, v) => (k, v.toLong) }.toDF("category", "code").orderBy("code")
+    }),
+    // Classic OLAP enrichment chain: fact (lineitem) joined through
+    // orders to the customer and nation dimensions, revenue per nation —
+    // the multi-join shape every analytics engine must plan well. The
+    // dimension sides broadcast (nation always; customer under AQE's
+    // size estimate at gate scale), the l_quantity filter pushes to the
+    // fact scan, and the aggregate is map-side combined. Revenue runs in
+    // DECIMAL: a distributed double sum's accumulation ORDER is
+    // partition-dependent, so a double revenue could drift from the
+    // oracle's sequential sum beyond the rounding guard — decimal
+    // arithmetic is exact and association-free on both engines.
+    "nation_revenue" -> ((s, dir) => {
+      val l = lineitem(s, dir).where(col("l_quantity") >= 25)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .as("rev"))
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val c = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = broadcast(nation(s, dir).select(col("n_nationkey"), col("n_name")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("nation")
     }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -962,7 +993,18 @@ object QueryCatalog {
     "asof_join" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
     "chunk_documents" -> chunkDocumentsSql,
-    "mixture_sample" -> mixtureSampleSql
+    "mixture_sample" -> mixtureSampleSql,
+    "nation_revenue" ->
+      """SELECT n_name AS nation,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_quantity >= 25
+        |GROUP BY 1 ORDER BY nation""".stripMargin
   )
 
   /** Twin of the 64/16 chunking: same single-space normalization, same

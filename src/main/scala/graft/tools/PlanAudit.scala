@@ -84,6 +84,25 @@ object PlanAudit {
     audit("target-encode apply, >128 categories", enc, Seq(
       "broadcast join for big dictionary" -> (_.contains("BroadcastHashJoin"))
     ))
+    audit("asof_join (union-tag carry-forward)", q("asof_join")(spark, sfDir), Seq(
+      "single Window node (struct payload carry)" ->
+        (p => "- Window \\(".r.findAllIn(p).size == 1),
+      "no range self-join" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    ))
+    audit("range_join (bin-bucketed containment)", q("range_join")(spark, sfDir), Seq(
+      "equi-join on (key, bin), no cartesian" -> (p => p.contains("Join") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    ))
+    audit("pack_sequences (distributed prefix sum)", q("pack_sequences")(spark, sfDir), Seq(
+      "no corpus-ordered unpartitioned window" ->
+        (p => !p.contains("windowspecdefinition(doc_id"))
+    ))
+    audit("nation_revenue (multi-join OLAP)", q("nation_revenue")(spark, sfDir), Seq(
+      "dimension broadcast" -> (_.contains("BroadcastHashJoin")),
+      "fact filter pushed to parquet" -> (_.contains("GreaterThanOrEqual(l_quantity,25")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))
+    ))
     spark.stop()
   }
 }
