@@ -122,6 +122,26 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("document chunking runs verbatim on a stream (stateless column algebra)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val chunked = graft.operators.Chunking.chunk(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 3, overlapTokens = 0)
+    val q = chunked.writeStream.format("memory").queryName("chunk_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "a b c d e"), (2L, ""))
+      q.processAllAvailable()
+      val rows = spark.table("chunk_out")
+        .select("doc_id", "chunk_idx", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(rows == Set((1L, 0, "a b c"), (1L, 1, "d e")),
+        s"empty docs chunk to nothing, windows match batch: $rows")
+    } finally q.stop()
+  }
+
   test("streaming curate filters junk and scrubs PII, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
