@@ -85,6 +85,16 @@ class TextFunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3), r.getInt(4))).toMap
     assert(viaSql == viaApi)
     assert(viaSql(2L)._1 == "de")
+    // the r5 signal/scrub functions ride the same one-implementation rule
+    val sig = spark.sql(
+      """SELECT graft_scrub_pii('mail me bob123456@a.com ok') AS s,
+        |       graft_dup_token_frac('x x y') AS dt,
+        |       graft_dup_line_frac('a\nb\na') AS dl,
+        |       graft_symbol_ratio('ab {}') AS sr""".stripMargin).head()
+    assert(sig.getString(0) == "mail me <EMAIL> ok")
+    assert(math.abs(sig.getDouble(1) - (1.0 - 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(sig.getDouble(2) - (1.0 - 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(sig.getDouble(3) - 2.0 / 5.0) < 1e-12)
   }
 
   test("token counts") {
