@@ -12,10 +12,21 @@ import graft.tree.{Criterion, DecisionTreeClassifier}
   * computed columns under count, which would flatter expression-heavy
   * queries.
   *
-  * Methodology: a discarded warmup pass absorbs session/JIT cold start,
-  * then every entry reports the MEDIAN of 3 runs (total = sum of medians).
-  * Single cold runs swung 0.13x-4.7x round-over-round on unchanged
-  * sub-second queries, putting the noise floor above the 2x perf gate.
+  * Methodology: INTERLEAVED sweeps. One discarded warmup sweep runs every
+  * entry once (session/codegen/parquet-footer cold start lands there), then
+  * 3 measured sweeps run the whole entry list end-to-end and each entry
+  * reports the MEDIAN of its per-sweep times (total = sum of medians).
+  * Interleaving matters: with 3 CONSECUTIVE runs per entry, a mid-session
+  * JIT/GC/code-cache window inflated whichever queries sorted together
+  * alphabetically (r5: majority_class 5.5x its line while the shape-identical
+  * class_distribution ran 0.21 s minutes earlier). With repetitions ~100 s
+  * apart, a transient window can poison at most one of an entry's 3 samples,
+  * and the median discards it.
+  *
+  * Heap: per-entry peak-heap deltas are sampled (PeakHeapSampler.drain gives
+  * the high-water mark of exactly one entry's window) and reported as
+  * `peaks_gb`, so a raised session peak is attributable to a named entry
+  * instead of a round-over-round mystery.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,26 +66,21 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    /** Median of 3 runs; any failed run poisons the entry to -1. */
-    def time(body: => Unit): Double = {
-      val ts = Seq.fill(3) { val t = timeOnce(body); release(); t }
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+    /** Collect garbage between entries when used heap has piled up, so an
+      * entry's sampled peak measures ITS allocations, not the uncollected
+      * garbage of whoever ran before it. Bounded by the 2 GB gate so we
+      * don't pay ~200 full GCs per bench; runs outside every timed region. */
+    def gcIfPiled(): Unit = {
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > (2L << 30)) System.gc()
     }
 
-    // Discarded warmup: session/codegen/parquet-footer cold start lands
-    // here instead of in the alphabetically first query's numbers.
-    timeOnce {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().collect()
-    }
-    release()
-
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // ---- unified entry list: catalog queries + the headline ML fits ----
+    val queryEntries: Seq[(String, () => Unit)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        (name, () => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }
-    }
+
     // The headline ML workload: depth-4 entropy fit on lineitem numeric
     // features + single-pass batch predict, reference EP1+EP2 shape.
     // Exact mode = reference-parity candidate set (every distinct value);
@@ -83,27 +89,27 @@ object Bench {
       ("fit_depth4_entropy", None, None),               // exact, windowed cum
       ("fit_depth4_entropy_scalable", None, Some(32)),  // exact, partitioned prefix sums
       ("fit_depth4_entropy_bins32", Some(32), None))    // quantile-binned
-    for ((label, bins, cumParts) <- fitVariants) {
-      results(label) = time {
+    val fitEntries: Seq[(String, () => Unit)] = fitVariants.map { case (label, bins, cumParts) =>
+      (label, () => {
         val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
         val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
           maxBins = bins, exactCumulativePartitions = cumParts).fit(df, "l_returnflag")
         graft.tree.Predict.predictMany(model, df)
           .write.format("noop").mode("overwrite").save()
-      }
+      })
     }
 
-    // Width scaling: the reference's flagship table is 190 columns. Derive
-    // 24 numeric features and fit binned level-wise — the
-    // MultiFeatureHistogram path costs one un-melted pass per level
-    // regardless of feature count, which is what makes wide tables viable
-    // (the melt formulation multiplies rows by #features+1).
-    results("fit_depth4_entropy_bins32_wide24") = time {
+    // Width scaling at the reference's flagship width (190 features,
+    // README.md:40-47). Derive synthetic numeric features and fit binned
+    // level-wise — the MultiFeatureHistogram path costs one un-melted pass
+    // per level regardless of feature count, which is what makes wide
+    // tables viable (the melt formulation multiplies rows by #features+1).
+    def wideFit(nDerived: Int): Unit = {
       val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select((baseCols :+ "l_returnflag").map(org.apache.spark.sql.functions.col): _*)
-      val wide = (0 until 20).foldLeft(base) { (d, i) =>
+      val wide = (0 until nDerived).foldLeft(base) { (d, i) =>
         d.withColumn(s"f_$i",
           org.apache.spark.sql.functions.col(baseCols(i % 4)) * (1.0 + i * 0.1) + i)
       }
@@ -112,11 +118,40 @@ object Bench {
       graft.tree.Predict.predictMany(model, wide)
         .write.format("noop").mode("overwrite").save()
     }
+    val wideEntries: Seq[(String, () => Unit)] = Seq(
+      ("fit_depth4_entropy_bins32_wide24", () => wideFit(20)),
+      ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)))
 
+    val entries = queryEntries ++ fitEntries ++ wideEntries
+
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val peaks = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var globalPeak = 0L
+
+    def sweep(measured: Boolean): Unit = entries.foreach { case (name, body) =>
+      globalPeak = math.max(globalPeak, heap.drain()) // pre-entry residue → global only
+      val t = timeOnce(body())
+      val p = heap.drain()
+      globalPeak = math.max(globalPeak, p)
+      if (measured) {
+        samples(name) = samples.getOrElse(name, Nil) :+ t
+        peaks(name) = math.max(peaks.getOrElse(name, 0L), p)
+      }
+      release()
+      gcIfPiled()
+    }
+
+    sweep(measured = false) // discarded warmup sweep
+    (1 to 3).foreach(_ => sweep(measured = true))
+
+    val results = samples.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val pk = peaks.map { case (k, v) => "\"" + k + "\":" + f"${v / 1e9}%.2f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val peakGb = heap.peakBytes / 1e9
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"sf":"$sfDir"}""")
+    val peakGb = math.max(globalPeak, heap.peakBytes) / 1e9
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"peaks_gb":$pk,"sf":"$sfDir"}""")
     spark.stop()
   }
 

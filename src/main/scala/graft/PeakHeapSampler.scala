@@ -21,5 +21,10 @@ final class PeakHeapSampler(intervalMs: Long = 100) {
   /** Zero the high-water mark (e.g. between measured phases). */
   def reset(): Unit = peak.set(0L)
 
+  /** Read-and-zero the high-water mark atomically: the returned peak covers
+    * exactly the window since the previous drain, so a caller can attribute
+    * heap to per-entry windows without losing samples between them. */
+  def drain(): Long = peak.getAndSet(0L)
+
   def peakBytes: Long = peak.get()
 }
