@@ -556,6 +556,29 @@ object QueryCatalog {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // The PERSISTED flavor of batch IVF: both halves of the index — the
+    // cell-bucketed corpus assignment AND the quantizer's centroid table —
+    // are written once (IndexStore) and read back, completing the 100 TB
+    // story the ivfIndex scaladoc promises. The probe equi-join on `cell`
+    // then needs no index-side shuffle (IndexStoreSpec asserts it), and
+    // the centroid ranking goes through the broadcast-table path
+    // (ivfTopKForQueriesTable — the nlist 10^4-10^5 shape). Timing
+    // honestly includes quantizer training + both table writes. Same
+    // exhaustive nprobe = nlist oracle as batch_ivf_topk.
+    "batch_ivf_topk_bucketed" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val (index, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16)
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxTbl = "graft_ivf_index_" + suffix
+      val cenTbl = "graft_ivf_centroids_" + suffix
+      IndexStore.writeBucketed(index, idxTbl, "cell", 8)
+      IndexStore.writeTable(Similarity.centroidTable(s, centroids), cenTbl)
+      Similarity.ivfTopKForQueriesTable(IndexStore.read(s, idxTbl),
+          IndexStore.read(s, cenTbl), e.where(col("vec_id") < 5),
+          "vec_id", "embedding", nprobe = 16, k = 5)
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // End-to-end dedup materialization: corpus minus the greedy-dropped
     // side of the jaccard near-dup pairs.
     "dedup_drop" -> ((s, dir) => {
@@ -974,6 +997,7 @@ object QueryCatalog {
     "batch_ann_topk" -> topkForQueriesSql,
     "batch_ann_topk_bucketed" -> topkForQueriesSql,
     "batch_ivf_topk" -> topkForQueriesSql,
+    "batch_ivf_topk_bucketed" -> topkForQueriesSql,
     "curation_pipeline" -> curationPipelineSql,
     // dedup_drop_exact: see the catalog comment — clique components make
     // the greedy dropped-set SQL exact for the MIS materialization too.

@@ -254,8 +254,12 @@ object Similarity {
     * every vector to one of `nlist` cells; queries probe only the `nprobe`
     * nearest cells. The other classic ANN scale path beside sign-LSH:
     * cells adapt to the data distribution, and at 100 TB the index is
-    * written once partitioned by `cell` so a probe reads nprobe/nlist of
-    * the corpus.
+    * written once bucketed by `cell` so a probe reads nprobe/nlist of
+    * the corpus — executed, not just claimed: the catalog's
+    * `batch_ivf_topk_bucketed` persists this index and the quantizer's
+    * centroid table through [[graft.sources.IndexStore]] and probes the
+    * read-back, and IndexStoreSpec asserts the cell join has no
+    * index-side exchange.
     *
     * The quantizer is trained on the driver over a deterministic sample
     * (first `sampleSize` vectors by id, fixed Lloyd iteration order, ties

@@ -42,20 +42,7 @@ object IndexStore {
       numBuckets: Int,
       sortCols: Seq[String] = Nil
   ): Unit = {
-    // Overwrite semantics must also cover the orphan-location case: with a
-    // local in-memory catalog the table ENTRY dies with the session but its
-    // managed LOCATION survives on disk, and Spark refuses to recreate a
-    // managed table over an existing location. Dropping both makes
-    // overwrite mean overwrite.
-    val spark = index.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // the catalog lowercases table identifiers, so the managed location is
-    // warehouse/<lowercased name> — cleaning the raw-cased path would miss
-    // the real orphan and saveAsTable would still refuse the location
-    val loc = new org.apache.hadoop.fs.Path(
-      s"${spark.conf.get("spark.sql.warehouse.dir")}/${table.toLowerCase(java.util.Locale.ROOT)}")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropWithLocation(index.sparkSession, table)
     val w = index.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCol)
     val sorted = sortCols match {
@@ -63,6 +50,31 @@ object IndexStore {
       case _            => w.sortBy(bucketCol)
     }
     sorted.saveAsTable(table)
+  }
+
+  /** Plain (unbucketed) managed-table write with the same overwrite
+    * semantics — for small sidecar tables that travel WITH a bucketed
+    * index but are broadcast at probe time rather than joined on the
+    * bucket key (e.g. an IVF index's quantizer centroids: nlist x dim
+    * doubles, trivially small next to the corpus-sized index). */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Overwrite semantics must also cover the orphan-location case: with a
+    * local in-memory catalog the table ENTRY dies with the session but its
+    * managed LOCATION survives on disk, and Spark refuses to recreate a
+    * managed table over an existing location. Dropping both makes
+    * overwrite mean overwrite. The catalog lowercases table identifiers,
+    * so the managed location is warehouse/<lowercased name> — cleaning the
+    * raw-cased path would miss the real orphan. */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${table.toLowerCase(java.util.Locale.ROOT)}")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** The bucketed index as a DataFrame; its scan reports the bucketing as

@@ -79,4 +79,46 @@ class IndexStoreSpec extends AnyFunSuite {
       Similarity.lshIndex(corpus, "vec_id", "embedding", nBits = 4, dim = Some(64)))
     assert(run(bucketed) == inMemory)
   }
+
+  // ---- the IVF twin of the story: index bucketed by cell + centroid
+  // sidecar table, probed through the broadcast-centroid path ----
+
+  private lazy val ivfPersisted = {
+    val (index, centroids) = Similarity.ivfIndex(corpus, "vec_id", "embedding", nlist = 16)
+    IndexStore.writeBucketed(index, "graft_test_ivf_bucketed", "cell", NBuckets)
+    IndexStore.writeTable(
+      Similarity.centroidTable(spark, centroids), "graft_test_ivf_centroids")
+    (IndexStore.read(spark, "graft_test_ivf_bucketed"),
+      IndexStore.read(spark, "graft_test_ivf_centroids"),
+      index, centroids)
+  }
+
+  test("IVF cell equi-join on the bucketed index shuffles ONLY the probe side") {
+    val (bucketedIdx, centTbl, inMemIdx, _) = ivfPersisted
+    val queries = corpus.where(col("vec_id") < 3)
+    def build(index: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKForQueriesTable(index, centTbl, queries,
+        "vec_id", "embedding", nprobe = 4, k = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // identical plans except the cell join's index side: the bucketed
+      // scan's output partitioning satisfies the join, the in-memory
+      // control needs one more exchange
+      assert(exchanges(build(inMemIdx)) == exchanges(build(bucketedIdx)) + 1,
+        "bucketed IVF index must save exactly the index-side exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("batch IVF over the persisted index+centroids returns the in-memory path's rows") {
+    val (bucketedIdx, centTbl, inMemIdx, centroids) = ivfPersisted
+    val queries = corpus.where(col("vec_id") < 3)
+    val persisted = Similarity.ivfTopKForQueriesTable(bucketedIdx, centTbl, queries,
+        "vec_id", "embedding", nprobe = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val inMemory = Similarity.ivfTopKForQueries(inMemIdx, centroids, queries,
+        "vec_id", "embedding", nprobe = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(persisted == inMemory)
+  }
 }
