@@ -489,6 +489,25 @@ object QueryCatalog {
           payloadCols = Seq("view_value", "view_us"), leftCols = Seq("event_id"))
         .orderBy("user_id", "event_id")
     }),
+    // The heavy-key flavor of the as-of join: identical semantics and
+    // oracle (DuckDB native ASOF), but the carry-forward partitions on
+    // (user, hour bucket) with predecessor seeding instead of one
+    // window partition per user's full history — the skew-safe 100 TB
+    // shape (one hot user = bounded tasks, not a straggler).
+    "asof_join_bucketed" -> ((s, dir) => {
+      val e = events(s, dir)
+      val us = Sessionize.epochMicros(e, "ts")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), us.as("us"), col("event_id"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), us.as("us"), col("value"))
+        .groupBy("user_id", "us").agg(max("value").as("view_value"))
+        .withColumn("view_us", col("us"))
+      AsOfJoin.asOfBucketed(clicks, views, "user_id", "us",
+          payloadCols = Seq("view_value", "view_us"), leftCols = Seq("event_id"),
+          bucketWidth = 3600L * 1000000)
+        .orderBy("user_id", "event_id")
+    }),
     // IVF ANN scale path: deterministic sample-trained k-means quantizer
     // + nprobe=4 of 16 cells. Cells nearest the query hold its true
     // neighbors on this corpus, so the probe returns the exact top-k and
@@ -1015,6 +1034,7 @@ object QueryCatalog {
     "topk_for_queries" -> topkForQueriesSql,
     "sessionize" -> sessionizeSql,
     "asof_join" -> asofJoinSql,
+    "asof_join_bucketed" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
     "chunk_documents" -> chunkDocumentsSql,
     "mixture_sample" -> mixtureSampleSql,

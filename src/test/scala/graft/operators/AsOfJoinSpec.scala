@@ -71,4 +71,50 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert("\\bWindow \\[".r.findAllIn(plan).size == 1,
       s"payload carry-forwards must share one Window node:\n$plan")
   }
+
+  // ---- the heavy-key bucketed variant: same answers, bounded partitions ----
+
+  private def runBucketed(width: Long) =
+    AsOfJoin.asOfBucketed(left, right, "k", "ts", payloadCols = Seq("v"),
+        leftCols = Seq("tag"), bucketWidth = width)
+      .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+
+  test("bucketed as-of is result-identical to the unbucketed path at every granularity") {
+    val expected = run()
+    // width 1: every timestamp its own bucket (all matches cross buckets
+    // via seeds); width 7: buckets cut mid-history; width 1000: one
+    // bucket, degenerates to the plain path
+    for (width <- Seq(1L, 7L, 1000L))
+      assert(runBucketed(width) == expected, s"bucketWidth=$width diverged")
+  }
+
+  test("a single hot key holding every row still matches the unbucketed path") {
+    // the scenario the bucketing exists for: one key's history would be
+    // ONE window partition in asOf; bucketed, it is span/width partitions
+    val n = 5000
+    val hotLeft = frame("k" -> LongType, "ts" -> LongType, "tag" -> StringType)(
+      (0 until n).map(i => Seq[Any](1L, i.toLong * 3, s"t$i")): _*)
+    val hotRight = frame("k" -> LongType, "ts" -> LongType, "v" -> DoubleType)(
+      // right rows only every 25 ticks: most buckets have NO right row,
+      // so seeds must propagate across empty-bucket gaps
+      (0 until n by 25).map(i => Seq[Any](1L, i.toLong * 3 + 1, i.toDouble)): _*)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    val exact = collect(AsOfJoin.asOf(hotLeft, hotRight, "k", "ts", Seq("v"), Seq("tag")))
+    val bucketed = collect(AsOfJoin.asOfBucketed(hotLeft, hotRight, "k", "ts",
+      Seq("v"), Seq("tag"), bucketWidth = 500))
+    assert(bucketed.size == n && bucketed == exact)
+  }
+
+  test("bucketed carry-forward windows partition on (key, bucket), never bare key") {
+    val plan = AsOfJoin.asOfBucketed(left, right, "k", "ts", Seq("v"), Seq("tag"),
+        bucketWidth = 7)
+      .queryExecution.optimizedPlan.toString
+    // the main carry-forward must include __bucket in its partition spec;
+    // only the bucket-SPINE window (O(#buckets) rows) may key on k alone
+    val mainWindow = "windowspecdefinition\\(k#\\d+L, __bucket".r
+    assert(mainWindow.findFirstIn(plan).isDefined,
+      s"row-level window must partition by (key, bucket):\n$plan")
+  }
 }
