@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * tokenize once, aggregate term frequency per (doc, term) — map-side
   * combined, shuffle volume = distinct (doc, term) pairs — then document
   * frequency per term over the TF table (one row per term), join back,
-  * score, and take the per-doc top-k with a window. The corpus size N is
-  * one driver-side count (a metadata scalar, same posture as the trainer's
-  * distinct-targets collect).
+  * score, and take the per-doc top-k with a window. The corpus size N
+  * stays IN the plan: a one-row countDistinct aggregate broadcast onto
+  * the scored terms (the same scalar-totals-as-broadcast pattern as the
+  * split search's cum-count offsets), so building the operator runs no
+  * job and composing it lazily costs no eager corpus pass — at 100 TB an
+  * eager `distinct().count()` at construction would be a full extra scan
+  * before the query even starts.
   *
   * Smoothed idf = ln((N + 1) / (df + 1)) + 1 (the standard smooth variant:
   * never zero, never divides by zero), score = tf * idf. Ties rank by term
@@ -33,13 +37,14 @@ object Tfidf {
     val toks = df.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
-    val n = df.select(col(idCol)).distinct().count()
+    val corpusN = df.agg(countDistinct(col(idCol)).as("__n"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") >= lit(minDf))
     val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(corpusN))
       .withColumn("tfidf",
-        col("tf") * (log(lit((n + 1).toDouble) / (col("df") + lit(1))) + lit(1.0)))
+        col("tf") * (log((col("__n") + lit(1)).cast("double") / (col("df") + lit(1))) + lit(1.0)))
     val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)
     scored
       .withColumn("rank", row_number().over(w))

@@ -75,6 +75,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "per-bucket offsets must broadcast back")
   }
 
+  test("tfidf construction is lazy: the corpus count is in-plan, not an eager job") {
+    // the parquet READ may cost a schema-inference job; the operator must not
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val built = graft.operators.Tfidf.topTerms(docs, "doc_id", "text", k = 3, minDf = 2)
+      Thread.sleep(500) // async listener bus settles
+      assert(jobs == 0, s"building topTerms ran $jobs Spark job(s) eagerly")
+      // and the N it scores with is a plan-side aggregate, not a baked literal
+      assert(built.queryExecution.optimizedPlan.toString.contains("count(distinct"),
+        "corpus N must be computed in-plan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pair-candidate dedups shuffle ids only (no vector/signature payload)") {
     // embedding_neardup_lsh: the (id_a, id_b) dedup must not carry the
     // va/vb arrays through its exchange (the r4 verdict's #3 finding)
