@@ -253,6 +253,20 @@ object QueryCatalog {
         .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
           round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"))
         .orderBy("target")),
+    // Sketch-based grouped percentiles — the actual scale path (bounded
+    // memory per group vs the exact form's full-group value buffer; at
+    // 100 TB a group's values do not fit anywhere). The sketch is
+    // engine-specific so no cross-engine hash oracle exists: this entry
+    // carries the driver's weaker rows-only check BY DESIGN, and
+    // ApproxPercentileSpec pins the real contract — the approx value
+    // must sit inside the exact percentile bracket [q-eps, q+eps] at
+    // 100x the sketch's guaranteed rank error.
+    "group_percentiles_approx" -> ((s, dir) =>
+      lineitem(s, dir).groupBy(col(Target).as("target"))
+        .agg(
+          round(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)), 6).as("p50"),
+          round(approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000)), 6).as("p95"))
+        .orderBy("target")),
     "split_partition_left" -> ((s, dir) =>
       orderedByAll(lineitem(s, dir).where(col("l_discount") <= lit(0.05))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))),
