@@ -422,6 +422,20 @@ object QueryCatalog {
         .select("doc_id", "n_tokens", "offset", "pack_id", "pack_offset")
         .orderBy("doc_id")
     }),
+    // Token-AWARE packing: identical distributed prefix-sum scheme, but
+    // the budget counts BPE-ish subword tokens (letter runs, digit runs,
+    // single symbols) instead of whitespace words. Whitespace counts
+    // under-estimate real tokenizer budgets 20-40% on punctuated web
+    // text — packing by them routinely overruns the context window — so
+    // this is the variant a training pipeline actually packs with. The
+    // count expression is deterministic regex SQL -> exact hash oracle.
+    "pack_sequences_bpeish" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packByBudget(docs, "doc_id", "n_tokens", budget = 2048L, numBuckets = 8)
+        .select("doc_id", "n_tokens", "offset", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
     "brute_force_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = queryVector(e)
@@ -1044,6 +1058,7 @@ object QueryCatalog {
     "scrub_pii" -> scrubPiiSql,
     "tfidf_topk" -> tfidfSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_sequences_bpeish" -> packSequencesBpeishSql,
     "brute_force_topk" -> topkSql,
     "topk_for_queries" -> topkForQueriesSql,
     "sessionize" -> sessionizeSql,
@@ -1187,6 +1202,20 @@ object QueryCatalog {
       |  SELECT doc_id,
       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS "offset"
+      |  FROM t)
+      |SELECT doc_id, n_tokens, "offset", "offset" // 2048 AS pack_id, "offset" % 2048 AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[graft.functions.TextFunctions.bpeishTokenCount]]: the same
+    * letter-run/digit-run/single-symbol alternation in DuckDB's RE2. */
+  private lazy val packSequencesBpeishSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, n_tokens,

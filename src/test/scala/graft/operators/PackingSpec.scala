@@ -47,6 +47,47 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.packByBudget(docs(), "doc_id", "n_tokens", 100L).count() == 0)
   }
 
+  test("bpeish token counts drive packing: subword budget holds where whitespace counts overrun") {
+    import graft.functions.TextFunctions
+    // punctuation-heavy web-ish text: whitespace sees 6 tokens/doc, the
+    // BPE-ish proxy sees 15 (letter runs + digit runs + single symbols)
+    val text = """Buy now!!! Only $9.99 (50% off)"""
+    val rows = (1L to 6L).map(i => Row(i, text))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val counted = d.select(col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).cast("long").as("ws"),
+      TextFunctions.bpeishTokenCount(col("text")).cast("long").as("bpeish"))
+    val first = counted.orderBy("doc_id").head()
+    val (ws, bpeish) = (first.getLong(1), first.getLong(2))
+    assert(ws == 6 && bpeish == 15,
+      s"fixture drift: ws=$ws bpeish=$bpeish — update the packing math below")
+
+    // budget 30: by ws counts all 6 docs (36 ws tokens) look like ~1.2
+    // packs, but the true subword stream is 90 tokens = 3 packs. Packing
+    // by bpeish keeps every window within budget under the REAL counts.
+    val packed = Packing.packByBudget(
+      counted.select(col("doc_id"), col("bpeish").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 30L, numBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // offsets are the exclusive prefix sum of the bpeish counts...
+    assert(packed.sortBy(_._1).map(_._3).toSeq == Seq(0L, 15L, 30L, 45L, 60L, 75L))
+    packed.foreach { case (id, n, offset, packId, packOffset) =>
+      // ...and every doc's window assignment respects the subword budget
+      assert(packId == offset / 30 && packOffset == offset % 30 && packOffset < 30,
+        s"doc $id: ($offset, $packId, $packOffset) violates the 30-token budget")
+    }
+    // the ws-count packing would have declared 2 packs for a 90-subword
+    // stream — the overrun this variant exists to prevent
+    val wsPacks = Packing.packByBudget(
+      counted.select(col("doc_id"), col("ws").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 30L, numBuckets = 2)
+      .agg(org.apache.spark.sql.functions.max("pack_id")).head().getLong(0) + 1
+    assert(wsPacks < (90 + 29) / 30,
+      "fixture should demonstrate the whitespace undercount")
+  }
+
   test("the plan has no unpartitioned data-sized window (scale guard)") {
     val d = docs((1L to 50L).map(i => i -> i): _*)
     val plan = Packing.exclusivePrefixSum(d, "doc_id", "n_tokens", 8)
