@@ -402,15 +402,20 @@ object QueryCatalog {
           col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))
         .orderBy("doc_id", "chunk_idx")),
     // Weighted corpus mixture via deterministic content-hash sampling:
-    // survival is a pure function of (doc_id, lang), so the mixture is
-    // reproducible across engines/layouts/retries — which is also what
-    // makes it oracle-checkable (DataFrame.sample is not).
+    // survival (and repetition) is a pure function of (doc_id, lang), so
+    // the mixture is reproducible across engines/layouts/retries — which
+    // is also what makes it oracle-checkable (DataFrame.sample is not).
+    // The rate matrix exercises both directions: English downsampled to
+    // 0.5, the rare 'und' stratum UPWEIGHTED to 2.25 (2 guaranteed
+    // copies + a hash-thresholded 25% third — how real mixtures boost
+    // rare languages/domains), everything else dropped.
     "mixture_sample" -> ((s, dir) => {
       val docs = documents(s, dir)
         .withColumn("lang", TextFunctions.langId(col("text")))
       Chunking.mixtureSample(docs, "doc_id", "lang",
-          rates = Map("en" -> 0.5, "de" -> 0.25))
-        .select("doc_id", "lang").orderBy("doc_id")
+          rates = Map("en" -> 0.5, "und" -> 2.25))
+        .select(col("doc_id"), col("lang"), col("sample_copy").cast("long").as("sample_copy"))
+        .orderBy("doc_id", "sample_copy")
     }),
     // Sequence packing (concat-then-chunk context windows): global token
     // offsets via the DISTRIBUTED exclusive prefix sum — no
@@ -1105,11 +1110,17 @@ object QueryCatalog {
   private lazy val mixtureSampleSql = {
     def keep(rate: Double) =
       s"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT < ${(rate * 65536).toInt}"
-    s"""WITH l AS ($langSelectSql)
-       |SELECT doc_id, lang FROM l
-       |WHERE (lang = 'en' AND ${keep(0.5)})
-       |   OR (lang = 'de' AND ${keep(0.25)})
-       |ORDER BY doc_id""".stripMargin
+    // n_copies mirrors mixtureSample: floor(rate) + hash-thresholded
+    // fractional copy; unnest(range(0, n)) drops zero-copy rows
+    s"""WITH l AS ($langSelectSql),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN lang = 'en' THEN (CASE WHEN ${keep(0.5)} THEN 1 ELSE 0 END)
+       |         WHEN lang = 'und' THEN 2 + (CASE WHEN ${keep(0.25)} THEN 1 ELSE 0 END)
+       |         ELSE 0 END AS n_copies
+       |  FROM l)
+       |SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT) AS sample_copy
+       |FROM m ORDER BY doc_id, sample_copy""".stripMargin
   }
 
   /** Twin of the range_join query: recompute the session intervals (the

@@ -71,10 +71,18 @@ object Chunking {
   def sampleByHash(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.where(hashSamplePredicate(col(idCol), rate))
 
-  /** Weighted corpus mixture: per-stratum deterministic sampling rates
-    * (e.g. lang -> rate), unmatched strata dropped. One narrow filter —
-    * the mixture is a pure function of (id, stratum), reproducible
-    * anywhere. */
+  /** Weighted corpus mixture: per-stratum deterministic rates (e.g.
+    * lang -> rate), unmatched strata dropped. Rates may exceed 1 —
+    * real corpus mixtures UPWEIGHT rare languages/domains: a row in a
+    * stratum with rate r yields floor(r) guaranteed copies plus one
+    * fractional copy iff its id-hash falls under frac(r) (the same
+    * threshold as downsampling, so r <= 1 reproduces the pure-filter
+    * semantics row for row). Output rows carry `sample_copy` in
+    * [0, copies) so downstream stages (shuffling, packing) can
+    * distinguish repetitions. Everything is a pure function of
+    * (id, stratum): reproducible across engines/layouts/retries, and
+    * the row multiplier is bounded by max(rates) — a narrow
+    * filter+explode, no shuffle. */
   def mixtureSample(
       df: DataFrame,
       idCol: String,
@@ -82,10 +90,22 @@ object Chunking {
       rates: Map[String, Double]
   ): DataFrame = {
     require(rates.nonEmpty, "mixtureSample: empty rate map")
-    val pred = rates.foldLeft(lit(false)) { case (acc, (stratum, rate)) =>
-      acc || (col(stratumCol) === lit(stratum) &&
-        hashSamplePredicate(col(idCol), rate))
+    rates.foreach { case (s, r) =>
+      require(r >= 0 && !r.isNaN && !r.isInfinite,
+        s"mixtureSample: rate for '$s' must be finite and >= 0, got $r")
     }
-    df.where(pred)
+    val nCopies = rates.foldLeft(lit(0)) { case (acc, (stratum, rate)) =>
+      val whole = math.floor(rate).toInt
+      val frac = rate - whole
+      val extra =
+        if (frac > 0) when(hashSamplePredicate(col(idCol), frac), 1).otherwise(0)
+        else lit(0)
+      when(col(stratumCol) === lit(stratum), lit(whole) + extra).otherwise(acc)
+    }
+    // sequence(0, -1) throws, so zero copies maps to an explicit empty
+    // array — explode then drops the row (the chunk() move)
+    val copySeq = when(nCopies > 0, sequence(lit(0), nCopies - 1))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("sample_copy", explode(copySeq))
   }
 }

@@ -66,4 +66,36 @@ class ChunkingSpec extends AnyFunSuite {
     assert(out.forall(_._2 == "en"), "rate-0 and unmapped strata must vanish")
     assert(out.length == 100, "rate 1.0 keeps the whole stratum")
   }
+
+  test("mixture upsampling: rate 2.25 yields 2 or 3 deterministic copies per row") {
+    import spark.implicits._
+    val d = (1L to 600L).map(i => (i, if (i % 2 == 0) "de" else "en")).toDF("doc_id", "lang")
+    val out = Chunking.mixtureSample(d, "doc_id", "lang", Map("de" -> 2.25, "en" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+
+    val de = byId.filter { case (id, _) => id % 2 == 0 }
+    assert(de.values.forall(c => c == Seq(0, 1) || c == Seq(0, 1, 2)),
+      "every German doc gets exactly 2 or 3 copies, indexed 0..n-1")
+    // the fractional third copy uses the SAME hash threshold as plain
+    // downsampling at 0.25 — the upweighted set is the downsample's set
+    val thirdCopy = de.filter(_._2.size == 3).keySet
+    val quarter = Chunking.sampleByHash(d.where($"lang" === "de"), "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(thirdCopy == quarter, "fractional copies must reuse the hash-sample decision")
+    val frac = thirdCopy.size.toDouble / de.size
+    assert(math.abs(frac - 0.25) < 0.07, s"third-copy fraction drifted: $frac")
+
+    // r <= 1 keeps pure-filter semantics: single copies, same survivors
+    val en = byId.filter { case (id, _) => id % 2 == 1 }
+    assert(en.values.forall(_ == Seq(0)), "downsampled rows never duplicate")
+    val half = Chunking.sampleByHash(d.where($"lang" === "en"), "doc_id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(en.keySet == half, "rate <= 1 must reproduce sampleByHash row for row")
+
+    // and the whole thing is a pure function of (id, stratum)
+    val again = Chunking.mixtureSample(d, "doc_id", "lang", Map("de" -> 2.25, "en" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq, "mixture must be reproducible")
+  }
 }
