@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, Dedup, Multimodal, Packing, RangeJoin, Sessionize, Similarity, Tfidf}
+import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, Multimodal, Packing, RangeJoin, Sessionize, Shuffling, Similarity, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -441,6 +441,66 @@ object QueryCatalog {
         .select("doc_id", "n_tokens", "offset", "pack_id", "pack_offset")
         .orderBy("doc_id")
     }),
+    // Benchmark decontamination (GPT-3-style n-gram overlap): every 10th
+    // document stands in for a held-out eval set; the remaining corpus is
+    // scanned ONCE against the BROADCAST benchmark shingle set — no
+    // corpus-side shuffle except the per-doc rollup. Total + matched
+    // shingle counts come out of the same exploded pass (left-join
+    // marker), so the corpus text is read exactly once.
+    "decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Decontamination.flagContaminated(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3, minOverlap = 1)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("contamination_ratio"), 6).as("contamination_ratio"))
+        .orderBy("doc_id")
+    }),
+    // Attribution table: WHICH benchmark doc leaked into which training
+    // doc (the audit a release review reads). Aggregate keyed by the
+    // (corpus, bench) pair — cardinality bounded by matches, not corpus.
+    "contamination_pairs" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Decontamination.contaminationPairs(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3, minCommon = 3)
+        .orderBy("doc_id", "bench_id")
+    }),
+    // Deterministic global shuffle + sharding: content-hash order key
+    // (reproducible across engines/layouts/retries — rand() is neither)
+    // and an N-way shard split; orderBy compiles to a range-partitioned
+    // sort, so the 100 TB "epoch shuffle" is one sampled exchange with
+    // per-task sorts, never a single-task stage.
+    "global_shuffle" -> ((s, dir) =>
+      Shuffling.shard(
+          Shuffling.deterministicShuffle(documents(s, dir), "doc_id", seed = 42L),
+          "doc_id", numShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"))
+        .orderBy("shuffle_key", "doc_id")),
+    // Corpus vocabulary: top-50 terms by total count — per-(doc,term)
+    // map-side combine bounds the first shuffle, term rollup is one row
+    // per term, global cut is TakeOrderedAndProject (per-partition heaps).
+    "vocab_topk" -> ((s, dir) =>
+      Tfidf.vocabulary(documents(s, dir), "doc_id", "text", topK = 50, minCount = 2)
+        .orderBy(col("term_count").desc, col("term").asc)),
+    // Per-source rollup: the table corpus mixture weights are chosen
+    // from. The quality avg runs over an EXACT decimal sum (quality is
+    // pre-rounded to 6 dp, so decimal(18,10) holds it exactly) — a
+    // distributed double sum's association order could drift from the
+    // oracle's sequential one (the nation_revenue rule).
+    "source_quality_rollup" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("tk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("q").cast("decimal(18,10)")).cast("double") / count(lit(1)), 6)
+            .as("avg_quality"),
+          sum(col("tk")).as("total_tokens"))
+        .orderBy("source")),
     "brute_force_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = queryVector(e)
@@ -1062,6 +1122,11 @@ object QueryCatalog {
     "quality_signals" -> qualitySignalsSql,
     "scrub_pii" -> scrubPiiSql,
     "tfidf_topk" -> tfidfSql,
+    "decontaminate" -> decontaminateSql,
+    "contamination_pairs" -> contaminationPairsSql,
+    "global_shuffle" -> globalShuffleSql,
+    "vocab_topk" -> vocabTopkSql,
+    "source_quality_rollup" -> sourceQualityRollupSql,
     "pack_sequences" -> packSequencesSql,
     "pack_sequences_bpeish" -> packSequencesBpeishSql,
     "brute_force_topk" -> topkSql,
@@ -1204,6 +1269,77 @@ object QueryCatalog {
       |  FROM s)
       |SELECT id, term, tf, df, round(tfidf, 6) AS tfidf, rank
       |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+
+  /** Trigram-shingle CTEs for the decontamination twins: corpus/bench
+    * split on doc_id % 10, shingles built exactly like [[jaccardCtes]]
+    * (same trim/lower/split, same >= 3-token CASE, same list_distinct). */
+  private def contaminationCtes(keepBenchId: Boolean): String = {
+    val benchSets =
+      s"""bt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM bench),
+         |bs AS (SELECT doc_id,
+         |  CASE WHEN len(tk) >= 3
+         |    THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+         |    ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+         |  FROM bt)""".stripMargin
+    val benchShingles =
+      if (keepBenchId) "bsh AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM bs)"
+      else "bshu AS (SELECT unnest(sh) AS shingle FROM bs),\nbsh AS (SELECT DISTINCT shingle FROM bshu)"
+    s"""corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |ct AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM corpus),
+       |cs AS (SELECT doc_id,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+       |    ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+       |  FROM ct),
+       |csh AS (SELECT doc_id, unnest(sh) AS shingle FROM cs),
+       |$benchSets,
+       |$benchShingles""".stripMargin
+  }
+
+  private lazy val decontaminateSql =
+    s"""WITH ${contaminationCtes(keepBenchId = false)},
+       |rep AS (
+       |  SELECT c.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_contaminated
+       |  FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_ratio
+       |FROM rep WHERE n_contaminated >= 1 ORDER BY doc_id""".stripMargin
+
+  private lazy val contaminationPairsSql =
+    s"""WITH ${contaminationCtes(keepBenchId = true)},
+       |p AS (
+       |  SELECT c.doc_id, b.bench_id, count(*) AS n_common
+       |  FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY 1, 2)
+       |SELECT doc_id, bench_id, n_common FROM p
+       |WHERE n_common >= 3 ORDER BY doc_id, bench_id""".stripMargin
+
+  private lazy val globalShuffleSql = {
+    val key = "md5(CAST(doc_id AS VARCHAR) || ':42')"
+    s"""SELECT doc_id, $key AS shuffle_key,
+       |  CAST(('0x' || substr($key, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+  }
+
+  private lazy val vocabTopkSql =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+      |v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS term_count, count(*) AS doc_freq FROM t GROUP BY 1)
+      |SELECT term, term_count, doc_freq FROM v WHERE term_count >= 2
+      |ORDER BY term_count DESC, term ASC LIMIT 50""".stripMargin
+
+  private lazy val sourceQualityRollupSql = {
+    val tkRaw = """regexp_split_to_array(trim(text), '\s+')"""
+    s"""SELECT source, count(*) AS n_docs,
+       |  round(CAST(sum(CAST(q AS DECIMAL(18,10))) AS DOUBLE) / count(*), 6) AS avg_quality,
+       |  CAST(sum(tk) AS BIGINT) AS total_tokens
+       |FROM (SELECT source, $qualityExprSql AS q,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS tk
+       |  FROM documents)
+       |GROUP BY 1 ORDER BY source""".stripMargin
+  }
 
   /** Twin of the distributed exclusive prefix sum + budget chunking: the
     * single ordered window IS the semantic definition; the Spark side

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic global shuffle and sharding for training-order
+  * reproducibility. A training run must visit the corpus in an order
+  * that is (a) statistically random, (b) identical across re-runs and
+  * cluster sizes, and (c) producible WITHOUT a driver-side collect —
+  * so the order key is a content hash of (id, seed), never `rand()`
+  * (whose draw depends on partitioning and task retries).
+  *
+  * Scale shape: `orderBy(key)` compiles to Spark's range-partitioned
+  * sort — a sampled range Exchange then per-partition sorts — so the
+  * "global shuffle" of a 100 TB corpus is one shuffle with every task
+  * sorting its slice; no single-task stage anywhere. Epoch k of a
+  * multi-epoch run is `seed + k`: a fresh independent permutation with
+  * zero stored state. [[shard]] buckets by the same hash for writing N
+  * deterministic shards (the file-per-worker layout data loaders want).
+  */
+object Shuffling {
+
+  /** md5-based order key — hex string of `md5(id || ':' || seed)`.
+    * md5 here is a deterministic permutation key, not crypto; chosen
+    * over xxhash64 because it reproduces bit-for-bit in every engine
+    * (the DuckDB oracle shares the expression verbatim). */
+  def shuffleKey(idCol: Column, seed: Long): Column =
+    md5(concat(idCol.cast("string"), lit(":" + seed)))
+
+  /** The corpus in deterministic pseudo-random order: appends
+    * `shuffle_key` and globally sorts by it (ties broken by id so the
+    * order is total even under hash collisions). */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: Long
+  ): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .orderBy(col("shuffle_key"), col(idCol))
+
+  /** Deterministic shard assignment in [0, numShards): the first 8 hex
+    * digits of the shuffle key mod `numShards`. Stable across runs and
+    * cluster sizes; `repartition(numShards, col("shard"))` + a
+    * partitioned write gives data loaders one file list per worker. */
+  def shard(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: Long
+  ): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.withColumn("shard",
+      (conv(substring(shuffleKey(col(idCol), seed), 1, 8), 16, 10)
+        .cast("long") % numShards).cast("int"))
+  }
+}

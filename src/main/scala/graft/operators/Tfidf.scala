@@ -51,4 +51,33 @@ object Tfidf {
       .where(col("rank") <= k)
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
+
+  /** Corpus vocabulary: the `topK` most frequent terms with their total
+    * count and document frequency — the table a tokenizer trainer or
+    * stopword/boilerplate analysis reads first.
+    *
+    * Same inverted shape as [[topTerms]]: per-(doc, term) counts with
+    * map-side combine bound the first shuffle by distinct (doc, term)
+    * pairs, the term rollup's shuffle is one row per term, and the
+    * global top-k compiles to TakeOrderedAndProject (per-partition
+    * heaps, no full sort). Ties rank by term ascending so the cut is
+    * deterministic and oracle-checkable. */
+  def vocabulary(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int,
+      minCount: Long = 1L
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(sum(col("tf")).as("term_count"), count(lit(1)).as("doc_freq"))
+      .where(col("term_count") >= lit(minCount))
+      .orderBy(col("term_count").desc, col("term").asc)
+      .limit(topK)
+  }
 }

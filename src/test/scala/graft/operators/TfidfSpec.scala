@@ -32,6 +32,20 @@ class TfidfSpec extends AnyFunSuite {
     assert(idf(1) > idf(2) && idf(2) > idf(3), "idf must decrease with df")
   }
 
+  test("vocabulary: top-k by total count with doc frequency and term tie-break") {
+    val d = docs(
+      1L -> "cat cat fish",
+      2L -> "cat dog",
+      3L -> "cat dog bird")
+    val out = Tfidf.vocabulary(d, "doc_id", "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cat: count 4 df 3; dog: count 2 df 2; bird/fish tie at 1 -> bird first
+    assert(out.toSeq == Seq(("cat", 4L, 3L), ("dog", 2L, 2L), ("bird", 1L, 1L)))
+    val pruned = Tfidf.vocabulary(d, "doc_id", "text", topK = 10, minCount = 2)
+      .collect().map(_.getString(0))
+    assert(pruned.toSeq == Seq("cat", "dog"), "minCount must prune the tail")
+  }
+
   test("minDf prunes hapax terms; k bounds output per doc") {
     val d = docs(1L -> "aa bb cc", 2L -> "aa dd", 3L -> "aa")
     val out = Tfidf.topTerms(d, "doc_id", "text", k = 5, minDf = 2)
