@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Structured Streaming counterparts of the batch pipeline operators.
   *
@@ -113,6 +113,44 @@ object StreamOps {
       .withColumn("quality", TextFunctions.qualityScore(t))
       .withColumn("lang", TextFunctions.langId(t))
       .withColumn("fingerprint", TextFunctions.fingerprint(t))
+  }
+
+  /** Streaming benchmark decontamination — the STATELESS reshape of
+    * [[graft.operators.Decontamination.flagContaminated]]: instead of
+    * explode + per-doc aggregate (which would need a state store on a
+    * stream), each document's distinct shingle ARRAY intersects the
+    * benchmark's whole shingle set in-row (`array_intersect` against the
+    * 1-row static side of a stream-static cross join — broadcast, no
+    * state, append-mode friendly). Identical output to the batch
+    * operator on the same data (DecontaminationSpec pins this).
+    *
+    * `benchmark` is a STATIC DataFrame; its 1-row shingle-set aggregate
+    * re-executes per micro-batch unless the caller caches it — pass
+    * `benchmark.cache()` (eval sets are tiny) or a pre-persisted table.
+    * In-row intersect cost is O(|doc| x log |bench|) per document; for
+    * benchmark sets beyond executor memory, fall back to the batch
+    * operator's exploded broadcast-join shape over micro-batch sinks. */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      minOverlap: Long = 1L
+  ): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val benchSh = benchmark
+      .select(explode(Dedup.shingleSet(col(textCol), n)).as("__sh"))
+      .agg(collect_set(col("__sh")).as("__bench_sh"))
+    docs
+      .withColumn("__sh", Dedup.shingleSet(col(textCol), n))
+      .crossJoin(benchSh)
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("n_contaminated",
+        size(array_intersect(col("__sh"), col("__bench_sh"))).cast("long"))
+      .where(col("n_contaminated") >= lit(minOverlap))
+      .withColumn("contamination_ratio",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .drop("__sh", "__bench_sh")
   }
 
   /** Streaming curation: the batch curation pipeline's STATELESS stages —

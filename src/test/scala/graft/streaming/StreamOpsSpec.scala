@@ -162,4 +162,33 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("example.com"))
     } finally q.stop()
   }
+
+  test("streaming decontamination: stateless intersect matches the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text").cache()
+    val corpusRows = Seq(
+      (1L, "x a b c d y"),  // shares both bench trigrams
+      (2L, "a b x c d y"),  // shares none
+      (3L, "q r s t u v"))  // clean
+    val input = MemoryStream[(Long, String)]
+    val flagged = StreamOps.decontaminate(
+      input.toDF().toDF("doc_id", "text"), bench)
+    val q = flagged.writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(corpusRows: _*)
+      q.processAllAvailable()
+      val out = spark.table("decon_out")
+        .select("doc_id", "n_shingles", "n_contaminated").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 4L, 2L)), s"got $out")
+      // row-identical to the batch operator on the same data
+      val batch = graft.operators.Decontamination.flagContaminated(
+          corpusRows.toDF("doc_id", "text"), bench, "doc_id", "text")
+        .select("doc_id", "n_shingles", "n_contaminated").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == out, "stream and batch decontamination must agree")
+    } finally q.stop()
+  }
 }
