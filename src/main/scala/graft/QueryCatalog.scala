@@ -479,6 +479,16 @@ object QueryCatalog {
           "doc_id", numShards = 8, seed = 42L)
         .select(col("doc_id"), col("shuffle_key"), col("shard"))
         .orderBy("shuffle_key", "doc_id")),
+    // Deterministic train/val/test assignment: hash-fraction when-chain,
+    // pure projection (no shuffle). Hash independence from every column
+    // means each stratum splits in the same proportions for free, and
+    // threshold monotonicity means re-weighting never swaps rows between
+    // splits (no train->test leakage across config changes).
+    "dataset_split" -> ((s, dir) =>
+      Shuffling.assignSplit(documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
     // Corpus vocabulary: top-50 terms by total count — per-(doc,term)
     // map-side combine bounds the first shuffle, term rollup is one row
     // per term, global cut is TakeOrderedAndProject (per-partition heaps).
@@ -1125,6 +1135,7 @@ object QueryCatalog {
     "decontaminate" -> decontaminateSql,
     "contamination_pairs" -> contaminationPairsSql,
     "global_shuffle" -> globalShuffleSql,
+    "dataset_split" -> datasetSplitSql,
     "vocab_topk" -> vocabTopkSql,
     "source_quality_rollup" -> sourceQualityRollupSql,
     "pack_sequences" -> packSequencesSql,
@@ -1319,6 +1330,18 @@ object QueryCatalog {
     s"""SELECT doc_id, $key AS shuffle_key,
        |  CAST(('0x' || substr($key, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+  }
+
+  /** Bounds match assignSplit's double scanLeft (0.8, 0.8+0.1): the
+    * hash fraction's 2^-32 granularity cannot land between 0.9 and the
+    * computed 0.9000000000000001, so plain literals are exact twins. */
+  private lazy val datasetSplitSql = {
+    val frac = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT / 4294967296.0)"
+    s"""SELECT doc_id,
+       |  CASE WHEN $frac < 0.8 THEN 'train'
+       |       WHEN $frac < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
   private lazy val vocabTopkSql =

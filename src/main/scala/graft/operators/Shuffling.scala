@@ -38,6 +38,47 @@ object Shuffling {
     df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Uniform fraction in [0, 1) derived from the shuffle key: the first
+    * 8 hex digits as a 32-bit integer over 2^32. The basis for split
+    * assignment — identical arithmetic reproduces in any engine. */
+  def hashFraction(idCol: Column, seed: Long): Column =
+    conv(substring(shuffleKey(idCol, seed), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+
+  /** Deterministic named dataset splits (train/val/test): each row's
+    * hash fraction lands in one of the cumulative weight intervals.
+    * Properties a training pipeline relies on:
+    *  - reproducible: pure function of (id, seed) — stable across runs,
+    *    cluster sizes, partitionings, and task retries;
+    *  - disjoint and exhaustive: the when-chain covers [0, 1);
+    *  - stratification-free by construction: the hash is independent of
+    *    every column, so each stratum (language, source, ...) splits in
+    *    the same proportions without per-stratum machinery;
+    *  - monotone under re-weighting: growing a split's weight only ADDS
+    *    rows to it (same threshold-sampling property as
+    *    [[graft.operators.Chunking.sampleByHash]]), so train never
+    *    leaks into a shrunken test set across config changes.
+    * Pure projection — no shuffle, runs at scan speed. */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: Long
+  ): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0), s"negative split weight in $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val frac = hashFraction(col(idCol), seed)
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // last bucket is the otherwise-branch: no < 1.0 edge case on doubles
+    val chain = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (rest, ((name, _), bound)) =>
+        when(frac < lit(bound), lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", chain)
+  }
+
   /** Deterministic shard assignment in [0, numShards): the first 8 hex
     * digits of the shuffle key mod `numShards`. Stable across runs and
     * cluster sizes; `repartition(numShards, col("shard"))` + a

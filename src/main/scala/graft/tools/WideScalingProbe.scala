@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.tree.{Criterion, DecisionTreeClassifier}
+
+/** Dev probe: where does the 190-wide fit's time go — row volume or
+  * feature width/plan size? Times the binned fit and the predict pass
+  * separately at (width x rowFraction) combinations.
+  *
+  * Usage: sbt "runMain graft.tools.WideScalingProbe [sfDir]"
+  */
+object WideScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(nDerived: Int, fraction: Double): Unit = {
+      val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val full = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select((baseCols :+ "l_returnflag").map(col): _*)
+      val base = if (fraction >= 1.0) full else full.sample(fraction, 42L)
+      val wide = (0 until nDerived).foldLeft(base) { (d, i) =>
+        d.withColumn(s"f_$i", col(baseCols(i % 4)) * (1.0 + i * 0.1) + i)
+      }
+      val t0 = System.nanoTime()
+      val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
+        maxBins = Some(32)).fit(wide, "l_returnflag")
+      val tFit = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.tree.Predict.predictMany(model, wide)
+        .write.format("noop").mode("overwrite").save()
+      val tPred = (System.nanoTime() - t1) / 1e9
+      println(f"[wideprobe] nDerived=$nDerived%4d fraction=$fraction%.2f fit=$tFit%.1fs predict=$tPred%.1fs")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+
+    run(20, 1.0)    // warm the session on the cheap shape
+    run(186, 0.1)   // width at 10% rows: plan-bound if still slow
+    run(93, 1.0)    // half width at full rows: superlinear-in-width check
+    run(186, 1.0)   // the bench entry itself
+    spark.stop()
+  }
+}

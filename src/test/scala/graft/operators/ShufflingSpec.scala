@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -41,6 +42,45 @@ class ShufflingSpec extends AnyFunSuite {
     val again = Shuffling.shard(ids(4000), "doc_id", numShards = 8, seed = 42L)
       .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1))
     assert(out.toMap == again.toMap, "shard assignment must be stable")
+  }
+
+  test("assignSplit: disjoint, exhaustive, reproducible, near the weights") {
+    val d = ids(5000)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Shuffling.assignSplit(d, "doc_id", splits, seed = 7L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.length == 5000, "every row gets exactly one split")
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(math.abs(sizes("train") / 5000.0 - 0.8) < 0.03, s"train drifted: $sizes")
+    assert(math.abs(sizes("val") / 5000.0 - 0.1) < 0.02, s"val drifted: $sizes")
+    val again = Shuffling.assignSplit(d, "doc_id", splits, seed = 7L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toMap == again.toMap, "assignment must be reproducible")
+  }
+
+  test("assignSplit: strata split in the same proportions without per-stratum logic") {
+    import spark.implicits._
+    val d = (1L to 6000L).map(i => (i, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "lang")
+    val out = Shuffling.assignSplit(d, "doc_id", Seq("train" -> 0.9, "test" -> 0.1), 3L)
+      .select("lang", "split").collect().map(r => r.getString(0) -> r.getString(1))
+    val deTrain = out.count(x => x._1 == "de" && x._2 == "train") /
+      out.count(_._1 == "de").toDouble
+    val enTrain = out.count(x => x._1 == "en" && x._2 == "train") /
+      out.count(_._1 == "en").toDouble
+    assert(math.abs(deTrain - 0.9) < 0.03 && math.abs(enTrain - 0.9) < 0.03,
+      s"stratum proportions drifted: de=$deTrain en=$enTrain")
+  }
+
+  test("assignSplit: growing a leading split only ADDS rows to it") {
+    val d = ids(3000)
+    def trainSet(w: Double) = Shuffling
+      .assignSplit(d, "doc_id", Seq("train" -> w, "rest" -> (1.0 - w)), 11L)
+      .where(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val small = trainSet(0.5)
+    val big = trainSet(0.8)
+    assert(small.subsetOf(big), "re-weighting must not swap rows between splits")
   }
 
   test("global sort is range-partitioned, not single-task") {
