@@ -106,13 +106,16 @@ object Bench {
     // per level regardless of feature count, which is what makes wide
     // tables viable (the melt formulation multiplies rows by #features+1).
     def wideFit(nDerived: Int): Unit = {
+      import org.apache.spark.sql.functions.col
       val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select((baseCols :+ "l_returnflag").map(org.apache.spark.sql.functions.col): _*)
-      val wide = (0 until nDerived).foldLeft(base) { (d, i) =>
-        d.withColumn(s"f_$i",
-          org.apache.spark.sql.functions.col(baseCols(i % 4)) * (1.0 + i * 0.1) + i)
-      }
+        .select((baseCols :+ "l_returnflag").map(col): _*)
+      // one flat projection, not a withColumn fold: the fold re-analyzes a
+      // growing plan per column (O(width^2) driver time) and leaves nested
+      // Projects that double the downstream scan cost (WidePhaseProbe)
+      val wide = base.select(base.columns.map(col) ++
+        (0 until nDerived).map(i =>
+          (col(baseCols(i % 4)) * (1.0 + i * 0.1) + i).as(s"f_$i")): _*)
       val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
         maxBins = Some(32)).fit(wide, "l_returnflag")
       graft.tree.Predict.predictMany(model, wide)

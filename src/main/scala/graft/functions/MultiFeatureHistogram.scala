@@ -37,7 +37,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * row — the level-wise trainer's per-level cost is exactly one scan.
   */
 case class MultiFeatureHistogram(
-    features: Seq[Expression],     // double feature columns, in order
+    featuresArray: Expression,     // ArrayType(DoubleType): packed feature slots
     classIndex: Expression,        // int class index, -1/null = no class
     nodeIndex: Expression,         // int pending-node index, null = settled row
     edges: Seq[Seq[Double]],       // per-feature ascending bin edges
@@ -47,7 +47,7 @@ case class MultiFeatureHistogram(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[Array[Long]] {
 
-  private val numFeatures = features.size
+  private val numFeatures = edges.size
   private val numBins = edges.map(_.size).max + 1  // +1 for the +inf bucket
   private val blockSize = numBins * numClasses
   private val nodeLen = (numFeatures + 1) * blockSize
@@ -55,7 +55,7 @@ case class MultiFeatureHistogram(
   // immutable snapshot for executor-side binary search
   private val edgeArrays: Array[Array[Double]] = edges.map(_.toArray).toArray
 
-  override def children: Seq[Expression] = features :+ classIndex :+ nodeIndex
+  override def children: Seq[Expression] = Seq(featuresArray, classIndex, nodeIndex)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "multi_feature_histogram"
@@ -84,11 +84,15 @@ case class MultiFeatureHistogram(
           val k = cls.asInstanceOf[Int]
           if (k >= 0 && k < numClasses) {
             val off = n * nodeLen
+            // One codegen-projected primitive array read per row instead of
+            // numFeatures boxed child evals — at 190 features the boxing was
+            // the histogram scan's dominant allocation.
+            val arr = featuresArray.eval(input)
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             var f = 0
             while (f < numFeatures) {
-              val v = features(f).eval(input)
-              if (v != null) {
-                val b = binOf(f, v.asInstanceOf[Double])
+              if (!arr.isNullAt(f)) {
+                val b = binOf(f, arr.getDouble(f))
                 buffer(off + f * blockSize + b * numClasses + k) += 1L
               }
               f += 1
@@ -127,6 +131,6 @@ case class MultiFeatureHistogram(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): MultiFeatureHistogram =
-    copy(features = newChildren.dropRight(2),
-      classIndex = newChildren(newChildren.size - 2), nodeIndex = newChildren.last)
+    copy(featuresArray = newChildren(0), classIndex = newChildren(1),
+      nodeIndex = newChildren(2))
 }

@@ -27,9 +27,9 @@ object WideScalingProbe {
       val full = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select((baseCols :+ "l_returnflag").map(col): _*)
       val base = if (fraction >= 1.0) full else full.sample(fraction, 42L)
-      val wide = (0 until nDerived).foldLeft(base) { (d, i) =>
-        d.withColumn(s"f_$i", col(baseCols(i % 4)) * (1.0 + i * 0.1) + i)
-      }
+      val wide = base.select(base.columns.map(col) ++
+        (0 until nDerived).map(i =>
+          (col(baseCols(i % 4)) * (1.0 + i * 0.1) + i).as(s"f_$i")): _*)
       val t0 = System.nanoTime()
       val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
         maxBins = Some(32)).fit(wide, "l_returnflag")

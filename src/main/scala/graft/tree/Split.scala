@@ -502,7 +502,7 @@ object SplitSearch {
       chain.when(col(targetName) === lit(v), lit(i))
     }.otherwise(lit(-1)).cast("int")
     val agg = graft.functions.MultiFeatureHistogram(
-      feats.map(f => ColumnBridge.expression(col(f).cast(DoubleType))),
+      ColumnBridge.expression(array(feats.map(f => col(f).cast(DoubleType)): _*)),
       ColumnBridge.expression(classIdx),
       ColumnBridge.expression(nodeId.cast("int")), edges, k, numNodes)
     val buffer: Seq[Long] = df

@@ -151,17 +151,24 @@ final case class DecisionTreeClassifier(
       encoded.select(col(targetName)).distinct().orderBy(col(targetName)).collect().map(_.get(0)).toSeq
 
     // maxBins mode: per-feature quantile edges, computed once on the root
-    // data and reused for every node (MLlib-style binning).
+    // data and reused for every node (MLlib-style binning). One
+    // MultiQuantileSketch aggregate over a packed array projection — the
+    // same Greenwald-Khanna summaries and 1/(4b) error contract as
+    // `df.stat.approxQuantile`, without its per-row Row conversion that
+    // re-boxes every feature (at 190 features that conversion was ~90% of
+    // the whole binned fit).
     val binEdges: Map[String, Seq[Double]] = maxBins match {
       case Some(b) =>
         require(b >= 2, s"maxBins must be >= 2, got $b")
-        val probs = (1 until b).map(_.toDouble / b).toArray
-        val doubled = featureNames.foldLeft(encoded) { (d, f) =>
-          d.withColumn(f, col(f).cast("double"))
-        }
-        val quantiles =
-          doubled.stat.approxQuantile(featureNames.toArray, probs, 1.0 / (4 * b))
-        featureNames.zip(quantiles.map(_.distinct.sorted.toSeq))
+        import org.apache.spark.sql.graft.ColumnBridge
+        val probs = (1 until b).map(_.toDouble / b)
+        val packed = array(featureNames.map(f => col(f).cast("double")): _*)
+        val agg = graft.functions.MultiQuantileSketch(
+          ColumnBridge.expression(packed), featureNames.size, 1.0 / (4 * b), probs)
+        val quantiles: Seq[Seq[Double]] = encoded
+          .select(ColumnBridge.column(agg.toAggregateExpression()).as("qs"))
+          .head().getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+        featureNames.zip(quantiles.map(_.distinct.sorted))
           .filter(_._2.nonEmpty).toMap
       case None => Map.empty
     }
