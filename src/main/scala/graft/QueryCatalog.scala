@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, Multimodal, Packing, RangeJoin, Sessionize, Shuffling, Similarity, Tfidf}
+import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, Multimodal, Packing, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -495,6 +495,19 @@ object QueryCatalog {
     "vocab_topk" -> ((s, dir) =>
       Tfidf.vocabulary(documents(s, dir), "doc_id", "text", topK = 50, minCount = 2)
         .orderBy(col("term_count").desc, col("term").asc)),
+    // Corpus-LM fluency scoring: bigrams built in-plan (no shuffle), one
+    // map-side-combined bigram count table, join back on the bigram key,
+    // per-doc rollup. Integer sums -> exact cross-engine hash.
+    "bigram_score" -> ((s, dir) =>
+      Scoring.bigramFrequencyScore(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Per-stratum quality bar: tiny per-lang percentile aggregate
+    // broadcast onto the corpus — the corpus never shuffles. Exact
+    // percentile here (hash-oracle); approx=true is the sketch scale path
+    // (ScoringSpec asserts agreement).
+    "quality_filter_stratified" -> ((s, dir) =>
+      Scoring.qualityFilterStratified(documents(s, dir), "doc_id", "text", "lang", p = 0.5)
+        .orderBy("doc_id")),
     // Per-source rollup: the table corpus mixture weights are chosen
     // from. The quality avg runs over an EXACT decimal sum (quality is
     // pre-rounded to 6 dp, so decimal(18,10) holds it exactly) — a
@@ -1137,6 +1150,8 @@ object QueryCatalog {
     "global_shuffle" -> globalShuffleSql,
     "dataset_split" -> datasetSplitSql,
     "vocab_topk" -> vocabTopkSql,
+    "bigram_score" -> bigramScoreSql,
+    "quality_filter_stratified" -> qualityFilterStratifiedSql,
     "source_quality_rollup" -> sourceQualityRollupSql,
     "pack_sequences" -> packSequencesSql,
     "pack_sequences_bpeish" -> packSequencesBpeishSql,
@@ -1343,6 +1358,32 @@ object QueryCatalog {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Same single-space normalization as chunking, 1-based list indexing;
+    * docs under two tokens produce no bigrams in either engine (Spark:
+    * size guard; DuckDB: range(1, 1) is empty). The avg is one double
+    * division of two exact integers — deterministic in both engines. */
+  private lazy val bigramScoreSql = {
+    val tk = """regexp_split_to_array(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+    s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |b AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+       |  FROM t WHERE len(tk) >= 2),
+       |c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1)
+       |SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(c.cnt) AS BIGINT) AS freq_sum,
+       |  round(CAST(sum(c.cnt) AS DOUBLE) / count(*), 6) AS avg_bigram_freq
+       |FROM b JOIN c USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** quantile_cont ≡ Spark `percentile` at p=0.5 (the group_percentiles
+    * precedent); quality is pre-rounded to 6 dp so the midpoint
+    * interpolation is exact in both engines. Strict > drops the at-median
+    * documents of odd-sized strata in both engines alike. */
+  private lazy val qualityFilterStratifiedSql =
+    s"""WITH s AS (SELECT doc_id, lang, $qualityExprSql AS quality FROM documents),
+       |t AS (SELECT lang, quantile_cont(quality, 0.5) AS thr FROM s GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.quality FROM s JOIN t USING (lang)
+       |WHERE s.quality > t.thr ORDER BY doc_id""".stripMargin
 
   private lazy val vocabTopkSql =
     """WITH toks AS (

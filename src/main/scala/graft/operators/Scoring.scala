@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-statistics document scoring and filtering — quality signals
+  * that need a pass over the WHOLE corpus before any document can be
+  * scored, unlike the per-row [[graft.functions.TextFunctions]] columns.
+  * These are the curation steps that run after per-doc filters: score
+  * every document against corpus-global statistics, then threshold.
+  */
+object Scoring {
+
+  /** Per-document bigram "fluency" score from corpus bigram frequencies —
+    * the count-based skeleton of KenLM-style LM filtering (CCNet scores
+    * documents by LM perplexity; with counts instead of backoff
+    * probabilities the score stays integer-exact and cross-engine
+    * checkable). A document whose bigrams are common corpus-wide reads
+    * like the corpus; boilerplate/gibberish sits in the tails.
+    *
+    * Dataflow: tokenize once, build per-doc bigram rows with an in-plan
+    * `transform(sequence(...))` (no shuffle, no self-join), aggregate the
+    * corpus bigram table — map-side combined, shuffle volume = distinct
+    * bigrams — then join doc-bigrams back on the bigram key and roll up
+    * per document. Both shuffles key on the bigram; a stop-bigram hot key
+    * is AQE-skew-join territory, and the broadcast-top-K variant (treat
+    * untracked bigrams as frequency 1) is the documented fallback if the
+    * full count table ever outgrows the shuffle.
+    *
+    * Output: (idCol, n_bigrams, freq_sum, avg_bigram_freq); documents
+    * with fewer than two tokens have no bigrams and drop out.
+    */
+  def bigramFrequencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    val n = size(toks)
+    val bigrams = when(n >= lit(2),
+      transform(sequence(lit(1), n - lit(1)),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    val docBigrams = df.select(col(idCol), explode(bigrams).as("bg"))
+    val counts = docBigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    docBigrams.join(counts, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("freq_sum"))
+      .withColumn("avg_bigram_freq",
+        round(col("freq_sum").cast("double") / col("n_bigrams"), 6))
+  }
+
+  /** Keep documents above their stratum's quality quantile — "top half by
+    * quality within each language/source", the standard way to apply one
+    * quality bar across strata with different score distributions without
+    * starving low-scoring strata.
+    *
+    * Per-stratum thresholds are one tiny aggregate (rows = distinct
+    * strata) broadcast back onto the corpus: the corpus itself never
+    * shuffles — score, hash-join against the broadcast threshold table,
+    * filter at scan speed. Exact `percentile` buffers each stratum's
+    * values inside the aggregate (the oracle-checkable form — same trade
+    * as the group_percentiles entry); pass `approx = true` for the 100 TB
+    * path, which swaps in the bounded-memory `approx_percentile` sketch —
+    * same plan shape, thresholds within the sketch's rank-error bound
+    * (agreement asserted in ScoringSpec).
+    */
+  def qualityFilterStratified(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      p: Double = 0.5,
+      approx: Boolean = false
+  ): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    val scored = df.select(
+      col(idCol), col(strataCol), TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val thrAgg: Column =
+      if (approx) approx_percentile(col("quality"), lit(p), lit(10000)).as("__thr")
+      else percentile(col("quality"), lit(p)).as("__thr")
+    val thresholds = scored.groupBy(col(strataCol)).agg(thrAgg)
+    scored.join(broadcast(thresholds), Seq(strataCol))
+      .where(col("quality") > col("__thr"))
+      .select(col(idCol), col(strataCol), col("quality"))
+  }
+}

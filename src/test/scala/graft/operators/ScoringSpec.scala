@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ScoringSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bigramFrequencyScore: counts and averages match hand computation") {
+    // corpus bigrams: "a b" x2 (docs 1,2), "b c" x1, "x y" x1
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, "a b"),
+      (3L, "x y"),
+      (4L, "solo"),      // one token: no bigrams
+      (5L, "")           // empty: no bigrams
+    ).toDF("doc_id", "text")
+    val out = Scoring.bigramFrequencyScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "sub-two-token docs drop out")
+    assert(out(1L) == ((2L, 3L, 1.5)))   // "a b"(2) + "b c"(1)
+    assert(out(2L) == ((1L, 2L, 2.0)))   // "a b"(2)
+    assert(out(3L) == ((1L, 1L, 1.0)))   // "x y"(1)
+  }
+
+  test("bigramFrequencyScore: whitespace runs normalize like single spaces") {
+    val d = Seq((1L, "a   b\tc"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Scoring.bigramFrequencyScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == out(2L), "both docs must produce identical bigrams")
+    assert(out(1L) == ((2L, 4L)), "each bigram appears twice corpus-wide")
+  }
+
+  test("qualityFilterStratified: keeps only above-median docs per stratum") {
+    val d = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // longer text -> higher length score -> higher quality
+      (i, ("word " * i.toInt).trim, lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = Scoring.qualityFilterStratified(d, "doc_id", "text", "lang", p = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_._2)
+    assert(byLang.keySet == Set("en", "de"))
+    // each stratum keeps at most half (strict > median) and the kept docs
+    // are exactly the longest ones of that stratum
+    byLang.foreach { case (lang, kept) =>
+      assert(kept.size <= 10, s"$lang kept ${kept.size} of 20")
+      val keptIds = kept.map(_._1).toSet
+      val stratumIds = (1L to 40L).filter(i =>
+        (if (i % 2 == 0) "en" else "de") == lang)
+      val topHalf = stratumIds.sortBy(-_).take(kept.size).toSet
+      assert(keptIds == topHalf, s"$lang kept $keptIds, expected the longest $topHalf")
+    }
+  }
+
+  test("qualityFilterStratified: approx sketch agrees with exact at moderate size") {
+    val d = (1L to 300L).map { i =>
+      (i, ("tok " * (i % 60 + 1).toInt).trim, if (i % 3 == 0) "fr" else "en")
+    }.toDF("doc_id", "text", "lang")
+    val exact = Scoring.qualityFilterStratified(d, "doc_id", "text", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = Scoring.qualityFilterStratified(d, "doc_id", "text", "lang", approx = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // sketch thresholds sit within rank error of exact: symmetric diff small
+    val diff = (exact -- approx) ++ (approx -- exact)
+    assert(diff.size <= 15, s"approx diverged from exact on ${diff.size} docs")
+  }
+}
