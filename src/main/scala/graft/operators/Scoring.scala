@@ -25,14 +25,28 @@ object Scoring {
     * corpus bigram table — map-side combined, shuffle volume = distinct
     * bigrams — then join doc-bigrams back on the bigram key and roll up
     * per document. Both shuffles key on the bigram; a stop-bigram hot key
-    * is AQE-skew-join territory, and the broadcast-top-K variant (treat
-    * untracked bigrams as frequency 1) is the documented fallback if the
-    * full count table ever outgrows the shuffle.
+    * is AQE-skew-join territory, and `trackTopK` removes the count join
+    * entirely when the full table outgrows the shuffle.
     *
     * Output: (idCol, n_bigrams, freq_sum, avg_bigram_freq); documents
     * with fewer than two tokens have no bigrams and drop out.
+    *
+    * `trackTopK` is the broadcast scale variant: only the K most frequent
+    * bigrams are tracked (deterministic cut: count desc, bigram asc) and
+    * BROADCAST onto the doc-bigram stream, every untracked bigram scoring
+    * its own single occurrence (frequency 1 — exact for true singletons,
+    * a floor for the rest). The per-doc rollup becomes the only shuffle:
+    * no corpus-wide count-table join, no hot-key exposure. The right
+    * shape when the distinct-bigram table outgrows the shuffle tier but
+    * the frequent head (what the score actually discriminates on) fits
+    * in a broadcast.
     */
-  def bigramFrequencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramFrequencyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      trackTopK: Option[Int] = None
+  ): DataFrame = {
     val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
     val n = size(toks)
     val bigrams = when(n >= lit(2),
@@ -41,7 +55,15 @@ object Scoring {
       .otherwise(array().cast("array<string>"))
     val docBigrams = df.select(col(idCol), explode(bigrams).as("bg"))
     val counts = docBigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
-    docBigrams.join(counts, Seq("bg"))
+    val joined = trackTopK match {
+      case Some(k) =>
+        require(k >= 1, s"trackTopK must be >= 1, got $k")
+        val head = counts.orderBy(col("cnt").desc, col("bg").asc).limit(k)
+        docBigrams.join(broadcast(head), Seq("bg"), "left")
+          .withColumn("cnt", coalesce(col("cnt"), lit(1L)))
+      case None => docBigrams.join(counts, Seq("bg"))
+    }
+    joined
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("freq_sum"))
       .withColumn("avg_bigram_freq",

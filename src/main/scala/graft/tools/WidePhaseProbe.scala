@@ -43,8 +43,11 @@ object WidePhaseProbe {
     }
 
     val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // testdata parquet is ONE row group -> one scan task; repartition the
+    // tiny base frame so pre-shuffle stages see cluster-like parallelism
     val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select((baseCols :+ "l_returnflag").map(col): _*)
+      .repartition(cpus.toInt)
 
     val wide: DataFrame = t("construct single-select") {
       base.select(base.columns.map(col) ++

@@ -36,6 +36,25 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 4L)), "each bigram appears twice corpus-wide")
   }
 
+  test("bigramFrequencyScore: trackTopK covering all bigrams equals the exact join") {
+    val d = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} end"))
+      .toDF("doc_id", "text")
+    val exact = Scoring.bigramFrequencyScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val topAll = Scoring.bigramFrequencyScore(d, "doc_id", "text", trackTopK = Some(10000))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact == topAll, "a top-K covering every bigram must reproduce the exact scores")
+  }
+
+  test("bigramFrequencyScore: untracked bigrams floor to frequency 1") {
+    // "a b" x3 dominates; "q z" is a singleton that falls outside top-1
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "q z")).toDF("doc_id", "text")
+    val out = Scoring.bigramFrequencyScore(d, "doc_id", "text", trackTopK = Some(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 3L, "tracked bigram keeps its corpus count")
+    assert(out(4L) == 1L, "untracked bigram scores its own occurrence")
+  }
+
   test("qualityFilterStratified: keeps only above-median docs per stratum") {
     val d = (1L to 40L).map { i =>
       val lang = if (i % 2 == 0) "en" else "de"
