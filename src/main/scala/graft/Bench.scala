@@ -15,13 +15,19 @@ import graft.tree.{Criterion, DecisionTreeClassifier}
   * Methodology: INTERLEAVED sweeps. One discarded warmup sweep runs every
   * entry once (session/codegen/parquet-footer cold start lands there), then
   * 3 measured sweeps run the whole entry list end-to-end and each entry
-  * reports the MEDIAN of its per-sweep times (total = sum of medians).
+  * reports the MIN of its per-sweep times (total = sum of mins).
   * Interleaving matters: with 3 CONSECUTIVE runs per entry, a mid-session
   * JIT/GC/code-cache window inflated whichever queries sorted together
   * alphabetically (r5: majority_class 5.5x its line while the shape-identical
   * class_distribution ran 0.21 s minutes earlier). With repetitions ~100 s
-  * apart, a transient window can poison at most one of an entry's 3 samples,
-  * and the median discards it.
+  * apart, a transient window can poison at most one of an entry's 3 samples.
+  * MIN (not median) because interleaving has a second-order cost the other
+  * way: ~60 entries' generated classes churn the JIT code cache between an
+  * entry's samples, so typically one of the 3 lands on a recompile and the
+  * median inherits a uniform ~1.5x inflation vs the consecutive-run lines
+  * (r6: 17 entries drifted 1.4-1.9x with unchanged plans). The min is
+  * immune to both failure modes and measures the same warm-capability the
+  * held lines did.
   *
   * Heap: per-entry peak-heap deltas are sampled (PeakHeapSampler.drain gives
   * the high-water mark of exactly one entry's window) and reported as
@@ -155,7 +161,7 @@ object Bench {
     (1 to 3).foreach(_ => sweep(measured = true))
 
     val results = samples.map { case (name, ts) =>
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val pk = peaks.map { case (k, v) => "\"" + k + "\":" + f"${v / 1e9}%.2f" }.mkString("{", ",", "}")

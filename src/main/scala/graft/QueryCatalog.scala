@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, Multimodal, Packing, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, Tfidf}
+import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, KMeans, Multimodal, Packing, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -501,6 +501,14 @@ object QueryCatalog {
     "bigram_score" -> ((s, dir) =>
       Scoring.bigramFrequencyScore(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // Broadcast scale variant: only the top-64 bigrams carry corpus
+    // counts (deterministic cut), untracked bigrams floor to 1 — the
+    // count-table join disappears; the per-doc rollup is the only
+    // shuffle left.
+    "bigram_score_topk" -> ((s, dir) =>
+      Scoring.bigramFrequencyScore(documents(s, dir), "doc_id", "text",
+          trackTopK = Some(64))
+        .orderBy("doc_id")),
     // Per-stratum quality bar: tiny per-lang percentile aggregate
     // broadcast onto the corpus — the corpus never shuffles. Exact
     // percentile here (hash-oracle); approx=true is the sketch scale path
@@ -714,6 +722,14 @@ object QueryCatalog {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Distributed Lloyd k-means over all embeddings — the quantizer
+    // trainer for corpora whose diversity a driver-side sample
+    // under-represents. One job per iteration; only k x d statistics
+    // reach the driver; decimal-exact sums + a pinned rounding formula
+    // make the result partitioning-independent and DuckDB-hash-exact.
+    "kmeans_centroids" -> ((s, dir) =>
+      KMeans.lloyd(embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2, seed = 42L)
+        .orderBy("cell", "dim")),
     // End-to-end dedup materialization: corpus minus the greedy-dropped
     // side of the jaccard near-dup pairs.
     "dedup_drop" -> ((s, dir) => {
@@ -1151,6 +1167,8 @@ object QueryCatalog {
     "dataset_split" -> datasetSplitSql,
     "vocab_topk" -> vocabTopkSql,
     "bigram_score" -> bigramScoreSql,
+    "bigram_score_topk" -> bigramScoreTopkSql,
+    "kmeans_centroids" -> kmeansCentroidsSql,
     "quality_filter_stratified" -> qualityFilterStratifiedSql,
     "source_quality_rollup" -> sourceQualityRollupSql,
     "pack_sequences" -> packSequencesSql,
@@ -1373,6 +1391,69 @@ object QueryCatalog {
        |SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(c.cnt) AS BIGINT) AS freq_sum,
        |  round(CAST(sum(c.cnt) AS DOUBLE) / count(*), 6) AS avg_bigram_freq
        |FROM b JOIN c USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Same corpus as [[bigramScoreSql]] with the deterministic top-64 cut
+    * (count desc, bigram asc) and a frequency floor of 1 for untracked
+    * bigrams — the broadcast-variant semantics, exactly. */
+  private lazy val bigramScoreTopkSql = {
+    val tk = """regexp_split_to_array(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+    s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |b AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+       |  FROM t WHERE len(tk) >= 2),
+       |c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1
+       |      ORDER BY cnt DESC, bg ASC LIMIT 64)
+       |SELECT b.doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(coalesce(c.cnt, 1)) AS BIGINT) AS freq_sum,
+       |  round(CAST(sum(coalesce(c.cnt, 1)) AS DOUBLE) / count(*), 6) AS avg_bigram_freq
+       |FROM b LEFT JOIN c USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact replica of [[KMeans.lloyd]] (k=8, iters=2, seed=42, dim=64):
+    * same hash-ranked seeds, same left-fold squared-L2 (list_sum IS a
+    * left fold over doubles — verified against a manual fold), same
+    * (distance@9dp, cell) argmin, same DECIMAL(18,6)-exact per-dim sums
+    * with ONE double division per mean, and the same floor(x*1e6+0.5)
+    * rounding everywhere — engine round() builtins disagree at halfway
+    * boundaries, this IEEE op sequence cannot. */
+  private lazy val kmeansCentroidsSql = {
+    def iter(eTbl: String, cenTbl: String, n: Int) =
+      s"""d$n AS (
+         |  SELECT e.vec_id, e.v, i.cell,
+         |    floor(list_sum(list_transform(range(1, 65),
+         |      j -> (e.v[j] - i.v[j]) * (e.v[j] - i.v[j]))) * 1e9 + 0.5) / 1e9 AS d
+         |  FROM $eTbl e CROSS JOIN $cenTbl i),
+         |a$n AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d$n)
+         |  WHERE rn = 1),
+         |s$n AS (
+         |  SELECT cell, t.j AS j,
+         |    floor(CAST(sum(CAST(v[t.j] AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS c,
+         |    count(*) AS n
+         |  FROM a$n CROSS JOIN generate_series(1, 64) AS t(j)
+         |  GROUP BY cell, t.j),
+         |f$n AS (
+         |  SELECT i.cell, coalesce(cv.v, i.v) AS v
+         |  FROM $cenTbl i LEFT JOIN
+         |    (SELECT cell, list(c ORDER BY j) AS v FROM s$n GROUP BY cell) cv USING (cell))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x * 1e6 + 0.5) / 1e6) AS v
+       |  FROM embeddings),
+       |init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell, v
+       |  FROM (SELECT md5(CAST(vec_id AS VARCHAR) || ':42') AS h, vec_id, v
+       |        FROM e ORDER BY h, vec_id LIMIT 8)),
+       |${iter("e", "init", 1)},
+       |${iter("e", "f1", 2)}
+       |SELECT f.cell, CAST(t.j - 1 AS INTEGER) AS dim,
+       |  coalesce(s.c, f.v[t.j]) AS c, CAST(coalesce(s.n, 0) AS BIGINT) AS n
+       |FROM f1 f CROSS JOIN generate_series(1, 64) AS t(j)
+       |LEFT JOIN s2 s ON s.cell = f.cell AND s.j = t.j
+       |ORDER BY f.cell, dim""".stripMargin
   }
 
   /** quantile_cont ≡ Spark `percentile` at p=0.5 (the group_percentiles

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the 100 TB
+  * quantizer trainer. [[Similarity.ivfIndex]] trains its coarse
+  * quantizer on a bounded driver-side sample (the FAISS
+  * train-on-sample shape); this closes the remaining caveat for
+  * corpora whose diversity a 4096-vector sample under-represents:
+  * every iteration is ONE distributed job over all vectors, and only
+  * k x d centroid statistics ever reach the driver.
+  *
+  * Per-iteration dataflow:
+  *   - assignment is a pure projection: per-centroid squared L2 via a
+  *     left-fold `aggregate(zip_with(...))` against centroid literals,
+  *     argmin by `array_min` over (distance, cell) structs — the same
+  *     deterministic-tiebreak pattern as the IVF cell assignment
+  *     (distance rounded to 9 dp, ties to the lower cell);
+  *   - the centroid update is `posexplode` to (cell, dim, value) rows
+  *     and one map-side-combined aggregate keyed (cell, dim): shuffle
+  *     volume is k x d x partitions tiny partials, never vectors;
+  *   - new means land on the driver (k x d decimals), next iteration's
+  *     literals are rebuilt, empty cells keep their previous centroid.
+  *
+  * Determinism contract (what makes the DuckDB twin hash-exact and
+  * results stable across partitionings, retries, and cluster sizes):
+  * coordinates are pre-rounded to 6 dp, per-dimension sums run in
+  * DECIMAL(18,6) (exact for 6-dp inputs in any accumulation order),
+  * each mean is ONE double division then rounded back to 6 dp, and
+  * the seed vectors are the hash-ranked top-k (md5(id:seed) — the
+  * [[Shuffling.shuffleKey]] rule), not a partitioning-dependent
+  * `takeSample`. Every rounding uses the same primitive formula
+  * `floor(x * 1e6 + 0.5) / 1e6` — engine `round()` builtins disagree
+  * at half-way boundaries (BigDecimal-string vs scaled-double
+  * semantics), this sequence of IEEE ops does not.
+  *
+  * Output: one row per (cell, dim): the trained centroid component and
+  * the cell's final member count (n = 0 rows carry the seed/previous
+  * centroid — k is preserved, the FAISS empty-cell convention).
+  */
+object KMeans {
+
+  def lloyd(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def r9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+
+    val vecs = df.select(col(idCol).as("__id"), transform(col(vecCol), x => r6(x)).as("__v"))
+
+    // hash-ranked seeds: deterministic in any layout, one tiny top-k job
+    val seeds: Array[Array[Double]] = vecs
+      .orderBy(md5(concat(col("__id").cast("string"), lit(s":$seed"))), col("__id"))
+      .limit(k)
+      .select("__v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"need >= $k vectors to seed $k cells, got ${seeds.length}")
+    val dim = seeds.head.length
+
+    def assignExpr(centroids: Array[Array[Double]]): Column = {
+      val cells = centroids.zipWithIndex.map { case (c, i) =>
+        val d2 = aggregate(
+          zip_with(col("__v"), lit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(r9(d2).as("d"), lit(i).as("cell"))
+      }
+      array_min(array(cells: _*)).getField("cell")
+    }
+
+    var centroids = seeds
+    var lastStats: Map[(Int, Int), (java.math.BigDecimal, Long)] = Map.empty
+    (1 to iters).foreach { _ =>
+      // two selects: posexplode's multi-alias breaks getField resolution
+      // when they share one projection (FIELD_NOT_FOUND on the struct)
+      val stats = vecs
+        .select(assignExpr(centroids).as("cell"), col("__v"))
+        .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast("decimal(18,6)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getDecimal(2), r.getLong(3))).toMap
+      lastStats = stats
+      centroids = Array.tabulate(k, dim) { (cell, d) =>
+        stats.get((cell, d)) match {
+          case Some((s, n)) =>
+            // same IEEE op sequence as r6 and the DuckDB twin
+            math.floor(s.doubleValue() / n * 1e6 + 0.5) / 1e6
+          case None => centroids(cell)(d) // empty cell keeps its centroid
+        }
+      }
+    }
+
+    val rows = for (cell <- 0 until k; d <- 0 until dim) yield {
+      val n = lastStats.get((cell, d)).map(_._2).getOrElse(0L)
+      (cell, d, centroids(cell)(d), n)
+    }
+    rows.toDF("cell", "dim", "c", "n")
+  }
+}

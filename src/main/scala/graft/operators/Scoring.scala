@@ -93,15 +93,28 @@ object Scoring {
       p: Double = 0.5,
       approx: Boolean = false
   ): DataFrame = {
-    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
     val scored = df.select(
       col(idCol), col(strataCol), TextFunctions.qualityScore(col(textCol)).as("quality"))
+    scored.join(broadcast(qualityThresholds(df, textCol, strataCol, p, approx)), Seq(strataCol))
+      .where(col("quality") > col("__thr"))
+      .select(col(idCol), col(strataCol), col("quality"))
+  }
+
+  /** The per-stratum quality-quantile table (strataCol, __thr) on its
+    * own — the batch artifact [[graft.streaming.StreamOps.qualityFilter]]
+    * pins a stream's quality bar to. */
+  def qualityThresholds(
+      df: DataFrame,
+      textCol: String,
+      strataCol: String,
+      p: Double = 0.5,
+      approx: Boolean = false
+  ): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    val q = TextFunctions.qualityScore(col(textCol)).as("quality")
     val thrAgg: Column =
       if (approx) approx_percentile(col("quality"), lit(p), lit(10000)).as("__thr")
       else percentile(col("quality"), lit(p)).as("__thr")
-    val thresholds = scored.groupBy(col(strataCol)).agg(thrAgg)
-    scored.join(broadcast(thresholds), Seq(strataCol))
-      .where(col("quality") > col("__thr"))
-      .select(col(idCol), col(strataCol), col("quality"))
+    df.select(col(strataCol), q).groupBy(col(strataCol)).agg(thrAgg)
   }
 }

@@ -181,4 +181,29 @@ object StreamOps {
         col("dup_token_frac") <= maxDupTokenFrac && col("symbol_ratio") <= maxSymbolRatio)
       .withColumn(textCol, TextFunctions.scrubPii(t))
   }
+
+  /** Stream-side stratified quality filtering against STATIC thresholds:
+    * the per-stratum quantile table comes from a batch pass over a
+    * reference corpus ([[graft.operators.Scoring.qualityFilterStratified]]
+    * computes the same thresholds), and the stream hash-joins against its
+    * broadcast — stateless, append-mode, no state store. Quantiles over
+    * an unbounded stream are ill-defined without windows; pinning the
+    * bar to a reference corpus is the standard serving shape (recompute
+    * the thresholds batch-side as the corpus drifts). Strata absent from
+    * the threshold table drop (inner join): an unknown language has no
+    * defined bar.
+    *
+    * @param thresholds static DataFrame of (strataCol, `__thr`) rows
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      thresholds: DataFrame,
+      textCol: String = "text",
+      strataCol: String = "lang"
+  ): DataFrame =
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .join(broadcast(thresholds), Seq(strataCol))
+      .where(col("quality") > col("__thr"))
+      .drop("__thr")
 }

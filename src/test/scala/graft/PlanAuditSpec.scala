@@ -94,6 +94,24 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("stratified quality filter broadcasts thresholds onto the corpus") {
+    // per-stratum percentile rows are tiny; the corpus side must hash-join
+    // against a broadcast, never shuffle for the join
+    val p = plan(q("quality_filter_stratified"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stratum thresholds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the threshold join:\n$p")
+  }
+
+  test("dataset_split assignment is a pure projection - no exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Shuffling.assignSplit(
+      docs, "doc_id", Seq("train" -> 0.8, "rest" -> 0.2), seed = 7L))
+    assert(!p.contains("Exchange"),
+      s"split assignment must run at scan speed with no shuffle:\n$p")
+  }
+
   test("pair-candidate dedups shuffle ids only (no vector/signature payload)") {
     // embedding_neardup_lsh: the (id_a, id_b) dedup must not carry the
     // va/vb arrays through its exchange (the r4 verdict's #3 finding)

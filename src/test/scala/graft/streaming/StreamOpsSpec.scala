@@ -191,4 +191,30 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(batch == out, "stream and batch decontamination must agree")
     } finally q.stop()
   }
+
+  test("streaming quality filter against static thresholds matches the batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 30L).map { i =>
+      (i, ("word " * i.toInt).trim, if (i % 2 == 0) "en" else "de")
+    }
+    val static = corpus.toDF("doc_id", "text", "lang")
+    val thresholds = graft.operators.Scoring.qualityThresholds(static, "text", "lang")
+    val input = MemoryStream[(Long, String, String)]
+    val filtered = StreamOps.qualityFilter(
+      input.toDF().toDF("doc_id", "text", "lang"), thresholds)
+    val q = filtered.writeStream.format("memory").queryName("qf_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(corpus: _*)
+      input.addData((99L, "some text here", "fr")) // stratum with no bar: drops
+      q.processAllAvailable()
+      val out = spark.table("qf_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.Scoring
+        .qualityFilterStratified(static, "doc_id", "text", "lang")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == batch, s"stream kept $out, batch kept $batch")
+      assert(!out.contains(99L), "a stratum absent from the threshold table must drop")
+    } finally q.stop()
+  }
 }
