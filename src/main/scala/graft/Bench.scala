@@ -95,16 +95,10 @@ object Bench {
       ("fit_depth4_entropy", None, None),               // exact, windowed cum
       ("fit_depth4_entropy_scalable", None, Some(32)),  // exact, partitioned prefix sums
       ("fit_depth4_entropy_bins32", Some(32), None))    // quantile-binned
-    // The testdata parquet is ONE row group, so without an explicit
-    // repartition every pre-shuffle stage of a fit (melt/histogram/edge
-    // scans) runs in a single task — an artifact a real corpus (thousands
-    // of row groups) doesn't have. Repartition the narrow base frame once
-    // so the fit entries measure the operators, not the file layout.
     val fitEntries: Seq[(String, () => Unit)] = fitVariants.map { case (label, bins, cumParts) =>
       (label, () => {
         val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
-          .repartition(spark.sparkContext.defaultParallelism)
         val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
           maxBins = bins, exactCumulativePartitions = cumParts).fit(df, "l_returnflag")
         graft.tree.Predict.predictMany(model, df)
@@ -120,9 +114,16 @@ object Bench {
     def wideFit(nDerived: Int): Unit = {
       import org.apache.spark.sql.functions.col
       val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // The testdata parquet is ONE row group -> a single scan task; at
+      // 190 features the per-row work (190 sketch inserts / histogram
+      // bins) is what dominates, so pre-shuffle parallelism is worth one
+      // tiny 5-column exchange (a real corpus has thousands of row
+      // groups and gets this for free). The narrow fits stay on the raw
+      // scan: their per-row work is light enough that each pre-cache
+      // action re-paying the exchange costs more than it buys.
       val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select((baseCols :+ "l_returnflag").map(col): _*)
-        .repartition(spark.sparkContext.defaultParallelism) // see fitEntries note
+        .repartition(spark.sparkContext.defaultParallelism)
       // one flat projection, not a withColumn fold: the fold re-analyzes a
       // growing plan per column (O(width^2) driver time) and leaves nested
       // Projects that double the downstream scan cost (WidePhaseProbe)

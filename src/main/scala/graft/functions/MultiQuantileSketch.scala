@@ -35,9 +35,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * times every scan task, those heads add up to (rows x features) live
   * boxed doubles across the executor (3.5 GB at 600k x 190 locally) and
   * the job runs at GC speed. Folding each summary every
-  * [[MultiQuantileSketch.FoldEvery]] inserts caps the pending state at
-  * features x 4096 boxed values per task and keeps the scan CPU-bound;
-  * the GK error bound is unaffected by fold frequency.
+  * [[MultiQuantileSketch.foldEvery]] inserts caps a task's whole pending
+  * state at [[MultiQuantileSketch.PendingBudget]] boxed values and keeps
+  * the scan CPU-bound; the GK error bound is unaffected by fold
+  * frequency.
   */
 case class MultiQuantileSketch(
     featuresArray: Expression,     // ArrayType(DoubleType), one slot per feature
@@ -47,10 +48,12 @@ case class MultiQuantileSketch(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[MultiQuantileSketch.Buffer] {
-  import MultiQuantileSketch.{Buffer, FoldEvery}
+  import MultiQuantileSketch.Buffer
 
   require(numFeatures > 0, "numFeatures must be positive")
   require(probabilities.nonEmpty, "at least one probability required")
+
+  private val foldEvery = MultiQuantileSketch.foldEvery(numFeatures)
 
   override def children: Seq[Expression] = Seq(featuresArray)
   override def nullable: Boolean = false
@@ -77,7 +80,7 @@ case class MultiQuantileSketch(
           if (!java.lang.Double.isNaN(v)) {
             s(f) = s(f).insert(v)
             pending(f) += 1
-            if (pending(f) >= FoldEvery) { s(f) = s(f).compress(); pending(f) = 0 }
+            if (pending(f) >= foldEvery) { s(f) = s(f).compress(); pending(f) = 0 }
           }
         }
         f += 1
@@ -144,11 +147,18 @@ case class MultiQuantileSketch(
 }
 
 object MultiQuantileSketch {
-  /** Fold each summary's head buffer after this many inserts (vs the
-    * stock 50k): bounds per-task pending state at features x FoldEvery
-    * boxed values. Folding costs ~15 ops/insert amortized and never
-    * affects the GK error bound. */
-  val FoldEvery = 4096
+  /** Pending-insert budget for a whole task's buffer (all features
+    * together): each summary folds every `PendingBudget / numFeatures`
+    * inserts, clamped to [4096, 50000]. The lower the fold interval the
+    * more sort-merge passes per insert; the higher, the more live boxed
+    * doubles. 50000 is the stock head size (folding later than that is a
+    * no-op — QuantileSummaries folds itself there); at 190 features this
+    * lands ~4k, which turned the wide edge pass from GC-bound back to
+    * CPU-bound. Fold frequency never affects the GK error bound. */
+  val PendingBudget = 786432
+
+  def foldEvery(numFeatures: Int): Int =
+    math.min(50000, math.max(4096, PendingBudget / numFeatures))
 
   /** Per-feature summaries plus pending-insert counters driving the
     * periodic fold. */

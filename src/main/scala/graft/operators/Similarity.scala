@@ -266,7 +266,11 @@ object Similarity {
     * to the lower cell index) — the FAISS-style train-on-sample shape,
     * chosen over MLlib KMeans because distributed float aggregation order
     * makes MLlib's centroids run-nondeterministic, and a reproducible
-    * index is what lets the ANN result be oracle-checked exactly. Cell
+    * index is what lets the ANN result be oracle-checked exactly. For a
+    * corpus whose diversity the sample under-represents, pass
+    * `trainedCentroids` from [[graft.operators.KMeans.lloyd]] — the
+    * fully-distributed trainer with the same determinism contract — and
+    * the sample/training step is skipped entirely. Cell
     * ASSIGNMENT is distributed: argmin_i |v-c_i|^2 = argmin_i
     * (|c_i|^2 - 2 v.c_i) evaluated as an `array_min` over (distance,
     * index) structs with the codegen'd dot product — one narrow pass, no
@@ -280,7 +284,23 @@ object Similarity {
       vecCol: String,
       nlist: Int = 16,
       sampleSize: Int = 4096,
-      maxIter: Int = 15
+      maxIter: Int = 15,
+      trainedCentroids: Option[Seq[Seq[Double]]] = None
+  ): (DataFrame, Seq[Seq[Double]]) = trainedCentroids match {
+    case Some(cs) =>
+      require(cs.nonEmpty && cs.forall(_.size == cs.head.size),
+        "trainedCentroids must be non-empty and rectangular")
+      (assignCells(df, idCol, vecCol, cs.map(_.toIndexedSeq).toIndexedSeq), cs)
+    case None => trainOnSampleAndAssign(df, idCol, vecCol, nlist, sampleSize, maxIter)
+  }
+
+  private def trainOnSampleAndAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      sampleSize: Int,
+      maxIter: Int
   ): (DataFrame, Seq[Seq[Double]]) = {
     val sample: Array[Array[Double]] = df
       .select(col(idCol).cast("long").as("__id"),
@@ -319,14 +339,26 @@ object Similarity {
       }
       iter += 1
     }
+    (assignCells(df, idCol, vecCol, centroids.toIndexedSeq.map(_.toIndexedSeq)),
+      centroids.toIndexedSeq.map(_.toSeq))
+  }
+
+  /** Distributed cell assignment against literal centroids: argmin_i
+    * |v-c_i|^2 = argmin_i (|c_i|^2 - 2 v.c_i) as an `array_min` over
+    * (distance, index) structs — one narrow codegen'd pass, no shuffle. */
+  private def assignCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: IndexedSeq[IndexedSeq[Double]]
+  ): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
-    val scored = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
       val cNorm2 = c.map(x => x * x).sum
       struct((lit(cNorm2) - dot(v, typedLit(c.toSeq)) * 2).as("d"), lit(i).as("i"))
     }
     val cell = array_min(array(scored: _*)).getField("i")
-    val indexed = df.select(col(idCol).as("id"), col(vecCol).as("vec"), cell.as("cell"))
-    (indexed, centroids.toIndexedSeq.map(_.toSeq))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"), cell.as("cell"))
   }
 
   /** IVF probe: rank the `nprobe` cells nearest to the query (driver-side

@@ -53,6 +53,32 @@ class KMeansSpec extends AnyFunSuite {
     assert(a == b, "result must not depend on input partitioning")
   }
 
+  test("lloyd centroids feed ivfIndex: full-probe ANN stays exact") {
+    val d = clustered
+    val centroids = KMeans.centroidArrays(
+      KMeans.lloyd(d, "vec_id", "embedding", k = 3, iters = 4, seed = 2L))
+    val (index, cs) = Similarity.ivfIndex(d, "vec_id", "embedding",
+      trainedCentroids = Some(centroids))
+    assert(cs == centroids, "provided centroids must pass through untrained")
+    // every vector landed in its nearest trained cell
+    val rows = index.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    rows.foreach { case (_, v, cell) =>
+      val dists = centroids.map(c =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(dists(cell) == dists.min, s"vector assigned to non-nearest cell $cell")
+    }
+    // probing all cells returns the exact nearest neighbor
+    val q = Seq(10.0, 10.0)
+    val top = Similarity.ivfTopK(index, centroids, q, nprobe = 3, k = 1).collect()
+    assert(top.length == 1)
+    val bruteBest = rows.minBy { case (_, v, _) =>
+      -(v.zip(q).map { case (a, b) => a * b }.sum /
+        (math.sqrt(v.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum)))
+    }._1
+    assert(top.head.getLong(0) == bruteBest, "full-probe IVF must equal brute force")
+  }
+
   test("empty cells keep their seed centroid with n = 0") {
     // two identical points, k = 3: at least one cell can end up empty
     val d = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(1.0, 1.0)), (3L, Seq(1.0, 1.0)))
