@@ -730,6 +730,22 @@ object QueryCatalog {
     "kmeans_centroids" -> ((s, dir) =>
       KMeans.lloyd(embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2, seed = 42L)
         .orderBy("cell", "dim")),
+    // The fully-distributed IVF build: lloyd-trained quantizer (no
+    // driver sample) -> cell assignment -> batch probe. Exhaustive
+    // nprobe = nlist makes the result centroid-independent, so the
+    // exact brute-force oracle checks this end to end regardless of
+    // where the quantizer trained.
+    "batch_ivf_topk_kmeans" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val centroids = KMeans.centroidArrays(
+        KMeans.lloyd(e, "vec_id", "embedding", k = 16, iters = 2, seed = 42L))
+      val (index, cs) = Similarity.ivfIndex(e, "vec_id", "embedding",
+        trainedCentroids = Some(centroids))
+      Similarity.ivfTopKForQueries(index, cs, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", nprobe = 16, k = 5)
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // End-to-end dedup materialization: corpus minus the greedy-dropped
     // side of the jaccard near-dup pairs.
     "dedup_drop" -> ((s, dir) => {
@@ -1149,6 +1165,7 @@ object QueryCatalog {
     "batch_ann_topk_bucketed" -> topkForQueriesSql,
     "batch_ivf_topk" -> topkForQueriesSql,
     "batch_ivf_topk_bucketed" -> topkForQueriesSql,
+    "batch_ivf_topk_kmeans" -> topkForQueriesSql,
     "curation_pipeline" -> curationPipelineSql,
     // dedup_drop_exact: see the catalog comment — clique components make
     // the greedy dropped-set SQL exact for the MIS materialization too.
