@@ -329,6 +329,18 @@ object QueryCatalog {
       Dedup.jaccardPairs(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // Incremental ingestion dedup: the last fifth of the corpus arrives
+    // as a new batch and is checked against the first four fifths — the
+    // batch's inverted index broadcasts, the "corpus" side never
+    // shuffles for the join.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.jaccardPairsAgainst(
+          docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_new"), col("id_corpus"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_new", "id_corpus")
+    }),
     // Candidate+verify: LSH banding proposes, exact shingle Jaccard
     // confirms — so the output is the TRUE near-dup pair set and the
     // brute-force SQL twin is an exact oracle (16 bands of 2: per-pair
@@ -488,6 +500,13 @@ object QueryCatalog {
       Shuffling.assignSplit(documents(s, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
         .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+    // Exactly-20-per-language deterministic sample: hash-ranked window
+    // per stratum (one stratum-keyed shuffle); the kept set is a pure
+    // function of (id, lang, seed) and nests across n.
+    "sample_n_per_stratum" -> ((s, dir) =>
+      Shuffling.sampleNPerStratum(documents(s, dir), "doc_id", "lang", n = 20, seed = 5L)
+        .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
     // Corpus vocabulary: top-50 terms by total count — per-(doc,term)
     // map-side combine bounds the first shuffle, term rollup is one row
@@ -925,6 +944,30 @@ object QueryCatalog {
        |WHERE $jaccardExprSql >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** [[jaccardCtes]]'s shingle algebra with an asymmetric batch/corpus
+    * split instead of the `a.id < b.id` self-join cut. */
+  private lazy val dedupIncrementalSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |sets AS (
+       |  SELECT id,
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+       |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+       |  FROM toks),
+       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
+       |cand AS (
+       |  SELECT a.id AS id_new, b.id AS id_corpus,
+       |    a.set_size AS size_new, b.set_size AS size_corpus, count(*) AS n_common
+       |  FROM sized a JOIN sized b ON a.shingle = b.shingle
+       |  WHERE a.id >= 400 AND b.id < 400
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_new, id_corpus,
+       |  round(n_common / (size_new + size_corpus - n_common), 6) AS jaccard
+       |FROM cand
+       |WHERE n_common / (size_new + size_corpus - n_common) >= 0.8
+       |ORDER BY id_new, id_corpus""".stripMargin
+
   /** Brute-force SQL twin of the 60-bit md5 simhash pairs: recompute the
     * signature per doc (same token set, same md5-prefix hash, same ±1 bit
     * votes), then all-pairs hamming — exact, because the Spark side's
@@ -1126,6 +1169,7 @@ object QueryCatalog {
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
     "jaccard_pairs" -> jaccardSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "winnow_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
@@ -1182,6 +1226,12 @@ object QueryCatalog {
     "contamination_pairs" -> contaminationPairsSql,
     "global_shuffle" -> globalShuffleSql,
     "dataset_split" -> datasetSplitSql,
+    "sample_n_per_stratum" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     "vocab_topk" -> vocabTopkSql,
     "bigram_score" -> bigramScoreSql,
     "bigram_score_topk" -> bigramScoreTopkSql,

@@ -259,6 +259,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup check: exact n-gram Jaccard pairs between an
+    * INCOMING batch and the EXISTING corpus — the production ingestion
+    * shape ([[jaccardPairs]] dedups a corpus against itself; this keeps
+    * an already-deduped corpus clean as new data arrives, without ever
+    * re-pairing the corpus with itself).
+    *
+    * Dataflow: both sides shingle into inverted-index rows; with
+    * `broadcastBatch` (default) the batch index BROADCASTS onto the
+    * corpus index — the 100 TB corpus never shuffles, the whole check
+    * is one scan of the corpus shingles against an in-memory hash map
+    * (an ingest batch is MBs against a corpus of TBs; the same
+    * asymmetry Decontamination exploits for benchmark probes). Set it
+    * false when the "batch" is itself corpus-sized and a shuffle join
+    * is the right plan. Candidate cardinality is bounded by shared
+    * shingles, never |batch| x |corpus|.
+    *
+    * Output: (id_new, id_corpus, jaccard >= threshold). Pairs WITHIN
+    * the new batch are not emitted — run [[jaccardPairs]] on the batch
+    * for that (cheap: the batch is small).
+    */
+  def jaccardPairsAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.8,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    def inverted(d: DataFrame) = d
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val batch0 = inverted(newDf)
+      .select(col("shingle"), col("id").as("id_new"), col("set_size").as("size_new"))
+    val batch = if (broadcastBatch) broadcast(batch0) else batch0
+    val corpus = inverted(corpusDf)
+      .select(col("shingle"), col("id").as("id_corpus"), col("set_size").as("size_corpus"))
+    corpus.join(batch, Seq("shingle"))
+      .groupBy("id_new", "id_corpus", "size_new", "size_corpus")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common") / (col("size_new") + col("size_corpus") - col("n_common")))
+      .where(col("jaccard") >= lit(threshold))
+      .select("id_new", "id_corpus", "jaccard")
+  }
+
   /** POSITIONAL word k-grams of trimmed lowered `textCol` — like
     * [[shingleSet]] but order-preserving and WITH duplicates (winnowing
     * needs the gram sequence, not the set). Short docs (< k tokens)

@@ -79,6 +79,40 @@ object Shuffling {
     df.withColumn("split", chain)
   }
 
+  /** Exactly-N-per-stratum deterministic sample: rank each stratum's
+    * rows by the seeded hash key (total order — ties broken by id) and
+    * keep the first `n` — the balanced-eval-set / per-language-probe
+    * primitive that rate-based sampling ([[graft.operators.Chunking
+    * .sampleByHash]]) can't express when strata sizes differ wildly.
+    * Reproducible: the kept set is a pure function of (id, stratum,
+    * seed). Nested sampling property: the top-N set is a PREFIX of the
+    * top-M set for N < M (same hash order), so growing a probe set
+    * never replaces rows, only appends.
+    *
+    * The rank is a per-stratum window — one shuffle keyed by stratum,
+    * partition size = stratum size. For mega-strata at 100 TB, pre-cut
+    * with `hashFraction(id, seed) < rate` (SAME seed, rate ~ c*n/
+    * |stratum|) to bound the window input, then rank exactly: the
+    * fraction cut is a down-set of the hex order (the fraction is the
+    * key's first 8 hex digits), so the two-pass result is IDENTICAL to
+    * the direct one whenever the cut keeps >= n rows per stratum
+    * (asserted in ShufflingSpec). */
+  def sampleNPerStratum(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      n: Int,
+      seed: Long
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(shuffleKey(col(idCol), seed), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Deterministic shard assignment in [0, numShards): the first 8 hex
     * digits of the shuffle key mod `numShards`. Stable across runs and
     * cluster sizes; `repartition(numShards, col("shard"))` + a

@@ -112,6 +112,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"split assignment must run at scan speed with no shuffle:\n$p")
   }
 
+  test("incremental dedup broadcasts the batch index onto the corpus") {
+    val p = plan(q("dedup_incremental"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ingest batch must broadcast; the corpus must not shuffle for the join:\n$p")
+  }
+
   test("pair-candidate dedups shuffle ids only (no vector/signature payload)") {
     // embedding_neardup_lsh: the (id_a, id_b) dedup must not carry the
     // va/vb arrays through its exchange (the r4 verdict's #3 finding)

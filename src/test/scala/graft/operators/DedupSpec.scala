@@ -30,6 +30,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0.6)))
   }
 
+  test("incremental pairs: batch vs corpus only, both plan shapes agree") {
+    val corpus = docs(1L -> "a b c d", 2L -> "p q r s", 3L -> "x y z w")
+    val batch = docs(10L -> "a b c e", 11L -> "p q r s", 12L -> "fresh text here")
+    // batch-internal near-dups must NOT appear even if present
+    val expect = Set((10L, 1L, 0.6), (11L, 2L, 1.0))
+    val broadcasted = Dedup.jaccardPairsAgainst(batch, corpus, "doc_id", "text",
+        n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(broadcasted == expect, s"got $broadcasted")
+    val shuffled = Dedup.jaccardPairsAgainst(batch, corpus, "doc_id", "text",
+        n = 1, threshold = 0.5, broadcastBatch = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shuffled == expect, "broadcast and shuffle plans must agree")
+  }
+
   test("shingle sets: trigram count and short-doc fallback") {
     import org.apache.spark.sql.functions._
     val d = docs(1L -> "one two three four", 2L -> "tiny doc")

@@ -83,6 +83,28 @@ class ShufflingSpec extends AnyFunSuite {
     assert(small.subsetOf(big), "re-weighting must not swap rows between splits")
   }
 
+  test("sampleNPerStratum: exact count per stratum, nested across n") {
+    import spark.implicits._
+    val d = (1L to 900L).map(i => (i, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "lang")
+    val small = Shuffling.sampleNPerStratum(d, "doc_id", "lang", n = 10, seed = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val big = Shuffling.sampleNPerStratum(d, "doc_id", "lang", n = 25, seed = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(small.count(_._2 == "en") == 10 && small.count(_._2 == "de") == 10,
+      "exactly n per stratum")
+    assert(big.length == 50)
+    assert(small.map(_._1).toSet.subsetOf(big.map(_._1).toSet),
+      "top-10 must be a prefix of top-25 (nested sampling)")
+    // two-pass equivalence: pre-cut on the SAME seeded hash fraction,
+    // then exact rank = direct rank (the fraction cut is a down-set of
+    // the hex order), whenever the cut keeps >= n rows per stratum
+    val preCut = d.where(Shuffling.hashFraction(col("doc_id"), 5L) < 0.2)
+    val twoPass = Shuffling.sampleNPerStratum(preCut, "doc_id", "lang", n = 10, seed = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert(twoPass == small.map(_._1).toSet,
+      "bounded-window two-pass must reproduce the direct sample exactly")
+  }
+
   test("global sort is range-partitioned, not single-task") {
     val plan = Shuffling.deterministicShuffle(ids(100), "doc_id", 1L)
       .queryExecution.executedPlan.toString
