@@ -127,28 +127,18 @@ final case class DecisionTreeClassifier(
     // shrink_dtype parity (tree.py:90): double features lose to f32 grid
     // during fit only. Like Polars, shrink is a COLUMN-level decision
     // gated on the values fitting f32 range — a feature with magnitudes
-    // beyond Float.MaxValue stays f64 rather than collapsing to Infinity
-    // (one tiny all-features max(abs) aggregate decides). Encoded
-    // categoricals are small ints — untouched.
+    // beyond Float.MaxValue stays f64 rather than collapsing to Infinity.
+    // Encoded categoricals are small ints — untouched.
     val doubleFeatures = featureNames.filter(f =>
       encoded0.schema(f).dataType == org.apache.spark.sql.types.DoubleType)
-    val encoded =
-      if (shrinkDtype && doubleFeatures.nonEmpty) {
-        val aggs = doubleFeatures.map(f => max(abs(col(f))).as(s"__ma_$f"))
-        val maxAbs = encoded0.agg(aggs.head, aggs.tail: _*).head()
+    def shrinkWith(absMax: String => Option[Double]): DataFrame =
+      if (shrinkDtype && doubleFeatures.nonEmpty)
         doubleFeatures.foldLeft(encoded0) { (d, f) =>
-          val fits = Option(maxAbs.getAs[Any](s"__ma_$f")) match {
-            case Some(m: Double) => m <= Float.MaxValue.toDouble
-            case _               => true // all-null feature: cast is a no-op
-          }
+          // absent = all-null/all-NaN feature: the cast is a no-op either way
+          val fits = absMax(f).forall(_ <= Float.MaxValue.toDouble)
           if (fits) d.withColumn(f, col(f).cast("float").cast("double")) else d
         }
-      } else encoded0
-
-    // Distinct target values (tree.py:110-113). The reference's order is
-    // engine-arbitrary; we sort for deterministic class indexing.
-    val targets: Seq[Any] =
-      encoded.select(col(targetName)).distinct().orderBy(col(targetName)).collect().map(_.get(0)).toSeq
+      else encoded0
 
     // maxBins mode: per-feature quantile edges, computed once on the root
     // data and reused for every node (MLlib-style binning). One
@@ -156,22 +146,53 @@ final case class DecisionTreeClassifier(
     // same Greenwald-Khanna summaries and 1/(4b) error contract as
     // `df.stat.approxQuantile`, without its per-row Row conversion that
     // re-boxes every feature (at 190 features that conversion was ~90% of
-    // the whole binned fit).
-    val binEdges: Map[String, Seq[Double]] = maxBins match {
+    // the whole binned fit). The SAME pass also answers the shrink
+    // decision: GK summaries retain the exact extremes, so querying
+    // probabilities 0 and 1 yields each feature's exact min/max and the
+    // f32-fit gate costs no second corpus scan (exact mode keeps its
+    // dedicated max(abs) aggregate). Edges are therefore computed on the
+    // PRE-shrink doubles — still valid cut points for the f32-shrunk
+    // training values (counts AT the chosen edges stay exact; only the
+    // candidate grid shifts within the sketch's error bound). NaN is
+    // ignored throughout: a NaN never blocks shrink (NaN survives the
+    // f32 cast value-preserved), unlike a max(abs) aggregate where NaN
+    // would poison the comparison.
+    val (encoded: DataFrame, binEdges: Map[String, Seq[Double]]) = maxBins match {
       case Some(b) =>
         require(b >= 2, s"maxBins must be >= 2, got $b")
         import org.apache.spark.sql.graft.ColumnBridge
-        val probs = (1 until b).map(_.toDouble / b)
+        val probs = 0.0 +: (1 until b).map(_.toDouble / b) :+ 1.0
         val packed = array(featureNames.map(f => col(f).cast("double")): _*)
         val agg = graft.functions.MultiQuantileSketch(
           ColumnBridge.expression(packed), featureNames.size, 1.0 / (4 * b), probs)
-        val quantiles: Seq[Seq[Double]] = encoded
+        val quantiles: Seq[Seq[Double]] = encoded0
           .select(ColumnBridge.column(agg.toAggregateExpression()).as("qs"))
           .head().getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
-        featureNames.zip(quantiles.map(_.distinct.sorted))
+        val absMax: Map[String, Double] = featureNames.zip(quantiles).collect {
+          case (f, qs) if qs.nonEmpty =>
+            f -> math.max(math.abs(qs.head), math.abs(qs.last))
+        }.toMap
+        val edges = featureNames
+          .zip(quantiles.map(qs =>
+            if (qs.isEmpty) qs else qs.drop(1).dropRight(1).distinct.sorted))
           .filter(_._2.nonEmpty).toMap
-      case None => Map.empty
+        (shrinkWith(absMax.get), edges)
+      case None =>
+        val maxAbs: Map[String, Double] =
+          if (shrinkDtype && doubleFeatures.nonEmpty) {
+            val aggs = doubleFeatures.map(f => max(abs(col(f))).as(s"__ma_$f"))
+            val r = encoded0.agg(aggs.head, aggs.tail: _*).head()
+            doubleFeatures.flatMap { f =>
+              Option(r.getAs[Any](s"__ma_$f")).map { case m: Double => f -> m }
+            }.toMap
+          } else Map.empty
+        (shrinkWith(maxAbs.get), Map.empty[String, Seq[Double]])
     }
+
+    // Distinct target values (tree.py:110-113). The reference's order is
+    // engine-arbitrary; we sort for deterministic class indexing.
+    val targets: Seq[Any] =
+      encoded.select(col(targetName)).distinct().orderBy(col(targetName)).collect().map(_.get(0)).toSeq
 
     // Exact+partitioned mode: per-feature (min, max) computed ONCE here give
     // every level's bucketed prefix sum a literal bucket expression (no

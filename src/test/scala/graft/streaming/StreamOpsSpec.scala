@@ -192,6 +192,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup runs per micro-batch via foreachBatch against a static corpus") {
+    // jaccardPairsAgainst is a multi-aggregation dataflow (pair-keyed
+    // groupBy after a join), which Structured Streaming can't run
+    // incrementally in append mode — the standard production shape is
+    // foreachBatch: every micro-batch is a bounded DataFrame, checked
+    // with the batch operator VERBATIM (batch index broadcast, corpus
+    // never shuffles), results forwarded to the sink.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "a b c d"), (2L, "p q r s"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val flagged = scala.collection.mutable.Set[(Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val pairs = graft.operators.Dedup.jaccardPairsAgainst(
+            batch, corpus, "doc_id", "text", n = 1, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        flagged.synchronized { flagged ++= pairs }
+        ()
+      }
+      .start()
+    try {
+      input.addData((10L, "a b c e"), (11L, "fresh stuff entirely"))
+      q.processAllAvailable()
+      input.addData((12L, "p q r s"))
+      q.processAllAvailable()
+      assert(flagged.toSet == Set((10L, 1L), (12L, 2L)),
+        s"micro-batch dedup must match the batch operator, got $flagged")
+    } finally q.stop()
+  }
+
   test("streaming quality filter against static thresholds matches the batch filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
