@@ -535,6 +535,23 @@ object QueryCatalog {
     "quality_filter_stratified" -> ((s, dir) =>
       Scoring.qualityFilterStratified(documents(s, dir), "doc_id", "text", "lang", p = 0.5)
         .orderBy("doc_id")),
+    // All (lang x source) rollup levels in ONE pass — `cube` expands to
+    // grouping sets inside a single aggregate (map-side combined), so
+    // the corpus is read once for the whole mixture-planning summary
+    // instead of once per breakdown. NULL dim = rolled-up level (the
+    // synthetic corpus has no null lang/source, so the marker is
+    // unambiguous). Decimal-exact quality sums, the nation_revenue rule.
+    "corpus_cube" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("lang"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("tk"))
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tk")).as("total_tokens"),
+          round(sum(col("q").cast("decimal(18,10)")).cast("double") / count(lit(1)), 6)
+            .as("avg_quality"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
     // Per-source rollup: the table corpus mixture weights are chosen
     // from. The quality avg runs over an EXACT decimal sum (quality is
     // pre-rounded to 6 dp, so decimal(18,10) holds it exactly) — a
@@ -1233,6 +1250,7 @@ object QueryCatalog {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) AS rn
         |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     "vocab_topk" -> vocabTopkSql,
+    "corpus_cube" -> corpusCubeSql,
     "bigram_score" -> bigramScoreSql,
     "bigram_score_topk" -> bigramScoreTopkSql,
     "kmeans_centroids" -> kmeansCentroidsSql,
@@ -1532,6 +1550,20 @@ object QueryCatalog {
        |t AS (SELECT lang, quantile_cont(quality, 0.5) AS thr FROM s GROUP BY 1)
        |SELECT s.doc_id, s.lang, s.quality FROM s JOIN t USING (lang)
        |WHERE s.quality > t.thr ORDER BY doc_id""".stripMargin
+
+  /** GROUP BY CUBE twin — the driver's canon re-sorts rows engine-side,
+    * so Spark/DuckDB NULL-ordering differences never matter. */
+  private lazy val corpusCubeSql = {
+    val tkRaw = """regexp_split_to_array(trim(text), '\s+')"""
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(tk) AS BIGINT) AS total_tokens,
+       |  round(CAST(sum(CAST(q AS DECIMAL(18,10))) AS DOUBLE) / count(*), 6) AS avg_quality
+       |FROM (SELECT lang, source, $qualityExprSql AS q,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS tk
+       |  FROM documents)
+       |GROUP BY CUBE (lang, source)
+       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+  }
 
   private lazy val vocabTopkSql =
     """WITH toks AS (
