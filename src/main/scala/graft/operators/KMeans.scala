@@ -38,6 +38,10 @@ import org.apache.spark.sql.functions._
   * Output: one row per (cell, dim): the trained centroid component and
   * the cell's final member count (n = 0 rows carry the seed/previous
   * centroid — k is preserved, the FAISS empty-cell convention).
+  *
+  * Coordinates must be FINITE (the embeddings contract): a NaN/Inf
+  * coordinate would flow through the floor-rounding differently per
+  * engine, so feed such corpora through a finiteness filter first.
   */
 object KMeans {
 
