@@ -112,24 +112,15 @@ object Bench {
     // per level regardless of feature count, which is what makes wide
     // tables viable (the melt formulation multiplies rows by #features+1).
     def wideFit(nDerived: Int): Unit = {
-      import org.apache.spark.sql.functions.col
-      val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      // The testdata parquet is ONE row group -> a single scan task; at
-      // 190 features the per-row work (190 sketch inserts / histogram
-      // bins) is what dominates, so pre-shuffle parallelism is worth one
-      // tiny 5-column exchange (a real corpus has thousands of row
-      // groups and gets this for free). The narrow fits stay on the raw
-      // scan: their per-row work is light enough that each pre-cache
-      // action re-paying the exchange costs more than it buys.
-      val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select((baseCols :+ "l_returnflag").map(col): _*)
-        .repartition(spark.sparkContext.defaultParallelism)
-      // one flat projection, not a withColumn fold: the fold re-analyzes a
-      // growing plan per column (O(width^2) driver time) and leaves nested
-      // Projects that double the downstream scan cost (WidePhaseProbe)
-      val wide = base.select(base.columns.map(col) ++
-        (0 until nDerived).map(i =>
-          (col(baseCols(i % 4)) * (1.0 + i * 0.1) + i).as(s"f_$i")): _*)
+      // Shared construction (graft.tools.WideFrame) keeps the probes
+      // measuring exactly this workload. Repartition because at wide
+      // widths the per-row work dominates the one tiny 5-column
+      // exchange (the testdata parquet is ONE row group -> a single
+      // scan task; a real corpus has thousands). The narrow fits stay
+      // on the raw scan: their per-row work is light enough that each
+      // pre-cache action re-paying the exchange costs more than it buys.
+      val wide = graft.tools.WideFrame.frame(spark, sfDir, nDerived,
+        repartitionTo = Some(spark.sparkContext.defaultParallelism))
       val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
         maxBins = Some(32)).fit(wide, "l_returnflag")
       graft.tree.Predict.predictMany(model, wide)

@@ -100,10 +100,13 @@ object AsOfJoin {
   ): DataFrame = {
     require(payloadCols.nonEmpty, "asOfBucketed: at least one payload column")
     require(bucketWidth > 0, s"asOfBucketed: bucketWidth must be positive, got $bucketWidth")
-    // exact long floor-division (pmod is the non-negative remainder), so
-    // a pre-epoch timestamp lands in its floor bucket, not truncated-to-0
-    def bucketOf(ts: Column): Column =
-      ((ts - pmod(ts, lit(bucketWidth))) / bucketWidth).cast("long")
+    // The bucket id IS the bucket's start timestamp: `ts - pmod(ts, w)`
+    // stays in exact long arithmetic (pmod is the non-negative remainder,
+    // so pre-epoch timestamps land in their floor bucket). No division:
+    // Spark's `/` promotes longs to double, which silently rounds bucket
+    // indices for timestamps beyond 2^53 — epoch NANOseconds (~1.7e18)
+    // would mis-bucket and desynchronize the seeds from their rows.
+    def bucketOf(ts: Column): Column = (ts - pmod(ts, lit(bucketWidth))).cast("long")
 
     val rClean = right.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
     val rPayload = struct(payloadCols.map(c => col(c).as(c)): _*)
@@ -129,7 +132,7 @@ object AsOfJoin {
       .withColumn("__seed", last(col("__last"), ignoreNulls = true).over(wSpine))
       .where(col("__seed").isNotNull)
       .select(
-        Seq(col(keyCol), (col("__bucket") * bucketWidth).as("__ts"),
+        Seq(col(keyCol), col("__bucket").as("__ts"), // bucket id = bucket start
           col("__bucket"), lit(-1).as("__side")) ++
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payloadCols.map(c => col("__seed").getField(c).as(s"__p_$c")): _*)

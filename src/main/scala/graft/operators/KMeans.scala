@@ -65,7 +65,7 @@ object KMeans {
 
     // hash-ranked seeds: deterministic in any layout, one tiny top-k job
     val seeds: Array[Array[Double]] = vecs
-      .orderBy(md5(concat(col("__id").cast("string"), lit(s":$seed"))), col("__id"))
+      .orderBy(Shuffling.shuffleKey(col("__id"), seed), col("__id"))
       .limit(k)
       .select("__v")
       .collect()

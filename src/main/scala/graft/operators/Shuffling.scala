@@ -76,7 +76,12 @@ object Shuffling {
       .foldLeft(lit(splits.last._1): Column) { case (rest, ((name, _), bound)) =>
         when(frac < lit(bound), lit(name)).otherwise(rest)
       }
-    df.withColumn("split", chain)
+    // a NULL id gets a NULL split (same contract as shard's null shard) —
+    // without this the null hash fraction falls through every `<` branch
+    // and the otherwise-chain silently dumps every null-id row into the
+    // LAST split, skewing exactly the set (usually 'test') that can least
+    // afford it
+    df.withColumn("split", when(col(idCol).isNotNull, chain))
   }
 
   /** Exactly-N-per-stratum deterministic sample: rank each stratum's

@@ -42,16 +42,10 @@ object WidePhaseProbe {
       r
     }
 
-    val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    // testdata parquet is ONE row group -> one scan task; repartition the
-    // tiny base frame so pre-shuffle stages see cluster-like parallelism
-    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select((baseCols :+ "l_returnflag").map(col): _*)
-      .repartition(cpus.toInt)
-
     val wide: DataFrame = t("construct single-select") {
-      base.select(base.columns.map(col) ++
-        (0 until nDerived).map(i => (col(baseCols(i % 4)) * (1.0 + i * 0.1) + i).as(s"f_$i")): _*)
+      // the shared construction the bench entry uses (WideFrame), with
+      // the same repartition (one-row-group testdata -> one scan task)
+      WideFrame.frame(spark, sfDir, nDerived, repartitionTo = Some(cpus.toInt))
     }
     val features = wide.schema.fieldNames.filterNot(_ == "l_returnflag").toSeq
 

@@ -1,20 +1,20 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
 /** Dev probe: where does the 190-wide fit's time go — row volume or
   * feature width/plan size? Times the binned fit and the predict pass
-  * separately at (width x rowFraction) combinations.
+  * separately at (width x rowFraction) combinations, on the EXACT
+  * frame the bench entry uses ([[WideFrame]]).
   *
   * Usage: sbt "runMain graft.tools.WideScalingProbe [sfDir]"
   */
 object WideScalingProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,13 +23,8 @@ object WideScalingProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(nDerived: Int, fraction: Double): Unit = {
-      val baseCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val full = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select((baseCols :+ "l_returnflag").map(col): _*)
-      val base = if (fraction >= 1.0) full else full.sample(fraction, 42L)
-      val wide = base.select(base.columns.map(col) ++
-        (0 until nDerived).map(i =>
-          (col(baseCols(i % 4)) * (1.0 + i * 0.1) + i).as(s"f_$i")): _*)
+      val wide = WideFrame.frame(spark, sfDir, nDerived,
+        repartitionTo = Some(cpus), rowFraction = fraction)
       val t0 = System.nanoTime()
       val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
         maxBins = Some(32)).fit(wide, "l_returnflag")

@@ -132,13 +132,17 @@ final case class DecisionTreeClassifier(
     val doubleFeatures = featureNames.filter(f =>
       encoded0.schema(f).dataType == org.apache.spark.sql.types.DoubleType)
     def shrinkWith(absMax: String => Option[Double]): DataFrame =
-      if (shrinkDtype && doubleFeatures.nonEmpty)
-        doubleFeatures.foldLeft(encoded0) { (d, f) =>
+      if (shrinkDtype && doubleFeatures.nonEmpty) {
+        // one select, not a withColumn fold — each withColumn re-analyzes
+        // the accumulated plan, O(width^2) driver time at 190 features
+        // (the same hazard WidePhaseProbe measured in the bench harness)
+        val shrinkSet = doubleFeatures.filter(f =>
           // absent = all-null/all-NaN feature: the cast is a no-op either way
-          val fits = absMax(f).forall(_ <= Float.MaxValue.toDouble)
-          if (fits) d.withColumn(f, col(f).cast("float").cast("double")) else d
-        }
-      else encoded0
+          absMax(f).forall(_ <= Float.MaxValue.toDouble)).toSet
+        encoded0.select(encoded0.columns.map { c =>
+          if (shrinkSet(c)) col(c).cast("float").cast("double").as(c) else col(c)
+        }: _*)
+      } else encoded0
 
     // maxBins mode: per-feature quantile edges, computed once on the root
     // data and reused for every node (MLlib-style binning). One

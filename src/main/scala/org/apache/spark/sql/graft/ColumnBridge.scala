@@ -22,3 +22,12 @@ object ColumnBridge {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
+
+/** Test-support bridge into `private[spark]` scheduler internals (this
+  * package is inside org.apache.spark, so the access is legal): lets
+  * specs drain the async listener bus deterministically instead of
+  * sleeping a fixed interval and hoping the event arrived. */
+object ListenerBridge {
+  def waitUntilListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+}

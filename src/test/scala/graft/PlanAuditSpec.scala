@@ -78,16 +78,21 @@ class PlanAuditSpec extends AnyFunSuite {
   test("tfidf construction is lazy: the corpus count is in-plan, not an eager job") {
     // the parquet READ may cost a schema-inference job; the operator must not
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    var jobs = 0
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     }
+    // drain pre-existing events so they can't be attributed to the build,
+    // then register; drain again before reading the counter (a fixed
+    // sleep can false-pass both ways on a loaded machine)
+    org.apache.spark.sql.graft.ListenerBridge.waitUntilListenerBusEmpty(spark)
     spark.sparkContext.addSparkListener(listener)
     try {
       val built = graft.operators.Tfidf.topTerms(docs, "doc_id", "text", k = 3, minDf = 2)
-      Thread.sleep(500) // async listener bus settles
-      assert(jobs == 0, s"building topTerms ran $jobs Spark job(s) eagerly")
+      org.apache.spark.sql.graft.ListenerBridge.waitUntilListenerBusEmpty(spark)
+      assert(jobs.get() == 0, s"building topTerms ran ${jobs.get()} Spark job(s) eagerly")
       // and the N it scores with is a plan-side aggregate, not a baked literal
       assert(built.queryExecution.optimizedPlan.toString.contains("count(distinct"),
         "corpus N must be computed in-plan")

@@ -111,10 +111,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     val plan = AsOfJoin.asOfBucketed(left, right, "k", "ts", Seq("v"), Seq("tag"),
         bucketWidth = 7)
       .queryExecution.optimizedPlan.toString
-    // the main carry-forward must include __bucket in its partition spec;
-    // only the bucket-SPINE window (O(#buckets) rows) may key on k alone
-    val mainWindow = "windowspecdefinition\\(k#\\d+L, __bucket".r
+    // the main carry-forward must include __bucket in its PARTITION spec
+    // (k, __bucket then __ts ordering); a window that partitions on bare
+    // k and orders by __ts is exactly the hot-key straggler this operator
+    // exists to avoid. The bucket-SPINE window (partition k, order
+    // __bucket — O(#buckets) rows) is the only bare-k window allowed.
+    val mainWindow = "windowspecdefinition\\(k#\\d+L, __bucket#\\d+L?, __ts".r
     assert(mainWindow.findFirstIn(plan).isDefined,
       s"row-level window must partition by (key, bucket):\n$plan")
+    val bareKeyRowWindow = "windowspecdefinition\\(k#\\d+L, __ts".r
+    assert(bareKeyRowWindow.findFirstIn(plan).isEmpty,
+      s"a row-level window partitions on bare key (hot-key straggler):\n$plan")
   }
 }

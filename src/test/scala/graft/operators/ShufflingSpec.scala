@@ -83,6 +83,16 @@ class ShufflingSpec extends AnyFunSuite {
     assert(small.subsetOf(big), "re-weighting must not swap rows between splits")
   }
 
+  test("assignSplit: null id yields a NULL split, never the last bucket") {
+    import spark.implicits._
+    val d = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val out = Shuffling.assignSplit(d, "doc_id", Seq("train" -> 0.5, "test" -> 0.5), 1L)
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1))
+    assert(out.collect { case (None, s) => s }.head == null,
+      "null ids must not be silently dumped into the last split")
+    assert(out.collect { case (Some(_), s) => s }.forall(s => s == "train" || s == "test"))
+  }
+
   test("sampleNPerStratum: exact count per stratum, nested across n") {
     import spark.implicits._
     val d = (1L to 900L).map(i => (i, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "lang")
