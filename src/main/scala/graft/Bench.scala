@@ -130,7 +130,23 @@ object Bench {
       ("fit_depth4_entropy_bins32_wide24", () => wideFit(20)),
       ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)))
 
-    val entries = queryEntries ++ fitEntries ++ wideEntries
+    // Learned-BPE token pipeline: one corpus scan -> word-count table ->
+    // driver merge loop -> broadcast segmentation -> stream packing on
+    // TRUE subword counts. Spec-covered (BpeSpec); no SQL oracle — the
+    // merge loop is an iterative learned artifact outside bounded SQL,
+    // so it benches here instead of joining the hash-checked catalog.
+    val bpeEntries: Seq[(String, () => Unit)] = Seq(("bpe_train_segment_pack", () => {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val merges = graft.operators.Bpe.trainOnCorpus(docs, "text", numMerges = 64)
+      val seg = graft.operators.Bpe.segment(docs, "doc_id", "text", merges)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+      graft.operators.Packing.packByBudget(seg, "doc_id", "n_tokens",
+          budget = 2048L, numBuckets = 8)
+        .write.format("noop").mode("overwrite").save()
+    }))
+
+    val entries = queryEntries ++ fitEntries ++ wideEntries ++ bpeEntries
 
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val peaks = scala.collection.mutable.LinkedHashMap[String, Long]()
