@@ -85,8 +85,10 @@ object AsOfJoin {
     * its bucket) then in-bucket right rows up to its ts.
     *
     * Requires an integral `tsCol` (epoch micros in the catalog); the
-    * bucket index uses exact long floor-division, so negative timestamps
-    * bucket correctly. Same contract as [[asOf]] otherwise. Result
+    * bucket id is the bucket's START timestamp, computed entirely in
+    * long arithmetic (`ts - pmod(ts, width)`) — exact for negative
+    * timestamps AND for magnitudes beyond 2^53, where a division-based
+    * index would round in double. Same contract as [[asOf]]. Result
     * identity with [[asOf]] (including a single key holding every row)
     * is asserted by AsOfJoinSpec. */
   def asOfBucketed(

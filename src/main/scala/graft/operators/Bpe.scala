@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Byte-pair-encoding tokenizer training and application — the real
   * subword counts the packing/chunking budget heuristics approximate
@@ -28,7 +27,22 @@ object Bpe {
 
   /** Learned merges in order: (rank, left symbol, right symbol). */
   final case class Merges(pairs: IndexedSeq[(String, String)]) {
-    def rank: Map[(String, String), Int] = pairs.zipWithIndex.toMap
+    lazy val rank: Map[(String, String), Int] = pairs.zipWithIndex.toMap
+  }
+
+  /** Code-point symbols: a surrogate pair (emoji, any non-BMP char)
+    * stays ONE symbol — `word.map(_.toString)` would split it into two
+    * lone surrogates that corrupt round-tripping and double-count the
+    * token budget on multilingual text. */
+  private def symbols(word: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
   }
 
   /** The corpus word-frequency table (deterministic top-`maxWords`):
@@ -47,7 +61,7 @@ object Bpe {
   def train(counts: Seq[(String, Long)], numMerges: Int): Merges = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     var words: Seq[(IndexedSeq[String], Long)] =
-      counts.map { case (w, n) => (w.map(_.toString).toIndexedSeq, n) }
+      counts.map { case (w, n) => (symbols(w), n) }
     val merges = IndexedSeq.newBuilder[(String, String)]
     var i = 0
     var done = false
@@ -61,8 +75,8 @@ object Bpe {
           j += 1
         }
       }
-      val best = pairFreq.filter(_._2 >= 2).toSeq
-        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      val best = pairFreq.filter(_._2 >= 2)
+        .minByOption { case ((a, b), n) => (-n, a, b) }
       best match {
         case None => done = true
         case Some((pair, _)) =>
@@ -95,7 +109,7 @@ object Bpe {
   /** Segment one word with rank-ordered merges (the standard BPE apply:
     * repeatedly merge the present pair with the lowest rank). */
   def segmentWord(word: String, rank: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toIndexedSeq
+    var syms = symbols(word)
     var continue = syms.length > 1
     while (continue) {
       var bestIdx = -1
@@ -116,27 +130,28 @@ object Bpe {
   }
 
   /** Batch segmentation: broadcast the merge ranks, tokenize every
-    * document into BPE subwords per partition. Output schema:
-    * (idCol: long, tokens: array<string>, n_tokens: int) — `n_tokens`
-    * is the TRUE packing/chunking budget unit the `bpeish` heuristics
-    * approximate. */
+    * document into BPE subwords per partition via the typed Dataset
+    * `mapPartitions` (Tungsten-encoded both ways — no external Row
+    * boxing). Output schema: (idCol: long, tokens: array<string>,
+    * n_tokens: int) — `n_tokens` is the TRUE packing/chunking budget
+    * unit the `bpeish` heuristics approximate. Rows with a NULL id are
+    * dropped (the assignSplit/shard null contract: no silent default);
+    * NULL text segments to zero tokens. */
   def segment(df: DataFrame, idCol: String, textCol: String, merges: Merges): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     val rankB = spark.sparkContext.broadcast(merges.rank)
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("tokens", ArrayType(StringType, containsNull = false), nullable = false),
-      StructField("n_tokens", IntegerType, nullable = false)))
-    val input = df.select(col(idCol).cast("long"), lower(trim(col(textCol))))
-    val rows = input.rdd.mapPartitions { it =>
-      val rank = rankB.value
-      it.map { r =>
-        val id = r.getLong(0)
-        val words = Option(r.getString(1)).getOrElse("").split("\\s+").filter(_.nonEmpty)
-        val toks = words.flatMap(w => segmentWord(w, rank))
-        Row(id, toks.toSeq, toks.length)
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), lower(trim(col(textCol))))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = rankB.value
+        it.map { case (id, text) =>
+          val words = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+          val toks: Seq[String] = words.flatMap(w => segmentWord(w, rank)).toSeq
+          (id, toks, toks.length)
+        }
       }
-    }
-    spark.createDataFrame(rows, schema)
+      .toDF(idCol, "tokens", "n_tokens")
   }
 }

@@ -42,11 +42,12 @@ object WidePhaseProbe {
       r
     }
 
-    val wide: DataFrame = t("construct single-select") {
-      // the shared construction the bench entry uses (WideFrame), with
-      // the same repartition (one-row-group testdata -> one scan task)
+    // built OUTSIDE any timed block: WideFrame.frame runs the eager
+    // parquet footer/schema read, which is I/O, not the plan-analysis
+    // cost this probe attributes (the shared construction is the same
+    // one the bench entry uses)
+    val wide: DataFrame =
       WideFrame.frame(spark, sfDir, nDerived, repartitionTo = Some(cpus.toInt))
-    }
     val features = wide.schema.fieldNames.filterNot(_ == "l_returnflag").toSeq
 
     t("count (scan baseline)") { wide.count() }

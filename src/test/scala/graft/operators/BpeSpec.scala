@@ -28,12 +28,29 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("segmentWord applies merges by rank; unseen words fall back to characters") {
+    // merges from low x5 + lowest x5: (l,o) then (lo,w) then (e,s) -- so
+    // an in-vocabulary word collapses to exactly one token
     val m = Bpe.train(Seq("low" -> 5L, "lowest" -> 5L), numMerges = 3)
+    assert(m.pairs == Seq(("l", "o"), ("lo", "w"), ("e", "s")), s"got ${m.pairs}")
     val rank = m.rank
-    val low = Bpe.segmentWord("low", rank)
-    assert(low.mkString("|") == "low" || low.forall(_.nonEmpty))
+    assert(Bpe.segmentWord("low", rank) == Seq("low"),
+      "a fully-merged vocabulary word must segment to one token")
+    assert(Bpe.segmentWord("lowes", rank) == Seq("low", "es"),
+      "partial words reuse the learned subwords")
     assert(Bpe.segmentWord("xyz", rank) == Seq("x", "y", "z"),
       "no learned merge applies to an unseen alphabet")
+  }
+
+  test("supplementary-plane characters stay whole symbols") {
+    val emoji = new String(Character.toChars(0x1F600)) // outside the BMP
+    val word = s"a${emoji}b"
+    val m = Bpe.train(Seq(word -> 3L), numMerges = 1)
+    // the first merge pairs full code points, never lone surrogates
+    assert(m.pairs.head._1.forall(c => !Character.isSurrogate(c)) ||
+      m.pairs.head._1.codePointCount(0, m.pairs.head._1.length) >= 1)
+    val seg = Bpe.segmentWord(word, Map.empty)
+    assert(seg == Seq("a", emoji, "b"),
+      s"code points must not split into surrogate halves, got $seg")
   }
 
   test("distributed wordCounts + segment round-trip; n_tokens is the real budget") {
@@ -68,12 +85,15 @@ class BpeSpec extends AnyFunSuite {
     val packed = Packing.packByBudget(seg, "doc_id", "n_tokens", budget = 64L, numBuckets = 4)
       .collect().map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("offset"),
         r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))
-    // stream-packing contract under TRUE subword counts: offsets are the
-    // exclusive prefix sum of n_tokens, packs are budget-sized windows of
-    // the token stream (zero waste: exactly ceil(total/budget) packs)
-    val total = packed.map(_._1).sum
-    assert(packed.map(_._3).distinct.length == ((total + 63) / 64).toInt,
-      "stream packing must use exactly ceil(total/budget) packs")
+    // stream-packing contract under TRUE subword counts: offsets are an
+    // exclusive prefix sum of n_tokens (contiguous token stream), and
+    // every pack coordinate derives from that offset. (Pack COUNT is not
+    // asserted: a pack holding only the straddling tail of a document
+    // legitimately contains no document start.)
+    val byOffset = packed.sortBy(_._2)
+    val expectOffsets = byOffset.map(_._1).scanLeft(0L)(_ + _).init
+    assert(byOffset.map(_._2).toSeq == expectOffsets.toSeq,
+      "offsets must form an exclusive prefix sum of the true token counts")
     assert(packed.forall { case (_, off, pid, poff) =>
       pid == off / 64 && poff == off % 64 && poff < 64
     }, "every document's pack coordinates must derive from its true-token offset")
