@@ -154,4 +154,43 @@ object Bpe {
       }
       .toDF(idCol, "tokens", "n_tokens")
   }
+
+  /** Persist learned merges as JSON — train once on the full corpus,
+    * reuse the artifact across runs/clusters (the HF `merges.txt` role;
+    * same Jackson-on-the-Spark-classpath shape as `tree.ModelIO`).
+    * Order IS the rank, so the file stores an ordered pair array. */
+  def saveMerges(merges: Merges, path: String): Unit = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.JsonNodeFactory
+    val nf = JsonNodeFactory.instance
+    val root = nf.objectNode()
+    root.put("format", "bpe-merges")
+    root.put("version", 1)
+    val arr = root.putArray("merges")
+    merges.pairs.foreach { case (a, b) =>
+      val p = nf.arrayNode(); p.add(a); p.add(b); arr.add(p)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      new ObjectMapper().writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
+  /** Load merges written by [[saveMerges]]; validates the format marker
+    * and pair shape loudly rather than mis-segmenting downstream. */
+  def loadMerges(path: String): Merges = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val root = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    require(root.path("format").asText() == "bpe-merges",
+      s"$path is not a bpe-merges file (format=${root.path("format").asText()})")
+    val arr = root.get("merges")
+    require(arr != null && arr.isArray, s"$path: missing merges array")
+    val pairs = IndexedSeq.newBuilder[(String, String)]
+    val it = arr.elements()
+    while (it.hasNext) {
+      val p = it.next()
+      require(p.isArray && p.size() == 2, s"$path: each merge must be a 2-element array")
+      pairs += ((p.get(0).asText(), p.get(1).asText()))
+    }
+    Merges(pairs.result())
+  }
 }

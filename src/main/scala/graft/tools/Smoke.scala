@@ -28,6 +28,17 @@ object Smoke {
     println(s"[smoke] minhash-lsh pairs=${mh.count()}")
     val sh = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
     println(s"[smoke] simhash pairs=${sh.count()}")
+    // BPE artifact lifecycle: train on the corpus word counts, persist,
+    // reload, segment with the RELOADED merges — the cross-run shape.
+    val merges = graft.operators.Bpe.trainOnCorpus(docs, "text", numMerges = 200)
+    val mPath = java.nio.file.Files.createTempFile("smoke_bpe", ".json").toString
+    graft.operators.Bpe.saveMerges(merges, mPath)
+    val reloaded = graft.operators.Bpe.loadMerges(mPath)
+    require(reloaded == merges, "BPE merges must survive the save/load round trip")
+    val seg = graft.operators.Bpe.segment(docs, "doc_id", "text", reloaded)
+    val tok = seg.agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0)
+    println(s"[smoke] bpe merges=${merges.pairs.length} reloaded-segment tokens=$tok")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(mPath))
     spark.stop()
   }
 }

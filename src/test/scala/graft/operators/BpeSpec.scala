@@ -53,6 +53,21 @@ class BpeSpec extends AnyFunSuite {
       s"code points must not split into surrogate halves, got $seg")
   }
 
+  test("saveMerges/loadMerges round-trips ranks exactly, including non-BMP symbols") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val m = Bpe.Merges(IndexedSeq(("l", "o"), ("lo", "w"), ("a", emoji), ("e", "s")))
+    val path = java.nio.file.Files.createTempFile("bpe_merges", ".json").toString
+    try {
+      Bpe.saveMerges(m, path)
+      val loaded = Bpe.loadMerges(path)
+      assert(loaded == m, "merge order (= rank) and symbols must survive the round trip")
+      assert(Bpe.segmentWord("lowes", loaded.rank) == Bpe.segmentWord("lowes", m.rank))
+      // a foreign file fails loudly instead of mis-segmenting downstream
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), """{"tree":{}}""")
+      assertThrows[IllegalArgumentException](Bpe.loadMerges(path))
+    } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
+
   test("distributed wordCounts + segment round-trip; n_tokens is the real budget") {
     val docs = Seq(
       (1L, "low low low low low lower lower"),
