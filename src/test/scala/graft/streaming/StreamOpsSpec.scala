@@ -122,6 +122,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BPE segmentation runs verbatim on a stream: tokenize-on-ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train once (batch, driver artifact), apply to arriving documents —
+    // the broadcast-ranks mapPartitions is stateless, so the SAME segment
+    // call works unchanged in append mode
+    val corpus = Seq((1L, "low low low lower lowest"), (2L, "low lower newest"))
+    val merges = graft.operators.Bpe.trainOnCorpus(
+      corpus.toDF("doc_id", "text"), "text", numMerges = 8)
+    val input = MemoryStream[(Long, String)]
+    val seg = graft.operators.Bpe.segment(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+    val q = seg.writeStream.format("memory").queryName("bpe_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((10L, "low lowest unseen"), (11L, "lower"))
+      q.processAllAvailable()
+      val out = spark.table("bpe_out")
+        .select("doc_id", "tokens", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1), r.getInt(2))).toSet
+      val batch = graft.operators.Bpe.segment(
+          Seq((10L, "low lowest unseen"), (11L, "lower")).toDF("doc_id", "text"),
+          "doc_id", "text", merges)
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getInt(2))).toSet
+      assert(out == batch, s"stream result must equal batch: $out vs $batch")
+      assert(out.map(_._1) == Set(10L, 11L) && out.forall(_._3 > 0))
+    } finally q.stop()
+  }
+
   test("document chunking runs verbatim on a stream (stateless column algebra)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
