@@ -175,7 +175,13 @@ object Bench {
     val pk = peaks.map { case (k, v) => "\"" + k + "\":" + f"${v / 1e9}%.2f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val peakGb = math.max(globalPeak, heap.peakBytes) / 1e9
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"peaks_gb":$pk,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"peaks_gb":$pk,"sf":"$sfDir"}"""
+    println(line)
+    // Provenance copy: the driver captures stdout, but BENCH_r06's
+    // per-entry timings were lost to tail truncation there — a file
+    // under target/ survives regardless (BASELINE.md points here).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")), line + "\n")
     spark.stop()
   }
 

@@ -341,6 +341,26 @@ object QueryCatalog {
         .select(col("id_new"), col("id_corpus"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_new", "id_corpus")
     }),
+    // The PERSISTED-index flavor of incremental dedup: the standing
+    // corpus's inverted shingle index is written ONCE as a table
+    // bucketed by shingle (IndexStore) and the ingest batch probes the
+    // read-back — so each batch costs a batch-side shingle pass plus a
+    // columnar index scan, never a full-corpus re-shingle
+    // (DedupIndexSpec asserts no corpus-side regex/explode/exchange).
+    // Timing honestly includes the index build + write. Same oracle as
+    // dedup_incremental — identical output by construction.
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val tbl = "graft_shingle_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.writeBucketed(
+        Dedup.shingleIndex(docs.where(col("doc_id") < 400), "doc_id", "text", n = 3),
+        tbl, "shingle", 8)
+      Dedup.jaccardPairsAgainstIndex(
+          docs.where(col("doc_id") >= 400), IndexStore.read(s, tbl),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_new"), col("id_corpus"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_new", "id_corpus")
+    }),
     // Candidate+verify: LSH banding proposes, exact shingle Jaccard
     // confirms — so the output is the TRUE near-dup pair set and the
     // brute-force SQL twin is an exact oracle (16 bands of 2: per-pair
@@ -1187,6 +1207,7 @@ object QueryCatalog {
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
     "jaccard_pairs" -> jaccardSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_indexed" -> dedupIncrementalSql,
     "winnow_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),

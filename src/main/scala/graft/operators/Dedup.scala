@@ -306,6 +306,52 @@ object Dedup {
       .select("id_new", "id_corpus", "jaccard")
   }
 
+  /** The standing corpus's inverted shingle index as ROWS — one
+    * (shingle, id, set_size) row per (document, distinct n-gram). This is
+    * exactly the corpus side [[jaccardPairsAgainst]] derives on every
+    * ingest batch; materializing it once (through
+    * [[graft.sources.IndexStore.writeBucketed]], bucketed by `shingle`)
+    * turns the per-batch full-corpus re-shingling scan into a parquet
+    * read whose output partitioning already satisfies the candidate
+    * join. At 100 TB the index is written when the corpus is, and every
+    * subsequent ingest batch probes storage. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+
+  /** [[jaccardPairsAgainst]] with the corpus side supplied as a
+    * PRE-BUILT inverted index (the [[shingleIndex]] schema, normally an
+    * [[graft.sources.IndexStore]] read-back of a bucketed table). Only
+    * the incoming batch is shingled; the corpus contributes a columnar
+    * scan of (shingle, id, set_size) — no text read, no regex, no
+    * explode, and (bucketed by shingle) no exchange even under a
+    * shuffle join. Output is identical to [[jaccardPairsAgainst]] on
+    * the corpus the index was built from; DedupIndexSpec asserts both
+    * the parity and the plan shape. */
+  def jaccardPairsAgainstIndex(
+      newDf: DataFrame,
+      corpusIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.8,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val batch0 = shingleIndex(newDf, idCol, textCol, n)
+      .select(col("shingle"), col("id").as("id_new"), col("set_size").as("size_new"))
+    val batch = if (broadcastBatch) broadcast(batch0) else batch0
+    val corpus = corpusIndex
+      .select(col("shingle"), col("id").as("id_corpus"), col("set_size").as("size_corpus"))
+    corpus.join(batch, Seq("shingle"))
+      .groupBy("id_new", "id_corpus", "size_new", "size_corpus")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common") / (col("size_new") + col("size_corpus") - col("n_common")))
+      .where(col("jaccard") >= lit(threshold))
+      .select("id_new", "id_corpus", "jaccard")
+  }
+
   /** POSITIONAL word k-grams of trimmed lowered `textCol` — like
     * [[shingleSet]] but order-preserving and WITH duplicates (winnowing
     * needs the gram sequence, not the set). Short docs (< k tokens)
