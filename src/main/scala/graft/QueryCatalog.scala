@@ -255,18 +255,31 @@ object QueryCatalog {
         .orderBy("target")),
     // Sketch-based grouped percentiles — the actual scale path (bounded
     // memory per group vs the exact form's full-group value buffer; at
-    // 100 TB a group's values do not fit anywhere). The sketch is
-    // engine-specific so no cross-engine hash oracle exists: this entry
-    // carries the driver's weaker rows-only check BY DESIGN, and
-    // ApproxPercentileSpec pins the real contract — the approx value
-    // must sit inside the exact percentile bracket [q-eps, q+eps] at
-    // 100x the sketch's guaranteed rank error.
-    "group_percentiles_approx" -> ((s, dir) =>
+    // 100 TB a group's values do not fit anywhere). The raw sketch value
+    // is engine-specific, so the entry emits the CONTRACT instead of the
+    // value: per group, is the approx inside the exact percentile
+    // bracket [q-eps, q+eps] at eps = 100x the sketch's guaranteed rank
+    // error (1/accuracy)? Both the approx and the exact brackets are
+    // computed in-plan, making the booleans deterministic — the DuckDB
+    // oracle asserts constant true per group, so a broken sketch (or a
+    // silently swapped column) now fails the HASH gate, not just
+    // ApproxPercentileSpec (which keeps pinning the same contract in CI).
+    "group_percentiles_approx" -> ((s, dir) => {
+      val acc = 10000
+      val eps = 100.0 / acc
       lineitem(s, dir).groupBy(col(Target).as("target"))
         .agg(
-          round(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)), 6).as("p50"),
-          round(approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000)), 6).as("p95"))
-        .orderBy("target")),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(acc)).as("a50"),
+          approx_percentile(col("l_extendedprice"), lit(0.95), lit(acc)).as("a95"),
+          percentile(col("l_extendedprice"), lit(0.5 - eps)).as("lo50"),
+          percentile(col("l_extendedprice"), lit(0.5 + eps)).as("hi50"),
+          percentile(col("l_extendedprice"), lit(0.95 - eps)).as("lo95"),
+          percentile(col("l_extendedprice"), lit(0.95 + eps)).as("hi95"))
+        .select(col("target"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_bracket"),
+          (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_in_bracket"))
+        .orderBy("target")
+    }),
     "split_partition_left" -> ((s, dir) =>
       orderedByAll(lineitem(s, dir).where(col("l_discount") <= lit(0.05))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))),
@@ -1176,6 +1189,14 @@ object QueryCatalog {
       """SELECT l_returnflag AS target,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY target""".stripMargin,
+    // The Spark side computes the containment booleans genuinely (approx
+    // vs in-plan exact brackets); the oracle's role is to pin them TRUE
+    // for every group — any sketch regression flips a boolean and the
+    // hash breaks.
+    "group_percentiles_approx" ->
+      """SELECT l_returnflag AS target,
+        |  TRUE AS p50_in_bracket, TRUE AS p95_in_bracket
         |FROM lineitem GROUP BY 1 ORDER BY target""".stripMargin,
     "split_partition_left" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem

@@ -45,14 +45,17 @@ class ApproxPercentileSpec extends AnyFunSuite {
     }
   }
 
-  test("the catalog's approx entry matches the exact entry's shape and group keys") {
+  test("the catalog's approx entry emits all-true brackets over the exact entry's groups") {
     val sfDir = "/root/testdata/sf0.001"
     val approx = graft.QueryCatalog.queries("group_percentiles_approx")(spark, sfDir)
-    val exact = graft.QueryCatalog.queries("group_percentiles")(spark, sfDir)
-    assert(approx.columns.toSeq == exact.columns.toSeq,
-      "the twin entries must expose identical schemas")
-    val aKeys = approx.select("target").collect().map(_.getString(0)).toSeq
-    val eKeys = exact.select("target").collect().map(_.getString(0)).toSeq
-    assert(aKeys == eKeys, "same groups in the same order")
+    assert(approx.columns.toSeq == Seq("target", "p50_in_bracket", "p95_in_bracket"))
+    val rows = approx.collect()
+    val eKeys = graft.QueryCatalog.queries("group_percentiles")(spark, sfDir)
+      .select("target").collect().map(_.getString(0)).toSeq
+    assert(rows.map(_.getString(0)).toSeq == eKeys, "same groups in the same order")
+    rows.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2),
+        s"group ${r.getString(0)}: approx outside its exact rank-error bracket")
+    }
   }
 }
