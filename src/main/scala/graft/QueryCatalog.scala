@@ -889,6 +889,20 @@ object QueryCatalog {
         round(aggregate(col("features"), lit(0.0d), (a, x) => a + x) / size(col("features")), 6)
           .as("mean_feature"))
         .orderBy("media_id")
+    }),
+    // REAL image codec round trip (javax.imageio, no stub): every doc_id
+    // becomes an actual grayscale PNG whose dims and pixels are
+    // closed-form functions of the id, then the decode kernel recovers
+    // width/height/pixel-sum from the BYTES. The oracle recomputes the
+    // closed forms — so a decoder that misreads dims, drops rows, or
+    // corrupts samples breaks the hash. Encode AND decode both run for
+    // real inside mapPartitions seams.
+    "multimodal_image_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticPngMedia(
+        documents(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.decodeImageMeta(media)
+        .select(col("media_id"), col("width"), col("height"), col("pixel_sum"))
+        .orderBy("media_id")
     })
   )
 
@@ -1053,6 +1067,19 @@ object QueryCatalog {
        |  round(($terms) / 16.0, 6) AS mean_feature
        |FROM documents ORDER BY media_id""".stripMargin
   }
+
+  /** Closed-form twin of the PNG round trip: what a CORRECT decode of the
+    * synthetic PNGs must find. Dims are 1+id%16 x 1+id%9 (bounded, so a
+    * fixed 16x9 series + filter replaces the lateral DuckDB can't bind). */
+  private val multimodalDecodeSql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(1 + doc_id % 16 AS INT) AS width, CAST(1 + doc_id % 9 AS INT) AS height
+      |  FROM documents)
+      |SELECT d.media_id, d.width, d.height,
+      |  CAST(sum((d.media_id*31 + x.i*7 + y.j*13) % 256) AS BIGINT) AS pixel_sum
+      |FROM d, generate_series(0, 15) x(i), generate_series(0, 8) y(j)
+      |WHERE x.i < d.width AND y.j < d.height
+      |GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin
 
   private val sessionizeSql =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
@@ -1253,6 +1280,7 @@ object QueryCatalog {
     "minhash_lsh_pairs" -> jaccardSql,
     "simhash_pairs" -> simhash60Sql,
     "multimodal_features" -> multimodalSql,
+    "multimodal_image_decode" -> multimodalDecodeSql,
     "ann_topk" -> topkSql,
     "ivf_topk" -> topkSql,
     "embedding_neardup" ->

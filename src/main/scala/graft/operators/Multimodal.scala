@@ -16,11 +16,17 @@ import org.apache.spark.sql.types._
   * per-partition setup across the batch — the Scala analogue of a Pandas
   * UDF's batch shape.
   *
-  * The decode kernels themselves are STUBBED with deterministic fakes
-  * (this container ships no image/audio codecs): [[DecodeStub]] derives
-  * pseudo pixels/samples from the bytes. The Spark-side plumbing — schema,
-  * batch iteration, partitioning, output shapes — is real and tested, and
-  * swapping a real codec in touches only the stub.
+  * Decode kernels come in two flavors:
+  *   - [[ImageCodec]] is a REAL image codec — JDK `javax.imageio`
+  *     (PNG/JPEG/BMP/GIF readers ship with every JDK; public API, no
+  *     native deps). [[decodeImageMeta]] runs it inside the
+  *     mapPartitions seam to recover true width/height/channels and a
+  *     pixel checksum from the payload bytes.
+  *   - [[DecodeStub]] remains for the FEATURE path (a learned
+  *     image-embedding model has no in-container analogue): it derives
+  *     deterministic pseudo-features from the bytes, chosen so the whole
+  *     binary -> mapPartitions -> array<float> pipeline keeps an exact
+  *     SQL twin. Swapping a real encoder in touches only the stub.
   */
 object Multimodal {
 
@@ -81,6 +87,92 @@ object Multimodal {
     /** "Frame sample": pick every k-th frame index of a video payload. */
     def sampleFrames(nFrames: Int, every: Int): Array[Int] =
       (0 until nFrames by math.max(1, every)).toArray
+  }
+
+  /** Real image encode/decode through JDK `javax.imageio` — no stub.
+    * Works headless (BufferedImage never touches a display). */
+  object ImageCodec {
+    /** Decode any ImageIO-supported payload (PNG/JPEG/BMP/GIF); None for
+      * null, truncated, or non-image bytes — a 100 TB crawl corpus always
+      * contains undecodable payloads, and they must degrade to null rows,
+      * not task failures. */
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+    /** Encode a width x height 8-bit grayscale PNG whose pixel (x, y) is
+      * `pixel(x, y) & 0xff`. Gray PNG is lossless, so a decode reads back
+      * the exact samples — the property the oracle-checked round trip
+      * relies on. */
+    def encodePngGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Deterministic real-PNG corpus from an id column: each id becomes an
+    * actual PNG payload (dims and pixels are closed-form functions of the
+    * id, so an oracle can recompute what a correct decode must find).
+    * This is the fixture generator for the oracle-checked decode round
+    * trip — and a real encode kernel in its own right. */
+  def syntheticPngMedia(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(MediaSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (1 + id % 16).toInt
+        val h = (1 + id % 9).toInt
+        val bytes = ImageCodec.encodePngGray(w, h,
+          (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+        Row(id, bytes, Row("image", "png", w, h, null, null))
+      }
+    }(enc)
+  }
+
+  /** Decode payloads with the REAL codec: one ImageIO pass per asset,
+    * emitting true width/height/channel-count plus a band-0 sample sum
+    * (the deterministic pixel checksum the oracle recomputes).
+    * Undecodable/null payloads survive as null-metric rows. */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("pixel_sum", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        ImageCodec.decode(r.getAs[Array[Byte]](contentIdx)) match {
+          case None => Row(id, null, null, null, null)
+          case Some(img) =>
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Row(id, img.getWidth, img.getHeight, raster.getNumBands, sum)
+        }
+      }
+    }(enc)
   }
 
   /** Wrap a (id, payload) frame into the canonical media schema with

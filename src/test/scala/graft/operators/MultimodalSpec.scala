@@ -79,6 +79,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.forall(_.getAs[Int]("n_kept") == 0))
   }
 
+  test("ImageCodec decodes a real checked-in PNG fixture to its true dims and pixels") {
+    // fixture: 8x5 8-bit grayscale, pixel(x,y) = (x*7 + y*13) % 256
+    val in = getClass.getResourceAsStream("/graft/fixture_8x5.png")
+    val bytes = in.readAllBytes(); in.close()
+    val img = Multimodal.ImageCodec.decode(bytes).getOrElse(fail("fixture must decode"))
+    assert(img.getWidth == 8 && img.getHeight == 5)
+    val sum = (for (y <- 0 until 5; x <- 0 until 8)
+      yield img.getRaster.getSample(x, y, 0)).sum
+    assert(sum == 2020, "decoded samples must match the fixture's known pixel sum")
+    // and through the distributed seam:
+    val rows = Seq(Row(7L, bytes), Row(8L, Array[Byte](1, 2, 3)), Row(9L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("id", LongType), StructField("bytes", BinaryType, true))))
+    val meta = Multimodal.decodeImageMeta(
+        Multimodal.asMedia(df, "id", "bytes", "image", "png"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getLong(4))))).toMap
+    assert(meta(7L).contains((8, 5, 2020L)))
+    assert(meta(8L).isEmpty, "garbage bytes degrade to a null row, not a task failure")
+    assert(meta(9L).isEmpty, "null payload degrades to a null row")
+  }
+
+  test("PNG encode -> decode round-trips dims and every sample exactly") {
+    val id = 42L
+    val w = (1 + id % 16).toInt; val h = (1 + id % 9).toInt
+    val bytes = Multimodal.ImageCodec.encodePngGray(w, h,
+      (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+    val img = Multimodal.ImageCodec.decode(bytes).get
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == ((id * 31 + x * 7 + y * 13) % 256).toInt)
+  }
+
   test("plannedFrameSample never reads the payload column") {
     import org.apache.spark.sql.functions._
     val withFrames = media.withColumn("meta",
