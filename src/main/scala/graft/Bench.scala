@@ -144,6 +144,16 @@ object Bench {
       graft.operators.Packing.packByBudget(seg, "doc_id", "n_tokens",
           budget = 2048L, numBuckets = 8)
         .write.format("noop").mode("overwrite").save()
+    }),
+    // Byte-level flavor (GPT-2 alphabet, case-preserving runs — the
+    // lossless real-tokenizer mode); spec-covered like the word-level
+    // entry (BpeSpec round-trip property).
+    ("bpe_byte_level_train_segment", () => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val merges = graft.operators.Bpe.trainOnCorpus(docs, "text",
+        numMerges = 64, byteLevel = true)
+      graft.operators.Bpe.segment(docs, "doc_id", "text", merges, byteLevel = true)
+        .write.format("noop").mode("overwrite").save()
     }))
 
     val entries = queryEntries ++ fitEntries ++ wideEntries ++ bpeEntries

@@ -45,12 +45,115 @@ class BpeSpec extends AnyFunSuite {
     val emoji = new String(Character.toChars(0x1F600)) // outside the BMP
     val word = s"a${emoji}b"
     val m = Bpe.train(Seq(word -> 3L), numMerges = 1)
-    // the first merge pairs full code points, never lone surrogates
-    assert(m.pairs.head._1.forall(c => !Character.isSurrogate(c)) ||
-      m.pairs.head._1.codePointCount(0, m.pairs.head._1.length) >= 1)
+    // the first merge pairs full code points — NO lone surrogate may
+    // appear in either half (a half that contains a high surrogate must
+    // also contain its low partner, i.e. be a well-formed string)
+    m.pairs.foreach { case (a, b) =>
+      Seq(a, b).foreach { half =>
+        assert(half.codePoints().toArray.forall(Character.isValidCodePoint),
+          s"merge half '$half' is not well-formed UTF-16")
+        assert(!half.exists(c => Character.isSurrogate(c) && half.length == 1),
+          s"merge half '$half' is a lone surrogate")
+        // stronger: every surrogate in the half must be part of a pair
+        var i = 0
+        while (i < half.length) {
+          val cp = half.codePointAt(i)
+          assert(!Character.isSurrogate(half.charAt(i)) || Character.charCount(cp) == 2,
+            s"lone surrogate inside merge half '$half'")
+          i += Character.charCount(cp)
+        }
+      }
+    }
     val seg = Bpe.segmentWord(word, Map.empty)
     assert(seg == Seq("a", emoji, "b"),
       s"code points must not split into surrogate halves, got $seg")
+  }
+
+  test("incremental trainer is bit-identical to a naive full-recompute trainer") {
+    // naive reference: recompute every pair frequency each round (the
+    // textbook Sennrich loop the incremental index must reproduce)
+    def naive(counts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+      var words = counts.map { case (w, n) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toIndexedSeq, n)
+      }
+      val out = Seq.newBuilder[(String, String)]
+      var done = false
+      for (_ <- 0 until numMerges if !done) {
+        val freq = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (s, n) =>
+          s.sliding(2).foreach { case Seq(a, b) => freq((a, b)) = freq.getOrElse((a, b), 0L) + n
+                                 case _ => () }
+        }
+        freq.filter(_._2 >= 2).minByOption { case ((a, b), n) => (-n, a, b) } match {
+          case None => done = true
+          case Some((p, _)) =>
+            out += p
+            words = words.map { case (s, n) =>
+              val b = IndexedSeq.newBuilder[String]; var j = 0
+              while (j < s.length) {
+                if (j < s.length - 1 && s(j) == p._1 && s(j + 1) == p._2) { b += p._1 + p._2; j += 2 }
+                else { b += s(j); j += 1 }
+              }
+              (b.result(), n)
+            }
+        }
+      }
+      out.result()
+    }
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 25) {
+      val vocab = (1 to 3 + rng.nextInt(20)).map { _ =>
+        val len = 1 + rng.nextInt(8)
+        (1 to len).map(_ => ('a' + rng.nextInt(4)).toChar).mkString -> (1L + rng.nextInt(9))
+      }
+      val n = rng.nextInt(12)
+      assert(Bpe.train(vocab, n).pairs == naive(vocab, n).toIndexedSeq,
+        s"trial $trial diverged on vocab $vocab with $n merges")
+    }
+  }
+
+  test("byte-level segment -> decodeTokens round-trips arbitrary UTF-8 losslessly") {
+    val rng = new scala.util.Random(42)
+    def randomText(): String = {
+      val sb = new StringBuilder
+      for (_ <- 0 until rng.nextInt(60)) {
+        rng.nextInt(6) match {
+          case 0 => sb.append(Seq(" ", "\t", "\n", "  ", "\r\n")(rng.nextInt(5)))
+          case 1 => sb.append(('A' + rng.nextInt(26)).toChar) // CASE preserved
+          case 2 => sb.append(('a' + rng.nextInt(26)).toChar)
+          case 3 => sb.append(Seq(",", ".", "!", "«", "»", "—", "'")(rng.nextInt(7)))
+          case 4 => sb.append(Seq("é", "ß", "ñ", "中", "文", "λ")(rng.nextInt(6)))
+          case 5 => sb.appendAll(Character.toChars(0x1F300 + rng.nextInt(0x200)))
+        }
+      }
+      sb.toString
+    }
+    val texts = ("" +: "MiXeD CaSe, punct-attached!" +: "  leading and trailing\n\n" +:
+      (1 to 40).map(_ => randomText())).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    val merges = Bpe.trainOnCorpus(docs, "text", numMerges = 30, byteLevel = true)
+    val seg = Bpe.segment(docs, "doc_id", "text", merges, byteLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(Bpe.decodeTokens(seg(id)) == t,
+        s"doc $id failed lossless round trip: '$t'")
+    }
+    // and with NO merges at all (pure byte alphabet)
+    val seg0 = Bpe.segment(docs, "doc_id", "text", Bpe.Merges(IndexedSeq.empty),
+        byteLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { case (id, t) => assert(Bpe.decodeTokens(seg0(id)) == t) }
+  }
+
+  test("byte-level mode preserves case and attaches merges across punctuation") {
+    val docs = Seq((1L, "Hello, World! Hello, World! Hello, World!")).toDF("doc_id", "text")
+    val merges = Bpe.trainOnCorpus(docs, "text", numMerges = 12, byteLevel = true)
+    val toks = Bpe.segment(docs, "doc_id", "text", merges, byteLevel = true)
+      .head().getSeq[String](1)
+    val decoded = Bpe.decodeTokens(toks)
+    assert(decoded == "Hello, World! Hello, World! Hello, World!",
+      "case and punctuation must survive byte-level segmentation")
+    assert(decoded.contains("H") && decoded.contains("W"), "case preserved")
   }
 
   test("saveMerges/loadMerges round-trips ranks exactly, including non-BMP symbols") {
