@@ -1537,7 +1537,7 @@ object QueryCatalog {
     * size guard; DuckDB: range(1, 1) is empty). The avg is one double
     * division of two exact integers — deterministic in both engines. */
   private lazy val bigramScoreSql = {
-    val tk = """regexp_split_to_array(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+    val tk = """regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
     s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
        |b AS (SELECT doc_id,
        |  unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
@@ -1552,7 +1552,7 @@ object QueryCatalog {
     * (count desc, bigram asc) and a frequency floor of 1 for untracked
     * bigrams — the broadcast-variant semantics, exactly. */
   private lazy val bigramScoreTopkSql = {
-    val tk = """regexp_split_to_array(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+    val tk = """regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
     s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
        |b AS (SELECT doc_id,
        |  unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg

@@ -45,13 +45,23 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** `assignCutover`: above this k, the per-iteration assignment switches
+    * from the k-struct literal expression (codegen'd, but the plan embeds
+    * k x d literals and re-analyzes them every iteration — fine for
+    * nlist <= a few hundred, a driver/analyzer bottleneck at
+    * FAISS-realistic nlist >= 4096) to a broadcast-centroids
+    * `mapPartitions` argmin whose plan size is O(1) in k. Both paths run
+    * the same IEEE op sequence (left-fold squared L2, distance rounded
+    * to 9 dp, ties to the lower cell), so results are bit-identical —
+    * KMeansSpec asserts it by forcing each path on the same corpus. */
   def lloyd(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
       iters: Int,
-      seed: Long = 42L
+      seed: Long = 42L,
+      assignCutover: Int = 128
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -83,13 +93,45 @@ object KMeans {
       array_min(array(cells: _*)).getField("cell")
     }
 
+    /** Broadcast-centroids assignment: same fold order, same 9-dp
+      * rounding, same lower-cell tie-break as [[assignExpr]] — in a JVM
+      * loop over a broadcast k x d array instead of k struct literals. */
+    def assignBroadcast(centroids: Array[Array[Double]]): DataFrame = {
+      val cb = spark.sparkContext.broadcast(centroids)
+      vecs.select(col("__v")).as[Seq[Double]]
+        .mapPartitions { it =>
+          val cs = cb.value
+          it.map { v =>
+            val arr = v.toArray
+            var bestCell = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cs.length) {
+              val cen = cs(c)
+              var d2 = 0.0
+              var j = 0
+              while (j < arr.length) {
+                val t = arr(j) - cen(j); d2 += t * t; j += 1
+              }
+              val d = math.floor(d2 * 1e9 + 0.5) / 1e9
+              if (d < bestD) { bestD = d; bestCell = c } // ties keep lower cell
+              c += 1
+            }
+            (bestCell, v)
+          }
+        }
+        .toDF("cell", "__v")
+    }
+
     var centroids = seeds
     var lastStats: Map[(Int, Int), (java.math.BigDecimal, Long)] = Map.empty
     (1 to iters).foreach { _ =>
       // two selects: posexplode's multi-alias breaks getField resolution
       // when they share one projection (FIELD_NOT_FOUND on the struct)
-      val stats = vecs
-        .select(assignExpr(centroids).as("cell"), col("__v"))
+      val assigned =
+        if (k > assignCutover) assignBroadcast(centroids)
+        else vecs.select(assignExpr(centroids).as("cell"), col("__v"))
+      val stats = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
         .agg(sum(col("x").cast("decimal(18,6)")).as("s"), count(lit(1)).as("n"))

@@ -50,8 +50,11 @@ object Scoring {
     // materialize the token array in its own projection: referencing the
     // split() expression directly inside the transform lambda makes
     // element_at re-run the regex split per ELEMENT — O(tokens^2) regex
-    // work per document (measured 7x on the bench corpus)
-    val toks = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    // work per document (measured 7x on the bench corpus).
+    // lower() for cross-operator consistency: every text operator here
+    // (Tfidf.vocabulary, Dedup.shingleSet, Bpe.wordCounts) case-folds,
+    // so composed pipelines see one tokenization convention.
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
     val tokenized = df.select(col(idCol), toks.as("__toks"))
     val ta = col("__toks")
     val n = size(ta)
@@ -99,9 +102,15 @@ object Scoring {
       p: Double = 0.5,
       approx: Boolean = false
   ): DataFrame = {
+    // ONE scored projection feeds both the threshold aggregate and the
+    // filter, so qualityScore is defined once. Laziness still scans the
+    // source twice (threshold branch + filter branch — the aggregate
+    // must finish before any row can be filtered); at 100 TB persist the
+    // scored frame (or write it through CorpusSink) before calling this
+    // to pay the scoring scan once.
     val scored = df.select(
       col(idCol), col(strataCol), TextFunctions.qualityScore(col(textCol)).as("quality"))
-    scored.join(broadcast(qualityThresholds(df, textCol, strataCol, p, approx)), Seq(strataCol))
+    scored.join(broadcast(thresholdsFromScored(scored, strataCol, p, approx)), Seq(strataCol))
       .where(col("quality") > col("__thr"))
       .select(col(idCol), col(strataCol), col("quality"))
   }
@@ -115,12 +124,19 @@ object Scoring {
       strataCol: String,
       p: Double = 0.5,
       approx: Boolean = false
-  ): DataFrame = {
+  ): DataFrame =
+    thresholdsFromScored(
+      df.select(col(strataCol), TextFunctions.qualityScore(col(textCol)).as("quality")),
+      strataCol, p, approx)
+
+  /** Threshold aggregate over an ALREADY-SCORED frame (must carry
+    * `quality`) — the shared tail of both public entry points. */
+  private def thresholdsFromScored(
+      scored: DataFrame, strataCol: String, p: Double, approx: Boolean): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
-    val q = TextFunctions.qualityScore(col(textCol)).as("quality")
     val thrAgg: Column =
       if (approx) approx_percentile(col("quality"), lit(p), lit(10000)).as("__thr")
       else percentile(col("quality"), lit(p)).as("__thr")
-    df.select(col(strataCol), q).groupBy(col(strataCol)).agg(thrAgg)
+    scored.groupBy(col(strataCol)).agg(thrAgg)
   }
 }

@@ -79,6 +79,19 @@ class KMeansSpec extends AnyFunSuite {
     assert(top.head.getLong(0) == bruteBest, "full-probe IVF must equal brute force")
   }
 
+  test("broadcast (large-k) assignment is bit-identical to the literal-expression path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(cutover: Int) =
+      KMeans.lloyd(emb, "vec_id", "embedding", k = 8, iters = 2, seed = 42L,
+          assignCutover = cutover)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+        .toMap
+    val viaExpr = run(cutover = 128) // k = 8 <= 128: literal-struct path
+    val viaBroadcast = run(cutover = 0) // force the mapPartitions path
+    assert(viaExpr == viaBroadcast,
+      "both assignment paths must produce identical centroids and counts")
+  }
+
   test("empty cells keep their seed centroid with n = 0") {
     // two identical points, k = 3: at least one cell can end up empty
     val d = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(1.0, 1.0)), (3L, Seq(1.0, 1.0)))
