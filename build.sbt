@@ -33,4 +33,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // NOTE on "peak heap" measurements: raw used-heap sampling is a
+  // function of the harness's -Xmx, not just of the code — G1 sizes its
+  // young gen up to 60% of the heap, and Spark's on-heap execution pool
+  // also scales with it, so the same workload samples to 5.6 GB at
+  // Xmx=8g and 14 GB at Xmx=32g with an identical ~3 GB post-GC live
+  // set (measured: tools/WideHeapProbe; the r6 15.9/5.8/3.9 GB
+  // wide-fit spread across harnesses). Bench therefore reports
+  // peak_live_gb (post-collection usage) alongside the raw peak.
+  // A pinned nursery (-Xmn2g) was tried and REJECTED: it pushed
+  // short-lived execution pages into the old gen (gcTime 1.3 -> 13.8 s
+  // on the wide fit) without bounding the raw peak.
 )

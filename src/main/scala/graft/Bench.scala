@@ -160,16 +160,22 @@ object Bench {
 
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val peaks = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val livePeaks = scala.collection.mutable.LinkedHashMap[String, Long]()
     var globalPeak = 0L
+    var globalLive = 0L
 
     def sweep(measured: Boolean): Unit = entries.foreach { case (name, body) =>
       globalPeak = math.max(globalPeak, heap.drain()) // pre-entry residue → global only
+      globalLive = math.max(globalLive, heap.drainLive())
       val t = timeOnce(body())
       val p = heap.drain()
+      val lv = heap.drainLive()
       globalPeak = math.max(globalPeak, p)
+      globalLive = math.max(globalLive, lv)
       if (measured) {
         samples(name) = samples.getOrElse(name, Nil) :+ t
         peaks(name) = math.max(peaks.getOrElse(name, 0L), p)
+        livePeaks(name) = math.max(livePeaks.getOrElse(name, 0L), lv)
       }
       release()
       gcIfPiled()
@@ -183,9 +189,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val pk = peaks.map { case (k, v) => "\"" + k + "\":" + f"${v / 1e9}%.2f" }.mkString("{", ",", "}")
+    // post-GC live peaks: the harness-independent memory number (raw
+    // sampled peaks scale with the harness's -Xmx via G1 young-gen and
+    // Spark execution-pool sizing — see PeakHeapSampler scaladoc)
+    val lv = livePeaks.map { case (k, v) => "\"" + k + "\":" + f"${v / 1e9}%.2f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val peakGb = math.max(globalPeak, heap.peakBytes) / 1e9
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"peaks_gb":$pk,"sf":"$sfDir"}"""
+    val liveGb = math.max(globalLive, heap.livePeakBytes) / 1e9
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"peak_heap_gb":$peakGb%.2f,"peak_live_gb":$liveGb%.2f,"peaks_gb":$pk,"peaks_live_gb":$lv,"sf":"$sfDir"}"""
     println(line)
     // Provenance copy: the driver captures stdout, but BENCH_r06's
     // per-entry timings were lost to tail truncation there — a file

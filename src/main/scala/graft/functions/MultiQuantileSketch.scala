@@ -29,16 +29,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * queried quantiles per feature; empty when the column had no valid
   * values (all-null feature — callers drop those, Trainer.scala:164).
   *
-  * Memory discipline: QuantileSummaries buffers raw inserts in a boxed
-  * head buffer and only folds it in every 50k values — tuned for ONE
-  * summary per column per task. With `numFeatures` summaries per task
-  * times every scan task, those heads add up to (rows x features) live
-  * boxed doubles across the executor (3.5 GB at 600k x 190 locally) and
-  * the job runs at GC speed. Folding each summary every
-  * [[MultiQuantileSketch.foldEvery]] inserts caps a task's whole pending
-  * state at [[MultiQuantileSketch.PendingBudget]] boxed values and keeps
-  * the scan CPU-bound; the GK error bound is unaffected by fold
-  * frequency.
+  * Memory discipline: inserts NEVER touch QuantileSummaries' boxed head
+  * buffer. Each feature stages raw values in a PRIMITIVE double array of
+  * [[MultiQuantileSketch.foldEvery]] slots; a full stage is sorted in
+  * place and folded into the summary as an exact pre-sorted batch
+  * (Stats(v, g=1, delta=0) — the zero-error GK representation) via the
+  * public merge + compress, the same per-partition-summary merge
+  * distributed GK already relies on. Two effects: a task's whole pending
+  * state is a flat [[MultiQuantileSketch.PendingBudget]] doubles
+  * (~6 MB at width 190, no object headers), and the per-insert
+  * `java.lang.Double` allocation disappears — at 600k x 190 that was
+  * ~114M transient boxes per pass, the churn that made the wide fit's
+  * sampled heap peak a function of the harness's GC cadence
+  * (tools/WideHeapProbe). The GK error bound is unaffected by fold
+  * frequency or batch folding.
   */
 case class MultiQuantileSketch(
     featuresArray: Expression,     // ArrayType(DoubleType), one slot per feature
@@ -65,22 +69,54 @@ case class MultiQuantileSketch(
     new Buffer(
       Array.fill(numFeatures)(
         new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relativeError)),
+      // stage arrays allocate lazily on first insert: merge-side buffers
+      // (deserialize) never stage, and must not pay width x foldEvery
+      new Array[Array[Double]](numFeatures),
       new Array[Int](numFeatures))
+
+  /** Fold feature `f`'s staged primitives into its summary: sort the
+    * stage in place, wrap it as an exact compressed summary
+    * (Stats(v, 1, 0) sorted — zero rank error by construction), merge,
+    * re-bound to `relativeError`. The stage array is REUSED across
+    * folds — no per-fold reallocation. */
+  private def flush(buffer: Buffer, f: Int): Unit = {
+    val n = buffer.pending(f)
+    if (n > 0) {
+      val stage = buffer.staged(f)
+      java.util.Arrays.sort(stage, 0, n)
+      val stats = new Array[QuantileSummaries.Stats](n)
+      var i = 0
+      while (i < n) { stats(i) = QuantileSummaries.Stats(stage(i), 1, 0); i += 1 }
+      val batch = new QuantileSummaries(
+        QuantileSummaries.defaultCompressThreshold, relativeError, stats, n, true)
+      val s = buffer.summaries(f)
+      buffer.summaries(f) =
+        (if (s.count == 0) batch else s.merge(batch)).compress()
+      buffer.pending(f) = 0
+    }
+  }
+
+  private def flushAll(buffer: Buffer): Unit = {
+    var f = 0
+    while (f < numFeatures) { flush(buffer, f); f += 1 }
+  }
 
   override def update(buffer: Buffer, input: InternalRow): Buffer = {
     val arr = featuresArray.eval(input)
     if (arr != null) {
       val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val s = buffer.summaries
+      val staged = buffer.staged
       val pending = buffer.pending
       var f = 0
       while (f < numFeatures) {
         if (!a.isNullAt(f)) {
           val v = a.getDouble(f)
           if (!java.lang.Double.isNaN(v)) {
-            s(f) = s(f).insert(v)
+            var st = staged(f)
+            if (st == null) { st = new Array[Double](foldEvery); staged(f) = st }
+            st(pending(f)) = v
             pending(f) += 1
-            if (pending(f) >= foldEvery) { s(f) = s(f).compress(); pending(f) = 0 }
+            if (pending(f) >= foldEvery) flush(buffer, f)
           }
         }
         f += 1
@@ -90,29 +126,31 @@ case class MultiQuantileSketch(
   }
 
   override def merge(buffer: Buffer, input: Buffer): Buffer = {
+    flushAll(buffer)
+    flushAll(input)
     var f = 0
     while (f < numFeatures) {
-      val a = if (buffer.summaries(f).compressed) buffer.summaries(f)
-              else buffer.summaries(f).compress()
-      val b = if (input.summaries(f).compressed) input.summaries(f)
-              else input.summaries(f).compress()
+      val a = buffer.summaries(f) // compressed: flush/deserialize guarantee it
+      val b = input.summaries(f)
       buffer.summaries(f) = if (b.count == 0) a else if (a.count == 0) b else a.merge(b)
-      buffer.pending(f) = 0
       f += 1
     }
     buffer
   }
 
-  override def eval(buffer: Buffer): Any =
+  override def eval(buffer: Buffer): Any = {
+    flushAll(buffer)
     new GenericArrayData(buffer.summaries.map { s0 =>
       val s = if (s0.compressed) s0 else s0.compress()
       if (s.count == 0) new GenericArrayData(Array.empty[Double])
       else new GenericArrayData(probabilities.map(p => s.query(p).get).toArray)
     })
+  }
 
   /** Stats triples written raw — QuantileSummaries' sampled array is its
     * whole state besides the scalars. */
   override def serialize(buffer: Buffer): Array[Byte] = {
+    flushAll(buffer)
     val compressed = buffer.summaries.map(s => if (s.compressed) s else s.compress())
     val size = compressed.map(s => 8 + 4 + s.sampled.length * 24).sum
     val bb = ByteBuffer.allocate(size)
@@ -134,7 +172,8 @@ case class MultiQuantileSketch(
       new QuantileSummaries(
         QuantileSummaries.defaultCompressThreshold, relativeError, stats, count, true)
     }
-    new Buffer(summaries, new Array[Int](numFeatures))
+    new Buffer(summaries, new Array[Array[Double]](numFeatures),
+      new Array[Int](numFeatures))
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MultiQuantileSketch =
@@ -147,20 +186,23 @@ case class MultiQuantileSketch(
 }
 
 object MultiQuantileSketch {
-  /** Pending-insert budget for a whole task's buffer (all features
-    * together): each summary folds every `PendingBudget / numFeatures`
-    * inserts, clamped to [4096, 50000]. The lower the fold interval the
-    * more sort-merge passes per insert; the higher, the more live boxed
-    * doubles. 50000 is the stock head size (folding later than that is a
-    * no-op — QuantileSummaries folds itself there); at 190 features this
-    * lands ~4k, which turned the wide edge pass from GC-bound back to
-    * CPU-bound. Fold frequency never affects the GK error bound. */
+  /** Staged-insert budget for a whole task's buffer (all features
+    * together): each feature's stage holds `PendingBudget / numFeatures`
+    * primitive doubles, clamped to [4096, 50000]. The lower the stage
+    * the more sort+merge folds; the higher, the more live (primitive)
+    * pending state — PendingBudget doubles is ~6 MB per task buffer, a
+    * non-issue. 50000 matches the stock head size for parity with
+    * narrow-width behavior; at 190 features this lands ~4k. Fold
+    * frequency never affects the GK error bound. */
   val PendingBudget = 786432
 
   def foldEvery(numFeatures: Int): Int =
     math.min(50000, math.max(4096, PendingBudget / numFeatures))
 
-  /** Per-feature summaries plus pending-insert counters driving the
-    * periodic fold. */
-  final class Buffer(val summaries: Array[QuantileSummaries], val pending: Array[Int])
+  /** Per-feature summaries, reusable primitive staging arrays
+    * (foldEvery slots each), and stage fill counters. */
+  final class Buffer(
+      val summaries: Array[QuantileSummaries],
+      val staged: Array[Array[Double]],
+      val pending: Array[Int])
 }
