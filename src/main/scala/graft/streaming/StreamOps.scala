@@ -182,6 +182,47 @@ object StreamOps {
       .withColumn(textCol, TextFunctions.scrubPii(t))
   }
 
+  /** Streaming incremental near-dup detection against a PERSISTED corpus
+    * shingle index — the ingestion-time shape of
+    * [[Dedup.jaccardPairsAgainstIndex]].
+    *
+    * The pair check is a multi-aggregation dataflow (pair-keyed groupBy
+    * after a join), which append-mode streaming can't run incrementally,
+    * so the production wiring is `foreachBatch`: each micro-batch is a
+    * bounded DataFrame probed with the batch operator VERBATIM. The
+    * corpus side is the [[graft.sources.IndexStore]]-bucketed inverted
+    * shingle index read back from storage — per micro-batch the corpus
+    * contributes a columnar (bucket-pruned-joinable) scan, never a
+    * re-shingle and never a shuffle; only the micro-batch's own shingles
+    * are computed fresh. `corpusIndex` is by-name so each batch re-reads
+    * the table (picking up compactions/appends between batches).
+    *
+    * Identity (StreamOpsSpec): the union of per-batch pair sets over any
+    * micro-batching of an input equals the batch operator's pairs on the
+    * concatenation — batch-vs-corpus pairs are per-row independent.
+    *
+    * @param sink called once per micro-batch with (pairs, batchId);
+    *             pairs has columns (id_new, id_corpus, jaccard)
+    * @return a configured writer — call `.start()` (and manage the
+    *         query) at the call site
+    */
+  def incrementalDedup(
+      docs: DataFrame,
+      corpusIndex: => DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.8
+  )(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(Dedup.jaccardPairsAgainstIndex(
+          batch, corpusIndex, idCol, textCol, n, threshold), batchId)
+        ()
+      }
+
   /** Stream-side stratified quality filtering against STATIC thresholds:
     * the per-stratum quantile table comes from a batch pass over a
     * reference corpus ([[graft.operators.Scoring.qualityFilterStratified]]

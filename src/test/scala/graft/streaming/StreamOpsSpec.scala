@@ -254,6 +254,46 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup over micro-batches probes the PERSISTED index; union == batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "a b c d"), (2L, "p q r s"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    // write the corpus's inverted shingle index once, bucketed by shingle
+    val tbl = "graft_test_stream_shingle_index"
+    graft.sources.IndexStore.writeBucketed(
+      graft.operators.Dedup.shingleIndex(corpus, "doc_id", "text", n = 1),
+      tbl, "shingle", 4)
+    val ingested = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val flagged = scala.collection.mutable.Set[(Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedup(
+        input.toDF().toDF("doc_id", "text"),
+        graft.sources.IndexStore.read(spark, tbl),
+        n = 1, threshold = 0.5) { (pairs, _) =>
+        val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        flagged.synchronized { flagged ++= got }
+        ()
+      }
+      .start()
+    try {
+      val b1 = Seq((10L, "a b c e"), (11L, "fresh stuff entirely"))
+      val b2 = Seq((12L, "p q r s"), (13L, "x y q d"))
+      ingested ++= b1; input.addData(b1: _*); q.processAllAvailable()
+      ingested ++= b2; input.addData(b2: _*); q.processAllAvailable()
+      // identity: micro-batched stream == one batch run on the concatenation
+      val batchRun = graft.operators.Dedup.jaccardPairsAgainstIndex(
+          ingested.toSeq.toDF("doc_id", "text"),
+          graft.sources.IndexStore.read(spark, tbl),
+          "doc_id", "text", n = 1, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged.toSet == batchRun,
+        s"stream union $flagged must equal batch run $batchRun")
+      assert(flagged.toSet == Set((10L, 1L), (12L, 2L)),
+        s"and both must be the true near-dup pairs, got $flagged")
+    } finally q.stop()
+  }
+
   test("streaming quality filter against static thresholds matches the batch filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
