@@ -250,8 +250,10 @@ object QueryCatalog {
     // also what the binned trainer uses for candidate thresholds.
     "group_percentiles" -> ((s, dir) =>
       lineitem(s, dir).groupBy(col(Target).as("target"))
-        .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"))
+        // array probabilities: ONE per-group sort serves both quantiles
+        .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95))).as("p"))
+        .select(col("target"),
+          round(col("p")(0), 6).as("p50"), round(col("p")(1), 6).as("p95"))
         .orderBy("target")),
     // Sketch-based grouped percentiles — the actual scale path (bounded
     // memory per group vs the exact form's full-group value buffer; at
@@ -267,17 +269,20 @@ object QueryCatalog {
     "group_percentiles_approx" -> ((s, dir) => {
       val acc = 10000
       val eps = 100.0 / acc
+      // ONE exact percentile aggregate (array probabilities — a single
+      // per-group sort serves all four bracket edges) + one array-form
+      // sketch aggregate; four separate percentile() calls ran the
+      // per-group sort four times (6.2 s vs ~3 s)
       lineitem(s, dir).groupBy(col(Target).as("target"))
         .agg(
-          approx_percentile(col("l_extendedprice"), lit(0.5), lit(acc)).as("a50"),
-          approx_percentile(col("l_extendedprice"), lit(0.95), lit(acc)).as("a95"),
-          percentile(col("l_extendedprice"), lit(0.5 - eps)).as("lo50"),
-          percentile(col("l_extendedprice"), lit(0.5 + eps)).as("hi50"),
-          percentile(col("l_extendedprice"), lit(0.95 - eps)).as("lo95"),
-          percentile(col("l_extendedprice"), lit(0.95 + eps)).as("hi95"))
+          approx_percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(acc)).as("ap"),
+          percentile(col("l_extendedprice"),
+            array(lit(0.5 - eps), lit(0.5 + eps), lit(0.95 - eps), lit(0.95 + eps)))
+            .as("ex"))
         .select(col("target"),
-          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_bracket"),
-          (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_in_bracket"))
+          (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(1)).as("p50_in_bracket"),
+          (col("ap")(1) >= col("ex")(2) && col("ap")(1) <= col("ex")(3)).as("p95_in_bracket"))
         .orderBy("target")
     }),
     "split_partition_left" -> ((s, dir) =>
