@@ -77,6 +77,8 @@ object ScalingProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-scaling-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -147,6 +149,40 @@ object ScalingProbe {
         println(f"[scaling] $name%-28s 1x ${rows(1)}%8d rows ${t1}%7.2fs   " +
           f"10x ${rows(10)}%8d rows ${t10}%7.2fs   ratio10x=${ratio}%5.2f")
       }
+
+    // ---- incremental ingest dedup: FIXED batch, growing corpus ----
+    // The production question is different from the curves above: what
+    // does ONE ingest batch cost as the standing corpus grows 10x?
+    // Three paths: re-shingle the corpus each batch (jaccardPairsAgainst),
+    // probe the persisted index (full index scan), probe with the
+    // batch-shingle IN pushdown (row-group-pruned scan). The batch is
+    // 500 docs copied from corpus shard 0, so every batch doc has an
+    // exact corpus near-dup and candidate volume is realistic.
+    if (opFilter.forall("incremental_dedup".contains)) {
+      val batch = docs(1).where(col("doc_id") < 500)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      for (nx <- Seq(1, 10)) {
+        val corpus = docs(nx)
+        val tbl = s"graft_scaling_shingle_${nx}x"
+        graft.sources.IndexStore.writeBucketed(
+          Dedup.shingleIndex(corpus, "doc_id", "text", n = 3), tbl, "shingle", 8)
+        def idx = graft.sources.IndexStore.read(spark, tbl)
+        // an "indexed_pruned" path (batch shingles as a literal IN on the
+        // index scan) was measured here and REMOVED: 16.5-17.6 s vs the
+        // plain indexed probe's 0.65-0.82 s — see the
+        // jaccardPairsAgainstIndex scaladoc for the post-mortem
+        val paths = Seq[(String, () => Unit)](
+          ("reshingle", () => Dedup.jaccardPairsAgainst(batch, corpus, "doc_id", "text",
+            n = 3, threshold = 0.8).write.format("noop").mode("overwrite").save()),
+          ("indexed", () => Dedup.jaccardPairsAgainstIndex(batch, idx, "doc_id", "text",
+            n = 3, threshold = 0.8).write.format("noop").mode("overwrite").save()))
+        paths.foreach { case (label, body) =>
+          time(body()) // warmup
+          val t = math.min(time(body()), time(body()))
+          println(f"[scaling] incremental_dedup/$label%-16s corpus ${nx}%2dx ${t}%7.2fs")
+        }
+      }
+    }
     spark.stop()
   }
 }
