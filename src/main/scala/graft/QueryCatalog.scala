@@ -308,6 +308,37 @@ object QueryCatalog {
           when(col("l_discount") < 0.03, lit(null)).otherwise(col("l_discount")).as("d")),
         0.0, Seq("d")))),
     "csv_scan" -> ((s, dir) => orderedByAll(nationViaCsv(s, dir))),
+    // Second columnar format beside parquet: write the documents table
+    // to ORC, read it back, aggregate — schema and values must survive
+    // the round trip bit-exactly (hash oracle vs the parquet-derived
+    // twin). ORC ships with stock Spark; no extra deps.
+    "orc_roundtrip" -> ((s, dir) => {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val orcDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_orc_$key"
+      documents(s, dir).write.mode("overwrite").orc(orcDir)
+      s.read.orc(orcDir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang", "source")
+    }),
+    // Row format for ingest pipelines: JSONL round trip with an EXPLICIT
+    // read schema (inference on a line-oriented source is
+    // order-sensitive; production readers pin the schema). The text
+    // column rides through JSON string escaping, so the length sum
+    // catches any escaping corruption.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val jsonDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_jsonl_$key"
+      val src = documents(s, dir).select("doc_id", "text", "lang", "n_chars")
+      src.write.mode("overwrite").json(jsonDir)
+      s.read.schema(src.schema).json(jsonDir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_text_chars"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
     "csv_target_encoding" -> ((s, dir) => {
       val m = TargetEncoder.fitMappings(nationViaCsv(s, dir), Seq("n_name"), "n_regionkey")("n_name")
       import s.implicits._
@@ -1286,6 +1317,17 @@ object QueryCatalog {
     "simhash_pairs" -> simhash60Sql,
     "multimodal_features" -> multimodalSql,
     "multimodal_image_decode" -> multimodalDecodeSql,
+    // round trips must deliver the same aggregate the parquet source does
+    "orc_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "ann_topk" -> topkSql,
     "ivf_topk" -> topkSql,
     "embedding_neardup" ->
