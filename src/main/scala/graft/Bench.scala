@@ -154,6 +154,21 @@ object Bench {
         numMerges = 64, byteLevel = true)
       graft.operators.Bpe.segment(docs, "doc_id", "text", merges, byteLevel = true)
         .write.format("noop").mode("overwrite").save()
+    }),
+    // Trained product quantization end to end: per-subspace distributed
+    // k-means codebooks -> compressed encode -> ADC ranking. Spec-covered
+    // (PqSpec); the seed-codebook flavor is the hash-checked pq_topk.
+    ("pq_topk_trained", () => {
+      import org.apache.spark.sql.functions.{col, transform}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cb = graft.operators.Similarity.pqTrainedCodebooks(
+        e, "vec_id", "embedding", m = 8, k = 16)
+      val q = e.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0)
+      graft.operators.Similarity.pqTopK(
+          graft.operators.Similarity.pqEncode(e, "vec_id", "embedding", cb), cb, q, k = 10)
+        .write.format("noop").mode("overwrite").save()
     }))
 
     val entries = queryEntries ++ fitEntries ++ wideEntries ++ bpeEntries

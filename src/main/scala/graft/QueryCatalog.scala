@@ -827,6 +827,19 @@ object QueryCatalog {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Product-quantization ADC: vectors compress to m=8 codes against
+    // per-subspace k=16 codebooks (seeded from the first 16 corpus
+    // vectors — deterministic, so the encode AND the asymmetric-distance
+    // ranking both have exact SQL twins); the query scores codes via an
+    // m x k lookup table, never touching raw vectors. The trained-
+    // codebook flavor (KMeans.lloyd per subspace) benches as
+    // pq_topk_trained and is spec-covered (PqSpec).
+    "pq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cb = Similarity.pqSeedCodebooks(e, "vec_id", "embedding", m = 8, k = 16)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      Similarity.pqTopK(codes, cb, queryVector(e), k = 10)
+    }),
     // Distributed Lloyd k-means over all embeddings — the quantizer
     // trainer for corpora whose diversity a driver-side sample
     // under-represents. One job per iteration; only k x d statistics
@@ -1317,6 +1330,36 @@ object QueryCatalog {
     "simhash_pairs" -> simhash60Sql,
     "multimodal_features" -> multimodalSql,
     "multimodal_image_decode" -> multimodalDecodeSql,
+    // PQ twin: replicate seed codebooks (vec_id < 16 sliced into 8
+    // subspaces), the r9-rounded argmin encode (row_number ties to the
+    // lower code = Spark's strict-< argmin), the query LUT with the same
+    // primitive, and an ORDERED fold for the ADC sum (list(... ORDER BY
+    // sub) + list_sum = Spark's aggregate over sequence(0, m-1)).
+    "pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |subs AS (SELECT i AS sub FROM generate_series(0, 7) t(i)),
+        |dist AS (
+        |  SELECT e.vec_id, s.sub, c.code,
+        |    floor(list_sum(list_transform(range(1, 9),
+        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |  FROM e, subs s, cb c),
+        |enc AS (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+        |  FROM dist),
+        |lut AS (
+        |  SELECT s.sub, c.code,
+        |    floor(list_sum(list_transform(range(1, 9),
+        |      j -> (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |  FROM q, subs s, cb c),
+        |adc AS (
+        |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
+        |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+        |  WHERE enc.rn = 1
+        |  GROUP BY 1)
+        |SELECT id, adc FROM adc ORDER BY adc ASC, id ASC LIMIT 10""".stripMargin,
     // round trips must deliver the same aggregate the parquet source does
     "orc_roundtrip" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -461,6 +461,152 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
   }
 
+  // ---- product quantization (Jegou/Douze/Schmid 2011, the FAISS PQ) ----
+  //
+  // The memory-compression ANN path: split each d-dim vector into m
+  // subspaces, quantize each slice against a k-entry per-subspace
+  // codebook, and store only the m code bytes (64 floats -> 8 bytes at
+  // m=8). Queries score compressed codes via ADC (asymmetric distance
+  // computation): one tiny m x k lookup table of query-to-centroid
+  // subdistances, then a code's score is an m-term table sum — no
+  // decompression, no corpus-sized float reads. At 100 TB this is what
+  // makes an in-memory rerank tier possible at all.
+  //
+  // Determinism contract (same as the IVF/KMeans paths): subdistances
+  // round at 9 dp with the floor(x*1e9+0.5) primitive, argmin ties go to
+  // the LOWER code, the ADC sum folds subspaces in order 0..m-1, and the
+  // emitted score rounds at 6 dp — so `pq_topk`'s DuckDB twin is
+  // hash-exact.
+
+  /** Untrained "natural share" codebooks: the first `k` corpus vectors
+    * (by id — deterministic in any layout), sliced into `m` subspaces.
+    * The quantizer-init shape; for trained codebooks compose
+    * [[pqTrainedCodebooks]]. Output: (sub)(code)(subDim). */
+  def pqSeedCodebooks(
+      df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int
+  ): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val seeds = df
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    require(seeds.length == k, s"need >= $k vectors for $k codes, got ${seeds.length}")
+    sliceCodebooks(seeds.toIndexedSeq, m)
+  }
+
+  /** Trained codebooks: one [[graft.operators.KMeans.lloyd]] run per
+    * subspace over the sliced corpus — the fully-distributed PQ trainer
+    * (m x iters jobs total; only m x k x subDim statistics reach the
+    * driver). Same determinism contract as the seed form. */
+  def pqTrainedCodebooks(
+      df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      iters: Int = 2, seed: Long = 42L
+  ): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val subDim = vectorDimOf(df, vecCol) match {
+      case d =>
+        require(d % m == 0, s"dim $d not divisible by m=$m subspaces"); d / m
+    }
+    (0 until m).map { s =>
+      val sliced = df.select(col(idCol).as("vec_id"),
+        slice(transform(col(vecCol), x => x.cast("double")), s * subDim + 1, subDim)
+          .as("embedding"))
+      KMeans.centroidArrays(
+        KMeans.lloyd(sliced, "vec_id", "embedding", k, iters, seed))
+        .map(_.toIndexedSeq).toIndexedSeq
+    }.toIndexedSeq
+  }
+
+  private def vectorDimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  private def sliceCodebooks(
+      vecs: IndexedSeq[IndexedSeq[Double]], m: Int
+  ): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val d = vecs.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val subDim = d / m
+    (0 until m).map(s => vecs.map(v => v.slice(s * subDim, (s + 1) * subDim))).toIndexedSeq
+  }
+
+  /** Encode every vector to its m-code array: per subspace, the
+    * r9-rounded-argmin codebook entry (ties to the lower code).
+    * Broadcast-codebooks `mapPartitions` — the KMeans large-k assignment
+    * shape: plan size O(1) in m x k. Output: (id, codes array<int>). */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val cb = spark.sparkContext.broadcast(
+      codebooks.map(_.map(_.toArray).toArray).toArray)
+    df.select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val books = cb.value
+        it.map { case (id, vseq) =>
+          val v = vseq.toArray
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            val book = books(s)
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              val cen = book(c)
+              var d2 = 0.0
+              var j = 0
+              while (j < subDim) {
+                val t = v(s * subDim + j) - cen(j); d2 += t * t; j += 1
+              }
+              val d = math.floor(d2 * 1e9 + 0.5) / 1e9
+              if (d < bestD) { bestD = d; best = c } // ties keep lower code
+              c += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          (id, codes.toSeq)
+        }
+      }
+      .toDF("id", "codes")
+  }
+
+  /** ADC top-k over PQ codes for one query: the m x k lookup table is
+    * computed driver-side with the same r9 primitive, shipped as a plan
+    * literal (m x k doubles — tiny), and each code row's score is an
+    * in-plan ordered fold over its m table entries. Ascending distance,
+    * id tie-break. */
+  def pqTopK(
+      codes: DataFrame,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      query: Seq[Double],
+      k: Int
+  ): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    require(query.size == m * subDim,
+      s"pqTopK: query dim ${query.size} != m*subDim ${m * subDim}")
+    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+      codebooks(s).map { cen =>
+        var d2 = 0.0
+        var j = 0
+        while (j < subDim) { val t = query(s * subDim + j) - cen(j); d2 += t * t; j += 1 }
+        math.floor(d2 * 1e9 + 0.5) / 1e9
+      }.toSeq
+    }
+    val lutLit = typedLit(lut)
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) =>
+      acc + element_at(element_at(lutLit, s + 1), element_at(col("codes"), s + 1) + 1))
+    codes
+      .select(col("id"), round(adc, 6).as("adc"))
+      .orderBy(col("adc").asc, col("id").asc)
+      .limit(k)
+  }
+
   /** Scale form of [[ivfTopKForQueries]] for large `nlist`: cells are
     * ranked per query via a BROADCAST JOIN against a centroid TABLE
     * instead of an `array_sort` over plan-literal centroids. The literal

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Product-quantization contract: deterministic encode, ADC that matches
+  * a naive driver-side computation exactly, exact self-reconstruction
+  * for codebook-member vectors, and a recall smoke on trained codebooks. */
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private val M = 8
+  private val K = 16
+
+  private lazy val seedBooks = Similarity.pqSeedCodebooks(emb, "vec_id", "embedding", M, K)
+
+  private def vecOf(id: Long): Seq[Double] =
+    emb.where(col("vec_id") === id)
+      .select(transform(col("embedding"), x => x.cast("double"))).head().getSeq[Double](0)
+
+  test("encode is deterministic across partitionings and codes are in range") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, "vec_id", "embedding", seedBooks)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val a = run(emb)
+    val b = run(emb.repartition(7))
+    assert(a == b, "codes must not depend on the physical layout")
+    assert(a.values.forall(c => c.length == M && c.forall(x => x >= 0 && x < K)))
+  }
+
+  test("a codebook-member vector reconstructs exactly: own code, ADC 0 to itself") {
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", seedBooks)
+    val top = Similarity.pqTopK(codes, seedBooks, vecOf(3L), k = 1).head()
+    // vec 3 is one of the 16 seed vectors: every subspace slice IS a
+    // centroid, so its code reconstructs it exactly and ADC = 0
+    assert(top.getLong(0) == 3L && top.getDouble(1) == 0.0)
+  }
+
+  test("ADC equals the naive driver-side lookup sum for every corpus vector") {
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", seedBooks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val query = vecOf(0L)
+    val subDim = query.size / M
+    def lut(s: Int, c: Int): Double = {
+      var d2 = 0.0
+      (0 until subDim).foreach { j =>
+        val t = query(s * subDim + j) - seedBooks(s)(c)(j); d2 += t * t
+      }
+      math.floor(d2 * 1e9 + 0.5) / 1e9
+    }
+    val expected = codes.map { case (id, cs) =>
+      var acc = 0.0
+      (0 until M).foreach(s => acc = acc + lut(s, cs(s)))
+      id -> math.rint(acc * 1e6) / 1e6
+    }
+    val sparkSide = Similarity.pqTopK(
+        Similarity.pqEncode(emb, "vec_id", "embedding", seedBooks),
+        seedBooks, query, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sparkSide.keySet == expected.keySet)
+    sparkSide.foreach { case (id, adc) =>
+      assert(math.abs(adc - expected(id)) < 1e-9, s"id $id: $adc vs ${expected(id)}")
+    }
+  }
+
+  test("trained codebooks beat seed codebooks on quantization error and find the query") {
+    val trained = Similarity.pqTrainedCodebooks(emb, "vec_id", "embedding", M, K)
+    assert(trained.length == M && trained.forall(_.length == K))
+    def selfError(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Double = {
+      // mean ADC of every vector to ITS OWN code = quantization error
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val subDim = trained.head.head.length
+      codes.map { case (id, cs) =>
+        val v = vecOf(id)
+        (0 until M).map { s =>
+          var d2 = 0.0
+          (0 until subDim).foreach { j =>
+            val t = v(s * subDim + j) - books(s)(cs(s))(j); d2 += t * t
+          }
+          d2
+        }.sum
+      }.sum / codes.size
+    }
+    val errTrained = selfError(trained)
+    val errSeed = selfError(seedBooks)
+    assert(errTrained < errSeed,
+      s"k-means codebooks must reduce quantization error ($errTrained vs $errSeed)")
+    // recall smoke: querying WITH a corpus vector, its own id must land
+    // in the ADC top-5 under trained codebooks (deterministic, no RNG)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", trained)
+    Seq(7L, 42L, 99L).foreach { id =>
+      val top = Similarity.pqTopK(codes, trained, vecOf(id), k = 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(top.contains(id), s"query $id not in its own ADC top-5: $top")
+    }
+  }
+}
