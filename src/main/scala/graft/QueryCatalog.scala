@@ -840,6 +840,17 @@ object QueryCatalog {
       val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
       Similarity.pqTopK(codes, cb, queryVector(e), k = 10)
     }),
+    // Batch PQ: one broadcast LUT table for the whole query set, every
+    // (code, query) pair scored in-plan — the compressed counterpart of
+    // batch_ann_topk / batch_ivf_topk.
+    "batch_pq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cb = Similarity.pqSeedCodebooks(e, "vec_id", "embedding", m = 8, k = 16)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      Similarity.pqTopKForQueries(codes, cb, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // Distributed Lloyd k-means over all embeddings — the quantizer
     // trainer for corpora whose diversity a driver-side sample
     // under-represents. One job per iteration; only k x d statistics
@@ -1360,6 +1371,35 @@ object QueryCatalog {
         |  WHERE enc.rn = 1
         |  GROUP BY 1)
         |SELECT id, adc FROM adc ORDER BY adc ASC, id ASC LIMIT 10""".stripMargin,
+    // batch twin: the queries' own code-distance rows ARE their LUTs
+    // (dist already holds every corpus-vector x code subdistance), and
+    // ranking happens on the ROUNDED adc with id tie-break, matching the
+    // Spark side's post-round window.
+    "batch_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+        |subs AS (SELECT i AS sub FROM generate_series(0, 7) t(i)),
+        |dist AS (
+        |  SELECT e.vec_id, s.sub, c.code,
+        |    floor(list_sum(list_transform(range(1, 9),
+        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |  FROM e, subs s, cb c),
+        |enc AS (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+        |  FROM dist),
+        |lutq AS (SELECT vec_id AS query_id, sub, code, d FROM dist WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT l.query_id, enc.vec_id AS id,
+        |    round(list_sum(list(l.d ORDER BY enc.sub)), 6) AS adc
+        |  FROM enc JOIN lutq l ON enc.sub = l.sub AND enc.code = l.code
+        |  WHERE enc.rn = 1
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, id, adc,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, id ASC) AS INT) AS rank
+        |  FROM adc)
+        |SELECT query_id, id, adc, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // round trips must deliver the same aggregate the parquet source does
     "orc_roundtrip" ->
       """SELECT lang, source, count(*) AS n_docs,

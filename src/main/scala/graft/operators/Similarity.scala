@@ -580,6 +580,52 @@ object Similarity {
     * literal (m x k doubles — tiny), and each code row's score is an
     * in-plan ordered fold over its m table entries. Ascending distance,
     * id tie-break. */
+  /** Batch twin of [[pqTopK]]: ADC top-k for every row of a query
+    * DataFrame. Per-query LUTs are computed driver-side (the documented
+    * bounded-query-set batch-ANN shape — `collect` is per QUERY, never
+    * per corpus row) and broadcast as a (query_id, lut) table; each
+    * (code row x query) pair folds its m table entries in-plan. Output:
+    * (query_id, id, adc, rank). */
+  def pqTopKForQueries(
+      codes: DataFrame,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val qs = queries
+      .select(col(queryIdCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect()
+    val lutRows = qs.map { case (qid, qv) =>
+      require(qv.size == m * subDim,
+        s"pqTopKForQueries: query $qid dim ${qv.size} != ${m * subDim}")
+      val lut = (0 until m).map { s =>
+        codebooks(s).map { cen =>
+          var d2 = 0.0
+          var j = 0
+          while (j < subDim) { val t = qv(s * subDim + j) - cen(j); d2 += t * t; j += 1 }
+          math.floor(d2 * 1e9 + 0.5) / 1e9
+        }.toSeq
+      }.toSeq
+      (qid, lut)
+    }.toSeq
+    val lutDf = broadcast(lutRows.toDF("query_id", "lut"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) =>
+      acc + element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("id").asc)
+    codes.crossJoin(lutDf)
+      .select(col("query_id"), col("id"), round(adc, 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "adc", "rank")
+  }
+
   def pqTopK(
       codes: DataFrame,
       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],

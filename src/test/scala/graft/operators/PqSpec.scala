@@ -67,6 +67,19 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("batch ADC equals the single-query path per query") {
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", seedBooks)
+    val batch = Similarity.pqTopKForQueries(codes, seedBooks,
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L until 3L).foreach { qid =>
+      val single = Similarity.pqTopK(codes, seedBooks, vecOf(qid), k = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1) -> (r.getLong(0), r.getDouble(1)) }.toMap
+      single.foreach { case (key, v) => assert(batch(key) == v, s"mismatch at $key") }
+    }
+  }
+
   test("trained codebooks beat seed codebooks on quantization error and find the query") {
     val trained = Similarity.pqTrainedCodebooks(emb, "vec_id", "embedding", M, K)
     assert(trained.length == M && trained.forall(_.length == K))
