@@ -840,6 +840,23 @@ object QueryCatalog {
       val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
       Similarity.pqTopK(codes, cb, queryVector(e), k = 10)
     }),
+    // IVF-ADC (FAISS IVFPQ minus residuals): coarse cells (seeded from
+    // the first 8 corpus vectors — deterministic, SQL-replicable) prune
+    // candidates to nprobe=2 cells, ADC ranks the survivors' codes. The
+    // twin replicates BOTH metrics exactly: cell assignment via the
+    // in-plan |c|^2 - 2 v.c expansion, probe ranking via the driver's
+    // full squared distance.
+    "ivf_pq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val seeds8 = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .orderBy("vec_id").limit(8).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val (index, cents) = Similarity.ivfIndex(e, "vec_id", "embedding",
+        trainedCentroids = Some(seeds8))
+      val cb = Similarity.pqSeedCodebooks(e, "vec_id", "embedding", m = 8, k = 16)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      Similarity.ivfPqTopK(index, codes, cents, cb, queryVector(e), nprobe = 2, k = 10)
+    }),
     // Batch PQ: one broadcast LUT table for the whole query set, every
     // (code, query) pair scored in-plan — the compressed counterpart of
     // batch_ann_topk / batch_ivf_topk.
@@ -1356,6 +1373,54 @@ object QueryCatalog {
         |    floor(list_sum(list_transform(range(1, 9),
         |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
         |  FROM e, subs s, cb c),
+        |enc AS (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+        |  FROM dist),
+        |lut AS (
+        |  SELECT s.sub, c.code,
+        |    floor(list_sum(list_transform(range(1, 9),
+        |      j -> (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |  FROM q, subs s, cb c),
+        |adc AS (
+        |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
+        |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+        |  WHERE enc.rn = 1
+        |  GROUP BY 1)
+        |SELECT id, adc FROM adc ORDER BY adc ASC, id ASC LIMIT 10""".stripMargin,
+    // IVF-ADC twin: seed coarse centroids (vec_id < 8) with BOTH metrics
+    // replicated — assignment via |c|^2 - 2 v.c (the in-plan expansion),
+    // probe ranking via full squared distance (the driver path) — then
+    // the PQ twin restricted to the probed cells' members.
+    "ivf_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, v,
+        |    list_sum(list_transform(v, x -> x * x)) AS cn
+        |  FROM e WHERE vec_id < 8),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT e.vec_id, c.cell,
+        |    c.cn - 2 * list_sum(list_transform(range(1, 65), j -> e.v[j] * c.v[j])) AS d
+        |  FROM e, cents c),
+        |cellof AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |probes AS (
+        |  SELECT cell FROM (
+        |    SELECT c.cell, row_number() OVER (ORDER BY
+        |      list_sum(list_transform(range(1, 65), j -> (c.v[j] - q.qv[j]) * (c.v[j] - q.qv[j]))) ASC,
+        |      c.cell ASC) AS rn
+        |    FROM cents c, q) WHERE rn <= 2),
+        |cand AS (SELECT vec_id FROM cellof WHERE cell IN (SELECT cell FROM probes)),
+        |cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+        |subs AS (SELECT i AS sub FROM generate_series(0, 7) t(i)),
+        |dist AS (
+        |  SELECT e.vec_id, s.sub, c.code,
+        |    floor(list_sum(list_transform(range(1, 9),
+        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |  FROM e, subs s, cb c
+        |  WHERE e.vec_id IN (SELECT vec_id FROM cand)),
         |enc AS (
         |  SELECT vec_id, sub, code,
         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn

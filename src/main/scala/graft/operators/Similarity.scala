@@ -626,6 +626,41 @@ object Similarity {
       .select("query_id", "id", "adc", "rank")
   }
 
+  /** IVF-ADC: the coarse quantizer prunes candidates to the `nprobe`
+    * cells nearest the query, then ADC ranks the survivors' compressed
+    * codes — FAISS's IVFPQ composition, minus residual encoding (codes
+    * quantize RAW vectors here; per-cell residual codebooks are the
+    * classic recall upgrade and would slot into [[pqEncode]] by
+    * subtracting the cell centroid first — a per-cell codebook table is
+    * the cost). Probe ranking matches [[ivfTopK]] (driver-side full
+    * squared distance, lower-cell ties); candidate pruning is an id
+    * equi-join between the cell-filtered index and the code table, so at
+    * 100 TB — both written bucketed by their keys — the scan reads
+    * nprobe/nlist of the index and the join needs no code-side shuffle. */
+  def ivfPqTopK(
+      index: DataFrame,
+      codes: DataFrame,
+      centroids: Seq[Seq[Double]],
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      query: Seq[Double],
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    centroids.headOption.foreach { c =>
+      require(query.size == c.size,
+        s"ivfPqTopK: query dim ${query.size} does not match centroid dim ${c.size}")
+    }
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (i, d) => (d, i) }
+      .take(math.max(1, nprobe))
+      .map(_._1)
+    val cand = index.where(col("cell").isin(probes: _*)).select(col("id"))
+    pqTopK(codes.join(cand, Seq("id")), codebooks, query, k)
+  }
+
   def pqTopK(
       codes: DataFrame,
       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],

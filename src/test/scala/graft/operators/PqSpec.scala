@@ -80,6 +80,27 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-ADC with nprobe = nlist degenerates to plain PQ; pruning only removes rows") {
+    val seeds8 = emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .orderBy("vec_id").limit(8).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val (index, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      trainedCentroids = Some(seeds8))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", seedBooks)
+    val q = vecOf(0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = rows(Similarity.pqTopK(codes, seedBooks, q, k = 10))
+    val exhaustive = rows(Similarity.ivfPqTopK(index, codes, cents, seedBooks, q,
+      nprobe = 8, k = 10))
+    assert(exhaustive == full, "probing every cell must equal un-pruned ADC")
+    val pruned = rows(Similarity.ivfPqTopK(index, codes, cents, seedBooks, q,
+      nprobe = 2, k = 10))
+    val fullAll = rows(Similarity.pqTopK(codes, seedBooks, q, k = Int.MaxValue)).toMap
+    assert(pruned.forall { case (id, adc) => fullAll(id) == adc },
+      "pruning must never change a surviving candidate's ADC")
+  }
+
   test("trained codebooks beat seed codebooks on quantization error and find the query") {
     val trained = Similarity.pqTrainedCodebooks(emb, "vec_id", "embedding", M, K)
     assert(trained.length == M && trained.forall(_.length == K))
