@@ -857,6 +857,33 @@ object QueryCatalog {
       val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
       Similarity.ivfPqTopK(index, codes, cents, cb, queryVector(e), nprobe = 2, k = 10)
     }),
+    // The PERSISTED flavor of IVF-ADC, completing the PQ 100 TB story:
+    // the cell-tagged code table is written ONCE bucketed by cell
+    // (IndexStore) and both quantizers' sidecars (coarse centroids + PQ
+    // codebooks) persist beside it; the probe reads everything back from
+    // storage, and its cell IN filter bucket-prunes the code scan. Same
+    // oracle as ivf_pq_topk — identical output by construction. Timing
+    // honestly includes all three writes.
+    "ivf_pq_topk_bucketed" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val seeds8 = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .orderBy("vec_id").limit(8).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val (index, cents) = Similarity.ivfIndex(e, "vec_id", "embedding",
+        trainedCentroids = Some(seeds8))
+      val cb = Similarity.pqSeedCodebooks(e, "vec_id", "embedding", m = 8, k = 16)
+      val celled = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+        .join(index.select(col("id"), col("cell")), Seq("id"))
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.writeBucketed(celled, "graft_pq_codes_" + suffix, "cell", 8)
+      IndexStore.writeTable(Similarity.pqCodebookTable(s, cb), "graft_pq_books_" + suffix)
+      IndexStore.writeTable(Similarity.centroidTable(s, cents), "graft_pq_cents_" + suffix)
+      Similarity.ivfPqTopKOnCelledCodes(
+        IndexStore.read(s, "graft_pq_codes_" + suffix),
+        Similarity.centroidsFromTable(IndexStore.read(s, "graft_pq_cents_" + suffix)),
+        Similarity.pqCodebooksFromTable(IndexStore.read(s, "graft_pq_books_" + suffix)),
+        queryVector(e), nprobe = 2, k = 10)
+    }),
     // Batch PQ: one broadcast LUT table for the whole query set, every
     // (code, query) pair scored in-plan — the compressed counterpart of
     // batch_ann_topk / batch_ivf_topk.
@@ -1273,6 +1300,51 @@ object QueryCatalog {
        |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private lazy val ivfPqSql =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, v,
+        |    list_sum(list_transform(v, x -> x * x)) AS cn
+        |  FROM e WHERE vec_id < 8),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT e.vec_id, c.cell,
+        |    c.cn - 2 * list_sum(list_transform(range(1, 65), j -> e.v[j] * c.v[j])) AS d
+        |  FROM e, cents c),
+        |cellof AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |probes AS (
+        |  SELECT cell FROM (
+        |    SELECT c.cell, row_number() OVER (ORDER BY
+        |      list_sum(list_transform(range(1, 65), j -> (c.v[j] - q.qv[j]) * (c.v[j] - q.qv[j]))) ASC,
+        |      c.cell ASC) AS rn
+        |    FROM cents c, q) WHERE rn <= 2),
+        |cand AS (SELECT vec_id FROM cellof WHERE cell IN (SELECT cell FROM probes)),
+        |cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
+        |subs AS (SELECT i AS sub FROM generate_series(0, 7) t(i)),
+        |dist AS (
+        |  SELECT e.vec_id, s.sub, c.code,
+        |    floor(list_sum(list_transform(range(1, 9),
+        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |  FROM e, subs s, cb c
+        |  WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+        |enc AS (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+        |  FROM dist),
+        |lut AS (
+        |  SELECT s.sub, c.code,
+        |    floor(list_sum(list_transform(range(1, 9),
+        |      j -> (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |  FROM q, subs s, cb c),
+        |adc AS (
+        |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
+        |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
+        |  WHERE enc.rn = 1
+        |  GROUP BY 1)
+        |SELECT id, adc FROM adc ORDER BY adc ASC, id ASC LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "split_histogram" -> histSelectSql,
     "cum_counts" -> cumSelectSql,
@@ -1392,50 +1464,8 @@ object QueryCatalog {
     // replicated — assignment via |c|^2 - 2 v.c (the in-plan expansion),
     // probe ranking via full squared distance (the driver path) — then
     // the PQ twin restricted to the probed cells' members.
-    "ivf_pq_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cell, v,
-        |    list_sum(list_transform(v, x -> x * x)) AS cn
-        |  FROM e WHERE vec_id < 8),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |assign AS (
-        |  SELECT e.vec_id, c.cell,
-        |    c.cn - 2 * list_sum(list_transform(range(1, 65), j -> e.v[j] * c.v[j])) AS d
-        |  FROM e, cents c),
-        |cellof AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
-        |    FROM assign) WHERE rn = 1),
-        |probes AS (
-        |  SELECT cell FROM (
-        |    SELECT c.cell, row_number() OVER (ORDER BY
-        |      list_sum(list_transform(range(1, 65), j -> (c.v[j] - q.qv[j]) * (c.v[j] - q.qv[j]))) ASC,
-        |      c.cell ASC) AS rn
-        |    FROM cents c, q) WHERE rn <= 2),
-        |cand AS (SELECT vec_id FROM cellof WHERE cell IN (SELECT cell FROM probes)),
-        |cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 16),
-        |subs AS (SELECT i AS sub FROM generate_series(0, 7) t(i)),
-        |dist AS (
-        |  SELECT e.vec_id, s.sub, c.code,
-        |    floor(list_sum(list_transform(range(1, 9),
-        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
-        |  FROM e, subs s, cb c
-        |  WHERE e.vec_id IN (SELECT vec_id FROM cand)),
-        |enc AS (
-        |  SELECT vec_id, sub, code,
-        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
-        |  FROM dist),
-        |lut AS (
-        |  SELECT s.sub, c.code,
-        |    floor(list_sum(list_transform(range(1, 9),
-        |      j -> (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
-        |  FROM q, subs s, cb c),
-        |adc AS (
-        |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
-        |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.code
-        |  WHERE enc.rn = 1
-        |  GROUP BY 1)
-        |SELECT id, adc FROM adc ORDER BY adc ASC, id ASC LIMIT 10""".stripMargin,
+    "ivf_pq_topk" -> ivfPqSql,
+    "ivf_pq_topk_bucketed" -> ivfPqSql,
     // batch twin: the queries' own code-distance rows ARE their LUTs
     // (dist already holds every corpus-vector x code subdistance), and
     // ranking happens on the ROUNDED adc with id tie-break, matching the

@@ -646,20 +646,73 @@ object Similarity {
       nprobe: Int,
       k: Int
   ): DataFrame = {
+    val cand = index
+      .where(col("cell").isin(nearestCells(centroids, query, nprobe): _*))
+      .select(col("id"))
+    pqTopK(codes.join(cand, Seq("id")), codebooks, query, k)
+  }
+
+  /** [[ivfPqTopK]] over a SELF-CONTAINED code table that already carries
+    * its `cell` column — the persisted-index shape: written once through
+    * [[graft.sources.IndexStore.writeBucketed]] bucketed by `cell`, a
+    * probe's `cell IN (...)` filter bucket-prunes the scan to
+    * nprobe/numBuckets of the files, and no id join is needed at all. */
+  def ivfPqTopKOnCelledCodes(
+      celledCodes: DataFrame,
+      centroids: Seq[Seq[Double]],
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      query: Seq[Double],
+      nprobe: Int,
+      k: Int
+  ): DataFrame =
+    pqTopK(
+      celledCodes.where(col("cell").isin(nearestCells(centroids, query, nprobe): _*)),
+      codebooks, query, k)
+
+  /** Driver-side probe ranking shared by the IVF-ADC paths — full
+    * squared distance, (distance, cell) order, same as [[ivfTopK]]. */
+  private def nearestCells(
+      centroids: Seq[Seq[Double]], query: Seq[Double], nprobe: Int): Seq[Int] = {
     centroids.headOption.foreach { c =>
       require(query.size == c.size,
-        s"ivfPqTopK: query dim ${query.size} does not match centroid dim ${c.size}")
+        s"probe: query dim ${query.size} does not match centroid dim ${c.size}")
     }
-    val probes = centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) =>
         (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
       }
       .sortBy { case (i, d) => (d, i) }
       .take(math.max(1, nprobe))
       .map(_._1)
-    val cand = index.where(col("cell").isin(probes: _*)).select(col("id"))
-    pqTopK(codes.join(cand, Seq("id")), codebooks, query, k)
   }
+
+  /** PQ codebooks as a (sub, code, centroid) DataFrame — the persisted
+    * sidecar shape (m x k x subDim doubles, trivially small beside the
+    * code table). */
+  def pqCodebookTable(
+      spark: SparkSession,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (book, s) <- codebooks.zipWithIndex
+      (cen, c) <- book.zipWithIndex
+    } yield (s, c, cen.toSeq)).toDF("sub", "code", "centroid")
+  }
+
+  /** Inverse of [[pqCodebookTable]]: read a persisted sidecar back into
+    * the in-memory codebook shape (one tiny collect). */
+  def pqCodebooksFromTable(df: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val rows = df.select("sub", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toIndexedSeq).toIndexedSeq
+  }
+
+  /** Inverse of [[centroidTable]] (cell-ordered). */
+  def centroidsFromTable(df: DataFrame): Seq[Seq[Double]] =
+    df.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).map(_._2).toSeq
 
   def pqTopK(
       codes: DataFrame,

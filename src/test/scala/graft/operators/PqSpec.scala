@@ -101,6 +101,44 @@ class PqSpec extends AnyFunSuite {
       "pruning must never change a surviving candidate's ADC")
   }
 
+  test("persisted celled codes bucket-prune the probe and match the in-memory path") {
+    import graft.sources.IndexStore
+    val seeds8 = emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .orderBy("vec_id").limit(8).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val (index, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      trainedCentroids = Some(seeds8))
+    val celled = Similarity.pqEncode(emb, "vec_id", "embedding", seedBooks)
+      .join(index.select(col("id"), col("cell")), Seq("id"))
+    IndexStore.writeBucketed(celled, "graft_test_pq_codes", "cell", 8)
+    IndexStore.writeTable(Similarity.pqCodebookTable(spark, seedBooks), "graft_test_pq_books")
+    IndexStore.writeTable(Similarity.centroidTable(spark, cents), "graft_test_pq_cents")
+    val codesBack = IndexStore.read(spark, "graft_test_pq_codes")
+    val booksBack = Similarity.pqCodebooksFromTable(IndexStore.read(spark, "graft_test_pq_books"))
+    val centsBack = Similarity.centroidsFromTable(IndexStore.read(spark, "graft_test_pq_cents"))
+    assert(booksBack == seedBooks, "codebook sidecar must round-trip exactly")
+    assert(centsBack.map(_.toSeq) == cents.map(_.toSeq), "centroid sidecar must round-trip")
+    val q = vecOf(0L)
+    val persisted = Similarity.ivfPqTopKOnCelledCodes(codesBack, centsBack, booksBack,
+        q, nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Similarity.ivfPqTopK(index,
+        Similarity.pqEncode(emb, "vec_id", "embedding", seedBooks),
+        cents, seedBooks, q, nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted == inMemory)
+    // the probe's cell IN filter must bucket-prune the persisted scan
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(auto)
+    try {
+      spark.conf.set(auto, "false")
+      val plan = codesBack.where(col("cell").isin(0, 3))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("SelectedBucketsCount: 2 out of 8"),
+        s"expected bucket pruning in:\n$plan")
+    } finally spark.conf.set(auto, prev)
+  }
+
   test("trained codebooks beat seed codebooks on quantization error and find the query") {
     val trained = Similarity.pqTrainedCodebooks(emb, "vec_id", "embedding", M, K)
     assert(trained.length == M && trained.forall(_.length == K))
