@@ -105,6 +105,47 @@ object StreamOps {
       .select(col("query_id"), (-col("best.nid")).as("corpus_id"), col("best.cosine").as("cosine"))
   }
 
+  /** Streaming PQ probe: a stream of query vectors scores a STATIC
+    * compressed code table ([[Similarity.pqEncode]] output, persisted at
+    * scale) by ADC and keeps each query's best match — the
+    * memory-compressed twin of [[annProbe]]. Because a stream cannot
+    * collect, the per-query lookup table is not driver-built: the whole
+    * codebook ships as ONE plan literal (m x k x subDim doubles — ~8 KB
+    * at 8x16x8) and each (query, code-row) pair computes its ADC
+    * in-plan with exactly [[Similarity.pqTopK]]'s arithmetic (r9-rounded
+    * subdistances, ordered subspace fold, 6-dp result), so stream ==
+    * batch is an identity, not an approximation (StreamOpsSpec). The
+    * static side is the CODES, not the vectors: m ints per corpus row is
+    * what makes a full stream-static scoring join viable at all.
+    * Stateless per micro-batch aggregation — update/complete mode. */
+  def pqProbe(
+      queries: DataFrame,
+      codes: DataFrame,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      queryIdCol: String = "query_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def r9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val qv = transform(col(vecCol), x => x.cast("double"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) => {
+      val cen = element_at(element_at(cbLit, s + 1), element_at(col("codes"), s + 1) + 1)
+      acc + r9(aggregate(sequence(lit(1), lit(subDim)), lit(0.0d), (a, j) => {
+        val t = element_at(col("qv"), s * lit(subDim) + j) - element_at(cen, j)
+        a + t * t
+      }))
+    })
+    queries
+      .select(col(queryIdCol).as("query_id"), qv.as("qv"))
+      .crossJoin(codes.select(col("id"), col("codes")))
+      .select(col("query_id"), col("id"), round(adc, 6).as("adc"))
+      .groupBy("query_id")
+      .agg(min(struct(col("adc"), col("id"))).as("best"))
+      .select(col("query_id"), col("best.id").as("corpus_id"), col("best.adc").as("adc"))
+  }
+
   /** Stateless text enrichment — identical expressions to the batch path. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t: Column = col(textCol)

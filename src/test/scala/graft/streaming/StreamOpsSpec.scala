@@ -294,6 +294,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PQ probe equals the batch ADC best-match per query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, transform}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqSeedCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .localCheckpoint(true) // static side pinned across micro-batches
+    val queryRows = emb.where(col("vec_id").isin(2L, 31L, 77L))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.pqProbe(
+        input.toDF().toDF("query_id", "embedding"), codes, books)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("pq_probe_out")
+      .start()
+    try {
+      input.addData(queryRows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("pq_probe_out")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = Similarity.pqTopKForQueries(codes, books,
+          emb.where(col("vec_id").isin(2L, 31L, 77L)), "vec_id", "embedding", k = 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(stream == batch,
+        s"stream best-match must equal batch ADC: $stream vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming quality filter against static thresholds matches the batch filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
