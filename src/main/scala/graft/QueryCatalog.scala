@@ -857,6 +857,24 @@ object QueryCatalog {
       val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
       Similarity.ivfPqTopK(index, codes, cents, cb, queryVector(e), nprobe = 2, k = 10)
     }),
+    // FULL FAISS IVFADC: PQ quantizes RESIDUALS (v - centroid[cell]),
+    // and each probed cell scores its candidates against its own
+    // query-residual lookup table. Seed coarse centroids + seed residual
+    // codebooks keep every stage SQL-replicable; the trained flavor is
+    // spec-covered (PqSpec residual-error win) .
+    "ivf_pq_residual_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val seeds8 = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .orderBy("vec_id").limit(8).collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val (index, cents) = Similarity.ivfIndex(e, "vec_id", "embedding",
+        trainedCentroids = Some(seeds8))
+      val res = Similarity.residualFrame(index, cents)
+      val cb = Similarity.pqSeedCodebooks(res, "id", "residual", m = 8, k = 16)
+      val celled = Similarity.pqEncode(res, "id", "residual", cb)
+        .join(res.select("id", "cell"), Seq("id"))
+      Similarity.ivfPqResidualTopK(celled, cents, cb, queryVector(e), nprobe = 2, k = 10)
+    }),
     // The PERSISTED flavor of IVF-ADC, completing the PQ 100 TB story:
     // the cell-tagged code table is written ONCE bucketed by cell
     // (IndexStore) and both quantizers' sidecars (coarse centroids + PQ
@@ -1300,6 +1318,59 @@ object QueryCatalog {
        |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private lazy val ivfPqResidualSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cell, v,
+      |    list_sum(list_transform(v, x -> x * x)) AS cn
+      |  FROM e WHERE vec_id < 8),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |assign AS (
+      |  SELECT e.vec_id, c.cell,
+      |    c.cn - 2 * list_sum(list_transform(range(1, 65), j -> e.v[j] * c.v[j])) AS d
+      |  FROM e, cents c),
+      |cellof AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+      |    FROM assign) WHERE rn = 1),
+      |probes AS (
+      |  SELECT cell FROM (
+      |    SELECT c.cell, row_number() OVER (ORDER BY
+      |      list_sum(list_transform(range(1, 65), j -> (c.v[j] - q.qv[j]) * (c.v[j] - q.qv[j]))) ASC,
+      |      c.cell ASC) AS rn
+      |    FROM cents c, q) WHERE rn <= 2),
+      |res AS (
+      |  SELECT e.vec_id, co.cell,
+      |    list_transform(range(1, 65), j -> e.v[j] - c.v[j]) AS rv
+      |  FROM e JOIN cellof co ON e.vec_id = co.vec_id JOIN cents c ON co.cell = c.cell),
+      |cb AS (SELECT vec_id AS code, rv AS v FROM res WHERE vec_id < 16),
+      |subs AS (SELECT i AS sub FROM generate_series(0, 7) t(i)),
+      |dist AS (
+      |  SELECT r.vec_id, s.sub, c.code,
+      |    floor(list_sum(list_transform(range(1, 9),
+      |      j -> (r.rv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (r.rv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+      |  FROM res r, subs s, cb c
+      |  WHERE r.cell IN (SELECT cell FROM probes)),
+      |enc AS (
+      |  SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+      |  FROM dist),
+      |qres AS (
+      |  SELECT c.cell, list_transform(range(1, 65), j -> q.qv[j] - c.v[j]) AS rqv
+      |  FROM cents c, q WHERE c.cell IN (SELECT cell FROM probes)),
+      |lut AS (
+      |  SELECT qr.cell, s.sub, c.code,
+      |    floor(list_sum(list_transform(range(1, 9),
+      |      j -> (qr.rqv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (qr.rqv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+      |  FROM qres qr, subs s, cb c),
+      |adc AS (
+      |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
+      |  FROM enc
+      |  JOIN res r ON enc.vec_id = r.vec_id
+      |  JOIN lut ON lut.cell = r.cell AND lut.sub = enc.sub AND lut.code = enc.code
+      |  WHERE enc.rn = 1
+      |  GROUP BY 1)
+      |SELECT id, adc FROM adc ORDER BY adc ASC, id ASC LIMIT 10""".stripMargin
+
   private lazy val ivfPqSql =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cents AS (SELECT vec_id AS cell, v,
@@ -1465,6 +1536,7 @@ object QueryCatalog {
     // probe ranking via full squared distance (the driver path) — then
     // the PQ twin restricted to the probed cells' members.
     "ivf_pq_topk" -> ivfPqSql,
+    "ivf_pq_residual_topk" -> ivfPqResidualSql,
     "ivf_pq_topk_bucketed" -> ivfPqSql,
     // batch twin: the queries' own code-distance rows ARE their LUTs
     // (dist already holds every corpus-vector x code subdistance), and

@@ -714,17 +714,16 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).map(_._2).toSeq
 
-  def pqTopK(
-      codes: DataFrame,
-      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+  /** Driver-side m x k lookup table of r9-rounded query-to-centroid
+    * subdistances — shared by every ADC path. */
+  private def pqLut(
       query: Seq[Double],
-      k: Int
-  ): DataFrame = {
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Seq[Seq[Double]] = {
     val m = codebooks.length
     val subDim = codebooks.head.head.length
     require(query.size == m * subDim,
-      s"pqTopK: query dim ${query.size} != m*subDim ${m * subDim}")
-    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+      s"ADC: query dim ${query.size} != m*subDim ${m * subDim}")
+    (0 until m).map { s =>
       codebooks(s).map { cen =>
         var d2 = 0.0
         var j = 0
@@ -732,11 +731,60 @@ object Similarity {
         math.floor(d2 * 1e9 + 0.5) / 1e9
       }.toSeq
     }
+  }
+
+  /** Ordered in-plan fold of a code row's m table entries. */
+  private def adcExpr(lut: Seq[Seq[Double]]): Column = {
     val lutLit = typedLit(lut)
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) =>
+    aggregate(sequence(lit(0), lit(lut.length - 1)), lit(0.0d), (acc, s) =>
       acc + element_at(element_at(lutLit, s + 1), element_at(col("codes"), s + 1) + 1))
+  }
+
+  def pqTopK(
+      codes: DataFrame,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      query: Seq[Double],
+      k: Int
+  ): DataFrame =
     codes
-      .select(col("id"), round(adc, 6).as("adc"))
+      .select(col("id"), round(adcExpr(pqLut(query, codebooks)), 6).as("adc"))
+      .orderBy(col("adc").asc, col("id").asc)
+      .limit(k)
+
+  /** Residuals of an [[ivfIndex]] assignment: v - centroid[cell], the
+    * input PQ quantizes in FULL FAISS IVFADC. Residuals concentrate
+    * around the origin with far less variance than raw vectors, so the
+    * same codebook budget spends its resolution where the data actually
+    * is — PqSpec measures the quantization-error win on real
+    * embeddings. */
+  def residualFrame(index: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val centsLit = typedLit(centroids.map(_.toSeq))
+    index.select(col("id"), col("cell"),
+      zip_with(transform(col("vec"), x => x.cast("double")),
+        element_at(centsLit, col("cell") + 1), (a, b) => a - b).as("residual"))
+  }
+
+  /** Residual IVF-ADC: candidates from the `nprobe` nearest cells, each
+    * cell's codes scored against ITS OWN lookup table (built from the
+    * query's residual q - centroid[cell]) — the full FAISS IVFADC query
+    * shape. `celledCodes` = [[pqEncode]] of [[residualFrame]] joined
+    * with its `cell` column. One scan branch per probed cell (nprobe is
+    * small by design), unioned and ranked. */
+  def ivfPqResidualTopK(
+      celledCodes: DataFrame,
+      centroids: Seq[Seq[Double]],
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      query: Seq[Double],
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val probes = nearestCells(centroids, query, nprobe)
+    probes.map { cell =>
+      val qres = query.zip(centroids(cell)).map { case (a, b) => a - b }
+      celledCodes.where(col("cell") === cell)
+        .select(col("id"), round(adcExpr(pqLut(qres, codebooks)), 6).as("adc"))
+    }
+      .reduce(_ unionAll _)
       .orderBy(col("adc").asc, col("id").asc)
       .limit(k)
   }

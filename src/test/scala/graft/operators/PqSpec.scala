@@ -139,6 +139,70 @@ class PqSpec extends AnyFunSuite {
     } finally spark.conf.set(auto, prev)
   }
 
+  test("residual PQ cuts quantization error vs raw PQ on the same codebook budget") {
+    // The residual win requires real coarse structure (on an isotropic
+    // random corpus residuals are as spread as the raw vectors and the
+    // comparison is a coin flip — measured both ways). Build a CLUSTERED
+    // corpus: 8 far-apart centers at ids 0-7, members = center + small
+    // deterministic noise; the centers seed the coarse quantizer, so
+    // residuals are the small noise vectors and PQ spends its 16 codes
+    // on a tight distribution instead of 8 distant clouds.
+    import spark.implicits._
+    val dim = 64
+    def noise(id: Long, j: Int): Double =
+      ((id * 1315423911L + j * 2654435761L) % 1000) / 1000.0 - 0.5
+    val rows = (0L until 200L).map { id =>
+      val c = (id % 8).toInt
+      val v = (0 until dim).map { j =>
+        val center = if (j / 8 == c) 10.0 else 0.0
+        if (id < 8) center else center + noise(id, j)
+      }
+      (id, v.map(_.toFloat))
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val seeds8 = rows.take(8).map(_._2.map(_.toDouble).toSeq).toSeq
+    val (index, cents) = Similarity.ivfIndex(clustered, "vec_id", "embedding",
+      trainedCentroids = Some(seeds8))
+    val res = Similarity.residualFrame(index, cents)
+    val resBooks = Similarity.pqSeedCodebooks(res, "id", "residual", M, K)
+    val rawBooks = Similarity.pqSeedCodebooks(clustered, "vec_id", "embedding", M, K)
+    def meanSelfError(frame: org.apache.spark.sql.DataFrame, idC: String, vecC: String,
+        books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Double = {
+      val vecs = frame.select(col(idC).cast("long"),
+          transform(col(vecC), x => x.cast("double")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val codes = Similarity.pqEncode(frame, idC, vecC, books)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val subDim = books.head.head.length
+      codes.map { case (id, cs) =>
+        val v = vecs(id)
+        (0 until M).map { s =>
+          var d2 = 0.0
+          (0 until subDim).foreach { j =>
+            val t = v(s * subDim + j) - books(s)(cs(s))(j); d2 += t * t
+          }
+          d2
+        }.sum
+      }.sum / codes.size
+    }
+    val rawErr = meanSelfError(clustered, "vec_id", "embedding", rawBooks)
+    val resErr = meanSelfError(res, "id", "residual", resBooks)
+    // margin note: PQ already quantizes per-subspace, which absorbs much
+    // of the cluster structure on its own (each subspace sees the
+    // center pattern of only its own dims), so the residual win here is
+    // solid but not dramatic — 1.28 vs 1.84 on this deterministic corpus
+    assert(resErr < rawErr,
+      s"residual quantization must beat raw at equal budget ($resErr vs $rawErr)")
+    // exhaustive-probe residual query: vec 0's residual IS codebook entry 0,
+    // so its ADC to itself is exactly 0 and it ranks first
+    val celled = Similarity.pqEncode(res, "id", "residual", resBooks)
+      .join(res.select("id", "cell"), Seq("id"))
+    val q0 = rows.head._2.map(_.toDouble).toSeq
+    val top = Similarity.ivfPqResidualTopK(celled, cents, resBooks, q0,
+      nprobe = 8, k = 1).head()
+    assert(top.getLong(0) == 0L && top.getDouble(1) == 0.0)
+  }
+
   test("trained codebooks beat seed codebooks on quantization error and find the query") {
     val trained = Similarity.pqTrainedCodebooks(emb, "vec_id", "embedding", M, K)
     assert(trained.length == M && trained.forall(_.length == K))
