@@ -255,6 +255,27 @@ object QueryCatalog {
         .select(col("target"),
           round(col("p")(0), 6).as("p50"), round(col("p")(1), 6).as("p95"))
         .orderBy("target")),
+    // Sketch-based distinct counting — the other bounded-memory sketch a
+    // 100 TB rollup needs (vocabulary sizes, unique users): HLL++ via
+    // approx_count_distinct. Same oracle pattern as
+    // group_percentiles_approx: the raw sketch value is engine-specific,
+    // so the entry emits the CONTRACT — per group, is the estimate
+    // within the exact count's relative-error envelope at 3x the
+    // configured rsd (0.02 -> +/-6%)? Both sides computed in ONE
+    // aggregate; the DuckDB oracle pins the boolean constant-true.
+    "group_distinct_approx" -> ((s, dir) => {
+      val rsd = 0.02
+      documents(s, dir)
+        .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("lang")
+        .agg(count_distinct(col("tok")).as("exact"),
+          approx_count_distinct(col("tok"), rsd).as("approx"))
+        .select(col("lang"), col("exact"),
+          (col("approx") >= col("exact") * (1 - 3 * rsd) &&
+            col("approx") <= col("exact") * (1 + 3 * rsd)).as("within_rsd"))
+        .orderBy("lang")
+    }),
     // Sketch-based grouped percentiles — the actual scale path (bounded
     // memory per group vs the exact form's full-group value buffer; at
     // 100 TB a group's values do not fit anywhere). The raw sketch value
@@ -1445,6 +1466,14 @@ object QueryCatalog {
       """SELECT l_returnflag AS target,
         |  TRUE AS p50_in_bracket, TRUE AS p95_in_bracket
         |FROM lineitem GROUP BY 1 ORDER BY target""".stripMargin,
+    // exact distinct count recomputed in DuckDB; the envelope boolean is
+    // pinned TRUE — an HLL regression breaks the hash
+    "group_distinct_approx" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT lang, count(DISTINCT tok) AS exact, TRUE AS within_rsd
+        |FROM t WHERE length(tok) > 0 GROUP BY 1 ORDER BY lang""".stripMargin,
     "split_partition_left" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_discount <= 0.05 ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
