@@ -1046,6 +1046,18 @@ object QueryCatalog {
       Multimodal.decodeImageMeta(media)
         .select(col("media_id"), col("width"), col("height"), col("pixel_sum"))
         .orderBy("media_id")
+    }),
+    // REAL audio codec round trip (javax.sound.sampled WAV/PCM — JDK
+    // native, no external codecs): every doc_id becomes an actual mono
+    // 16-bit WAV whose frame count and samples are closed-form functions
+    // of the id; the decode kernel recovers rate/frames/sample-sum from
+    // the BYTES and the oracle recomputes the closed forms.
+    "multimodal_audio_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavMedia(
+        documents(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.decodeAudioMeta(media)
+        .select(col("media_id"), col("sample_rate"), col("n_frames"), col("sample_sum"))
+        .orderBy("media_id")
     })
   )
 
@@ -1530,6 +1542,16 @@ object QueryCatalog {
     "simhash_pairs" -> simhash60Sql,
     "multimodal_features" -> multimodalSql,
     "multimodal_image_decode" -> multimodalDecodeSql,
+    // closed-form twin of the WAV round trip (frame counts bounded at
+    // 191, so a fixed series + filter again replaces the lateral)
+    "multimodal_audio_decode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(64 + doc_id % 128 AS BIGINT) AS n FROM documents)
+        |SELECT d.media_id, CAST(8000 AS INT) AS sample_rate, d.n AS n_frames,
+        |  CAST(sum((d.media_id*31 + x.i*7) % 2048 - 1024) AS BIGINT) AS sample_sum
+        |FROM d, generate_series(0, 191) x(i)
+        |WHERE x.i < d.n
+        |GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
     // PQ twin: replicate seed codebooks (vec_id < 16 sliced into 8
     // subspaces), the r9-rounded argmin encode (row_number ties to the
     // lower code = Spark's strict-< argmin), the query LUT with the same

@@ -175,6 +175,105 @@ object Multimodal {
     }(enc)
   }
 
+  /** Real audio encode/decode through JDK `javax.sound.sampled` — the
+    * audio twin of [[ImageCodec]]. WAV/PCM is a JDK-native format: no
+    * external codecs, and 16-bit PCM round-trips samples exactly. */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Encode mono 16-bit little-endian PCM samples as a WAV payload. */
+    def encodeWavPcm16Mono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val stream = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV payload: (sampleRate, channels, bitDepth, frames,
+      * signed sum of channel-0 16-bit samples). None for null/garbage
+      * bytes — same degrade-to-null contract as [[ImageCodec.decode]]. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] =
+      if (bytes == null) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val data = in.readAllBytes()
+          var sum = 0L
+          if (fmt.getSampleSizeInBits == 16) {
+            val frameSize = fmt.getFrameSize
+            var off = 0
+            while (off + 1 < data.length) {
+              val lo = data(off) & 0xff
+              val hi = data(off + 1).toInt
+              sum += (hi << 8) | lo // channel 0, little-endian signed
+              off += frameSize
+            }
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, frames, sum))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** Deterministic real-WAV corpus from an id column — the audio twin of
+    * [[syntheticPngMedia]]: frame count and samples are closed-form
+    * functions of the id, so an oracle can recompute what a correct
+    * decode must find. */
+  def syntheticWavMedia(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(MediaSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (64 + id % 128).toInt
+        val samples = Array.tabulate(n)(i => (((id * 31 + i * 7) % 2048) - 1024).toShort)
+        val bytes = AudioCodec.encodeWavPcm16Mono(8000, samples)
+        Row(id, bytes, Row("audio", "wav", null, null, null, 8000))
+      }
+    }(enc)
+  }
+
+  /** Decode audio payloads with the REAL codec: true sample rate /
+    * channels / bit depth / frame count plus the signed channel-0 sample
+    * sum (the checksum the oracle recomputes). Undecodable payloads
+    * survive as null-metric rows. */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("bit_depth", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("sample_sum", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        AudioCodec.decode(r.getAs[Array[Byte]](contentIdx)) match {
+          case None => Row(id, null, null, null, null, null)
+          case Some((rate, ch, bits, frames, sum)) =>
+            Row(id, rate, ch, bits, frames, sum)
+        }
+      }
+    }(enc)
+  }
+
   /** Wrap a (id, payload) frame into the canonical media schema with
     * caller-supplied metadata columns. */
   def asMedia(df: DataFrame, idCol: String, contentCol: String,

@@ -101,6 +101,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta(9L).isEmpty, "null payload degrades to a null row")
   }
 
+  test("WAV encode -> decode round-trips rate, frames, and the exact sample sum") {
+    val id = 42L
+    val n = (64 + id % 128).toInt
+    val samples = Array.tabulate(n)(i => (((id * 31 + i * 7) % 2048) - 1024).toShort)
+    val bytes = Multimodal.AudioCodec.encodeWavPcm16Mono(8000, samples)
+    val (rate, ch, bits, frames, sum) = Multimodal.AudioCodec.decode(bytes).get
+    assert(rate == 8000 && ch == 1 && bits == 16 && frames == n)
+    assert(sum == samples.map(_.toLong).sum, "decoded PCM must be sample-exact")
+    // garbage and null degrade to null rows through the seam
+    val rows = Seq(Row(1L, bytes), Row(2L, Array[Byte](9, 9, 9)), Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("id", LongType), StructField("bytes", BinaryType, true))))
+    val meta = Multimodal.decodeAudioMeta(
+        Multimodal.asMedia(df, "id", "bytes", "audio", "wav"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(meta == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("PNG encode -> decode round-trips dims and every sample exactly") {
     val id = 42L
     val w = (1 + id % 16).toInt; val h = (1 + id % 9).toInt
