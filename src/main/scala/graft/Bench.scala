@@ -216,8 +216,16 @@ object Bench {
     // Provenance copy: the driver captures stdout, but BENCH_r06's
     // per-entry timings were lost to tail truncation there — a file
     // under target/ survives regardless (BASELINE.md points here).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")), line + "\n")
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json"))
+    // a clean bench must not die on the provenance write: create the
+    // parent dir (runs outside sbt lack target/) and absorb IO failures —
+    // stdout already carried the line
+    scala.util.Try {
+      Option(outPath.toAbsolutePath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(outPath, line + "\n")
+    }.failed.foreach(e => System.err.println(s"[bench] provenance write failed: $e"))
     spark.stop()
   }
 

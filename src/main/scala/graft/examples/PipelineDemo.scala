@@ -49,10 +49,10 @@ object PipelineDemo {
     val embKept = Dedup.dropDuplicatePairs(emb, "vec_id", embPairs)
     val n3 = embKept.count()
 
-    // 4. multimodal feature extraction for the surviving docs
-    val media = Multimodal.asMedia(
-      deduped.withColumn("bytes", col("text").cast("binary")),
-      "doc_id", "bytes", "image", "png")
+    // 4. multimodal feature extraction for the surviving docs — real PNG
+    //    payloads (the synthetic corpus generator is itself a real
+    //    encode), real decode-to-pixel features
+    val media = Multimodal.syntheticPngMedia(deduped.select(col("doc_id")), "doc_id")
     val features = Multimodal.extractFeatures(media, dim = 32)
     val n4 = features.where(col("features").isNotNull).count()
 

@@ -706,4 +706,129 @@ object Dedup {
     simHashPairsFrom(
       if (materialize) hashed0.localCheckpoint(true) else hashed0, 60, maxHamming)
   }
+
+  // ---- substring-level exact dedup (Lee et al. 2022) ----------------------
+  //
+  // The operator a real LM pipeline runs FIRST: remove repeated >= N-token
+  // SPANS across documents ("Deduplicating Training Data Makes Language
+  // Models Better", Lee/Ippolito/... 2022 — their ExactSubstr at 50-token
+  // granularity). Document-level similarity (everything above) misses a
+  // shared license header or boilerplate block inside otherwise-different
+  // documents; this catches exactly that.
+  //
+  // The paper builds a corpus-wide suffix array — a sequential structure
+  // with no DataFrame-algebra analogue. The distributed equivalent below
+  // finds the SAME shared spans of length >= k via positional k-grams:
+  // two documents share an m-token span (m >= k) iff they share m-k+1
+  // CONSECUTIVE k-gram matches on one alignment diagonal, so an
+  // inverted-index join on gram hash + a per-diagonal gaps-and-islands
+  // merge reconstructs every maximal shared span exactly. Shuffles carry
+  // (gram, id, pos) and (pair, pos) rows only — candidate volume is
+  // bounded by shared grams (maxDf caps boilerplate stop-grams), never
+  // |corpus|^2.
+
+  /** Maximal shared token spans of length >= `k` between document pairs.
+    *
+    * Tokens are the whitespace tokens of the lower-trimmed text (the same
+    * normalization as every other dedup operator here). Gram keys are
+    * md5-prefix hashes (64 bits — SQL-twin-able like [[simHash60]]'s md5
+    * flavor; collisions at 64 bits are negligible and a collision-induced
+    * false span is exactly reproduced by the oracle, keeping the gate
+    * hash-exact). Documents shorter than `k` tokens cannot contain a
+    * k-token span and drop out at the gram stage.
+    *
+    * Output: one row per maximal shared span, 0-based inclusive token
+    * positions — (id_a, id_b, a_start, a_end, b_start, b_end, n_tokens)
+    * with id_a < id_b.
+    *
+    * @param minSpanTokens emit only spans of at least this many tokens
+    *        (defaults to k — every emitted span is >= k by construction)
+    * @param maxDf drop grams appearing in more than `maxDf` index rows
+    *        (stop-gram cap for corpus-scale boilerplate; spans crossing a
+    *        capped gram split into shorter islands — the standard
+    *        recall-for-boundedness trade, same knob as [[jaccardPairs]])
+    */
+  def sharedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      minSpanTokens: Option[Int] = None,
+      maxDf: Option[Long] = None,
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(k >= 2, s"sharedSpans: k=$k must be >= 2 (k=1 pairs every shared token)")
+    val grams0 = df
+      .select(col(idCol).as("id"),
+        size(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("__n_toks"),
+        shingleSeq(col(textCol), k).as("__grams"))
+      .where(col("__n_toks") >= k) // short docs: no k-token span possible
+      .select(col("id"), posexplode(col("__grams")).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), substring(md5(col("gram")), 1, 16).as("g"))
+    val grams1 = if (materialize) grams0.localCheckpoint(true) else grams0
+    val grams = maxDf match {
+      case Some(cap) =>
+        val dfreq = grams1.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= cap)
+        grams1.join(dfreq.select("g"), Seq("g"))
+      case None => grams1
+    }
+    val a = grams.select(col("g"), col("id").as("id_a"), col("pos").as("pos_a"))
+    val b = grams.select(col("g"), col("id").as("id_b"), col("pos").as("pos_b"))
+    // consecutive matches on one alignment diagonal merge into maximal
+    // runs: island id = pos_a - row_number within (pair, diagonal)
+    val w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    val spans = a.join(b, Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("__diag", col("pos_a") - col("pos_b"))
+      .withColumn("__island", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "__diag", "__island")
+      .agg(min(col("pos_a")).as("__s"), (max(col("pos_a")) + lit(k - 1)).as("__e"))
+      .select(col("id_a"), col("id_b"),
+        col("__s").cast("long").as("a_start"),
+        col("__e").cast("long").as("a_end"),
+        (col("__s") - col("__diag")).cast("long").as("b_start"),
+        (col("__e") - col("__diag")).cast("long").as("b_end"),
+        (col("__e") - col("__s") + 1).cast("long").as("n_tokens"))
+    minSpanTokens.map(m => spans.where(col("n_tokens") >= m)).getOrElse(spans)
+  }
+
+  /** Merge a (doc, interval) set into its union of maximal disjoint
+    * intervals — gaps-and-islands with a running max over the end column
+    * (adjacent intervals merge: token ranges [2,5] and [6,9] are one
+    * contiguous removal). Pure window algebra; partition size is bounded
+    * by one document's span count. Output: (idOut, span_start, span_end,
+    * n_tokens). */
+  def mergeSpans(
+      spans: DataFrame, idCol: String, startCol: String, endCol: String,
+      idOut: String = "doc_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(startCol, endCol)
+    val prevMax = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("__new", when(prevMax.isNull || col(startCol) > prevMax + 1, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(col(idCol).as(idOut), col("__island"))
+      .agg(min(col(startCol)).as("span_start"), max(col(endCol)).as("span_end"))
+      .select(col(idOut), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** The removal set substring dedup actually applies: for every shared
+    * span, the occurrence in the HIGHER-id document is marked for removal
+    * (the lower id keeps its copy — the same first-occurrence-wins greedy
+    * as [[dropDuplicatePairs]], at span granularity), then per-document
+    * overlapping/adjacent spans merge into maximal disjoint removal
+    * intervals. Output: (doc_id, span_start, span_end, n_tokens). */
+  def removalSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      maxDf: Option[Long] = None,
+      materialize: Boolean = true
+  ): DataFrame =
+    mergeSpans(
+      sharedSpans(df, idCol, textCol, k, None, maxDf, materialize)
+        .select(col("id_b").as("__doc"), col("b_start"), col("b_end")),
+      "__doc", "b_start", "b_end")
 }

@@ -16,17 +16,22 @@ import org.apache.spark.sql.types._
   * per-partition setup across the batch — the Scala analogue of a Pandas
   * UDF's batch shape.
   *
-  * Decode kernels come in two flavors:
-  *   - [[ImageCodec]] is a REAL image codec — JDK `javax.imageio`
-  *     (PNG/JPEG/BMP/GIF readers ship with every JDK; public API, no
-  *     native deps). [[decodeImageMeta]] runs it inside the
-  *     mapPartitions seam to recover true width/height/channels and a
-  *     pixel checksum from the payload bytes.
-  *   - [[DecodeStub]] remains for the FEATURE path (a learned
-  *     image-embedding model has no in-container analogue): it derives
-  *     deterministic pseudo-features from the bytes, chosen so the whole
-  *     binary -> mapPartitions -> array<float> pipeline keeps an exact
-  *     SQL twin. Swapping a real encoder in touches only the stub.
+  * Every decode kernel is REAL and in-JDK — no stubs:
+  *   - [[ImageCodec]]: `javax.imageio` (PNG/JPEG/BMP/GIF readers ship
+  *     with every JDK). [[decodeImageMeta]] recovers true
+  *     width/height/channels + a pixel checksum from the payload bytes.
+  *   - [[AudioCodec]]: `javax.sound.sampled` WAV/PCM16.
+  *     [[decodeAudioMeta]] recovers rate/channels/bit-depth/frames + a
+  *     sample checksum.
+  *   - [[VideoCodec]]: multi-frame GIF through the same ImageIO readers.
+  *     [[decodeVideoMeta]] recovers dims, TRUE frame count and a
+  *     cross-frame checksum.
+  *   - [[extractFeatures]] dispatches per `meta.media_type` to real
+  *     decoded-content features (resampled pixels / windowed RMS /
+  *     frame-mean envelope) — what similarity search actually runs on. A
+  *     learned-embedding deployment swaps the per-modality kernel bodies
+  *     (an ONNX session constructed once per partition); the schema,
+  *     batch shape and null contract stay.
   */
 object Multimodal {
 
@@ -46,34 +51,13 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("meta", MediaMetaType)))
 
-  /** Deterministic fake decode kernels. A real deployment replaces these
-    * bodies with codec calls; signatures and shapes are the contract. */
-  object DecodeStub {
-    /** "Decode" a payload to `dim` grayscale-ish floats in [0,1]: cell d
-      * is the first 16 bits of md5(content ++ byte(65+d)) / 65535. Chosen
-      * over a bespoke rolling hash because md5 gives the fake an exact
-      * SQL twin — DuckDB:
-      * `(('0x' || substr(md5(text || chr(65 + d)), 1, 4))::INT / 65535.0)::REAL`
-      * — which is what lets the multimodal plumbing be oracle-checked
-      * end to end. Cells cycle every 191 salts to stay in single-byte
-      * ASCII (dim <= 62 keeps chr() printable for the SQL twin). */
-    def decodeFeatures(content: Array[Byte], dim: Int): Array[Float] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val out = new Array[Float](dim)
-      var d = 0
-      while (d < dim) {
-        md.reset()
-        md.update(content)
-        md.update((65 + d % 191).toByte)
-        val dig = md.digest()
-        val v = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
-        out(d) = (v / 65535.0).toFloat
-        d += 1
-      }
-      out
-    }
-
-    /** "Resize": deterministic re-sample of the fake pixel space. */
+  /** Pure resampling helpers shared by the feature kernels — no decoding
+    * here (the real codecs live in [[ImageCodec]]/[[AudioCodec]]/
+    * [[VideoCodec]]). */
+  object Resample {
+    /** Nearest-neighbor re-sample to `newDim`: out(i) = in(i*len/newDim).
+      * The one resample formula every feature kernel and its SQL twin
+      * share. */
     def resize(features: Array[Float], newDim: Int): Array[Float] = {
       val out = new Array[Float](newDim)
       var i = 0
@@ -84,7 +68,7 @@ object Multimodal {
       out
     }
 
-    /** "Frame sample": pick every k-th frame index of a video payload. */
+    /** Frame sample plan: every k-th frame index of an n-frame video. */
     def sampleFrames(nFrames: Int, every: Int): Array[Int] =
       (0 until nFrames by math.max(1, every)).toArray
   }
@@ -98,8 +82,12 @@ object Multimodal {
       * not task failures. */
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes == null) None
+      // NonFatal, not just IOException: ImageIO plugin readers throw
+      // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
+      // NegativeArraySize) on malformed payloads, and real crawl bytes
+      // WILL be malformed — those must degrade to None, not kill tasks
       else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** Encode a width x height 8-bit grayscale PNG whose pixel (x, y) is
       * `pixel(x, y) & 0xff`. Gray PNG is lossless, so a decode reads back
@@ -175,6 +163,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image features: decode the payload with [[ImageCodec]] and
+    * nearest-neighbor-resample the band-0 samples (row-major) to a
+    * fixed-dim vector in [0,1] — the classic thumbnail-vector baseline a
+    * similarity search actually works on (two visually identical payloads
+    * get identical vectors; hash-different bytes of the same pixels no
+    * longer matter, which is exactly what the md5 pseudo-features got
+    * wrong). Same resample formula as [[Resample.resize]]
+    * (`idx = d*len/dim`), so the synthetic-PNG corpus keeps a closed-form
+    * SQL twin. Undecodable/null payloads degrade to null-feature rows. */
+  def extractImageFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        ImageCodec.decode(r.getAs[Array[Byte]](contentIdx)) match {
+          case None => Row(id, null)
+          case Some(img) => Row(id, imagePixelVector(img, dim).toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL audio features: decode with [[AudioCodec.decodeSamples]] and
+    * emit `windows` per-window RMS values normalized to full-scale PCM —
+    * the standard energy-envelope descriptor. Window of sample i is
+    * `floor(i*windows/n)` (the same floor-partition as the image
+    * resample), and the squared-sample sums accumulate in exact integer
+    * arithmetic so the synthetic-WAV corpus has an order-independent SQL
+    * twin. Non-PCM16LE/undecodable payloads degrade to null rows. */
+  def extractAudioFeatures(media: DataFrame, windows: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        AudioCodec.decodeSamples(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some((_, samples)) if samples.nonEmpty =>
+            Row(id, audioRmsVector(samples, windows).toSeq)
+          case _ => Row(id, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Real audio encode/decode through JDK `javax.sound.sampled` — the
     * audio twin of [[ImageCodec]]. WAV/PCM is a JDK-native format: no
     * external codecs, and 16-bit PCM round-trips samples exactly. */
@@ -210,7 +251,12 @@ object Multimodal {
           val frames = in.getFrameLength
           val data = in.readAllBytes()
           var sum = 0L
-          if (fmt.getSampleSizeInBits == 16) {
+          // the (hi << 8) | lo read is only correct for 16-bit signed
+          // LITTLE-endian PCM; AudioSystem also parses AIFF/AU (big-endian)
+          // and unsigned/float encodings, which would yield a silently
+          // wrong checksum — gate the sum on the exact layout it decodes
+          if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
             val frameSize = fmt.getFrameSize
             var off = 0
             while (off + 1 < data.length) {
@@ -224,9 +270,180 @@ object Multimodal {
             fmt.getSampleSizeInBits, frames, sum))
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // same degrade-to-null contract as ImageCodec: malformed headers
+        // can surface as RuntimeExceptions from the parser, not just the
+        // two checked types
+        case scala.util.control.NonFatal(_) => None
       }
+
+    /** Decode the channel-0 sample SEQUENCE of a 16-bit signed
+      * little-endian PCM payload — the input the real feature extractor
+      * works on. None for any other layout (big-endian, float, u8) or
+      * undecodable bytes: a wrong-layout read would produce garbage
+      * samples, and garbage features are worse than absent ones. */
+    def decodeSamples(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+      if (bytes == null) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+              fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val data = in.readAllBytes()
+            val frameSize = fmt.getFrameSize
+            val n = data.length / frameSize
+            val out = new Array[Int](n)
+            var f = 0
+            while (f < n) {
+              val off = f * frameSize
+              out(f) = (data(off + 1).toInt << 8) | (data(off) & 0xff)
+              f += 1
+            }
+            Some((fmt.getSampleRate.toInt, out))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real multi-frame video decode through JDK `javax.imageio`'s GIF
+    * reader/writer — the video twin of [[ImageCodec]]/[[AudioCodec]].
+    * GIF is the one multi-frame container with an in-JDK codec pair;
+    * frames encode with an explicit 256-gray `IndexColorModel` palette so
+    * the round trip is lossless (the writer copies the palette instead of
+    * re-quantizing), and the decode reads pixel values back through
+    * `getRGB`'s red channel — palette-order-independent, so it checks the
+    * COLORS the frames actually carry, not an index layout. */
+  object VideoCodec {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+
+    private def grayPalette: IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Encode `nFrames` frames of width x height 8-bit gray as one
+      * animated GIF; frame f's pixel (x, y) is `pixel(f, x, y) & 0xff`. */
+    def encodeGifGray(width: Int, height: Int, nFrames: Int,
+        pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        // interlace OFF: the JDK GIF writer's default interlaced write
+        // misplaces rows on sequence frames (verified empirically — rows
+        // shift and drop on decode); non-progressive frames round-trip
+        // exactly
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new BufferedImage(width, height,
+            BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) { raster.setSample(x, y, 0, pixel(f, x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      out.toByteArray
+    }
+
+    /** Decode every frame of a multi-frame payload. None for null or
+      * undecodable bytes, or when no ImageIO reader claims the format —
+      * the crawl-data degrade-to-null contract again. */
+    def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+      if (bytes == null) None
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              if (n <= 0) None
+              else Some((0 until n).map(reader.read))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Decode a multi-frame payload to its metrics: (width, height, TRUE
+      * frame count, sum over all frames of each pixel's red/gray channel
+      * via `getRGB` — palette-order-independent). */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      decodeFrames(bytes).map { frames =>
+        var sum = 0L
+        frames.foreach { img =>
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+        }
+        (frames.head.getWidth, frames.head.getHeight, frames.length, sum)
+      }
+  }
+
+  /** Deterministic real-GIF corpus from an id column — the video twin of
+    * [[syntheticPngMedia]]: frame count, dims and per-frame pixels are
+    * closed-form functions of the id, so the oracle recomputes what a
+    * correct multi-frame decode must find. */
+  def syntheticGifMedia(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(MediaSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (2 + id % 8).toInt
+        val h = (2 + id % 6).toInt
+        val nf = (1 + id % 5).toInt
+        val bytes = VideoCodec.encodeGifGray(w, h, nf,
+          (f, x, y) => ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)
+        Row(id, bytes, Row("video", "gif", w, h, nf, null))
+      }
+    }(enc)
+  }
+
+  /** Decode video payloads with the REAL codec: true dims, true frame
+    * count (the metadata-claims-vs-payload check [[plannedFrameSample]]
+    * plans against) and the cross-frame pixel checksum the oracle
+    * recomputes. Undecodable payloads survive as null-metric rows. */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("pixel_sum", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        VideoCodec.decode(r.getAs[Array[Byte]](contentIdx)) match {
+          case None => Row(id, null, null, null, null)
+          case Some((w, h, n, sum)) => Row(id, w, h, n, sum)
+        }
+      }
+    }(enc)
   }
 
   /** Deterministic real-WAV corpus from an id column — the audio twin of
@@ -287,27 +504,115 @@ object Multimodal {
         lit(null).cast(IntegerType).as("n_frames"), lit(null).cast(IntegerType).as("sample_rate")
       ).as("meta"))
 
-  /** Decode + feature-extract over partitions: one decoder instantiation
-    * per partition (where a real codec/session would be constructed), one
-    * fixed-size float vector per asset. Output: (media_id, features). */
-  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+  /** Decode + feature-extract over partitions, dispatching on the
+    * asset's `meta.media_type` to the REAL per-modality kernel:
+    *   - image: [[extractImageFeatures]]' resampled band-0 pixels;
+    *   - audio: [[extractAudioFeatures]]' windowed RMS energies;
+    *   - video: per-frame mean gray, nearest-resampled to `dim` — the
+    *     temporal envelope twin of the image kernel.
+    * One decoder instantiation per partition (where a learned encoder's
+    * session would be constructed), one fixed-size float vector per
+    * asset; unknown types, null payloads and undecodable bytes all
+    * degrade to null-feature rows (callers filter). */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val enc = Encoders.row(outSchema)
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
+    val metaIdx = media.schema.fieldIndex("meta")
+    // positional lookup resolved at PLAN time: nested rows inside
+    // mapPartitions are schemaless GenericRows (fieldIndex throws there)
+    val mtIdx = media.schema(metaIdx).dataType
+      .asInstanceOf[StructType].fieldIndex("media_type")
     media.mapPartitions { rows =>
-      // real impl: construct the decoder/session HERE, once per partition
+      // real impl: construct decoder/ONNX sessions HERE, once per partition
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        // null payload -> null features (the row survives; callers filter)
-        if (bytes == null) Row(id, null)
-        else Row(id, DecodeStub.decodeFeatures(bytes, dim).toSeq)
+        val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        val mediaType =
+          if (meta == null || meta.isNullAt(mtIdx)) null else meta.getString(mtIdx)
+        val feats: Option[Array[Float]] = mediaType match {
+          case "image" => ImageCodec.decode(bytes).map(imagePixelVector(_, dim))
+          case "audio" =>
+            AudioCodec.decodeSamples(bytes).collect {
+              case (_, samples) if samples.nonEmpty => audioRmsVector(samples, dim)
+            }
+          case "video" =>
+            videoFrameMeans(bytes).collect {
+              case means if means.nonEmpty => Resample.resize(means, dim)
+            }
+          case _ => None
+        }
+        feats match {
+          case Some(f) => Row(id, f.toSeq)
+          case None => Row(id, null)
+        }
       }
     }(enc)
   }
+
+  /** Shared image kernel: band-0 samples row-major, nearest-resampled to
+    * `dim`, scaled to [0,1]. */
+  private def imagePixelVector(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val len = w * h
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      val idx = (d.toLong * len / dim).toInt
+      out(d) = (raster.getSample(idx % w, idx / w, 0) / 255.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** Shared audio kernel: `windows` full-scale-normalized RMS energies;
+    * window of sample i is floor(i*windows/n), squared sums accumulate in
+    * exact integer arithmetic (order-independent SQL twin). */
+  private def audioRmsVector(samples: Array[Int], windows: Int): Array[Float] = {
+    val n = samples.length
+    val ss = new Array[Long](windows)
+    val cnt = new Array[Int](windows)
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * windows / n).toInt
+      val v = samples(i).toLong
+      ss(j) += v * v
+      cnt(j) += 1
+      i += 1
+    }
+    val out = new Array[Float](windows)
+    var j = 0
+    while (j < windows) {
+      out(j) =
+        if (cnt(j) == 0) 0f
+        else (math.sqrt(ss(j).toDouble / cnt(j)) / 32768.0).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Per-frame mean gray of a multi-frame payload, read through the
+    * red/gray channel of `getRGB` (palette-order-independent, like
+    * [[VideoCodec.decode]]'s checksum). */
+  private def videoFrameMeans(bytes: Array[Byte]): Option[Array[Float]] =
+    VideoCodec.decodeFrames(bytes).map { frames =>
+      frames.map { img =>
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        (sum.toDouble / (img.getWidth.toLong * img.getHeight * 255L)).toFloat
+      }.toArray
+    }
 
   /** Resize pass over an existing feature column (kept as a separate
     * narrow transformation: at scale you chain these without re-decoding). */
@@ -323,7 +628,7 @@ object Multimodal {
         if (r.isNullAt(fIdx)) Row(r.getLong(idIdx), null)
         else {
           val f = r.getSeq[Float](fIdx).toArray
-          val resized = if (f.isEmpty) new Array[Float](newDim) else DecodeStub.resize(f, newDim)
+          val resized = if (f.isEmpty) new Array[Float](newDim) else Resample.resize(f, newDim)
           Row(r.getLong(idIdx), resized.toSeq)
         }
       }
