@@ -169,6 +169,47 @@ object Bench {
       graft.operators.Similarity.pqTopK(
           graft.operators.Similarity.pqEncode(e, "vec_id", "embedding", cb), cb, q, k = 10)
         .write.format("noop").mode("overwrite").save()
+    }),
+    // Realistic byte-level merge count: 1,024 merges through the
+    // incremental trainer (r7 task #7 — prove the inverted-index merge
+    // loop scales ~linearly in merges vs the 64-merge entry, not
+    // quadratically). Same train+segment shape as
+    // bpe_byte_level_train_segment; BpeSpec pins vocab = alphabet+merges.
+    ("bpe_byte_level_1k", () => {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val merges = graft.operators.Bpe.trainOnCorpus(docs, "text",
+        numMerges = 1024, byteLevel = true)
+      graft.operators.Bpe.segment(docs, "doc_id", "text", merges, byteLevel = true)
+        .write.format("noop").mode("overwrite").save()
+    }),
+    // FAISS-realistic coarse quantizer (r7 task #6): nlist=4096 on the
+    // centroid-TABLE ranked probe + broadcast mapPartitions assignment —
+    // both O(1) plan size in nlist, where the literal-centroid paths
+    // explode plan/codegen. Centroids are a deterministic synthetic grid
+    // (the bench corpus is smaller than nlist; what this measures is the
+    // probe/assignment SHAPE at real nlist). Same writes + query set as
+    // batch_ivf_topk_bucketed, which is its comparison line.
+    ("batch_ivf_topk_nlist4096", () => {
+      import org.apache.spark.sql.functions.col
+      val S = graft.operators.Similarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = 64
+      val cents: Seq[Seq[Double]] = (0 until 4096).map { i =>
+        (0 until dim).map { j =>
+          val h = i * 1315423911L + j * 2654435761L
+          ((h ^ (h >>> 16)) & 0xffff) / 32768.0 - 1.0
+        }
+      }
+      val index = S.assignCellsBroadcast(e, "vec_id", "embedding", cents)
+      val suffix = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.IndexStore.writeBucketed(index, "graft_ivf4096_idx_" + suffix, "cell", 8)
+      graft.sources.IndexStore.writeTable(
+        S.centroidTable(spark, cents), "graft_ivf4096_cents_" + suffix)
+      S.ivfTopKForQueriesTable(
+          graft.sources.IndexStore.read(spark, "graft_ivf4096_idx_" + suffix),
+          graft.sources.IndexStore.read(spark, "graft_ivf4096_cents_" + suffix),
+          e.where(col("vec_id") < 5), "vec_id", "embedding", nprobe = 16, k = 5)
+        .write.format("noop").mode("overwrite").save()
     }))
 
     val entries = queryEntries ++ fitEntries ++ wideEntries ++ bpeEntries

@@ -361,6 +361,47 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"), cell.as("cell"))
   }
 
+  /** Large-nlist cell assignment: broadcast-centroids `mapPartitions`
+    * argmin — plan size O(1) in nlist x dim, where [[assignCells]]'
+    * literal struct array explodes plan/codegen at FAISS-realistic
+    * nlist >= 4096 (the same cutover [[KMeans.lloyd]] applies per
+    * iteration). Full squared euclidean, strict-< argmin (ties keep the
+    * lower cell) — SimilaritySpec asserts cell-identical output against
+    * [[assignCells]] at small nlist. Output: (id, vec array<double>,
+    * cell) — the [[ivfTopKForQueriesTable]] index shape. */
+  def assignCellsBroadcast(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(centroids.map(_.toArray).toArray)
+    df.select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        it.map { case (id, vseq) =>
+          val v = vseq.toArray
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cen = cs(c)
+            var d2 = 0.0
+            var j = 0
+            while (j < v.length) { val t = v(j) - cen(j); d2 += t * t; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = c } // ties keep lower cell
+            c += 1
+          }
+          (id, vseq, best)
+        }
+      }
+      .toDF("id", "vec", "cell")
+  }
+
   /** IVF probe: rank the `nprobe` cells nearest to the query (driver-side
     * euclidean, matching the quantizer's metric), scan only those cells,
     * return the exact-cosine top-k. `nprobe = nlist` degenerates to exact

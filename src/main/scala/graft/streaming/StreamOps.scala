@@ -116,7 +116,9 @@ object StreamOps {
     * subdistances, ordered subspace fold, 6-dp result), so stream ==
     * batch is an identity, not an approximation (StreamOpsSpec). The
     * static side is the CODES, not the vectors: m ints per corpus row is
-    * what makes a full stream-static scoring join viable at all.
+    * what makes a full stream-static scoring join viable at all — but it
+    * is still a full code-table scan per micro-batch; at corpus scale
+    * use [[ivfPqProbe]], which prunes to nprobe cells before scoring.
     * Stateless per micro-batch aggregation — update/complete mode. */
   def pqProbe(
       queries: DataFrame,
@@ -140,6 +142,88 @@ object StreamOps {
     queries
       .select(col(queryIdCol).as("query_id"), qv.as("qv"))
       .crossJoin(codes.select(col("id"), col("codes")))
+      .select(col("query_id"), col("id"), round(adc, 6).as("adc"))
+      .groupBy("query_id")
+      .agg(min(struct(col("adc"), col("id"))).as("best"))
+      .select(col("query_id"), col("best.id").as("corpus_id"), col("best.adc").as("adc"))
+  }
+
+  /** IVF-pruned streaming PQ probe: [[pqProbe]] with the batch side's
+    * coarse-quantizer pruning composed in — per micro-batch the query
+    * stream touches only its `nprobe` nearest cells' codes instead of
+    * crossJoining the WHOLE code table (the r7-flagged scale wart: at
+    * corpus scale the unpruned probe re-scans every code per batch;
+    * this one reads nprobe/nlist of a cell-bucketed table).
+    *
+    * Cell ranking happens IN-PLAN (a stream cannot collect): the
+    * centroid TABLE — the [[Similarity.centroidTable]] persisted-sidecar
+    * shape, no plan-literal centroid explosion at large nlist — folds
+    * once into a one-row cell-sorted array (DATA on the static side;
+    * pass a cached/persisted table so the fold isn't recomputed per
+    * batch), each query ranks cells with exactly the batch probe's
+    * arithmetic (full squared distance, element-order fold, lower-cell
+    * ties), and the top-nprobe cells explode into a stream-static
+    * EQUI-join against the cell-bucketed code table. ADC scoring and the
+    * per-query best-match aggregate are verbatim [[pqProbe]], so
+    * stream == batch [[Similarity.ivfPqTopKOnCelledCodes]] top-1 is an
+    * identity (StreamOpsSpec), not an approximation.
+    *
+    * @param celledCodes static (id, codes, cell) table — the
+    *        [[Similarity.ivfPqTopKOnCelledCodes]] layout, bucketed by
+    *        `cell` through IndexStore at scale
+    * @param centroidTbl static (cell, centroid) table
+    */
+  def ivfPqProbe(
+      queries: DataFrame,
+      celledCodes: DataFrame,
+      centroidTbl: DataFrame,
+      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      nprobe: Int = 2,
+      queryIdCol: String = "query_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val dim = m * subDim
+    // one-row static side: the centroid table as a cell-sorted array —
+    // data, not a plan literal, so nlist 10^4-10^5 stays codegen-safe
+    val centsRow = centroidTbl
+      .select(struct(col("cell"),
+        transform(col("centroid"), x => x.cast("double")).as("cvec")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("__cents"))
+    // project qv FIRST (bare attribute references are free inside the
+    // per-centroid lambda; an unprojected cast expression would
+    // re-evaluate per centroid)
+    val q0 = queries
+      .select(col(queryIdCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .where(col("qv").isNotNull)
+      .crossJoin(centsRow) // 1-row static side: broadcast, no state
+    // rank cells with the batch probe's exact arithmetic: full squared
+    // distance folded in element order, (d, cell) sort = lower-cell ties
+    val ranked = q0.select(col("query_id"), col("qv"),
+      slice(array_sort(transform(col("__cents"), c => struct(
+        aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (a, j) => {
+          val t = element_at(c.getField("cvec"), j) - element_at(col("qv"), j)
+          a + t * t
+        }).as("d"),
+        c.getField("cell").as("cell")))), 1, math.max(1, nprobe)).as("__probes"))
+    val probed = ranked
+      .select(col("query_id"), col("qv"), explode(col("__probes")).as("__p"))
+      .select(col("query_id"), col("qv"), col("__p.cell").as("cell"))
+    // stream-static EQUI-join on cell (bucket-prunable), then verbatim
+    // pqProbe ADC arithmetic and the single best-match aggregation
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def r9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) => {
+      val cen = element_at(element_at(cbLit, s + 1), element_at(col("codes"), s + 1) + 1)
+      acc + r9(aggregate(sequence(lit(1), lit(subDim)), lit(0.0d), (a, j) => {
+        val t = element_at(col("qv"), s * lit(subDim) + j) - element_at(cen, j)
+        a + t * t
+      }))
+    })
+    probed
+      .join(celledCodes.select(col("cell"), col("id"), col("codes")), Seq("cell"))
       .select(col("query_id"), col("id"), round(adc, 6).as("adc"))
       .groupBy("query_id")
       .agg(min(struct(col("adc"), col("id"))).as("best"))

@@ -27,9 +27,15 @@ import graft.tree.{Criterion, DecisionTreeClassifier}
   * All randomness is `xxhash64`-derived from (id, salt) — deterministic,
   * partitioning-independent, no RNG state.
   *
+  * The dedup/pair family additionally runs a THIRD decade (100x = 510k
+  * docs — past the fixed-cost regime, so the 10x -> 100x step ratio
+  * measures true per-row scaling), and a skew drill plants one
+  * pathological shingle in 20% of the corpus to verify the maxDf
+  * stop-gram cap holds the hot path within 2x of the unskewed time.
+  *
   * Usage: sbt "runMain graft.tools.ScalingProbe [opFilter]"
-  * Prints `[scaling] op nx rows sec` lines plus a `ratio10x` line per op
-  * (elapsed(10x) / (10 * elapsed(1x)) — 1.0 is perfectly linear).
+  * Prints `[scaling] op nx rows sec` lines plus per-decade step ratios
+  * (elapsed(b) / ((b/a) * elapsed(a)) — 1.0 is perfectly linear).
   */
 object ScalingProbe {
   val Dir = "target/scaling"
@@ -89,36 +95,41 @@ object ScalingProbe {
         df.repartition(cpus.toInt).write.mode("overwrite").parquet(path)
     ensure(s"$Dir/docs_1x.parquet")(genDocs(spark, 1))
     ensure(s"$Dir/docs_10x.parquet")(genDocs(spark, 10))
+    // the third decade (r7 task #5): 510k docs — past the fixed-cost
+    // regime, so the 10x -> 100x step measures true per-row cost
+    ensure(s"$Dir/docs_100x.parquet")(genDocs(spark, 100))
     ensure(s"$Dir/fit_1x.parquet")(genFit(spark, 600000L))
     ensure(s"$Dir/fit_10x.parquet")(genFit(spark, 6000000L))
 
     def docs(nx: Int) = spark.read.parquet(s"$Dir/docs_${nx}x.parquet")
     def fitDf(nx: Int) = spark.read.parquet(s"$Dir/fit_${nx}x.parquet")
 
-    val ops: Seq[(String, Int => Unit)] = Seq(
-      ("jaccard_pairs", nx =>
+    // (name, measured decades, body) — the dedup/pair family runs the
+    // full 1x/10x/100x curve; the rest keep the two-decade curve
+    val ops: Seq[(String, Seq[Int], Int => Unit)] = Seq(
+      ("jaccard_pairs", Seq(1, 10, 100), nx =>
         Dedup.jaccardPairs(docs(nx), "doc_id", "text", n = 3, threshold = 0.8)
           .write.format("noop").mode("overwrite").save()),
-      ("minhash_lsh_pairs", nx =>
+      ("minhash_lsh_pairs", Seq(1, 10, 100), nx =>
         Dedup.minHashLshJaccardPairs(docs(nx), "doc_id", "text",
             numHashes = 32, shingleN = 3, bands = 16, threshold = 0.8)
           .write.format("noop").mode("overwrite").save()),
-      ("dedup_clusters", nx => {
+      ("dedup_clusters", Seq(1, 10, 100), nx => {
         val d = docs(nx)
         val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
         Dedup.duplicateClusters(d.select("doc_id"), "doc_id", pairs)
           .write.format("noop").mode("overwrite").save()
       }),
-      ("bigram_score", nx =>
+      ("bigram_score", Seq(1, 10), nx =>
         Scoring.bigramFrequencyScore(docs(nx), "doc_id", "text")
           .write.format("noop").mode("overwrite").save()),
-      ("pack_sequences", nx => {
+      ("pack_sequences", Seq(1, 10), nx => {
         val d = docs(nx).select(col("doc_id"),
           TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
         Packing.packByBudget(d, "doc_id", "n_tokens", budget = 2048L, numBuckets = 8)
           .write.format("noop").mode("overwrite").save()
       }),
-      ("fit_depth4_entropy_scalable", nx => {
+      ("fit_depth4_entropy_scalable", Seq(1, 10), nx => {
         val df = fitDf(nx)
         val model = DecisionTreeClassifier(maxDepth = Some(4),
           criterion = Criterion.Entropy, exactCumulativePartitions = Some(32))
@@ -136,18 +147,24 @@ object ScalingProbe {
       release(); s
     }
 
-    val docRows = Map(1 -> docs(1).count(), 10 -> docs(10).count())
-    val fitRows = Map(1 -> fitDf(1).count(), 10 -> fitDf(10).count())
+    lazy val docRows: Map[Int, Long] =
+      Seq(1, 10, 100).map(nx => nx -> docs(nx).count()).toMap
+    lazy val fitRows: Map[Int, Long] =
+      Seq(1, 10).map(nx => nx -> fitDf(nx).count()).toMap
 
-    ops.filter { case (name, _) => opFilter.forall(name.contains) }
-      .foreach { case (name, body) =>
+    ops.filter { case (name, _, _) => opFilter.forall(name.contains) }
+      .foreach { case (name, levels, body) =>
         val rows = if (name.startsWith("fit")) fitRows else docRows
-        time(body(1)) // discarded warmup (codegen/JIT)
-        val t1 = math.min(time(body(1)), time(body(1)))
-        val t10 = math.min(time(body(10)), time(body(10)))
-        val ratio = t10 / (10 * t1)
-        println(f"[scaling] $name%-28s 1x ${rows(1)}%8d rows ${t1}%7.2fs   " +
-          f"10x ${rows(10)}%8d rows ${t10}%7.2fs   ratio10x=${ratio}%5.2f")
+        time(body(levels.head)) // discarded warmup (codegen/JIT)
+        val times = levels.map(nx => nx -> math.min(time(body(nx)), time(body(nx)))).toMap
+        val cells = levels.map(nx =>
+          f"${nx}%3dx ${rows(nx)}%8d rows ${times(nx)}%8.2fs").mkString("   ")
+        // per-DECADE step ratio: elapsed(b) / ((b/a) * elapsed(a)); 1.0 is
+        // perfectly linear in rows across that step
+        val ratios = levels.sliding(2).collect { case Seq(a, b) =>
+          f"ratio${b}x=${times(b) / ((b.toDouble / a) * times(a))}%5.2f"
+        }.mkString(" ")
+        println(f"[scaling] $name%-28s $cells   $ratios")
       }
 
     // ---- incremental ingest dedup: FIXED batch, growing corpus ----
@@ -161,7 +178,7 @@ object ScalingProbe {
     if (opFilter.forall("incremental_dedup".contains)) {
       val batch = docs(1).where(col("doc_id") < 500)
         .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
-      for (nx <- Seq(1, 10)) {
+      for (nx <- Seq(1, 10, 100)) {
         val corpus = docs(nx)
         val tbl = s"graft_scaling_shingle_${nx}x"
         graft.sources.IndexStore.writeBucketed(
@@ -179,9 +196,39 @@ object ScalingProbe {
         paths.foreach { case (label, body) =>
           time(body()) // warmup
           val t = math.min(time(body()), time(body()))
-          println(f"[scaling] incremental_dedup/$label%-16s corpus ${nx}%2dx ${t}%7.2fs")
+          println(f"[scaling] incremental_dedup/$label%-16s corpus ${nx}%3dx ${t}%7.2fs")
         }
       }
+    }
+
+    // ---- skew drill: one pathological shingle in 20% of docs ----------
+    // A real crawl has boilerplate n-grams shared by a large corpus
+    // fraction; uncapped, ONE such inverted-index key generates
+    // (0.2 * N)^2 candidate pairs and the self-join never finishes at
+    // scale. The drill plants exactly that key in the 10x corpus and
+    // measures jaccard_pairs WITH the maxDf stop-gram cap (+ AQE's
+    // runtime skew handling, on by default) against the unskewed/uncapped
+    // baseline — the gate is staying within 2x of baseline. Correctness
+    // of the cap for below-cap keys is pinned in DedupSpec (identical
+    // pair output with and without the cap when no gram exceeds it).
+    if (opFilter.forall("skew_drill".contains)) {
+      val nx = 10
+      val base = docs(nx)
+      // one hot trigram appended to every 5th doc (~20% of the corpus);
+      // junction grams bridging doc text and the hot phrase stay rare
+      // (they inherit the doc's own shard vocabulary)
+      val skewed = base.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" hotk0 hotk1 hotk2"))).otherwise(col("text")))
+      def run(d: DataFrame, cap: Option[Long]): Unit =
+        Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8, maxDf = cap)
+          .write.format("noop").mode("overwrite").save()
+      run(base, None) // warmup
+      val tBase = math.min(time(run(base, None)), time(run(base, None)))
+      val tSkew = math.min(time(run(skewed, Some(1000L))), time(run(skewed, Some(1000L))))
+      println(f"[scaling] skew_drill/jaccard_pairs corpus ${nx}%3dx " +
+        f"unskewed=${tBase}%6.2fs  skewed+maxDf1000=${tSkew}%6.2fs  " +
+        f"ratio=${tSkew / tBase}%4.2f (gate <= 2.0)")
     }
     spark.stop()
   }

@@ -27,6 +27,27 @@ class BpeSpec extends AnyFunSuite {
     assert(m.pairs.isEmpty, "a pair seen once must not merge")
   }
 
+  test("byte-level 1k-merge train: vocabulary = alphabet + one distinct symbol per merge") {
+    // real corpus, the bpe_byte_level_1k bench shape at test scale
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainOnCorpus(docs, "text", numMerges = 1024, byteLevel = true)
+    assert(merges.pairs.nonEmpty)
+    // every merge mints exactly one NEW multi-char symbol: distinct among
+    // themselves and disjoint from the single-char byte alphabet, so
+    // |vocab| = |alphabet| + |merges| by construction
+    val minted = merges.pairs.map(p => p._1 + p._2)
+    assert(minted.distinct.size == minted.size, "merge symbols must be distinct")
+    assert(minted.forall(_.length >= 2), "merged symbols are disjoint from the 1-char alphabet")
+    // the segmented corpus emits only alphabet or minted symbols
+    val emitted = Bpe.segment(docs, "doc_id", "text", merges, byteLevel = true)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("tokens")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val mintedSet = minted.toSet
+    assert(emitted.forall(t => t.length == 1 || mintedSet.contains(t)),
+      "every emitted token is a 1-char alphabet symbol or a minted merge symbol")
+  }
+
   test("segmentWord applies merges by rank; unseen words fall back to characters") {
     // merges from low x5 + lowest x5: (l,o) then (lo,w) then (e,s) -- so
     // an in-vocabulary word collapses to exactly one token

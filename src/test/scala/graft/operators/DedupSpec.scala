@@ -22,6 +22,27 @@ class DedupSpec extends AnyFunSuite {
     assert(groups == Map(1L -> 3L, 3L -> 1L)) // keep_id -> n_copies
   }
 
+  test("jaccard maxDf cap: identity below the cap, hot-gram pairs drop above it") {
+    // docs 1/2 share their full text; docs 3/4 share only the hot token
+    // planted in EVERY doc (df = 4)
+    val d = docs(
+      1L -> "hot a b c d", 2L -> "hot a b c d",
+      3L -> "hot p q r s", 4L -> "hot t u v w")
+    def pairs(cap: Option[Long]) =
+      Dedup.jaccardPairs(d, "doc_id", "text", n = 1, threshold = 0.9, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a cap no gram exceeds must not change the output at all
+    assert(pairs(Some(100L)) == pairs(None))
+    assert(pairs(None) == Set((1L, 2L)))
+    // a cap excluding the df=4 hot token: the 1~2 pair survives via its
+    // other 4 shared tokens (jaccard 4/6 — set sizes still count the
+    // capped gram); no spurious candidates form through "hot"
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", n = 1, threshold = 0.6,
+        maxDf = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("jaccard pairs: hand-computed similarity on unigram sets") {
     // A={a,b,c,d}, B={a,b,c,e}: |∩|=3, |∪|=5, J=0.6
     val d = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "x y z w")

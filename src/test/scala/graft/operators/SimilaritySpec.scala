@@ -245,4 +245,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.forall { case (q, c, _) => q != c })
     assert(res.count(_._1 == 1L) == 2 && res.count(_._2 == 1L) >= 1)
   }
+
+  test("broadcast cell assignment matches the literal path on real embeddings") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds8 = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .orderBy("vec_id").limit(8).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val (literalIdx, _) = Similarity.ivfIndex(e, "vec_id", "embedding",
+      trainedCentroids = Some(seeds8))
+    val literal = literalIdx.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val broadcasted = Similarity.assignCellsBroadcast(e, "vec_id", "embedding", seeds8)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(broadcasted == literal,
+      "broadcast mapPartitions assignment must pick the same cells as the literal expression")
+  }
+
+  test("nlist=4096 centroid-table probe plans a broadcast, no literal explosion") {
+    import spark.implicits._
+    // FAISS-realistic nlist: the centroid TABLE path must broadcast the
+    // 4096 x 8 centroids as DATA — the plan string stays small and
+    // carries a BroadcastExchange, not thousands of literals
+    val cents = (0 until 4096).map { i =>
+      (i, (0 until 8).map(j => ((i * 31 + j * 7) % 100) / 100.0))
+    }.toDF("cell", "centroid")
+    val index = emb(1L -> (0 until 8).map(_ / 10.0), 2L -> (0 until 8).map(_ / 20.0))
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"),
+        org.apache.spark.sql.functions.lit(0).as("cell"))
+    val probe = Similarity.ivfTopKForQueriesTable(index, cents,
+      emb(5L -> (0 until 8).map(_ / 30.0)), "vec_id", "embedding", nprobe = 16, k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"centroid table must broadcast:\n${plan.take(2000)}")
+    assert(plan.length < 100000,
+      s"plan must not embed nlist x dim literals (got ${plan.length} chars)")
+  }
 }

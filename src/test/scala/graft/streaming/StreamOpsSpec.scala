@@ -324,6 +324,60 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVF-pruned streaming PQ probe equals the batch celled-codes ADC best match") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, transform}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds8 = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .orderBy("vec_id").limit(8).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val (index, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      trainedCentroids = Some(seeds8))
+    val books = Similarity.pqSeedCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val celled = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .join(index.select(col("id"), col("cell")), Seq("id"))
+      .localCheckpoint(true) // static side pinned across micro-batches
+    val centTbl = Similarity.centroidTable(spark, cents).localCheckpoint(true)
+    val queryIds = Seq(2L, 31L, 77L)
+    val queryRows = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.ivfPqProbe(
+        input.toDF().toDF("query_id", "embedding"), celled, centTbl, books, nprobe = 2)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ivf_pq_probe_out")
+      .start()
+    try {
+      input.addData(queryRows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("ivf_pq_probe_out")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // batch truth: per query, the celled-codes IVF-ADC top-1 with the
+      // same nprobe — the stream must be an identity on it
+      val batch = queryRows.map { case (qid, qv) =>
+        val top = Similarity.ivfPqTopKOnCelledCodes(celled, cents, books, qv,
+          nprobe = 2, k = 1).collect().head
+        qid -> (top.getLong(0), top.getDouble(1))
+      }.toMap
+      assert(stream == batch,
+        s"IVF-pruned stream must equal batch celled-codes ADC: $stream vs $batch")
+    } finally q.stop()
+
+    // plan shape (same function, batch execution): the code-table join is
+    // an EQUI-join on cell — no cartesian/broadcast-nested-loop against
+    // the codes — and the only nested-loop is the one-row centroid array
+    val batchProbe = StreamOps.ivfPqProbe(
+      Seq((2L, queryRows.head._2)).toDF("query_id", "embedding"),
+      celled, centTbl, books, nprobe = 2)
+    val plan = batchProbe.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian against codes:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"only the 1-row centroid-array join may nest-loop:\n$plan")
+    assert(plan.contains("cell"), "the code join must key on cell")
+  }
+
   test("streaming quality filter against static thresholds matches the batch filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
