@@ -130,6 +130,17 @@ object Bench {
       ("fit_depth4_entropy_bins32_wide24", () => wideFit(20)),
       ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)))
 
+    // documents with each token deterministically suffixed into ~500
+    // variants — the vocabulary-rich corpus the realistic-merge-count
+    // BPE entries train on (the raw synthetic vocab exhausts at 89
+    // byte-level merges)
+    def richDocs(dir: String) = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$dir/documents.parquet").withColumn("text",
+        array_join(transform(split(col("text"), "\\s+"), (t, i) =>
+          concat(t, lit("_"), pmod(xxhash64(t, i), lit(499)))), " "))
+    }
+
     // Learned-BPE token pipeline: one corpus scan -> word-count table ->
     // driver merge loop -> broadcast segmentation -> stream packing on
     // TRUE subword counts. Spec-covered (BpeSpec); no SQL oracle — the
@@ -172,15 +183,22 @@ object Bench {
     }),
     // Realistic byte-level merge count: 1,024 merges through the
     // incremental trainer (r7 task #7 — prove the inverted-index merge
-    // loop scales ~linearly in merges vs the 64-merge entry, not
-    // quadratically). Same train+segment shape as
-    // bpe_byte_level_train_segment; BpeSpec pins vocab = alphabet+merges.
+    // loop scales ~linearly in merges, not quadratically). The raw
+    // synthetic corpus exhausts at 89 byte-level merges (40-word
+    // vocabulary), so both entries derive a RICHER corpus from
+    // documents — each token deterministically suffixed into ~500
+    // variants — on which 1,024 merges are sustained (verified); the
+    // _rich64 twin on the IDENTICAL corpus isolates the merge-count
+    // axis. BpeSpec pins vocab = alphabet+merges at the full 1,024.
+    ("bpe_byte_level_rich64", () => {
+      val merges = graft.operators.Bpe.trainOnCorpus(
+        richDocs(sfDir), "text", numMerges = 64, byteLevel = true)
+      require(merges.pairs.length == 64, "rich corpus must sustain 64 merges")
+    }),
     ("bpe_byte_level_1k", () => {
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val merges = graft.operators.Bpe.trainOnCorpus(docs, "text",
-        numMerges = 1024, byteLevel = true)
-      graft.operators.Bpe.segment(docs, "doc_id", "text", merges, byteLevel = true)
-        .write.format("noop").mode("overwrite").save()
+      val merges = graft.operators.Bpe.trainOnCorpus(
+        richDocs(sfDir), "text", numMerges = 1024, byteLevel = true)
+      require(merges.pairs.length == 1024, "rich corpus must sustain 1,024 merges")
     }),
     // FAISS-realistic coarse quantizer (r7 task #6): nlist=4096 on the
     // centroid-TABLE ranked probe + broadcast mapPartitions assignment —

@@ -473,6 +473,16 @@ object QueryCatalog {
     "substring_dedup_removal" -> ((s, dir) =>
       Dedup.removalSpans(plantedHeaderDocs(s, dir), "doc_id", "text", k = 20)
         .orderBy("doc_id", "span_start")),
+    // The CUT itself (what Lee et al.'s pipeline actually does to the
+    // corpus): removal intervals broadcast onto the docs, tokens filtered
+    // in-row, surviving normalized text per document — the full
+    // detect->merge->apply chain hash-checked end to end.
+    "substring_dedup_apply" -> ((s, dir) => {
+      val docs = plantedHeaderDocs(s, dir)
+      val removal = Dedup.removalSpans(docs, "doc_id", "text", k = 20)
+      Dedup.applySpanRemoval(docs, "doc_id", "text", removal)
+        .orderBy("doc_id")
+    }),
     "text_stats" -> ((s, dir) => {
       val t = col("text")
       documents(s, dir).select(
@@ -1083,6 +1093,19 @@ object QueryCatalog {
         .head().getSeq[Float](1).map(_.toDouble).toSeq
       Similarity.pqTopK(codes, cb, q, k = 10)
     }),
+    // Video FEATURES: real multi-frame decode -> per-frame mean-gray
+    // envelope -> nearest-resample to dim=4; the oracle recomputes frame
+    // means and the resample from the closed forms, so all three
+    // modalities' feature kernels are hash-checked.
+    "multimodal_video_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticGifMedia(
+        documents(s, dir).select(col("doc_id")), "doc_id")
+      val feats = Multimodal.extractFeatures(media, dim = 4)
+      feats.select(col("media_id"),
+        round(aggregate(col("features"), lit(0.0d), (a, x) => a + x) / size(col("features")), 6)
+          .as("mean_feature"))
+        .orderBy("media_id")
+    }),
     // REAL multi-frame video decode (ImageIO GIF): dims, TRUE frame
     // count and the cross-frame pixel checksum all come from the payload
     // bytes; the oracle recomputes the closed forms, completing the
@@ -1631,6 +1654,24 @@ object QueryCatalog {
        |    CAST(max(pos_a) + 19 - diag AS BIGINT) AS b_end
        |  FROM runs GROUP BY id_a, id_b, diag, island)""".stripMargin
 
+  /** Removal-set CTEs shared by the removal/apply twins: higher-id span
+    * occurrences merged per doc into maximal disjoint intervals
+    * (running-max gaps-and-islands; RANGE default frame on the island
+    * sum = Spark's default, so tie rows land in the same island).
+    * Expects [[substringSpanCtes]] bound earlier in the WITH chain. */
+  private lazy val substringRemovalCtes: String =
+    """bs AS (SELECT id_b AS doc_id, b_start AS s, b_end AS e FROM spans),
+      |mm AS (SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM bs),
+      |isl AS (SELECT doc_id, s, e,
+      |    sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+      |  FROM mm),
+      |rem AS (SELECT doc_id, min(s) AS s, max(e) AS e
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "split_histogram" -> histSelectSql,
     "cum_counts" -> cumSelectSql,
@@ -1710,18 +1751,25 @@ object QueryCatalog {
     // Spark's default, so tie rows land in the same island)
     "substring_dedup_removal" ->
       s"""WITH $substringSpanCtes,
-         |bs AS (SELECT id_b AS doc_id, b_start AS s, b_end AS e FROM spans),
-         |m AS (SELECT doc_id, s, e,
-         |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-         |  FROM bs),
-         |isl AS (SELECT doc_id, s, e,
-         |    sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS island
-         |  FROM m)
-         |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-         |  max(e) - min(s) + 1 AS n_tokens
-         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+         |$substringRemovalCtes
+         |SELECT doc_id, s AS span_start, e AS span_end, e - s + 1 AS n_tokens
+         |FROM rem ORDER BY doc_id, span_start""".stripMargin,
+    // apply twin: surviving tokens = positions outside every merged
+    // removal interval, re-joined in order; docs whose every token is
+    // removed (exact-dup tails) survive as empty text via the left join
+    "substring_dedup_apply" ->
+      s"""WITH $substringSpanCtes,
+         |$substringRemovalCtes,
+         |tok AS (SELECT id, unnest(range(0, len(t))) AS pos, unnest(t) AS tk FROM toks),
+         |kept AS (
+         |  SELECT tok.id, tok.pos, tok.tk FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem
+         |    WHERE rem.doc_id = tok.id AND tok.pos BETWEEN rem.s AND rem.e)),
+         |agg AS (SELECT id, string_agg(tk, ' ' ORDER BY pos) AS text2, count(*) AS nk
+         |  FROM kept GROUP BY id)
+         |SELECT toks.id AS doc_id, coalesce(agg.text2, '') AS text,
+         |  CAST(len(toks.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+         |FROM toks LEFT JOIN agg ON toks.id = agg.id ORDER BY doc_id""".stripMargin,
     "winnow_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
@@ -1747,6 +1795,25 @@ object QueryCatalog {
     "simhash_pairs" -> simhash60Sql,
     "multimodal_real_features" -> multimodalRealFeaturesSql,
     "multimodal_audio_features" -> multimodalAudioFeaturesSql,
+    // video feature twin: closed-form frame means, nearest-resample
+    // fm.fr = (dim * nf) // 4, ordered fold over the 4 dims
+    "multimodal_video_features" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(2 + doc_id % 8 AS BIGINT) AS w, CAST(2 + doc_id % 6 AS BIGINT) AS h,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents),
+        |fm AS (SELECT d.media_id, f.k AS fr,
+        |    CAST(CAST(sum((d.media_id*31 + f.k*17 + x.i*7 + y.j*13) % 256) AS DOUBLE)
+        |      / (d.w * d.h * 255) AS REAL) AS m
+        |  FROM d, generate_series(0, 4) f(k), generate_series(0, 8) x(i), generate_series(0, 6) y(j)
+        |  WHERE f.k < d.nf AND x.i < d.w AND y.j < d.h
+        |  GROUP BY 1, 2, d.w, d.h),
+        |feat AS (SELECT d.media_id, s.i AS dim, fm.m
+        |  FROM d CROSS JOIN generate_series(0, 3) s(i)
+        |  JOIN fm ON fm.media_id = d.media_id AND fm.fr = (s.i * d.nf) // 4)
+        |SELECT media_id,
+        |  round(list_sum(list(CAST(m AS DOUBLE) ORDER BY dim)) / 4.0, 6) AS mean_feature
+        |FROM feat GROUP BY 1 ORDER BY media_id""".stripMargin,
     "multimodal_pq_topk" -> multimodalPqSql,
     "multimodal_video_decode" -> multimodalVideoDecodeSql,
     "multimodal_image_decode" -> multimodalDecodeSql,

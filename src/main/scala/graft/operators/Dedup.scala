@@ -831,4 +831,46 @@ object Dedup {
       sharedSpans(df, idCol, textCol, k, None, maxDf, materialize)
         .select(col("id_b").as("__doc"), col("b_start"), col("b_end")),
       "__doc", "b_start", "b_end")
+
+  /** APPLY a removal-span set: cut the marked token intervals out of
+    * each document and emit the surviving text — the operation Lee et
+    * al.'s pipeline actually performs (they cut spans, not documents).
+    *
+    * Positions refer to the same normalized token space every dedup
+    * operator here uses (lower + whitespace-split), so the output text
+    * is the normalized token sequence minus the removed intervals —
+    * documents without spans pass through with normalization only
+    * (byte-exact reconstruction would need the original offsets; token
+    * space is what the span index speaks).
+    *
+    * Shape: the span table (pair-graph bounded — orders of magnitude
+    * smaller than the corpus) aggregates to one interval ARRAY per doc
+    * and broadcast-joins onto the corpus; token filtering happens in-row
+    * with higher-order functions (cost O(tokens x spans-per-doc), no
+    * explode, no corpus shuffle). Output: (doc_id, text, n_removed). */
+  def applySpanRemoval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame,
+      spanIdCol: String = "doc_id",
+      startCol: String = "span_start",
+      endCol: String = "span_end"
+  ): DataFrame = {
+    val perDoc = spans
+      .groupBy(col(spanIdCol).as("__rid"))
+      .agg(collect_list(struct(
+        col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))).as("__iv"))
+    val toks = split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")
+    df.join(broadcast(perDoc), col(idCol) === col("__rid"), "left")
+      .withColumn("__toks", toks)
+      .withColumn("__kept",
+        when(col("__iv").isNull, col("__toks")).otherwise(
+          filter(col("__toks"), (_, i) =>
+            !exists(col("__iv"), iv =>
+              i.cast("long") >= iv.getField("s") && i.cast("long") <= iv.getField("e")))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as(textCol),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
 }

@@ -28,10 +28,16 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("byte-level 1k-merge train: vocabulary = alphabet + one distinct symbol per merge") {
-    // real corpus, the bpe_byte_level_1k bench shape at test scale
+    import org.apache.spark.sql.functions._
+    // the bpe_byte_level_1k bench corpus at test scale: documents with
+    // tokens suffixed into ~500 variants (the raw synthetic vocabulary
+    // exhausts at 89 merges; this one sustains the full 1,024)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("text",
+        array_join(transform(split(col("text"), "\\s+"), (t, i) =>
+          concat(t, lit("_"), pmod(xxhash64(t, i), lit(499)))), " "))
     val merges = Bpe.trainOnCorpus(docs, "text", numMerges = 1024, byteLevel = true)
-    assert(merges.pairs.nonEmpty)
+    assert(merges.pairs.length == 1024, "the rich corpus must sustain all 1,024 merges")
     // every merge mints exactly one NEW multi-char symbol: distinct among
     // themselves and disjoint from the single-char byte alphabet, so
     // |vocab| = |alphabet| + |merges| by construction

@@ -105,6 +105,21 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(removal.toSeq == Seq((2L, 0L, 59L), (3L, 10L, 69L)))
   }
 
+  test("applySpanRemoval cuts exactly the marked intervals; full-dup docs empty out") {
+    val header = tokens("lic", 60)
+    val own2 = tokens("bbb", 30)
+    val d = docs(
+      1L -> s"$header ${tokens("aaa", 30)}",   // keeps its copy (lowest id)
+      2L -> s"$header $own2",                  // loses the header
+      3L -> s"$header ${tokens("aaa", 30)}")   // exact dup of 1 -> fully removed
+    val removal = Dedup.removalSpans(d, "doc_id", "text", k = 20)
+    val out = Dedup.applySpanRemoval(d, "doc_id", "text", removal)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (s"$header ${tokens("aaa", 30)}", 0L), "lowest id untouched")
+    assert(out(2L) == (own2, 60L), "doc 2 loses exactly the 60 header tokens")
+    assert(out(3L) == ("", 90L), "an exact dup of a kept doc empties out entirely")
+  }
+
   test("maxDf gram cap: identical output when no gram exceeds the cap") {
     val header = tokens("lic", 60)
     val d = docs(
