@@ -120,6 +120,12 @@ object ScalingProbe {
         Dedup.duplicateClusters(d.select("doc_id"), "doc_id", pairs)
           .write.format("noop").mode("overwrite").save()
       }),
+      // the r8 substring-level operator: planted exact twins (every 50th
+      // doc) give every decade a real span workload; k=20 keeps parity
+      // with the catalog entry
+      ("substring_spans", Seq(1, 10, 100), nx =>
+        Dedup.sharedSpans(docs(nx), "doc_id", "text", k = 20)
+          .write.format("noop").mode("overwrite").save()),
       ("bigram_score", Seq(1, 10), nx =>
         Scoring.bigramFrequencyScore(docs(nx), "doc_id", "text")
           .write.format("noop").mode("overwrite").save()),
