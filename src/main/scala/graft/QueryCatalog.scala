@@ -825,6 +825,26 @@ object QueryCatalog {
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    // SemDeDup (Abbas et al. 2023): the THIRD near-dup family — cluster
+    // pruning. Cosine is scored within coarse k-means cells only
+    // (~n^2/nlist scored pairs, one by-cell shuffle). On this corpus the
+    // planted twins (cosine ~0.9998) always co-assign with their bases,
+    // so recall is exact and the brute-force SQL is the oracle; the
+    // cross-cell miss trade is pinned by SemDedupSpec instead.
+    "semantic_dedup_pairs" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.9, nlist = 16)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+    // Keep-set materialization, min-id greedy policy (duplicate groups
+    // are twin PAIRS here, where greedy == exact MIS; the paper's
+    // keep-farthest-from-centroid policy is spec-covered, not SQL-
+    // expressible without re-deriving the trained centroids in SQL).
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.9, nlist = 16)
+        .select(col("vec_id"))
+        .orderBy("vec_id")),
     // Bucketed batch ANN: probe-ball equi-join on bucket (hash join, not
     // the BroadcastNestedLoop of topk_for_queries). probeRadius = nBits
     // makes the probe ball exhaustive — recall 1.0 by construction, so
@@ -1915,6 +1935,25 @@ object QueryCatalog {
          |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
          |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
+    // semantic_dedup*: recall is exact on the planted corpus (see the
+    // catalog comment), so the cell pruning is invisible to the oracle
+    // and brute force is the exact twin.
+    "semantic_dedup_pairs" ->
+      s"""WITH $plantedCorpusCte,
+         |s AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
+         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "semantic_dedup" ->
+      s"""WITH $plantedCorpusCte,
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id),
+         |dropped AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.9)
+         |SELECT vec_id FROM corpus
+         |WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
     "batch_ann_topk" -> topkForQueriesSql,
     "batch_ann_topk_bucketed" -> topkForQueriesSql,
     "batch_ivf_topk" -> topkForQueriesSql,

@@ -250,6 +250,99 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster-pruned cosine. Every embedding is assigned
+    * to its nearest coarse-quantizer centroid (the [[ivfIndex]] k-means),
+    * and exact cosine is scored WITHIN cells only — for k even cells the
+    * scored-pair volume is ~n^2/k instead of n^2, and the within-cell
+    * self-join is an equi-join on `cell`, so the corpus shuffles once
+    * (by cell) rather than all-pairs. Pairs straddling a cell boundary
+    * are missed BY CONSTRUCTION — the paper's accepted recall trade
+    * (SemDedupSpec pins both the exact-recall case on the planted-twin
+    * corpus and a constructed cross-cell miss).
+    *
+    * The third near-dup family beside banded sign-LSH
+    * ([[cosineNearDupPairs]], random-projection buckets) and brute force:
+    * data-adaptive cells concentrate true neighbors, and the same trained
+    * quantizer is shared with the ANN index, so a pipeline that serves
+    * ANN gets semantic dedup from the index it already built. */
+  def semanticNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      sampleSize: Int = 4096,
+      trainedCentroids: Option[Seq[Seq[Double]]] = None
+  ): DataFrame = {
+    val (index, _) = ivfIndex(df, idCol, vecCol, nlist = nlist,
+      sampleSize = sampleSize, trainedCentroids = trainedCentroids)
+    val cast = index.select(col("id"), col("cell"),
+      transform(col("vec"), x => x.cast("double")).as("v"))
+    val a = cast.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = cast.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .where(col("cosine") >= lit(threshold))
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup keep-set materialization: rows of `df` surviving semantic
+    * dedup at `threshold`. Two policies:
+    *
+    *   - `keepLowCentroidCosine = false` (default): the min-id greedy —
+    *     drop every id that appears as the larger side of a pair (the
+    *     [[Dedup.dropDuplicatePairs]] convention, exact on clique-shaped
+    *     duplicate groups, SQL-expressible for the oracle gate).
+    *   - `keepLowCentroidCosine = true`: the paper's policy — within each
+    *     duplicate group (connected component of the pair graph) keep the
+    *     member with the LOWEST cosine to its assigned centroid, i.e. the
+    *     boundary example, which SemDeDup found preserves downstream
+    *     accuracy better than keeping cluster-typical members; id breaks
+    *     ties. Implemented as [[Dedup.clusterRepresentatives]] with the
+    *     centroid cosine as the ranking, so the grouping is the same
+    *     label propagation every other dedup family uses.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      sampleSize: Int = 4096,
+      trainedCentroids: Option[Seq[Seq[Double]]] = None,
+      keepLowCentroidCosine: Boolean = false
+  ): DataFrame = {
+    val (index, centroids) = ivfIndex(df, idCol, vecCol, nlist = nlist,
+      sampleSize = sampleSize, trainedCentroids = trainedCentroids)
+    val cast = index.select(col("id"), col("cell"),
+      transform(col("vec"), x => x.cast("double")).as("v"))
+    val a = cast.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = cast.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .where(col("cosine") >= lit(threshold))
+      .select("id_a", "id_b")
+    if (!keepLowCentroidCosine) Dedup.dropDuplicatePairs(df, idCol, pairs)
+    else {
+      val spark = df.sparkSession
+      val centroidRows = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      val centroidDf = spark.createDataFrame(centroidRows)
+        .toDF("cell", "centroid")
+      val withCos = cast
+        .join(broadcast(centroidDf), Seq("cell"))
+        .select(col("id").as(idCol),
+          cosine(col("v"), col("centroid")).as("__centroid_cos"))
+      val ranked = Dedup.clusterRepresentatives(
+        df.join(withCos, Seq(idCol)), idCol, pairs,
+        better = Seq(col("__centroid_cos").asc))
+      ranked.drop("__centroid_cos", "cluster_id")
+    }
+  }
+
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns
     * every vector to one of `nlist` cells; queries probe only the `nprobe`
     * nearest cells. The other classic ANN scale path beside sign-LSH:
