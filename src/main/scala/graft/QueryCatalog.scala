@@ -483,6 +483,14 @@ object QueryCatalog {
       Dedup.applySpanRemoval(docs, "doc_id", "text", removal)
         .orderBy("doc_id")
     }),
+    // WITHIN-document repeated-line removal (RefinedWeb/MassiveText): the
+    // planted corpus repeats each 7th doc's first 10-token line at its
+    // end — in-page boilerplate no cross-document operator sees. One
+    // narrow per-row pass, no shuffle; first occurrence survives.
+    "dedup_lines_within_doc" -> ((s, dir) =>
+      Dedup.dedupLinesWithinDoc(plantedLineDocs(s, dir), "text")
+        .select(col("doc_id"), col("n_lines_removed"), col("text"))
+        .orderBy("doc_id")),
     "text_stats" -> ((s, dir) => {
       val t = col("text")
       documents(s, dir).select(
@@ -1203,6 +1211,21 @@ object QueryCatalog {
       when(col("doc_id") % 101 === 0, concat(lit(LicenseHeader), lit(" "), col("text")))
         .otherwise(col("text")))
 
+  /** Documents re-flowed into newline-separated lines of 10 tokens, with
+    * the FIRST line repeated at the end for every doc_id % 7 == 0 row —
+    * the within-page boilerplate shape (nav bar / cookie banner repeated
+    * inside one document) that no cross-document operator sees. The
+    * construction is mirrored token-exactly by the oracle CTE. */
+  private def plantedLineDocs(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("__n", expr("(size(__toks) + 9) div 10").cast("int"))
+      .withColumn("__lines", transform(sequence(lit(0), col("__n") - 1), i =>
+        array_join(slice(col("__toks"), i * 10 + 1, lit(10)), " ")))
+      .withColumn("__planted", when(col("doc_id") % 7 === 0,
+        concat(col("__lines"), slice(col("__lines"), 1, 1))).otherwise(col("__lines")))
+      .select(col("doc_id"), array_join(col("__planted"), "\n").as("text"))
+
   /** The CSV source path (S2, reference: examples/heart_disease.py:12):
     * round-trips the nation table through CSV with header + schema
     * inference. The CSV lives under java.io.tmpdir, keyed by scale dir. */
@@ -1790,6 +1813,30 @@ object QueryCatalog {
          |SELECT toks.id AS doc_id, coalesce(agg.text2, '') AS text,
          |  CAST(len(toks.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
          |FROM toks LEFT JOIN agg ON toks.id = agg.id ORDER BY doc_id""".stripMargin,
+    // within-doc line dedup: the planted-lines construction (10-token
+    // lines, first line repeated on each 7th doc) is mirrored
+    // token-exactly, then line i survives iff it is the first occurrence
+    // (list_position = the Spark side's array_position form)
+    "dedup_lines_within_doc" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[i*10+1 : i*10+10], ' ')
+        |     FOR i IN range(0, CAST((len(toks) + 9) // 10 AS INT))] AS lines
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN list_concat(lines, lines[1:1]) ELSE lines END AS lines
+        |  FROM l),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, (x, i) -> i = list_position(lines, x)) AS kept
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed,
+        |  array_to_string(kept, chr(10)) AS text
+        |FROM k ORDER BY doc_id""".stripMargin,
     "winnow_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),

@@ -873,4 +873,39 @@ object Dedup {
         array_join(col("__kept"), " ").as(textCol),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
+
+  /** WITHIN-document repeated-line removal (the RefinedWeb / MassiveText
+    * "remove duplicated lines" curation step, Penedo et al. 2023 §4.2 /
+    * Rae et al. 2021 A.1.2): keep only the FIRST occurrence of each
+    * exact line inside a document, preserving line order. Crawled pages
+    * repeat navigation bars, cookie banners, and footers many times
+    * within one page; cross-document dedup never sees them because the
+    * surrounding page differs.
+    *
+    * Embarrassingly parallel — one narrow per-row pass, no shuffle, no
+    * pair graph: lines split on `sep`, and line i survives iff it is the
+    * first occurrence (`array_position(lines, x) == i+1` — the same
+    * first-index form the DuckDB oracle twin uses via `list_position`).
+    * Per-row cost is O(lines^2) comparisons in the worst case, bounded by
+    * lines-per-document, not the corpus. `sep` = "\n\n" gives repeated-
+    * PARAGRAPH removal unchanged. NULL text coalesces to "" (the
+    * [[tokenSet]] null contract).
+    *
+    * Output: `df` with `textCol` replaced by the deduped text and an
+    * appended `n_lines_removed` count. */
+  def dedupLinesWithinDoc(
+      df: DataFrame,
+      textCol: String,
+      sep: String = "\n"
+  ): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val kept = df.columns.map(c =>
+      if (c == textCol) array_join(col("__kept"), sep).as(textCol) else col(c)).toIndexedSeq
+    df.withColumn("__lines", lines)
+      .withColumn("__kept", filter(col("__lines"), (x, i) =>
+        array_position(col("__lines"), x) === (i + 1).cast("long")))
+      .select(kept :+
+        (size(col("__lines")) - size(col("__kept"))).cast("long").as("n_lines_removed"): _*)
+  }
 }
