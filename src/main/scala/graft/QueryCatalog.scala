@@ -491,6 +491,20 @@ object QueryCatalog {
       Dedup.dedupLinesWithinDoc(plantedLineDocs(s, dir), "text")
         .select(col("doc_id"), col("n_lines_removed"), col("text"))
         .orderBy("doc_id")),
+    // DSIR importance weights (Xie et al. 2023): tilt the raw corpus
+    // toward the German-language target slice. Hashed unigram+bigram
+    // features (md5-bucket flavor for the exact SQL twin; xxhash64 is
+    // the scale default); log_weight is a bucket-sorted in-row fold, so
+    // the double is partitioning-independent and hashable at round 6.
+    "dsir_scores" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Scoring.dsirLogWeights(docs, docs.where(col("lang") === "de"),
+          "doc_id", "text", nBuckets = 1024,
+          hashGram = g => Dedup.md5TokenHash60(g))
+        .select(col("doc_id"), col("n_grams"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
     "text_stats" -> ((s, dir) => {
       val t = col("text")
       documents(s, dir).select(
@@ -2031,6 +2045,7 @@ object QueryCatalog {
     "vocab_topk" -> vocabTopkSql,
     "corpus_cube" -> corpusCubeSql,
     "bigram_score" -> bigramScoreSql,
+    "dsir_scores" -> dsirScoresSql,
     "bigram_score_topk" -> bigramScoreTopkSql,
     "kmeans_centroids" -> kmeansCentroidsSql,
     "quality_filter_stratified" -> qualityFilterStratifiedSql,
@@ -2255,6 +2270,34 @@ object QueryCatalog {
        |SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(c.cnt) AS BIGINT) AS freq_sum,
        |  round(CAST(sum(c.cnt) AS DOUBLE) / count(*), 6) AS avg_bigram_freq
        |FROM b JOIN c USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** DSIR twin: same tokenization as [[bigramScoreSql]], unigram+bigram
+    * grams, md5-prefix bucket hash ([[Dedup.md5TokenHash60]] % 1024),
+    * Laplace-1 log-ratio table between the lang='de' target and the full
+    * corpus, and an ORDERED per-doc sum (bucket order) matching the Spark
+    * side's sorted in-row fold bit-for-bit. */
+  private lazy val dsirScoresSql = {
+    val tk = """regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+    s"""WITH t AS (SELECT doc_id, lang, $tk AS tk FROM documents),
+       |g AS (SELECT doc_id, lang, unnest(list_concat(tk,
+       |        list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]))) AS gram
+       |      FROM t),
+       |b AS (SELECT doc_id, lang,
+       |        ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024 AS bucket FROM g),
+       |tc AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'de' GROUP BY 1),
+       |qc AS (SELECT bucket, count(*) AS qc FROM b GROUP BY 1),
+       |r AS (SELECT coalesce(tc.bucket, qc.bucket) AS bucket,
+       |        ln((coalesce(tc, 0) + 1.0) / ((SELECT sum(tc) FROM tc) + 1.0 * 1024))
+       |      - ln((coalesce(qc, 0) + 1.0) / ((SELECT sum(qc) FROM qc) + 1.0 * 1024)) AS logr
+       |      FROM tc FULL JOIN qc ON tc.bucket = qc.bucket),
+       |db AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+       |s AS (SELECT db.doc_id, sum(db.c) AS n_grams,
+       |        sum(db.c * r.logr ORDER BY db.bucket) AS log_weight
+       |      FROM db JOIN r USING (bucket) GROUP BY 1)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  round(log_weight, 6) AS log_weight
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   /** Same corpus as [[bigramScoreSql]] with the deterministic top-64 cut

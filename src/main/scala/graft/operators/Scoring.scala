@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -138,5 +139,84 @@ object Scoring {
       if (approx) approx_percentile(col("quality"), lit(p), lit(10000)).as("__thr")
       else percentile(col("quality"), lit(p)).as("__thr")
     scored.groupBy(col(strataCol)).agg(thrAgg)
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET-corpus bag-of-ngrams model than under the raw-corpus
+    * model — log w(x) = sum_f c_f(x) * (log p_target(f) - log p_raw(f)).
+    * Selecting top-weight (or Gumbel-top-k) documents tilts a 100 TB
+    * crawl toward a small high-quality target domain; this is the
+    * standard pretraining-data selection baseline.
+    *
+    * Features are unigrams + bigrams hashed into `nBuckets` buckets (the
+    * paper's hashed n-gram reduction), so BOTH model tables are bounded
+    * at `nBuckets` rows no matter the corpus: two map-side-combined
+    * count aggregates, an `nBuckets`-row log-ratio table, and one
+    * broadcast join back onto the raw gram stream with a per-doc rollup
+    * — the corpus shuffles once (by doc id, for the rollup). Laplace
+    * `alpha` smoothing keeps buckets unseen in either corpus finite.
+    *
+    * `hashGram` defaults to `xxhash64` (codegen'd, the scale flavor);
+    * the catalog entry passes the md5-prefix flavor
+    * ([[Dedup.md5TokenHash60]]) whose DuckDB twin is exact.
+    *
+    * Output: (idCol, n_grams, log_weight) for every raw document. */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 10000,
+      alpha: Double = 1.0,
+      hashGram: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(alpha > 0, s"alpha must be > 0 for finite smoothing, got $alpha")
+    def buckets(df: DataFrame): DataFrame = {
+      // same materialize-the-split + case-fold convention as
+      // [[bigramFrequencyScore]] (see the O(tokens^2) regex note there)
+      val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+      val tokenized = df.select(col(idCol), toks.as("__toks"))
+      val ta = col("__toks")
+      val n = size(ta)
+      val bigrams = when(n >= lit(2),
+        transform(sequence(lit(1), n - lit(1)),
+          i => concat_ws(" ", element_at(ta, i), element_at(ta, i + lit(1)))))
+        .otherwise(array().cast("array<string>"))
+      tokenized.select(col(idCol), explode(concat(ta, bigrams)).as("__gram"))
+        .select(col(idCol), pmod(hashGram(col("__gram")), lit(nBuckets.toLong)).as("__bucket"))
+    }
+    val rawGrams = buckets(raw)
+    val targetCounts = buckets(target).groupBy("__bucket").agg(count(lit(1)).as("__tc"))
+    val rawCounts = rawGrams.groupBy("__bucket").agg(count(lit(1)).as("__qc"))
+    // the joined model table is <= nBuckets rows: the single-partition
+    // totals window is over the MODEL table, never the corpus
+    val w = Window.partitionBy()
+    val ratio = targetCounts.join(rawCounts, Seq("__bucket"), "full_outer")
+      .select(col("__bucket"),
+        coalesce(col("__tc"), lit(0L)).as("__tc"),
+        coalesce(col("__qc"), lit(0L)).as("__qc"))
+      .withColumn("__T", sum("__tc").over(w))
+      .withColumn("__Q", sum("__qc").over(w))
+      .select(col("__bucket"),
+        (log((col("__tc") + lit(alpha)) / (col("__T") + lit(alpha * nBuckets)))
+          - log((col("__qc") + lit(alpha)) / (col("__Q") + lit(alpha * nBuckets))))
+          .as("__logr"))
+    // per-doc rollup: counts first (integer-exact), then a BUCKET-SORTED
+    // in-row fold for the double sum — the weight is partitioning-
+    // independent bit-for-bit (a plain sum() would add doubles in
+    // shuffle-arrival order), which is what lets the gate hash it
+    val perDocBucket = rawGrams
+      .groupBy(col(idCol), col("__bucket")).agg(count(lit(1)).as("__c"))
+    perDocBucket.join(broadcast(ratio), Seq("__bucket"))
+      .select(col(idCol), col("__bucket"), col("__c"),
+        (col("__c") * col("__logr")).as("__w"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_grams"),
+        aggregate(
+          array_sort(collect_list(struct(col("__bucket"), col("__w")))),
+          lit(0.0), (acc, x) => acc + x.getField("__w")).as("log_weight"))
   }
 }

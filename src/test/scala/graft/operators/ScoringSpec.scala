@@ -90,4 +90,35 @@ class ScoringSpec extends AnyFunSuite {
     val diff = (exact -- approx) ++ (approx -- exact)
     assert(diff.size <= 15, s"approx diverged from exact on ${diff.size} docs")
   }
+
+  test("dsirLogWeights: target-like docs outweigh off-domain docs") {
+    val target = Seq((100L, "physics theorem proof"), (101L, "theorem lemma proof"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "physics theorem proof"),   // on-domain
+      (2L, "theorem lemma physics"),   // on-domain-ish
+      (3L, "buy cheap pills now"),     // junk, absent from target
+      (4L, "cheap cheap pills"))
+      .toDF("doc_id", "text")
+    val w = Scoring.dsirLogWeights(raw, target, "doc_id", "text", nBuckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(1L) > w(4L))
+    assert(w(2L) > w(3L))
+    assert(w.keySet == Set(1L, 2L, 3L, 4L), "every raw doc is scored")
+  }
+
+  test("dsirLogWeights: n_grams = unigrams + bigrams; weight is partitioning-independent") {
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val raw = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Scoring.dsirLogWeights(raw.repartition(parts), target, "doc_id", "text",
+          nBuckets = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val one = run(1)
+    assert(one.map(t => t._1 -> t._2).toMap == Map(1L -> 5L, 2L -> 1L),
+      "3 tokens -> 3 unigrams + 2 bigrams; 1 token -> 1 unigram")
+    // bit-exact across partitionings: the bucket-sorted in-row fold, not
+    // shuffle-arrival order, defines the double sum
+    assert(run(7) == one)
+  }
 }
