@@ -858,6 +858,17 @@ object QueryCatalog {
         plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.9, nlist = 16)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    // Banded-within-cell variant: the mega-cell skew guard — candidates
+    // inside each cell go through sign-LSH banding (join key = cell,
+    // band, bucket) so no cell costs n_c^2. Recall stays exact on this
+    // corpus (twins share a band at P(miss)~4e-7 per pair): same brute
+    // oracle as the plain variant.
+    "semantic_dedup_pairs_banded" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.9, nlist = 16,
+        bandWithinCell = Some((16, 4)), dim = Some(64))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
     // Keep-set materialization, min-id greedy policy (duplicate groups
     // are twin PAIRS here, where greedy == exact MIS; the paper's
     // keep-farthest-from-centroid policy is spec-covered, not SQL-
@@ -1999,6 +2010,13 @@ object QueryCatalog {
     // semantic_dedup*: recall is exact on the planted corpus (see the
     // catalog comment), so the cell pruning is invisible to the oracle
     // and brute force is the exact twin.
+    "semantic_dedup_pairs_banded" ->
+      s"""WITH $plantedCorpusCte,
+         |s AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
+         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "semantic_dedup_pairs" ->
       s"""WITH $plantedCorpusCte,
          |s AS (

@@ -267,6 +267,14 @@ object Similarity {
     * data-adaptive cells concentrate true neighbors, and the same trained
     * quantizer is shared with the ANN index, so a pipeline that serves
     * ANN gets semantic dedup from the index it already built. */
+  /** @param bandWithinCell when `Some((nBits, bands))`, candidate
+    *        generation INSIDE each cell goes through sign-LSH banding
+    *        (the [[cosineNearDupPairs]] machinery with `cell` added to
+    *        the band join key): a pathological mega-cell no longer costs
+    *        n_c^2 — candidates are bounded per (cell, band, bucket) — at
+    *        the usual OR-of-ANDs recall (for cosine >= 0.99 with 16 bits
+    *        in 4 bands, P(miss) ~ 4e-7). The skew guard for the same
+    *        reason [[graft.operators.Dedup.jaccardPairs]] has `maxDf`. */
   def semanticNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -274,19 +282,48 @@ object Similarity {
       threshold: Double,
       nlist: Int = 16,
       sampleSize: Int = 4096,
-      trainedCentroids: Option[Seq[Seq[Double]]] = None
+      trainedCentroids: Option[Seq[Seq[Double]]] = None,
+      bandWithinCell: Option[(Int, Int)] = None,
+      dim: Option[Int] = None
   ): DataFrame = {
     val (index, _) = ivfIndex(df, idCol, vecCol, nlist = nlist,
       sampleSize = sampleSize, trainedCentroids = trainedCentroids)
     val cast = index.select(col("id"), col("cell"),
       transform(col("vec"), x => x.cast("double")).as("v"))
-    val a = cast.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
-    val b = cast.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
-      .where(col("cosine") >= lit(threshold))
-      .select("id_a", "id_b", "cosine")
+    bandWithinCell match {
+      case None =>
+        val a = cast.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+        val b = cast.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+        a.join(b, Seq("cell"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("cosine", cosine(col("va"), col("vb")))
+          .where(col("cosine") >= lit(threshold))
+          .select("id_a", "id_b", "cosine")
+      case Some((nBits, bands)) =>
+        require(nBits % bands == 0, "nBits must be divisible by bands")
+        val rowsPerBand = nBits / bands
+        val signed = cast.select(col("id"), col("cell"), col("v"),
+          lshSignature(col("v"), nBits, dim).as("sig"))
+          .localCheckpoint(true) // signature index computed once for both sides
+        val bandMask = (1L << rowsPerBand) - 1
+        val banded = signed.select(col("id"), col("cell"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
+            .as(Seq("band", "bucket")))
+        val a = banded.select(col("cell"), col("band"), col("bucket"), col("id").as("id_a"))
+        val b = banded.select(col("cell"), col("band"), col("bucket"), col("id").as("id_b"))
+        val candidates = a.join(b, Seq("cell", "band", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
+        val vecs = signed.select(col("id"), col("v"))
+        candidates
+          .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+          .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+          .withColumn("cosine", cosine(col("va"), col("vb")))
+          .where(col("cosine") >= lit(threshold))
+          .select("id_a", "id_b", "cosine")
+    }
   }
 
   /** SemDeDup keep-set materialization: rows of `df` surviving semantic

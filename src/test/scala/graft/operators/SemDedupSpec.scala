@@ -51,6 +51,25 @@ class SemDedupSpec extends AnyFunSuite {
     assert(pruned.count() == 0)
   }
 
+  test("banded within-cell candidates equal the plain within-cell scorer") {
+    // same two-cluster fixture; 16-bit/4-band signatures: near-identical
+    // twins share a band (P(miss) ~ 4e-7), so the banded candidate path
+    // must reproduce the full within-cell result exactly
+    val d = emb(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0), 2L -> Seq(1.0, 0.001, 0.0, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0, 0.0), 4L -> Seq(0.001, 1.0, 0.0, 0.0),
+      5L -> Seq(0.5, 0.5, 0.1, 0.0))
+    val cents = Some(Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0)))
+    def pairs(banded: Boolean) =
+      Similarity.semanticNearDupPairs(d, "vec_id", "embedding", threshold = 0.999,
+          trainedCentroids = cents,
+          bandWithinCell = if (banded) Some((16, 4)) else None, dim = Some(4))
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(banded = false)
+    assert(plain == Set((1L, 2L), (3L, 4L)))
+    assert(pairs(banded = true) == plain)
+  }
+
   test("min-id policy keeps the smaller id; paper policy keeps the boundary member") {
     // one duplicate group {1, 2}: id 1 sits closer in angle to the
     // centroid than id 2, so keep-farthest-from-centroid keeps id 2
