@@ -420,9 +420,27 @@ object Similarity {
     case Some(cs) =>
       require(cs.nonEmpty && cs.forall(_.size == cs.head.size),
         "trainedCentroids must be non-empty and rectangular")
-      (assignCells(df, idCol, vecCol, cs.map(_.toIndexedSeq).toIndexedSeq), cs)
+      (assignAuto(df, idCol, vecCol, cs.map(_.toIndexedSeq).toIndexedSeq), cs)
     case None => trainOnSampleAndAssign(df, idCol, vecCol, nlist, sampleSize, maxIter)
   }
+
+  /** Literal-centroid assignment explodes the PLAN at large k (one
+    * struct per centroid in the codegen'd array_min); past this cutover
+    * [[assignCellsBroadcast]] takes over — same strict-< argmin, output
+    * cell-identical (SimilaritySpec asserts it), plan size O(1) in
+    * k x dim. 256 keeps every oracle-gated nlist=16 entry on the fully
+    * codegen'd literal path. */
+  private val BroadcastAssignCutover = 256
+
+  private def assignAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: IndexedSeq[IndexedSeq[Double]]
+  ): DataFrame =
+    if (centroids.size >= BroadcastAssignCutover)
+      assignCellsBroadcast(df, idCol, vecCol, centroids)
+    else assignCells(df, idCol, vecCol, centroids)
 
   private def trainOnSampleAndAssign(
       df: DataFrame,
@@ -469,7 +487,7 @@ object Similarity {
       }
       iter += 1
     }
-    (assignCells(df, idCol, vecCol, centroids.toIndexedSeq.map(_.toIndexedSeq)),
+    (assignAuto(df, idCol, vecCol, centroids.toIndexedSeq.map(_.toIndexedSeq)),
       centroids.toIndexedSeq.map(_.toSeq))
   }
 

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, Scoring}
+import graft.operators.{Dedup, Packing, Scoring, Similarity}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -67,6 +67,25 @@ object ScalingProbe {
       .withColumn("n_chars", length(col("text")))
   }
 
+  /** embeddings-shaped frame: centered unit-scale deterministic vectors
+    * (cosine between unrelated vectors concentrates near 0, so only the
+    * planted twins pass a 0.9 threshold) + an exact twin for every 50th
+    * vector (elements scaled 1.02/0.98 — the catalog's
+    * plantedEmbeddings shape, cosine ~0.9998). */
+  def genEmb(spark: SparkSession, factor: Int, vecsPerShard: Int = 5000): DataFrame = {
+    val base = spark.range(0L, factor.toLong * vecsPerShard)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (abs(xxhash64(col("id"), j, lit(7))) % lit(1000000L)).cast("double")
+            / lit(1000000.0) - lit(0.5)).as("embedding"))
+    val twins = base.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * when(pmod(i, lit(2)) === 0, lit(1.02)).otherwise(lit(0.98)))
+          .as("embedding"))
+    base.unionAll(twins)
+  }
+
   /** lineitem-shaped numeric frame for the fit curve. */
   def genFit(spark: SparkSession, rows: Long): DataFrame =
     spark.range(0L, rows).select(
@@ -100,9 +119,11 @@ object ScalingProbe {
     ensure(s"$Dir/docs_100x.parquet")(genDocs(spark, 100))
     ensure(s"$Dir/fit_1x.parquet")(genFit(spark, 600000L))
     ensure(s"$Dir/fit_10x.parquet")(genFit(spark, 6000000L))
+    Seq(1, 10, 100).foreach(nx => ensure(s"$Dir/emb_${nx}x.parquet")(genEmb(spark, nx)))
 
     def docs(nx: Int) = spark.read.parquet(s"$Dir/docs_${nx}x.parquet")
     def fitDf(nx: Int) = spark.read.parquet(s"$Dir/fit_${nx}x.parquet")
+    def embs(nx: Int) = spark.read.parquet(s"$Dir/emb_${nx}x.parquet")
 
     // (name, measured decades, body) — the dedup/pair family runs the
     // full 1x/10x/100x curve; the rest keep the two-decade curve
@@ -126,6 +147,22 @@ object ScalingProbe {
       ("substring_spans", Seq(1, 10, 100), nx =>
         Dedup.sharedSpans(docs(nx), "doc_id", "text", k = 20)
           .write.format("noop").mode("overwrite").save()),
+      // SemDeDup scaling: cell COUNT scales with the corpus (nlist =
+      // 16*nx) so cell size stays constant — the knob that keeps
+      // within-cell pair volume linear at a growing corpus; strided
+      // centroids keep the quantizer deterministic and O(nlist) to
+      // build (the centroid collect is part of the measured time)
+      ("semantic_dedup_pairs", Seq(1, 10, 100), nx => {
+        val e = embs(nx)
+        val nlist = 16 * nx
+        val stride = (5000L * nx) / nlist
+        val cents = e.where(col("vec_id") < 5000L * nx && col("vec_id") % stride === 0)
+          .orderBy("vec_id").limit(nlist)
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq
+        Similarity.semanticNearDupPairs(e, "vec_id", "embedding", threshold = 0.9,
+            trainedCentroids = Some(cents))
+          .write.format("noop").mode("overwrite").save()
+      }),
       ("bigram_score", Seq(1, 10), nx =>
         Scoring.bigramFrequencyScore(docs(nx), "doc_id", "text")
           .write.format("noop").mode("overwrite").save()),
@@ -157,10 +194,15 @@ object ScalingProbe {
       Seq(1, 10, 100).map(nx => nx -> docs(nx).count()).toMap
     lazy val fitRows: Map[Int, Long] =
       Seq(1, 10).map(nx => nx -> fitDf(nx).count()).toMap
+    lazy val embRows: Map[Int, Long] =
+      Seq(1, 10, 100).map(nx => nx -> embs(nx).count()).toMap
 
     ops.filter { case (name, _, _) => opFilter.forall(name.contains) }
       .foreach { case (name, levels, body) =>
-        val rows = if (name.startsWith("fit")) fitRows else docRows
+        val rows =
+          if (name.startsWith("fit")) fitRows
+          else if (name.startsWith("semantic")) embRows
+          else docRows
         time(body(levels.head)) // discarded warmup (codegen/JIT)
         val times = levels.map(nx => nx -> math.min(time(body(nx)), time(body(nx)))).toMap
         val cells = levels.map(nx =>
