@@ -163,10 +163,35 @@ object Scoring {
     * ([[Dedup.md5TokenHash60]]) whose DuckDB twin is exact.
     *
     * Output: (idCol, n_grams, log_weight) for every raw document. */
-  def dsirLogWeights(
+  /** The unigram+bigram feature stream of `df`, hashed into `nBuckets`
+    * buckets — (idCols..., __bucket), one row per gram occurrence. */
+  private def gramBuckets(
+      df: DataFrame, idCols: Seq[String], textCol: String,
+      nBuckets: Int, hashGram: Column => Column): DataFrame = {
+    // same materialize-the-split + case-fold convention as
+    // [[bigramFrequencyScore]] (see the O(tokens^2) regex note there)
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val tokenized = df.select(idCols.map(col) :+ toks.as("__toks"): _*)
+    val ta = col("__toks")
+    val n = size(ta)
+    val bigrams = when(n >= lit(2),
+      transform(sequence(lit(1), n - lit(1)),
+        i => concat_ws(" ", element_at(ta, i), element_at(ta, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    tokenized.select(idCols.map(col) :+ explode(concat(ta, bigrams)).as("__gram"): _*)
+      .select(idCols.map(col) :+
+        pmod(hashGram(col("__gram")), lit(nBuckets.toLong)).as("__bucket"): _*)
+  }
+
+  /** The DSIR model artifact on its own: a DENSE (__bucket, __logr)
+    * table covering all `nBuckets` buckets (buckets unseen in either
+    * corpus carry the pure-smoothing ratio), bounded at `nBuckets` rows
+    * no matter the corpus — the batch artifact
+    * [[graft.streaming.StreamOps.dsirScore]] folds into a plan-literal
+    * LUT to score a stream in-row. */
+  def dsirRatioTable(
       raw: DataFrame,
       target: DataFrame,
-      idCol: String,
       textCol: String,
       nBuckets: Int = 10000,
       alpha: Double = 1.0,
@@ -174,27 +199,16 @@ object Scoring {
   ): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(alpha > 0, s"alpha must be > 0 for finite smoothing, got $alpha")
-    def buckets(df: DataFrame): DataFrame = {
-      // same materialize-the-split + case-fold convention as
-      // [[bigramFrequencyScore]] (see the O(tokens^2) regex note there)
-      val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
-      val tokenized = df.select(col(idCol), toks.as("__toks"))
-      val ta = col("__toks")
-      val n = size(ta)
-      val bigrams = when(n >= lit(2),
-        transform(sequence(lit(1), n - lit(1)),
-          i => concat_ws(" ", element_at(ta, i), element_at(ta, i + lit(1)))))
-        .otherwise(array().cast("array<string>"))
-      tokenized.select(col(idCol), explode(concat(ta, bigrams)).as("__gram"))
-        .select(col(idCol), pmod(hashGram(col("__gram")), lit(nBuckets.toLong)).as("__bucket"))
-    }
-    val rawGrams = buckets(raw)
-    val targetCounts = buckets(target).groupBy("__bucket").agg(count(lit(1)).as("__tc"))
-    val rawCounts = rawGrams.groupBy("__bucket").agg(count(lit(1)).as("__qc"))
-    // the joined model table is <= nBuckets rows: the single-partition
+    val targetCounts = gramBuckets(target, Nil, textCol, nBuckets, hashGram)
+      .groupBy("__bucket").agg(count(lit(1)).as("__tc"))
+    val rawCounts = gramBuckets(raw, Nil, textCol, nBuckets, hashGram)
+      .groupBy("__bucket").agg(count(lit(1)).as("__qc"))
+    // the model table is exactly nBuckets rows: the single-partition
     // totals window is over the MODEL table, never the corpus
     val w = Window.partitionBy()
-    val ratio = targetCounts.join(rawCounts, Seq("__bucket"), "full_outer")
+    raw.sparkSession.range(nBuckets).select(col("id").as("__bucket"))
+      .join(targetCounts, Seq("__bucket"), "left")
+      .join(rawCounts, Seq("__bucket"), "left")
       .select(col("__bucket"),
         coalesce(col("__tc"), lit(0L)).as("__tc"),
         coalesce(col("__qc"), lit(0L)).as("__qc"))
@@ -204,6 +218,19 @@ object Scoring {
         (log((col("__tc") + lit(alpha)) / (col("__T") + lit(alpha * nBuckets)))
           - log((col("__qc") + lit(alpha)) / (col("__Q") + lit(alpha * nBuckets))))
           .as("__logr"))
+  }
+
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 10000,
+      alpha: Double = 1.0,
+      hashGram: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    val rawGrams = gramBuckets(raw, Seq(idCol), textCol, nBuckets, hashGram)
+    val ratio = dsirRatioTable(raw, target, textCol, nBuckets, alpha, hashGram)
     // per-doc rollup: counts first (integer-exact), then a BUCKET-SORTED
     // in-row fold for the double sum — the weight is partitioning-
     // independent bit-for-bit (a plain sum() would add doubles in

@@ -278,6 +278,53 @@ object StreamOps {
       .drop("__sh", "__bench_sh")
   }
 
+  /** Streaming DSIR scoring: every incoming document gets its importance
+    * log-weight against a PRE-TRAINED DSIR model
+    * ([[graft.operators.Scoring.dsirRatioTable]] — the bounded batch
+    * artifact, exactly `nBuckets` rows). The ratio table folds into ONE
+    * plan-literal map (the [[pqProbe]] codebook-literal move: a stream
+    * cannot collect, and nBuckets=10^4 doubles is LUT-sized), so scoring
+    * is a pure stateless in-row projection — tokenize, hash grams to
+    * buckets, fold the per-gram log-ratios — no join, no state store,
+    * append mode.
+    *
+    * The in-row fold adds `__logr` once per gram OCCURRENCE (bucket-
+    * sorted, so it is partitioning/batching-independent), where the
+    * batch [[graft.operators.Scoring.dsirLogWeights]] multiplies each
+    * bucket's ratio by its count — algebraically identical, FP-equal to
+    * ~1e-12 relative (c·x vs x summed c times); StreamOpsSpec gates the
+    * identity at 1e-9. `hashGram` and `nBuckets` must match the values
+    * the ratio table was trained with. */
+  def dsirScore(
+      docs: DataFrame,
+      ratio: DataFrame,
+      textCol: String = "text",
+      nBuckets: Int = 10000,
+      hashGram: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    val entries = ratio.select(col("__bucket"), col("__logr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    require(entries.nonEmpty, "dsirScore: empty ratio table")
+    val lut = map_from_arrays(
+      typedLit(entries.map(_._1).toSeq), typedLit(entries.map(_._2).toSeq))
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val ta = col("__toks")
+    val n = size(ta)
+    val bigrams = when(n >= lit(2),
+      transform(sequence(lit(1), n - lit(1)),
+        i => concat_ws(" ", element_at(ta, i), element_at(ta, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    val buckets = array_sort(transform(concat(ta, bigrams),
+      g => pmod(hashGram(g), lit(nBuckets.toLong))))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__buckets", buckets)
+      .withColumn("n_grams", size(col("__buckets")).cast("long"))
+      .withColumn("log_weight",
+        aggregate(col("__buckets"), lit(0.0d), (acc, b) => acc + element_at(lut, b)))
+      .drop("__toks", "__buckets")
+  }
+
   /** Streaming curation: the batch curation pipeline's STATELESS stages —
     * quality / token-count / repetition / symbol filters, then PII
     * scrubbing — verbatim on a stream (pure codegen'd projections and

@@ -403,4 +403,57 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(!out.contains(99L), "a stratum absent from the threshold table must drop")
     } finally q.stop()
   }
+
+  test("streaming DSIR scoring matches the batch weights via the literal-LUT fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rawRows = Seq((1L, "physics theorem proof"), (2L, "buy cheap pills now"),
+      (3L, "theorem lemma physics proof"))
+    val raw = rawRows.toDF("doc_id", "text")
+    val target = Seq((9L, "physics theorem proof lemma")).toDF("doc_id", "text")
+    val ratio = graft.operators.Scoring
+      .dsirRatioTable(raw, target, "text", nBuckets = 512)
+    val batch = graft.operators.Scoring
+      .dsirLogWeights(raw, target, "doc_id", "text", nBuckets = 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamOps.dsirScore(
+      input.toDF().toDF("doc_id", "text"), ratio, nBuckets = 512)
+    val q = scored.writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rawRows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rawRows.drop(2): _*) // second micro-batch: same LUT
+      q.processAllAvailable()
+      val out = spark.table("dsir_out")
+        .select("doc_id", "n_grams", "log_weight").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(out.keySet == batch.keySet)
+      out.foreach { case (id, (ng, w)) =>
+        assert(ng == batch(id)._1, s"doc $id gram count")
+        // occurrence-fold vs count-multiply: algebraically identical,
+        // FP-equal far below this gate
+        assert(math.abs(w - batch(id)._2) < 1e-9, s"doc $id weight $w vs ${batch(id)._2}")
+      }
+    } finally q.stop()
+  }
+
+  test("within-doc line dedup is stateless: runs verbatim on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = graft.operators.Dedup
+      .dedupLinesWithinDoc(input.toDF().toDF("doc_id", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("linededup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "nav\nbody\nnav"), (2L, "a\nb"))
+      q.processAllAvailable()
+      val out = spark.table("linededup_out")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(out(1L) == ("nav\nbody", 1L))
+      assert(out(2L) == ("a\nb", 0L))
+    } finally q.stop()
+  }
 }
