@@ -908,4 +908,79 @@ object Dedup {
       .select(kept :+
         (size(col("__lines")) - size(col("__kept"))).cast("long").as("n_lines_removed"): _*)
   }
+
+  /** CROSS-document boilerplate line removal (CCNet's paragraph-hash
+    * dedup, Wenzek et al. 2020 §3.1 / RefinedWeb's line-wise filter,
+    * Penedo et al. 2023 §4.2): drop every line whose corpus-wide DOCUMENT
+    * frequency reaches `minDf` — navigation bars, cookie banners and
+    * footers shared ACROSS pages. [[dedupLinesWithinDoc]] never sees
+    * these (each page shows them once), and document-level near-dup
+    * never pairs the pages (the surrounding text differs) — this is the
+    * third axis of line hygiene a crawl pipeline runs.
+    *
+    * `keepFirst = true` switches to CCNet's dedup semantics: the single
+    * globally-first occurrence (min (id, pos)) of each hot line
+    * survives; default `false` removes all occurrences (the
+    * boilerplate-filter semantics — a line shared by `minDf` pages is
+    * noise everywhere, including its first sighting).
+    *
+    * Scale shape — every shuffle carries (hash, id, pos) rows, never
+    * document text:
+    *   1. lines explode to (id, pos, lineHash); per-line document
+    *      frequency is a distinct + count aggregate keyed on the hash
+    *      (map-side combined, volume = distinct (line, doc) pairs);
+    *   2. the hot-line set (df >= minDf, at most corpusLines/minDf rows
+    *      and in practice the tiny boilerplate tail) joins back against
+    *      the exploded hashes to emit removal POSITIONS — only removed
+    *      lines travel;
+    *   3. positions group per doc and join back on id; the cut itself is
+    *      an in-row array filter (the [[applySpanRemoval]] pattern), so
+    *      the corpus text is touched by exactly one narrow pass.
+    * `hashLine` defaults to `xxhash64` (the scale path); pass
+    * [[md5TokenHash60]] for the exact DuckDB twin.
+    *
+    * Output: `df` with `textCol` rewritten to the surviving lines plus an
+    * appended `n_lines_removed` count. */
+  def dedupLinesCrossDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minDf: Int = 2,
+      keepFirst: Boolean = false,
+      hashLine: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would remove every line; got $minDf")
+    val lines = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val exploded = df
+      .select(col(idCol).as("__id"), posexplode(lines).as(Seq("__pos", "__line")))
+      .select(col("__id"), col("__pos"), hashLine(col("__line")).as("__h"))
+    val hot = exploded.select("__h", "__id").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select("__h")
+    val hotOccurrences = exploded.join(hot, Seq("__h"))
+    val removal =
+      if (!keepFirst) hotOccurrences.select("__id", "__pos")
+      else {
+        // the one surviving occurrence per hot line: min (id, pos) —
+        // deterministic, and a removal-sized aggregate (never the corpus)
+        val first = hotOccurrences.groupBy("__h")
+          .agg(min(struct(col("__id"), col("__pos"))).as("__f"))
+        hotOccurrences.join(first, Seq("__h"))
+          .where(col("__id") =!= col("__f.__id") || col("__pos") =!= col("__f.__pos"))
+          .select("__id", "__pos")
+      }
+    val perDoc = removal.groupBy("__id").agg(collect_list(col("__pos")).as("__drop"))
+    val kept = df.columns.map(c =>
+      if (c == textCol) array_join(col("__kept"), sep).as(textCol) else col(c)).toIndexedSeq
+    df.join(perDoc, col(idCol) === col("__id"), "left")
+      .withColumn("__lines", lines)
+      .withColumn("__kept",
+        when(col("__drop").isNull, col("__lines")).otherwise(
+          filter(col("__lines"), (_, i) => !array_contains(col("__drop"), i))))
+      .select(kept :+
+        (size(col("__lines")) - size(col("__kept"))).cast("long").as("n_lines_removed"): _*)
+  }
 }
