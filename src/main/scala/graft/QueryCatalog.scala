@@ -40,12 +40,14 @@ object QueryCatalog {
   private def customer(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/customer.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS); Spark 4 only reads it with
-    * nanosAsLong (the column then arrives as LongType nanos — see
-    * [[graft.operators.Sessionize.epochMicros]]). Runtime-settable conf. */
+  /** events.parquet's `ts` encoding has varied across driver-generated
+    * testdata (TIMESTAMP(NANOS) -> LongType nanos under nanosAsLong;
+    * timestamp[us] -> TIMESTAMP_NTZ in Spark 4). Normalize to canonical
+    * TimestampType at load via [[graft.operators.Sessionize.normalizeTs]]
+    * so no catalog entry ever touches the physical encoding. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    Sessionize.normalizeTs(s.read.parquet(s"$dir/events.parquet"))
   }
 
   // ---- shared tree-query fixtures ----------------------------------------

@@ -16,25 +16,47 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * the classic hazard at 100 TB; mitigate upstream by bucketing the events
   * table by user_id, and AQE skew handling covers the rest.
   *
-  * Timestamp handling: the provided `events.parquet` stores `ts` as
-  * parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a timestamp —
-  * the scan throws PARQUET_TYPE_ILLEGAL unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, in which case the column
-  * arrives as LongType *nanoseconds*. [[epochMicros]] branches on the
-  * column's runtime type: long nanos are floor-divided to micros (matching
-  * DuckDB's ns->us truncation), real timestamps go through `unix_micros`.
+  * Timestamp handling: driver-generated `events.parquet` has shipped `ts`
+  * as parquet TIMESTAMP(NANOS) (readable only under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, arriving as LongType
+  * *nanoseconds*) and as `timestamp[us]` without a zone (arriving as
+  * TIMESTAMP_NTZ in Spark 4). [[epochMicros]] branches on the column's
+  * runtime type — long nanos floor-divide to micros (DuckDB's ns->us
+  * truncation), TIMESTAMP goes through `unix_micros`, NTZ casts to
+  * TIMESTAMP first (exact under the pinned-UTC session tz). Sources
+  * should call [[normalizeTs]] once at load so downstream operators see
+  * canonical TimestampType regardless of the file's encoding.
   */
 object Sessionize {
 
   /** Epoch-microseconds column for `tsCol`, whatever physical type the
-    * scan produced (long nanos under nanosAsLong, or a real timestamp). */
+    * scan produced (long nanos under nanosAsLong, TIMESTAMP, or
+    * TIMESTAMP_NTZ — parquet `timestamp[us]` without a zone arrives as the
+    * latter in Spark 4). `unix_micros` only accepts TIMESTAMP, so the NTZ
+    * arm casts first; with the session timezone pinned to UTC everywhere
+    * (Bench/TestSpark builders) that cast is a pure reinterpretation and
+    * matches DuckDB's `epoch_us(ts)` on the same file. */
   def epochMicros(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
-      case LongType                          => expr(s"`$tsCol` div 1000L")
-      case TimestampType | TimestampNTZType  => unix_micros(col(tsCol))
+      case LongType         => expr(s"`$tsCol` div 1000L")
+      case TimestampType    => unix_micros(col(tsCol))
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
       case other =>
         throw new IllegalArgumentException(
           s"sessionize: unsupported timestamp column type $other for `$tsCol`")
+    }
+
+  /** Canonical event-time frame: `tsCol` coerced to TimestampType
+    * (micros precision), whatever physical encoding the scan produced.
+    * Load-time choke point — pipe every event source through this once
+    * and no downstream operator (batch sessionize/as-of/range join, or
+    * streaming `session_window`, which REQUIRES a real timestamp) ever
+    * branches on the file's encoding du jour. Nanos truncate to micros,
+    * matching DuckDB's `epoch_us` on the same file. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case TimestampType => df
+      case _             => df.withColumn(tsCol, timestamp_micros(epochMicros(df, tsCol)))
     }
 
   /** Input events plus `event_us` (epoch micros) and `session_idx`.

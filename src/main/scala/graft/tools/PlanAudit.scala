@@ -15,6 +15,7 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // audit-only: AQE's non-final AdaptiveSparkPlan hides codegen
       // annotations in formatted explain output

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -39,6 +40,39 @@ class SessionizeSpec extends AnyFunSuite {
     assert(sessions == Seq(1L, 2L)) // 2h gap -> two sessions
   }
 
+  test("timestamp_ntz input casts through TIMESTAMP (UTC session tz => exact)") {
+    val rows = Seq(
+      Row(1L, java.time.LocalDateTime.parse("2024-01-01T00:00:00"), 1.0),
+      Row(1L, java.time.LocalDateTime.parse("2024-01-01T02:00:00"), 2.0))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("value", DoubleType))))
+    val out = Sessionize.sessions(d).select("event_us", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // NTZ wall-clock == UTC instant under the pinned UTC session tz
+    val jan1 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L
+    assert(out == Seq((jan1, 1L), (jan1 + 7200L * 1000000L, 2L)))
+  }
+
+  test("normalizeTs coerces all three physical encodings to one TimestampType frame") {
+    val base = java.time.Instant.parse("2024-06-01T12:00:00Z")
+    val us = base.getEpochSecond * 1000000L
+    val asLongNanos = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, us * 1000L)), 1),
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", LongType))))
+    val asTimestamp = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Timestamp.from(base))), 1),
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType))))
+    val asNtz = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, java.time.LocalDateTime.ofInstant(base, java.time.ZoneOffset.UTC))), 1),
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampNTZType))))
+    val normalized = Seq(asLongNanos, asTimestamp, asNtz).map(Sessionize.normalizeTs(_))
+    normalized.foreach(d => assert(d.schema("ts").dataType == TimestampType))
+    val instants = normalized.map(_.select(unix_micros(col("ts"))).head().getLong(0))
+    assert(instants.forall(_ == us)) // same instant from every encoding
+  }
+
   test("equal-timestamp ties: deterministic ordering, one session, stable stats") {
     // three events of one user share the same timestamp; event_id breaks
     // the window-order tie so every evaluation sees the same row stream
@@ -58,9 +92,14 @@ class SessionizeSpec extends AnyFunSuite {
     assert(first == again)
   }
 
-  test("reads the provided nanos events table end-to-end") {
+  test("reads the provided events table end-to-end, whatever ts encoding") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    assert(ev.schema("ts").dataType == LongType) // nanosAsLong in effect
+    // the driver has shipped this file as TIMESTAMP(NANOS) (-> LongType under
+    // nanosAsLong), timestamp[us] (-> TIMESTAMP_NTZ), and could ship
+    // TIMESTAMP next; assert on epochMicros OUTPUT semantics, not the
+    // physical encoding du jour
+    assert(Set[DataType](LongType, TimestampType, TimestampNTZType)
+      .contains(ev.schema("ts").dataType))
     val stats = Sessionize.sessionStats(ev)
     assert(stats.count() > 0)
     val r = stats.selectExpr("min(start_us)", "max(end_us)").head()
