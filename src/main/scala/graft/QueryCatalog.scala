@@ -493,6 +493,17 @@ object QueryCatalog {
       Dedup.dedupLinesWithinDoc(plantedLineDocs(s, dir), "text")
         .select(col("doc_id"), col("n_lines_removed"), col("text"))
         .orderBy("doc_id")),
+    // CROSS-document boilerplate line removal (CCNet/RefinedWeb): the
+    // planted corpus prepends one shared "cookie banner" line to every
+    // 11th doc — per-line document frequency >= 2 kills it everywhere.
+    // Shuffles carry (hash, id, pos) only, never text; xxhash64 (the
+    // scale-default line key) stays internal, so the oracle twin groups
+    // on raw line equality.
+    "dedup_lines_cross_doc" -> ((s, dir) =>
+      Dedup.dedupLinesCrossDoc(plantedBoilerplateDocs(s, dir), "doc_id", "text",
+          minDf = 2)
+        .select(col("doc_id"), col("n_lines_removed"), col("text"))
+        .orderBy("doc_id")),
     // DSIR importance weights (Xie et al. 2023): tilt the raw corpus
     // toward the German-language target slice. Hashed unigram+bigram
     // features (md5-bucket flavor for the exact SQL twin; xxhash64 is
@@ -1253,6 +1264,24 @@ object QueryCatalog {
         concat(col("__lines"), slice(col("__lines"), 1, 1))).otherwise(col("__lines")))
       .select(col("doc_id"), array_join(col("__planted"), "\n").as("text"))
 
+  /** One shared 10-token "cookie banner" line — cross-document
+    * boilerplate no within-doc or document-level operator can catch. */
+  private val BoilerLine: String = (0 until 10).map(i => s"bplate$i").mkString(" ")
+
+  /** [[plantedLineDocs]]' line reflow with [[BoilerLine]] PREPENDED to
+    * every doc_id % 11 == 0 row (no within-doc repeat planting): the
+    * banner's per-line document frequency is ~n/11 >> minDf while every
+    * organic line stays doc-local. Mirrored token-exactly by the oracle. */
+  private def plantedBoilerplateDocs(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("__n", expr("(size(__toks) + 9) div 10").cast("int"))
+      .withColumn("__lines", transform(sequence(lit(0), col("__n") - 1), i =>
+        array_join(slice(col("__toks"), i * 10 + 1, lit(10)), " ")))
+      .withColumn("__planted", when(col("doc_id") % 11 === 0,
+        concat(array(lit(BoilerLine)), col("__lines"))).otherwise(col("__lines")))
+      .select(col("doc_id"), array_join(col("__planted"), "\n").as("text"))
+
   /** The CSV source path (S2, reference: examples/heart_disease.py:12):
     * round-trips the nation table through CSV with header + schema
     * inference. The CSV lives under java.io.tmpdir, keyed by scale dir. */
@@ -1864,6 +1893,41 @@ object QueryCatalog {
         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed,
         |  array_to_string(kept, chr(10)) AS text
         |FROM k ORDER BY doc_id""".stripMargin,
+    // cross-doc line dedup: the planted-banner construction (10-token
+    // reflow, BoilerLine prepended on each 11th doc) mirrored
+    // token-exactly; a line is dropped everywhere iff its corpus-wide
+    // DISTINCT-doc frequency >= 2 (raw line equality == the Spark side's
+    // xxhash64 grouping key)
+    "dedup_lines_cross_doc" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |l AS (
+         |  SELECT doc_id,
+         |    [array_to_string(toks[i*10+1 : i*10+10], ' ')
+         |     FOR i IN range(0, CAST((len(toks) + 9) // 10 AS INT))] AS lines
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         |    THEN list_concat(['$BoilerLine'], lines) ELSE lines END AS lines
+         |  FROM l),
+         |e AS (
+         |  SELECT doc_id, unnest(range(0, len(lines))) AS pos, unnest(lines) AS line
+         |  FROM p),
+         |hot AS (
+         |  SELECT line FROM (
+         |    SELECT line, count(DISTINCT doc_id) AS df FROM e GROUP BY line)
+         |  WHERE df >= 2),
+         |kept AS (
+         |  SELECT e.doc_id, e.pos, e.line FROM e
+         |  WHERE e.line NOT IN (SELECT line FROM hot)),
+         |agg AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+         |    count(*) AS nk
+         |  FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CAST(len(p.lines) - coalesce(agg.nk, 0) AS BIGINT) AS n_lines_removed,
+         |  coalesce(agg.text2, '') AS text
+         |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id ORDER BY p.doc_id""".stripMargin,
     "winnow_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
