@@ -33,6 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 bench entries compile thousands of whole-stage-codegen classes
+  // in one JVM; the JDK 17 default 240 MB code cache overflows mid-sweep
+  // and flushes hot methods, so later sweeps re-JIT what the warmup
+  // already compiled (r10: wide190 min-of-3 at 32.5 s vs 10.8 s steady
+  // state in a churn-free JVM — tools/WideHeapProbe). Headroom makes the
+  // bench's min-of-interleaved-sweeps measure warm capability again.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
   // NOTE on "peak heap" measurements: raw used-heap sampling is a
   // function of the harness's -Xmx, not just of the code — G1 sizes its
   // young gen up to 60% of the heap, and Spark's on-heap execution pool
