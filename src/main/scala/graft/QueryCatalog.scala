@@ -544,6 +544,18 @@ object QueryCatalog {
         round(TextFunctions.dupLineFraction(col("text")), 6).as("dup_line_frac"),
         round(TextFunctions.symbolRatio(col("text")), 6).as("symbol_ratio"))
         .orderBy("doc_id")),
+    // Gopher/MassiveText char-weighted repetition filters over the
+    // planted-line corpus (each 7th doc repeats its first line, so
+    // dup_line_char_frac is provably nonzero there): one array_sort +
+    // linear fold per signal, per row — scan speed, no shuffle.
+    "repetition_signals" -> ((s, dir) =>
+      Scoring.repetitionSignals(plantedLineDocs(s, dir), "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          col("top_2gram"),
+          round(col("top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+          round(col("dup_3gram_char_frac"), 6).as("dup_3gram_char_frac"))
+        .orderBy("doc_id")),
     // PII scrubbing: email/URL/long-digit-run placeholders via a
     // lookaround-free regexp_replace chain that runs verbatim in RE2
     // engines — the DuckDB twin uses the SAME patterns.
@@ -1928,6 +1940,58 @@ object QueryCatalog {
          |  CAST(len(p.lines) - coalesce(agg.nk, 0) AS BIGINT) AS n_lines_removed,
          |  coalesce(agg.text2, '') AS text
          |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id ORDER BY p.doc_id""".stripMargin,
+    // Gopher char-weighted repetition filters over the same planted-line
+    // construction as dedup_lines_within_doc; group-by counts here ==
+    // the Spark side's sorted-fold runs (set semantics are identical),
+    // ties on the top gram break to the lexicographically smallest
+    "repetition_signals" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[i*10+1 : i*10+10], ' ')
+        |     FOR i IN range(0, CAST((len(toks) + 9) // 10 AS INT))] AS lines
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN list_concat(lines, lines[1:1]) ELSE lines END AS lines
+        |  FROM l),
+        |d AS (SELECT doc_id, lines, array_to_string(lines, chr(10)) AS text FROM p),
+        |le AS (SELECT doc_id, unnest(lines) AS line FROM d),
+        |lcnt AS (SELECT doc_id, line, count(*) AS cnt FROM le GROUP BY doc_id, line),
+        |lm AS (SELECT doc_id, sum(cnt * len(line)) AS line_chars,
+        |         sum((cnt - 1) * len(line)) AS dup_chars
+        |       FROM lcnt GROUP BY doc_id),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+        |         len(text) AS doc_chars FROM d),
+        |g2e AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN [array_to_string(w[i+1 : i+2], ' ') FOR i IN range(0, len(w) - 1)]
+        |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM tk),
+        |g2c AS (SELECT doc_id, g, count(*) AS cnt FROM g2e GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, g, cnt FROM (
+        |    SELECT doc_id, g, cnt, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn FROM g2c)
+        |  WHERE rn = 1),
+        |g3e AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN [array_to_string(w[i+1 : i+3], ' ') FOR i IN range(0, len(w) - 2)]
+        |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM tk),
+        |g3c AS (SELECT doc_id, sum((cnt - 1) * len(g)) AS dup_chars FROM (
+        |    SELECT doc_id, g, count(*) AS cnt FROM g3e GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN coalesce(lm.line_chars, 0) = 0 THEN 0.0
+        |    ELSE CAST(lm.dup_chars AS DOUBLE) / lm.line_chars END, 6) AS dup_line_char_frac,
+        |  top2.g AS top_2gram,
+        |  round(CASE WHEN tk.doc_chars = 0 OR top2.cnt IS NULL THEN 0.0
+        |    ELSE CAST(top2.cnt * len(top2.g) AS DOUBLE) / tk.doc_chars END, 6) AS top_2gram_char_frac,
+        |  round(CASE WHEN tk.doc_chars = 0 THEN 0.0
+        |    ELSE CAST(coalesce(g3c.dup_chars, 0) AS DOUBLE) / tk.doc_chars END, 6) AS dup_3gram_char_frac
+        |FROM d
+        |LEFT JOIN lm ON d.doc_id = lm.doc_id
+        |LEFT JOIN tk ON d.doc_id = tk.doc_id
+        |LEFT JOIN top2 ON d.doc_id = top2.doc_id
+        |LEFT JOIN g3c ON d.doc_id = g3c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "winnow_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),

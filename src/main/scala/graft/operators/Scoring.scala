@@ -246,4 +246,91 @@ object Scoring {
           array_sort(collect_list(struct(col("__bucket"), col("__w")))),
           lit(0.0), (acc, x) => acc + x.getField("__w")).as("log_weight"))
   }
+
+  /** Character-weighted repetition signals (Gopher, Rae et al. 2021
+    * Table A1; MassiveText's repetition filters, reused by RefinedWeb /
+    * Dolma): per document,
+    *
+    *   - `dup_line_char_frac`: characters in non-first occurrences of
+    *     each distinct line / total line characters;
+    *   - `top_{n}gram` + `top_{n}gram_char_frac`: the most frequent
+    *     word n-gram (ties -> lexicographically smallest) and
+    *     count * gramChars / docChars;
+    *   - `dup_{m}gram_char_frac`: characters of non-first occurrences
+    *     of each distinct m-gram / docChars.
+    *
+    * Unlike [[graft.functions.TextFunctions.dupLineFraction]] (count
+    * ratio), these weight by CHARACTERS, so one giant repeated block
+    * scores as the filter literature intends. Per-row only — no corpus
+    * pass, no shuffle, no pair graph: each signal is one `array_sort` +
+    * one linear `aggregate` fold over the row's own lines/grams, so the
+    * operator runs at scan speed and cost is O(L log L) in the DOCUMENT
+    * length, never the corpus. The token/line arrays are materialized in
+    * their own projection first (the [[bigramFrequencyScore]] lesson:
+    * an array-building expression referenced inside a lambda re-runs
+    * per element). */
+  def repetitionSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int = 2,
+      dupN: Int = 3
+  ): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val staged = df.select(col(idCol), col(textCol),
+      split(col(textCol), "\n").as("__lines"), toks.as("__toks"))
+
+    def grams(n: Int): Column =
+      when(size(col("__toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("__toks")) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(col("__toks"), i + j + 1)): _*)))
+
+    // chars in non-first occurrences over a SORTED array: equal neighbors
+    // are repeats, so the fold adds length(x) exactly (count-1) times per
+    // distinct value. Null init prev => the first element never matches.
+    def dupChars(sorted: Column): Column =
+      aggregate(sorted,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("dup")),
+        (acc, x) => struct(x.as("prev"),
+          (acc.getField("dup") +
+            when(x === acc.getField("prev"), length(x).cast("long")).otherwise(lit(0L)))
+            .as("dup")),
+        acc => acc.getField("dup"))
+
+    // longest equal-neighbor run over a SORTED array; strict > keeps the
+    // FIRST gram reaching the max run = lexicographically smallest tie
+    def topRun(sorted: Column): Column =
+      aggregate(sorted,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit(null).cast("string").as("bestg")),
+        (acc, x) => {
+          val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run2.as("run"),
+            when(run2 > acc.getField("best"), run2).otherwise(acc.getField("best")).as("best"),
+            when(run2 > acc.getField("best"), x).otherwise(acc.getField("bestg")).as("bestg"))
+        },
+        acc => struct(acc.getField("best").as("cnt"), acc.getField("bestg").as("gram")))
+
+    val withArrays = staged
+      .withColumn("__lsort", array_sort(col("__lines")))
+      .withColumn("__gtop", array_sort(grams(topN)))
+      .withColumn("__gdup", array_sort(grams(dupN)))
+    val lineChars = aggregate(col("__lines"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val docChars = length(col(textCol)).cast("long")
+    withArrays
+      .withColumn("__top", topRun(col("__gtop")))
+      .select(
+        col(idCol),
+        when(lineChars === 0L, lit(0.0))
+          .otherwise(dupChars(col("__lsort")).cast("double") / lineChars)
+          .as("dup_line_char_frac"),
+        col("__top").getField("gram").as(s"top_${topN}gram"),
+        when(docChars === 0L || size(col("__gtop")) === 0, lit(0.0))
+          .otherwise((col("__top").getField("cnt") *
+            length(col("__top").getField("gram"))).cast("double") / docChars)
+          .as(s"top_${topN}gram_char_frac"),
+        when(docChars === 0L, lit(0.0))
+          .otherwise(dupChars(col("__gdup")).cast("double") / docChars)
+          .as(s"dup_${dupN}gram_char_frac"))
+  }
 }

@@ -55,6 +55,45 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(4L) == 1L, "untracked bigram scores its own occurrence")
   }
 
+  test("repetitionSignals: char-weighted fractions match hand computation") {
+    // doc 1: lines "aaaa","b","aaaa" -> dup line chars 4 of 9 line chars;
+    //        tokens: aaaa b aaaa -> 2-grams "aaaa b","b aaaa" (each x1,
+    //        top = "aaaa b" lexicographically), no repeated 3-gram
+    // doc 2: "x y x y x y" -> 2-gram "x y" x3, "y x" x2; text len 11;
+    //        top = "x y" (3*3/11); 3-grams "x y x" x2, "y x y" x2 ->
+    //        dup chars = 5+5 = 10 of 11
+    val d = Seq(
+      (1L, "aaaa\nb\naaaa"),
+      (2L, "x y x y x y"),
+      (3L, "single")).toDF("doc_id", "text")
+    val out = Scoring.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 == 4.0 / 9.0)
+    assert(out(1L)._2 == "aaaa b" && out(1L)._3 == 6.0 / 11.0)
+    assert(out(1L)._4 == 0.0)
+    assert(out(2L)._1 == 0.0)
+    assert(out(2L)._2 == "x y" && out(2L)._3 == 9.0 / 11.0)
+    assert(out(2L)._4 == 10.0 / 11.0)
+    // one token: no grams at all -> null top gram, zero fractions
+    val r3 = Scoring.repetitionSignals(d, "doc_id", "text")
+      .where(col("doc_id") === 3L).collect().head
+    assert(r3.isNullAt(2) && r3.getDouble(3) == 0.0 && r3.getDouble(4) == 0.0)
+  }
+
+  test("repetitionSignals: one repeated block dominates the char-weighted signal") {
+    // count-based dupLineFraction sees 1 repeat of 3 lines either way;
+    // the char-weighted fraction separates tiny-vs-giant repeated lines
+    val d = Seq(
+      (1L, "tiny\ntiny\n" + ("long boilerplate block " * 8).trim),
+      (2L, ("long boilerplate block " * 8).trim + "\n" +
+           ("long boilerplate block " * 8).trim + "\ntiny")).toDF("doc_id", "text")
+    val out = Scoring.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.05 && out(2L) > 0.45,
+      s"char weighting must separate the two shapes, got $out")
+  }
+
   test("qualityFilterStratified: keeps only above-median docs per stratum") {
     val d = (1L to 40L).map { i =>
       val lang = if (i % 2 == 0) "en" else "de"
