@@ -439,6 +439,28 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("repetition signals are stateless: stream output equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val rows = Seq((1L, "aaaa\nb\naaaa"), (2L, "x y x y x y"))
+    val scored = graft.operators.Scoring
+      .repetitionSignals(input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = scored.writeStream.format("memory").queryName("repsignals_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("repsignals_out")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getDouble(3), r.getDouble(4))).toMap
+      val batch = graft.operators.Scoring
+        .repetitionSignals(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(streamed == batch)
+      assert(streamed(2L)._2 == "x y") // sanity: not vacuously equal-empty
+    } finally q.stop()
+  }
+
   test("within-doc line dedup is stateless: runs verbatim on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
