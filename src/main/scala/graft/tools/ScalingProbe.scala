@@ -122,6 +122,19 @@ object ScalingProbe {
     Seq(1, 10, 100).foreach(nx => ensure(s"$Dir/emb_${nx}x.parquet")(genEmb(spark, nx)))
 
     def docs(nx: Int) = spark.read.parquet(s"$Dir/docs_${nx}x.parquet")
+    // 10-token-line reflow + a planted boilerplate banner on every 11th
+    // doc — the line-hygiene operators' input shape
+    def lineDocs(nx: Int): DataFrame = {
+      val banner = (0 until 10).map(i => s"bplate$i").mkString(" ")
+      docs(nx)
+        .withColumn("__toks", split(col("text"), " "))
+        .withColumn("__n", expr("(size(__toks) + 9) div 10").cast("int"))
+        .withColumn("__lines", transform(sequence(lit(0), col("__n") - 1), i =>
+          array_join(slice(col("__toks"), i * 10 + 1, lit(10)), " ")))
+        .withColumn("__planted", when(col("doc_id") % 11 === 0,
+          concat(array(lit(banner)), col("__lines"))).otherwise(col("__lines")))
+        .select(col("doc_id"), array_join(col("__planted"), "\n").as("text"))
+    }
     def fitDf(nx: Int) = spark.read.parquet(s"$Dir/fit_${nx}x.parquet")
     def embs(nx: Int) = spark.read.parquet(s"$Dir/emb_${nx}x.parquet")
 
@@ -165,6 +178,18 @@ object ScalingProbe {
       }),
       ("bigram_score", Seq(1, 10), nx =>
         Scoring.bigramFrequencyScore(docs(nx), "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()),
+      // r11 line hygiene: corpus reflowed to 10-token lines with one
+      // shared boilerplate line planted on every 11th doc (the catalog
+      // fixture's shape); exact twins (every 50th doc) add organic
+      // cross-doc dup lines, so removal volume grows with the corpus
+      ("dedup_lines_cross_doc", Seq(1, 10, 100), nx =>
+        Dedup.dedupLinesCrossDoc(lineDocs(nx), "doc_id", "text", minDf = 2)
+          .write.format("noop").mode("overwrite").save()),
+      // r11 char-weighted repetition signals: pure per-row folds — the
+      // curve should be flat-linear (scan-speed, zero shuffle)
+      ("repetition_signals", Seq(1, 10, 100), nx =>
+        Scoring.repetitionSignals(lineDocs(nx), "doc_id", "text")
           .write.format("noop").mode("overwrite").save()),
       ("pack_sequences", Seq(1, 10), nx => {
         val d = docs(nx).select(col("doc_id"),
