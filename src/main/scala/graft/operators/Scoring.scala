@@ -276,7 +276,14 @@ object Scoring {
       topN: Int = 2,
       dupN: Int = 3
   ): DataFrame = {
-    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    // NOT the shared trim(): Spark's trim strips 0x20 only, so text with
+    // a leading/trailing newline or tab would tokenize an empty first
+    // token and produce a phantom " x" gram (caught by the differential
+    // property test). Strip ALL whitespace at both ends before folding
+    // runs of it.
+    val toks = split(
+      regexp_replace(regexp_replace(lower(col(textCol)), "^\\s+|\\s+$", ""), "\\s+", " "),
+      " ")
     val staged = df.select(col(idCol), col(textCol),
       split(col(textCol), "\n").as("__lines"), toks.as("__toks"))
 

@@ -94,6 +94,51 @@ class ScoringSpec extends AnyFunSuite {
       s"char weighting must separate the two shapes, got $out")
   }
 
+  test("repetitionSignals: differential against a plain-Scala model on random docs") {
+    // exercises the sorted-fold edge cases (empty lines, all-identical
+    // docs, single tokens, ties) on inputs no hand fixture anticipates
+    val rng = new scala.util.Random(20260813L)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e")
+    def randDoc(): String = {
+      val nLines = rng.nextInt(5) // 0..4
+      (0 until nLines).map { _ =>
+        val nToks = rng.nextInt(6) // 0..5 -> possible empty line
+        (0 until nToks).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }.mkString("\n")
+    }
+    val docs = (1L to 60L).map(i => (i, randDoc()))
+    def model(text: String): (Double, Option[String], Double, Double) = {
+      val lines = text.split("\n", -1).toSeq
+      val lineChars = lines.map(_.length.toLong).sum
+      val dupLineChars = lines.groupBy(identity)
+        .map { case (l, occ) => (occ.size - 1).toLong * l.length }.sum
+      val dlf = if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      def grams(n: Int) =
+        if (toks.size < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val g2 = grams(2)
+      val top = g2.groupBy(identity).map { case (g, o) => (g, o.size) }
+        .toSeq.sortBy { case (g, c) => (-c, g) }.headOption
+      val docChars = text.length.toLong
+      val topFrac = top match {
+        case Some((g, c)) if docChars > 0 => c.toLong * g.length / docChars.toDouble
+        case _ => 0.0
+      }
+      val g3 = grams(3)
+      val dupG3 = g3.groupBy(identity)
+        .map { case (g, o) => (o.size - 1).toLong * g.length }.sum
+      val dupFrac = if (docChars == 0) 0.0 else dupG3.toDouble / docChars
+      (dlf, top.map(_._1), topFrac, dupFrac)
+    }
+    val out = Scoring.repetitionSignals(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.getString(2)), r.getDouble(3), r.getDouble(4))).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == model(text), s"doc $id mismatch for text=${text.replace("\n", "\\n")}")
+    }
+  }
+
   test("qualityFilterStratified: keeps only above-median docs per stratum") {
     val d = (1L to 40L).map { i =>
       val lang = if (i % 2 == 0) "en" else "de"
