@@ -437,6 +437,24 @@ object QueryCatalog {
         .select(col("id_new"), col("id_corpus"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_new", "id_corpus")
     }),
+    // The BLOOM-gated flavor of incremental ingest, exact-dedup axis:
+    // a Bloom filter of corpus fingerprints (distributed aggregate,
+    // broadcast bits) gates the batch; only the fpp sliver of bloom
+    // positives pays an exact confirm against one corpus scan. Output
+    // is EXACT (the filter only prunes), so the NOT EXISTS SQL is a
+    // true oracle.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val corpus = docs.where(col("doc_id") < 400)
+      // the raw last-fifth batch shares no exact text with the corpus, so
+      // PLANT re-ingested copies (every 13th corpus doc, shifted ids) —
+      // the gate must drop exactly those
+      val batch = docs.where(col("doc_id") >= 400).unionByName(
+        corpus.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.newDocsViaBloom(batch, corpus, "doc_id", "text", fpp = 0.01)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // Candidate+verify: LSH banding proposes, exact shingle Jaccard
     // confirms — so the output is the TRUE near-dup pair set and the
     // brute-force SQL twin is an exact oracle (16 bands of 2: per-pair
@@ -1851,6 +1869,22 @@ object QueryCatalog {
     "jaccard_pairs" -> jaccardSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
+    // bloom gate oracle: a batch doc is new iff its normalized-content
+    // fingerprint (the same md5 recipe as the Spark side) never appears
+    // in the corpus half — the bloom filter only prunes, never decides
+    "dedup_incremental_bloom" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id, f FROM fp WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, f FROM fp
+        |  WHERE doc_id < 400 AND doc_id % 13 = 0)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 400 AND c.f = b.f)
+        |ORDER BY b.doc_id""".stripMargin,
     "substring_dedup_spans" ->
       s"""WITH $substringSpanCtes
          |SELECT id_a, id_b, a_start, a_end, b_start, b_end,

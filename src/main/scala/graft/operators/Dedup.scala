@@ -362,6 +362,56 @@ object Dedup {
       .select("id_new", "id_corpus", "jaccard")
   }
 
+  /** Exact-dedup ingest gate via a Bloom filter of corpus fingerprints:
+    * returns the ingest-batch rows whose normalized-content fingerprint
+    * ([[graft.functions.TextFunctions.fingerprint]]) does NOT appear in
+    * the standing corpus — semantics identical to a plain anti-join, but
+    * with the corpus-scale work replaced by an in-memory bit probe.
+    *
+    * The production shape at 100 TB: the filter is built ONCE per corpus
+    * epoch with Spark's distributed `stat.bloomFilter` aggregate (bits
+    * only on the driver — ~1.2 GB for 1e9 fingerprints at 1% fpp) and
+    * broadcast; each batch row pays one hash probe. Definite negatives
+    * (the (1 - fpp) majority of genuinely-new docs) never touch the
+    * corpus again. Bloom POSITIVES are maybe-present, so an exact
+    * confirm pass keeps the result exact: the maybe fingerprints (a
+    * `fpp`-bounded sliver of the batch) broadcast onto one corpus
+    * fingerprint SCAN — a semi-join probe, the corpus never shuffles —
+    * and only confirmed-absent maybes survive. The probe itself is a
+    * Scala UDF by necessity (`BloomFilter.mightContain` has no
+    * expression form); it is one xxhash-style bit test per row,
+    * outside every join.
+    *
+    * `expectedItems` sizes the filter; it defaults to a corpus
+    * `count()` (one cheap scan — pass the known corpus size at scale). */
+  def newDocsViaBloom(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None
+  ): DataFrame = {
+    import graft.functions.TextFunctions
+    val corpusFp = corpusDf.select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val n = math.max(1L, expectedItems.getOrElse(corpusFp.count()))
+    val bloom = corpusFp.stat.bloomFilter("__fp", n, fpp)
+    val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+    val batch = newDf
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__maybe", mightContain(col("__fp")))
+    val definitelyNew = batch.where(!col("__maybe"))
+    // exact confirm for the fpp sliver: broadcast the maybe fingerprints
+    // onto ONE corpus scan (semi probe), then keep unconfirmed maybes
+    val maybes = batch.where(col("__maybe"))
+    val present = corpusFp
+      .join(broadcast(maybes.select("__fp").distinct()), Seq("__fp"))
+      .distinct()
+    val confirmedNew = maybes.join(broadcast(present), Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).drop("__fp", "__maybe")
+  }
+
   /** POSITIONAL word k-grams of trimmed lowered `textCol` — like
     * [[shingleSet]] but order-preserving and WITH duplicates (winnowing
     * needs the gram sequence, not the set). Short docs (< k tokens)
