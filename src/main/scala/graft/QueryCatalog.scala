@@ -795,6 +795,27 @@ object QueryCatalog {
     }),
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(events(s, dir)).orderBy("user_id", "session_idx")),
+    // Tumbling event-time rollup via the native window() function on the
+    // canonical TimestampType ts — the batch twin of the streaming
+    // session/window aggregates; one shuffle keyed on (bucket, type),
+    // map-side combined. Epoch-aligned 1h buckets == DuckDB date_trunc.
+    "event_hourly_rollup" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          round(sum("value"), 6).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start_us", "event_type")),
+    // Semi-structured extraction: pull the typed k out of the JSON props
+    // column per event — get_json_object is a codegen'd path expression
+    // (no UDF, no schema inference pass); row-level output so the gate
+    // hashes every extracted value.
+    "event_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
     // Range join: every error event attributed to the session interval
     // containing it, per user — the bin-bucketed form (points land in ONE
     // bin, intervals explode into their overlapped bins, equi-join on
@@ -2237,6 +2258,14 @@ object QueryCatalog {
     "brute_force_topk" -> topkSql,
     "topk_for_queries" -> topkForQueriesSql,
     "sessionize" -> sessionizeSql,
+    "event_hourly_rollup" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "event_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "asof_join" -> asofJoinSql,
     "asof_join_bucketed" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
