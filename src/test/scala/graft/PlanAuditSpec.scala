@@ -109,6 +109,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the corpus must not shuffle for the threshold join:\n$p")
   }
 
+  test("repetition signals are a pure projection - no exchange, no corpus pass") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Scoring.repetitionSignals(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"),
+      s"char-weighted repetition signals must run at scan speed with no shuffle:\n$p")
+  }
+
   test("dataset_split assignment is a pure projection - no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = plan(graft.operators.Shuffling.assignSplit(
