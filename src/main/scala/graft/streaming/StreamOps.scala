@@ -52,6 +52,30 @@ object StreamOps {
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Tumbling event-time rollup — the streaming twin of the batch
+    * `event_hourly_rollup` catalog entry: counts and value sums per
+    * (window, type) bucket via the native `window()` aggregate, state
+    * bounded by the watermark (a bucket finalizes and leaves the state
+    * store once the watermark passes its end). Same epoch-aligned
+    * buckets as the batch entry, so a backfill job and the live stream
+    * roll up into interchangeable rows. */
+  def windowedRollup(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col(typeCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        round(sum(col(valueCol)), 6).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col(typeCol), col("n_events"), col("sum_value"))
+
   /** Streaming dedup: first occurrence of each normalized-content
     * fingerprint within the watermark horizon survives.
     * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) is what

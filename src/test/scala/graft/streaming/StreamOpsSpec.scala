@@ -39,6 +39,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed rollup: buckets close at the watermark, batch-identical rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val rollup = StreamOps.windowedRollup(
+      input.toDF().toDF("ts", "event_type", "value"), windowLength = "10 minutes",
+      watermarkDelay = "10 minutes")
+    val q = rollup.writeStream.format("memory").queryName("rollup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // epoch-aligned 10-min buckets (the fixture base is NOT aligned, so
+      // derive starts the way window() does): clicks land in one bucket,
+      // both views in the next
+      def bucketUs(t: Timestamp): Long = t.getTime / 600000L * 600000L * 1000L
+      val bClick = bucketUs(ts(1))
+      val bView = bucketUs(ts(9))
+      assert(bucketUs(ts(4)) == bClick && bucketUs(ts(11)) == bView && bClick != bView,
+        "fixture must straddle exactly two buckets")
+      input.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0),
+        (ts(9), "view", 4.0), (ts(11), "view", 8.0))
+      q.processAllAvailable()
+      input.addData((ts(1000), "noise", 0.0)) // advance watermark, close buckets
+      q.processAllAvailable()
+      val rows = spark.table("rollup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((bClick, "click", 2L, 3.0)), s"click bucket wrong: $rows")
+      assert(rows.contains((bView, "view", 2L, 12.0)), s"view bucket wrong: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup by fingerprint keeps first occurrence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
