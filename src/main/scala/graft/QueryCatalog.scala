@@ -766,6 +766,16 @@ object QueryCatalog {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // kNN weak labeling over the embeddings' label column: majority
+    // label of the exact top-5 neighbors, vote ties to the smaller
+    // label. The vote is a k-row-per-query aggregate; swap the
+    // candidate stage for IVF/LSH at bulk query volumes.
+    "knn_classify" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.knnClassify(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+          "label", k = 5)
+        .orderBy("query_id")
+    }),
     // Recall-1.0 multi-probe setting for THIS corpus (random vectors, no
     // cluster structure — the hardest case for sign-LSH): 4 bits, probe
     // radius 2 = 11/16 buckets. The output then equals the exact top-k,
@@ -1676,6 +1686,30 @@ object QueryCatalog {
        |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** kNN vote twin: same neighbor CTEs as [[topkForQueriesSql]], then a
+    * per-query (votes DESC, label ASC) argmax. */
+  private val knnClassifySql =
+    s"""WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv,
+       |    CAST(label AS BIGINT) AS label FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+       |s AS (
+       |  SELECT query_id, corpus_id, label, ${cosSql("cv", "qv")} AS cos
+       |  FROM c JOIN q ON corpus_id <> query_id),
+       |r AS (
+       |  SELECT query_id, label,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       |  FROM s),
+       |v AS (
+       |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM r WHERE rank <= 5 GROUP BY 1, 2),
+       |b AS (
+       |  SELECT query_id, label, votes,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn,
+       |    CAST(sum(votes) OVER (PARTITION BY query_id) AS BIGINT) AS n_neighbors
+       |  FROM v)
+       |SELECT query_id, label, votes, n_neighbors
+       |FROM b WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   private lazy val ivfPqResidualSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cents AS (SELECT vec_id AS cell, v,
@@ -2257,6 +2291,7 @@ object QueryCatalog {
     "pack_sequences_bpeish" -> packSequencesBpeishSql,
     "brute_force_topk" -> topkSql,
     "topk_for_queries" -> topkForQueriesSql,
+    "knn_classify" -> knnClassifySql,
     "sessionize" -> sessionizeSql,
     "event_hourly_rollup" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

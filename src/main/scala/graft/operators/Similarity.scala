@@ -79,6 +79,37 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** kNN weak labeling: each query vector takes the MAJORITY LABEL of
+    * its k nearest corpus neighbors (exact cosine; vote ties break to
+    * the smaller label — deterministic). The per-query vote is a k-row
+    * aggregate, so the neighbor stage is the whole cost: this exact
+    * flavor inherits [[topKForQueries]]'s small-query-set bound, and the
+    * scale path swaps in the bucketed/IVF candidate generators
+    * unchanged — the vote never sees more than k rows per query either
+    * way. Output: (query_id, label, votes, n_neighbors). */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val topk = topKForQueries(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).cast("long").as("__label"))
+    topk.join(labels, Seq("corpus_id"))
+      .groupBy(col("query_id"), col("__label"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("query_id"))
+      .agg(
+        // max over (votes, -label): most votes wins, ties to smaller label
+        max(struct(col("__votes"), (-col("__label")).as("__nl"))).as("__best"),
+        sum(col("__votes")).cast("long").as("n_neighbors"))
+      .select(col("query_id"), (-col("__best.__nl")).as("label"),
+        col("__best.__votes").as("votes"), col("n_neighbors"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 folded into [-1, 1). Stateless, reproducible everywhere. */
   private def planeComponent(plane: Int, dim: Column): Column =

@@ -34,6 +34,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L, 4L))
   }
 
+  test("knnClassify: majority label of the k nearest; vote ties go to the smaller label") {
+    import org.apache.spark.sql.functions._
+    // corpus on the unit circle around query (1,0): ids 1,2 label 7 are
+    // closest; 3,4 label 3 next; 5 label 9 far — k=4 votes 2:2, tie -> 3
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(0.99, 0.14), 7), Row(2L, Seq(0.98, 0.19), 7),
+        Row(3L, Seq(0.90, 0.43), 3), Row(4L, Seq(0.88, 0.47), 3),
+        Row(5L, Seq(-1.0, 0.0), 9), Row(100L, Seq(1.0, 0.0), 9)), 2),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)), StructField("label", IntegerType))))
+    val queries = corpus.where(col("vec_id") === 100L)
+    val k4 = Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(k4.toSeq == Seq((100L, 3L, 2L, 4L))) // 7x2 vs 3x2 -> smaller label
+    val k3 = Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(k3.toSeq == Seq((100L, 7L, 2L, 3L))) // 7x2 vs 3x1 -> majority
+  }
+
   test("driver-side LSH signature equals the distributed one") {
     import org.apache.spark.sql.functions._
     val vecs = Seq(
