@@ -1175,6 +1175,23 @@ object QueryCatalog {
         .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
         .orderBy("doc_id")
     }),
+    // End-to-end LINE-hygiene composition over a corpus planted with
+    // both boilerplate axes (%11 cross-doc banner, %7 within-doc
+    // repeat): cross-doc frequency removal first (kills the banner —
+    // and, by the distinct-doc-frequency semantics, every line of the
+    // exact-twin docs), then within-doc first-occurrence dedup. Both
+    // stages' removal counts are emitted per doc, so the gate hashes
+    // the full audit trail, not just the surviving text.
+    "line_hygiene_pipeline" -> ((s, dir) => {
+      val base = plantedCurationDocs(s, dir)
+      val cross = Dedup.dedupLinesCrossDoc(base, "doc_id", "text", minDf = 2)
+        .withColumnRenamed("n_lines_removed", "n_removed_cross")
+      Dedup.dedupLinesWithinDoc(cross, "text")
+        .withColumnRenamed("n_lines_removed", "n_removed_within")
+        .select(col("doc_id"), col("n_removed_cross"), col("n_removed_within"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
     // REAL decoded-content features over the synthetic-PNG corpus: every
     // payload is an actual PNG, extractFeatures dispatches to the real
     // ImageIO decode + nearest-resample kernel, and the oracle recomputes
@@ -1341,6 +1358,21 @@ object QueryCatalog {
         array_join(slice(col("__toks"), i * 10 + 1, lit(10)), " ")))
       .withColumn("__planted", when(col("doc_id") % 11 === 0,
         concat(array(lit(BoilerLine)), col("__lines"))).otherwise(col("__lines")))
+      .select(col("doc_id"), array_join(col("__planted"), "\n").as("text"))
+
+  /** The full line-hygiene fixture: 10-token reflow with BOTH plantings —
+    * the %7 within-doc first-line repeat AND the %11 [[BoilerLine]]
+    * banner — so one corpus exercises every axis of line dedup. */
+  private def plantedCurationDocs(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("__n", expr("(size(__toks) + 9) div 10").cast("int"))
+      .withColumn("__lines", transform(sequence(lit(0), col("__n") - 1), i =>
+        array_join(slice(col("__toks"), i * 10 + 1, lit(10)), " ")))
+      .withColumn("__rep", when(col("doc_id") % 7 === 0,
+        concat(col("__lines"), slice(col("__lines"), 1, 1))).otherwise(col("__lines")))
+      .withColumn("__planted", when(col("doc_id") % 11 === 0,
+        concat(array(lit(BoilerLine)), col("__rep"))).otherwise(col("__rep")))
       .select(col("doc_id"), array_join(col("__planted"), "\n").as("text"))
 
   /** The CSV source path (S2, reference: examples/heart_disease.py:12):
@@ -2029,6 +2061,54 @@ object QueryCatalog {
          |  CAST(len(p.lines) - coalesce(agg.nk, 0) AS BIGINT) AS n_lines_removed,
          |  coalesce(agg.text2, '') AS text
          |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id ORDER BY p.doc_id""".stripMargin,
+    // line-hygiene composition twin: same planted construction (both
+    // axes), cross-doc distinct-doc-frequency removal, then within-doc
+    // first-occurrence (min pos per (doc, line)) — counts from each
+    // stage plus the surviving text
+    "line_hygiene_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |l AS (
+         |  SELECT doc_id,
+         |    [array_to_string(toks[i*10+1 : i*10+10], ' ')
+         |     FOR i IN range(0, CAST((len(toks) + 9) // 10 AS INT))] AS lines
+         |  FROM t),
+         |rep AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN list_concat(lines, lines[1:1]) ELSE lines END AS lines
+         |  FROM l),
+         |p AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         |    THEN list_concat(['$BoilerLine'], lines) ELSE lines END AS lines
+         |  FROM rep),
+         |e AS (
+         |  SELECT doc_id, unnest(range(0, len(lines))) AS pos, unnest(lines) AS line
+         |  FROM p),
+         |hot AS (
+         |  SELECT line FROM (
+         |    SELECT line, count(DISTINCT doc_id) AS df FROM e GROUP BY line)
+         |  WHERE df >= 2),
+         |k1 AS (
+         |  SELECT e.doc_id, e.pos, e.line FROM e
+         |  WHERE e.line NOT IN (SELECT line FROM hot)),
+         |k2 AS (
+         |  SELECT doc_id, pos, line FROM (
+         |    SELECT doc_id, pos, line,
+         |      min(pos) OVER (PARTITION BY doc_id, line) AS first_pos
+         |    FROM k1)
+         |  WHERE pos = first_pos),
+         |c1 AS (SELECT doc_id, count(*) AS n1 FROM k1 GROUP BY doc_id),
+         |c2 AS (SELECT doc_id, count(*) AS n2,
+         |    string_agg(line, chr(10) ORDER BY pos) AS text2
+         |  FROM k2 GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CAST(len(p.lines) - coalesce(c1.n1, 0) AS BIGINT) AS n_removed_cross,
+         |  CAST(coalesce(c1.n1, 0) - coalesce(c2.n2, 0) AS BIGINT) AS n_removed_within,
+         |  coalesce(c2.text2, '') AS text
+         |FROM p
+         |LEFT JOIN c1 ON p.doc_id = c1.doc_id
+         |LEFT JOIN c2 ON p.doc_id = c2.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     // Gopher char-weighted repetition filters over the same planted-line
     // construction as dedup_lines_within_doc; group-by counts here ==
     // the Spark side's sorted-fold runs (set semantics are identical),
