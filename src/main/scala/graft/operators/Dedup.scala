@@ -107,20 +107,27 @@ object Dedup {
     * this beyond keep/drop — stratified sampling, provenance, picking a
     * per-cluster representative by any policy, cluster-size stats.
     *
-    * Min-label propagation on the PAIR graph only: each round every
-    * undecided label becomes min(own, neighbors' labels); convergence in
-    * O(graph diameter) rounds, each round two shuffles over the edge list
-    * (orders of magnitude smaller than the corpus — the
-    * [[dropDuplicatePairsExact]] frontier scale argument). Per-round state
-    * is checkpointed to keep plans flat; `maxIter` guards pathological
-    * graphs the same way.
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) on the PAIR
+    * graph only — each round every node hooks its neighbors onto the
+    * minimum of its neighborhood, which at least HALVES every non-star
+    * component's height, so the edge set converges to a star forest
+    * (child -> component-min root) in O(log n) rounds. This replaces the
+    * previous min-label propagation, whose round count was the graph
+    * DIAMETER: on the long duplicate chains a 100 TB crawl produces
+    * (boilerplate families, near-identical mirror runs) diameter is
+    * unbounded while log n is ~40 even at 1e12 docs. Each round is two
+    * group-join passes over the edge list (orders of magnitude smaller
+    * than the corpus — the [[dropDuplicatePairsExact]] frontier scale
+    * argument), checkpointed to keep plans flat; `maxIter` still guards
+    * the loop but the log bound means it never binds in practice.
     *
     * On clique-shaped components (exact-dup groups; this corpus's
     * near-dup components — see the dedup_drop_exact catalog note) one
     * round reaches the fixpoint and the result equals the one-join SQL
     * `least(id, min(neighbor id))`, which is what makes a catalog oracle
-    * possible. Chains need diameter rounds and have no single-join SQL
-    * twin; a chain case is pinned by DedupSpec instead. */
+    * possible. Chains exercise the real contraction and have no
+    * single-join SQL twin; chain cases are pinned by DedupSpec instead. */
   def duplicateClusters(
       df: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // the output column is part of the contract; internal state columns
@@ -128,34 +135,62 @@ object Dedup {
     // column can't make the final join ambiguous
     require(!df.columns.contains("cluster_id"),
       "duplicateClusters: input already has a cluster_id column")
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // canonical child>parent orientation; self-loops and duplicate pairs
+    // are normalized away up front so set-equality is the fixpoint test
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("__dc_c"),
+        least(col("id_a"), col("id_b")).as("__dc_p"))
+      .where(col("__dc_c") =!= col("__dc_p"))
+      .distinct()
       .localCheckpoint(true)
-    var checkpointed = edges.select(col("u").as("__dc_id")).distinct()
-      .select(col("__dc_id"), col("__dc_id").as("__dc_label")).localCheckpoint(true)
-    var labels = checkpointed
-    var changed = 1L
+    var edgeCount = edges.count()
+    var stable = edgeCount == 0L
     var iter = 0
-    while (changed > 0) {
+    while (!stable) {
       if (iter >= maxIter)
         throw new IllegalStateException(
           s"duplicateClusters: no convergence after $maxIter rounds")
-      val nbrMin = edges
-        .join(labels.select(col("__dc_id").as("u"), col("__dc_label")), Seq("u"))
-        .groupBy(col("v").as("__dc_id")).agg(min(col("__dc_label")).as("__dc_nbr"))
-      val updated = labels.join(nbrMin, Seq("__dc_id"), "left")
-        .select(col("__dc_id"), col("__dc_label").as("__dc_old"),
-          least(col("__dc_label"), coalesce(col("__dc_nbr"), col("__dc_label"))).as("__dc_label"))
+      // ---- large-star: every node attaches its LARGER neighbors to the
+      // minimum of its full neighborhood (including itself) ----
+      val sym = edges.select(col("__dc_c").as("__dc_u"), col("__dc_p").as("__dc_v"))
+        .unionByName(edges.select(col("__dc_p").as("__dc_u"), col("__dc_c").as("__dc_v")))
+      val minNbr = sym.groupBy("__dc_u").agg(min("__dc_v").as("__dc_mn"))
+        .select(col("__dc_u"), least(col("__dc_u"), col("__dc_mn")).as("__dc_m"))
+      val large = sym.where(col("__dc_v") > col("__dc_u"))
+        .join(minNbr, Seq("__dc_u"))
+        .select(col("__dc_v").as("__dc_c"), col("__dc_m").as("__dc_p"))
+        .where(col("__dc_c") =!= col("__dc_p"))
+        .distinct()
         .localCheckpoint(true)
-      changed = updated.where(col("__dc_label") < col("__dc_old")).count()
-      // last round's label checkpoint is superseded; nothing reads it again
-      CheckpointBridge.release(checkpointed)
-      checkpointed = updated
-      labels = updated.select("__dc_id", "__dc_label")
+      // ---- small-star: every node attaches its SMALLER neighbors (its
+      // parents, in this orientation) and itself to their minimum ----
+      val minPar = large.groupBy("__dc_c").agg(min("__dc_p").as("__dc_m"))
+      val attachParents = large.join(minPar, Seq("__dc_c"))
+        .where(col("__dc_p") =!= col("__dc_m"))
+        .select(col("__dc_p").as("__dc_c"), col("__dc_m").as("__dc_p"))
+      val attachSelf = minPar.select(col("__dc_c"), col("__dc_m").as("__dc_p"))
+      val next = attachParents.unionByName(attachSelf)
+        .where(col("__dc_c") =!= col("__dc_p"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint = the (distinct, canonical) edge set is unchanged; the
+      // only fixpoint of the alternation is a star forest, so on
+      // convergence every child carries exactly its component-min root
+      val nextCount = next.count()
+      stable = nextCount == edgeCount &&
+        next.except(edges).isEmpty
+      // both intermediates are superseded; nothing reads them again
+      CheckpointBridge.release(edges)
+      CheckpointBridge.release(large)
+      edges = next
+      edgeCount = nextCount
       iter += 1
     }
-    CheckpointBridge.release(edges) // the result reads only the final labels
-    df.join(labels.select(col("__dc_id").as(idCol), col("__dc_label")), Seq(idCol), "left")
+    // at the fixpoint each child has a single parent (star forest); the
+    // min() is a belt-and-braces guard so a bug upstream could never
+    // row-multiply the corpus through the final join
+    val labels = edges.groupBy("__dc_c").agg(min("__dc_p").as("__dc_label"))
+    df.join(labels.select(col("__dc_c").as(idCol), col("__dc_label")), Seq(idCol), "left")
       .select(df.columns.map(col).toIndexedSeq :+
         coalesce(col("__dc_label"), col(idCol)).as("cluster_id"): _*)
   }

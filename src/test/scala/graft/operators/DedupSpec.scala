@@ -133,6 +133,25 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 9L -> 9L))
   }
 
+  test("cluster labels: 64-node chain converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    // diameter-63 path; maxIter=12 would abort diameter-bound propagation
+    // (the pre-r12 implementation) but star contraction needs ~log2(64)
+    val n = 64
+    val d = (1L to n.toLong).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val chain = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(d, "doc_id", chain, maxIter = 12)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 1L),
+      "every chain member must reach the component minimum")
+    // adversarial orientation: the min id sits at the FAR end of the walk
+    val rev = (1L until n.toLong).map(i => (n.toLong - i + 1, n.toLong - i)).toDF("id_a", "id_b")
+    val revLabels = Dedup.duplicateClusters(d, "doc_id", rev, maxIter = 12)
+      .select("cluster_id").collect().map(_.getLong(0)).toSet
+    assert(revLabels == Set(1L))
+  }
+
   test("cluster labels: clique converges in one round to the minimum member") {
     import spark.implicits._
     val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 7L -> "d")
