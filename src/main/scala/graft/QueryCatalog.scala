@@ -2131,7 +2131,13 @@ object QueryCatalog {
         |lm AS (SELECT doc_id, sum(cnt * len(line)) AS line_chars,
         |         sum((cnt - 1) * len(line)) AS dup_chars
         |       FROM lcnt GROUP BY doc_id),
-        |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+        |tk AS (SELECT doc_id,
+        |         -- mirror the Spark side's ALL-whitespace strip (Scoring
+        |         -- deliberately avoids trim(), which strips 0x20 only):
+        |         -- without this, text with a leading/trailing newline or
+        |         -- tab yields a phantom empty token on the oracle side
+        |         regexp_split_to_array(
+        |           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w,
         |         len(text) AS doc_chars FROM d),
         |g2e AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
         |    THEN [array_to_string(w[i+1 : i+2], ' ') FOR i IN range(0, len(w) - 1)]

@@ -418,17 +418,34 @@ object Dedup {
     * outside every join.
     *
     * `expectedItems` sizes the filter; it defaults to a corpus
-    * `count()` (one cheap scan — pass the known corpus size at scale). */
+    * `count()` — when absent the fingerprint projection is cached for
+    * the count + filter-build pair so the corpus text is fingerprinted
+    * once, not twice (pass the known corpus size at scale and skip the
+    * cache entirely).
+    *
+    * @param materialize eagerly evaluate the result (localCheckpoint)
+    *        so the ~`n`-item bloom broadcast can be DESTROYED before
+    *        returning — at the documented scale the filter bits are
+    *        ~1.2 GB, and per-epoch calls would otherwise accumulate
+    *        them on the driver and every executor until session death.
+    *        Pass false for plan-only inspection or lazy composition;
+    *        the broadcast then lives until the session GCs it. */
   def newDocsViaBloom(
       newDf: DataFrame,
       corpusDf: DataFrame,
       idCol: String,
       textCol: String,
       fpp: Double = 0.01,
-      expectedItems: Option[Long] = None
+      expectedItems: Option[Long] = None,
+      materialize: Boolean = true
   ): DataFrame = {
     import graft.functions.TextFunctions
-    val corpusFp = corpusDf.select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val corpusFp0 = corpusDf.select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    // sizing pass + filter-build pass both read the fingerprints: cache
+    // the projection between them rather than fingerprinting the corpus
+    // text twice (only needed when the caller didn't supply the size)
+    val cacheFp = expectedItems.isEmpty
+    val corpusFp = if (cacheFp) corpusFp0.persist() else corpusFp0
     val n = math.max(1L, expectedItems.getOrElse(corpusFp.count()))
     val bloom = corpusFp.stat.bloomFilter("__fp", n, fpp)
     val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
@@ -444,7 +461,18 @@ object Dedup {
       .join(broadcast(maybes.select("__fp").distinct()), Seq("__fp"))
       .distinct()
     val confirmedNew = maybes.join(broadcast(present), Seq("__fp"), "left_anti")
-    definitelyNew.unionByName(confirmedNew).drop("__fp", "__maybe")
+    val out = definitelyNew.unionByName(confirmedNew).drop("__fp", "__maybe")
+    if (materialize) {
+      // evaluate now (probe + confirm scan), then free the bloom bits and
+      // the fingerprint cache — the checkpointed result reads neither
+      val pinned = out.localCheckpoint(true)
+      bc.destroy()
+      if (cacheFp) corpusFp.unpersist(blocking = false)
+      pinned
+    } else {
+      if (cacheFp) corpusFp.unpersist(blocking = false)
+      out
+    }
   }
 
   /** POSITIONAL word k-grams of trimmed lowered `textCol` — like

@@ -40,7 +40,18 @@ object Sessionize {
     df.schema(tsCol).dataType match {
       case LongType         => expr(s"`$tsCol` div 1000L")
       case TimestampType    => unix_micros(col(tsCol))
-      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ->TIMESTAMP cast interprets the wall-clock in the SESSION
+        // timezone: only UTC makes it a pure reinterpretation of the file's
+        // zoneless micros. Every in-repo entry point pins UTC, but a library
+        // consumer without the pin would get silently shifted instants —
+        // fail loudly instead.
+        require(
+          df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"sessionize: `$tsCol` is TIMESTAMP_NTZ and interpreting it as an " +
+            "instant requires spark.sql.session.timeZone=UTC (set it on the " +
+            "session builder, or normalize the column upstream)")
+        unix_micros(col(tsCol).cast(TimestampType))
       case other =>
         throw new IllegalArgumentException(
           s"sessionize: unsupported timestamp column type $other for `$tsCol`")

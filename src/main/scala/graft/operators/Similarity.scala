@@ -805,14 +805,26 @@ object Similarity {
     * bounded-query-set batch-ANN shape — `collect` is per QUERY, never
     * per corpus row) and broadcast as a (query_id, lut) table; each
     * (code row x query) pair folds its m table entries in-plan. Output:
-    * (query_id, id, adc, rank). */
+    * (query_id, id, adc, rank).
+    *
+    * SCALE GUARD: the driver holds one m x k LUT per query and every
+    * code row scores against every query, so this is the small-batch
+    * scorer — `maxQueries` is ENFORCED at plan-build time (the probe
+    * collects at most maxQueries+1 rows, so a violating call never
+    * pulls the full query set onto the driver). Bulk query sets belong
+    * on [[ivfPqTopKOnCelledCodes]] / the bucketed candidate generators,
+    * where candidates are cell-bounded.
+    *
+    * @param maxQueries cap on the driver-built LUT table (default 1024:
+    *        ~1 MB of LUTs at m=8, k=16) */
   def pqTopKForQueries(
       codes: DataFrame,
       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
       queries: DataFrame,
       queryIdCol: String,
       vecCol: String,
-      k: Int
+      k: Int,
+      maxQueries: Int = 1024
   ): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
@@ -821,7 +833,11 @@ object Similarity {
     val qs = queries
       .select(col(queryIdCol).cast("long"),
         transform(col(vecCol), x => x.cast("double")))
-      .as[(Long, Seq[Double])].collect()
+      .as[(Long, Seq[Double])].limit(maxQueries + 1).collect()
+    require(qs.length <= maxQueries,
+      s"pqTopKForQueries builds a driver-side LUT per query and is bounded to " +
+        s"maxQueries=$maxQueries (query set exceeds it); bulk query sets belong " +
+        s"on ivfPqTopKOnCelledCodes or the bucketed candidate generators")
     val lutRows = qs.map { case (qid, qv) =>
       require(qv.size == m * subDim,
         s"pqTopKForQueries: query $qid dim ${qv.size} != ${m * subDim}")

@@ -141,16 +141,31 @@ object StreamOps {
     * batch is an identity, not an approximation (StreamOpsSpec). The
     * static side is the CODES, not the vectors: m ints per corpus row is
     * what makes a full stream-static scoring join viable at all — but it
-    * is still a full code-table scan per micro-batch; at corpus scale
-    * use [[ivfPqProbe]], which prunes to nprobe cells before scoring.
-    * Stateless per micro-batch aggregation — update/complete mode. */
+    * is still a full code-table scan per micro-batch, so this is the
+    * SMALL-TABLE variant (rerank of a pre-filtered candidate set, a
+    * per-tenant shard): the static side is counted once at plan-build
+    * time and must fit `maxCodes`, or the call refuses to plan. At
+    * corpus scale use [[ivfPqProbe]], which prunes to nprobe cells
+    * before scoring instead of scanning every code each batch.
+    * Stateless per micro-batch aggregation — update/complete mode.
+    *
+    * @param maxCodes guard on the per-micro-batch scan: plan-build fails
+    *        when `codes` has more rows (default 2^20 ≈ 8 MB of codes at
+    *        m=8). The count is one job over the static side — pass a
+    *        persisted table, as the join itself already requires. */
   def pqProbe(
       queries: DataFrame,
       codes: DataFrame,
       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
       queryIdCol: String = "query_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      maxCodes: Long = 1L << 20
   ): DataFrame = {
+    val nCodes = codes.count()
+    require(nCodes <= maxCodes,
+      s"pqProbe scans the whole code table every micro-batch and is bounded to " +
+        s"maxCodes=$maxCodes rows (got $nCodes); at corpus scale use ivfPqProbe, " +
+        s"which prunes to nprobe cells before scoring")
     val m = codebooks.length
     val subDim = codebooks.head.head.length
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)

@@ -80,6 +80,16 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("batch ADC enforces the maxQueries driver-LUT bound at plan-build time") {
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", seedBooks)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKForQueries(codes, seedBooks,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 4, maxQueries = 4)
+    }
+    assert(e.getMessage.contains("maxQueries=4"),
+      "the guard must name the violated bound")
+  }
+
   test("IVF-ADC with nprobe = nlist degenerates to plain PQ; pruning only removes rows") {
     val seeds8 = emb
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -354,6 +354,23 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pqProbe refuses a code table over the maxCodes scan bound at plan-build time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqSeedCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val n = codes.count()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.pqProbe(input.toDF().toDF("query_id", "embedding"),
+        codes, books, maxCodes = n - 1)
+    }
+    assert(e.getMessage.contains("ivfPqProbe"),
+      "the guard must point callers at the pruned probe")
+  }
+
   test("IVF-pruned streaming PQ probe equals the batch celled-codes ADC best match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, transform}
