@@ -66,9 +66,18 @@ object Bench {
       * Dropping persistent blocks and cached relations outside the timed
       * region makes each measurement a plan measurement, not a measurement
       * of accumulated session state.
-      */
+      *
+      * BLOCKING unpersist, deliberately: with `blocking = false` the block
+      * removal runs on async block-manager threads INSIDE the next entries'
+      * timed windows — r10/r11 showed a ~1.5 s per-entry floor on the
+      * entries that alphabetically follow the checkpoint-heavy dedup
+      * family (distinct_targets 1.35→1.53 s across sweeps vs 0.26-0.44 s
+      * in isolation, with neighbor entries pinned at near-identical
+      * values — the signature of a shared positional cost, not a plan
+      * cost). Paying removal synchronously here keeps it outside every
+      * measurement. */
     def release(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
 
@@ -238,6 +247,11 @@ object Bench {
     var globalPeak = 0L
     var globalLive = 0L
 
+    /** One trivial job through the scheduler so any pending cleanup RPCs
+      * (block removals, broadcast destroys, ContextCleaner work) drain
+      * before the next timed region opens — ~ms each, outside timing. */
+    def settle(): Unit = spark.range(1).count()
+
     def sweep(measured: Boolean): Unit = entries.foreach { case (name, body) =>
       globalPeak = math.max(globalPeak, heap.drain()) // pre-entry residue → global only
       globalLive = math.max(globalLive, heap.drainLive())
@@ -253,6 +267,7 @@ object Bench {
       }
       release()
       gcIfPiled()
+      settle()
     }
 
     sweep(measured = false) // discarded warmup sweep

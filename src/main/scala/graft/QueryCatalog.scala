@@ -1134,9 +1134,9 @@ object QueryCatalog {
       Dedup.dropDuplicatePairsExact(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
     // Cluster-id materialization: connected-component label (min reachable
-    // doc_id) per doc via min-label propagation over the pair graph. On
-    // THIS corpus every near-dup component is a clique (the
-    // dedup_drop_exact structure check), so one propagation round reaches
+    // doc_id) per doc via large-star/small-star contraction over the pair
+    // graph. On THIS corpus every near-dup component is a clique (the
+    // dedup_drop_exact structure check), so one contraction round reaches
     // the fixpoint and cluster_id = least(doc_id, min(direct neighbor)) —
     // giving the iterative operator a single-join exact SQL twin. Chain
     // semantics (where the twin would NOT hold) are pinned by DedupSpec.

@@ -9,6 +9,8 @@ import graft.tree._
   * provided testdata (this container has no sklearn/Kaggle data):
   *
   *  - [[IrisLike]]      ~ examples/iris.py: eager in-memory fit/predict
+  *  - [[PlotTree]]      ~ examples/utils/utils.py plot_tree: fit + write
+  *                        the Graphviz DOT tree artifact
   *  - [[CategoricalCsv]] ~ examples/heart_disease.py: CSV scan + declared
   *                        categorical columns + train/test split
   *  - [[LazyParquet]]   ~ examples/amex_default.py: parquet scan, fill_null,
@@ -55,6 +57,34 @@ object IrisLike {
     val acc = ExampleSession.accuracy(Predict.predictMany(model, test), "target")
     println(f"[iris-like] depth=${model.tree.depth} leaves=${model.tree.numLeaves} test-accuracy=$acc%.3f")
     require(acc > 0.8, "sanity: separable classes should score > 0.8")
+    spark.stop()
+  }
+}
+
+/** Tree-plot demo (reference: examples/utils/utils.py plot_tree): fit a
+  * small tree and write the Graphviz DOT artifact (plus the ASCII render
+  * to stdout) — `dot -Tpdf tree.dot` yields the reference's PDF plot. */
+object PlotTree {
+  /** Session-agnostic body (smoke-tested by ExamplesSpec): returns the
+    * written DOT path. */
+  def run(spark: SparkSession, sfDir: String, dotPath: java.nio.file.Path): java.nio.file.Path = {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag")
+    val model = DecisionTreeClassifier(maxDepth = Some(3), criterion = Criterion.Entropy)
+      .fit(df, "l_returnflag")
+    print(TreePrinter.render(model))
+    java.nio.file.Files.writeString(dotPath, TreePrinter.renderDot(model))
+    println(s"[plot-tree] ${TreePrinter.summary(model.tree)} dot=$dotPath")
+    dotPath
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.make()
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val dotPath = java.nio.file.Paths.get(
+      if (args.length > 1) args(1)
+      else s"${System.getProperty("java.io.tmpdir")}/graft_example_tree.dot")
+    run(spark, sfDir, dotPath)
     spark.stop()
   }
 }

@@ -176,7 +176,7 @@ object ScalingProbe {
             trainedCentroids = Some(cents))
           .write.format("noop").mode("overwrite").save()
       }),
-      ("bigram_score", Seq(1, 10), nx =>
+      ("bigram_score", Seq(1, 10, 100), nx =>
         Scoring.bigramFrequencyScore(docs(nx), "doc_id", "text")
           .write.format("noop").mode("overwrite").save()),
       // r11 line hygiene: corpus reflowed to 10-token lines with one
@@ -191,7 +191,7 @@ object ScalingProbe {
       ("repetition_signals", Seq(1, 10, 100), nx =>
         Scoring.repetitionSignals(lineDocs(nx), "doc_id", "text")
           .write.format("noop").mode("overwrite").save()),
-      ("pack_sequences", Seq(1, 10), nx => {
+      ("pack_sequences", Seq(1, 10, 100), nx => {
         val d = docs(nx).select(col("doc_id"),
           TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
         Packing.packByBudget(d, "doc_id", "n_tokens", budget = 2048L, numBuckets = 8)
