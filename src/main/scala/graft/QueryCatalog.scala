@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, KMeans, Multimodal, Packing, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, Tfidf}
+import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, HeavyHitters, KMeans, Multimodal, Packing, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -405,6 +405,16 @@ object QueryCatalog {
       Dedup.jaccardPairs(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // Hot-gram discovery via the bounded-memory Misra-Gries aggregate:
+    // top-20 trigrams by document frequency WITHOUT shuffling the gram
+    // dictionary (one narrow aggregate; the only exchange is the final
+    // single-partition merge of 32k-entry summaries). Capacity exceeds
+    // sf0.01's distinct-trigram count, so the sketch is EXACT there and
+    // the DuckDB exact top-20 is a hash-match oracle; the approximate
+    // regime's MG bounds are property-tested in HeavyHittersSpec.
+    "hot_grams" -> ((s, dir) =>
+      HeavyHitters.hotGrams(documents(s, dir), "text", n = 3,
+        capacity = 32768, k = 20)),
     // Incremental ingestion dedup: the last fifth of the corpus arrives
     // as a new batch and is checked against the first four fifths — the
     // batch's inverted index broadcasts, the "corpus" side never
@@ -1954,6 +1964,21 @@ object QueryCatalog {
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
     "jaccard_pairs" -> jaccardSql,
+    // exact top-20 trigram document frequencies — valid against the MG
+    // sketch because capacity=32768 > sf0.01's distinct trigram count
+    // (the sketch's exact regime; same shingle recipe as jaccardCtes)
+    "hot_grams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+        |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+        |  FROM toks),
+        |g AS (SELECT unnest(sh) AS gram FROM sets)
+        |SELECT gram, count(*) AS df FROM g
+        |GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
     // bloom gate oracle: a batch doc is new iff its normalized-content
