@@ -975,6 +975,23 @@ object QueryCatalog {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Batch ANN through a Johnson-Lindenstrauss random-projection
+    // candidate stage: pair scoring happens at 16 dims (a quarter of the
+    // vector width), exact cosine re-ranks only candidateK rows per
+    // query. Queried in the regime RP is FOR — retrieving genuinely-near
+    // neighbors (each query's planted twin, cosine ~0.9998, which JL
+    // preserves with a ~0.65 margin over the noise floor) rather than
+    // ranking noise-margin neighbors, where no 4x width cut can hold
+    // rank order. RpSpec pins candidate coverage at sf0.01 and sf0.1,
+    // which is what makes the brute-force SQL a valid oracle while the
+    // plan keeps the reduced-width production shape.
+    "rp_ann_topk" -> ((s, dir) => {
+      val e = plantedEmbeddings(s, dir)
+      Similarity.rpTopKForQueries(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", outDim = 16, candidateK = 32, k = 1)
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // The PERSISTED-index flavor of batch ANN: the LSH index is written
     // once as a bucketed table (IndexStore) and the probe equi-join runs
     // against the read-back — the actual 100 TB shape, where the index's
@@ -2364,6 +2381,22 @@ object QueryCatalog {
          |WHERE vec_id NOT IN (SELECT id_b FROM dropped)
          |ORDER BY vec_id""".stripMargin,
     "batch_ann_topk" -> topkForQueriesSql,
+    // exact top-1 over the planted corpus — valid against the RP
+    // candidate stage because each query's true top-1 is its planted
+    // twin, which survives the projection with a ~0.65 cosine margin
+    // (RpSpec pins candidate coverage at sf0.01 and sf0.1)
+    "rp_ann_topk" ->
+      s"""WITH $plantedCorpusCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+         |s AS (
+         |  SELECT query_id, c.vec_id AS corpus_id, ${cosSql("c.v", "qv")} AS cos
+         |  FROM corpus c JOIN q ON c.vec_id <> query_id),
+         |r AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INTEGER) AS rank
+         |  FROM s)
+         |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         |FROM r WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
     "batch_ann_topk_bucketed" -> topkForQueriesSql,
     "batch_ivf_topk" -> topkForQueriesSql,
     "batch_ivf_topk_bucketed" -> topkForQueriesSql,

@@ -1194,4 +1194,100 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("corpus_id"), col("cosine"), col("rank"))
   }
+
+  // ---- Johnson–Lindenstrauss random projection ---------------------------
+
+  /** splitmix64 finalizer — the standard stateless 64-bit mixer; used to
+    * derive projection-matrix entries from (seed, cell index) with no RNG
+    * state, so the matrix is identical on every driver/executor/rerun. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic Achlioptas (2003) sparse JL projection matrix:
+    * entries are `+sqrt(3/outDim)`, `-sqrt(3/outDim)`, `0` with
+    * probability 1/6, 1/6, 2/3 — the database-friendly JL construction
+    * (2/3 of the multiplies vanish) with the same distance-preservation
+    * guarantee as the dense Gaussian matrix. `outDim` rows of `inDim`
+    * doubles, driver-built (outDim x inDim x 8 bytes — e.g. 8 KB at
+    * 16 x 64), shipped to executors as plan literals. */
+  def randomProjectionMatrix(inDim: Int, outDim: Int, seed: Long = 42L): IndexedSeq[Seq[Double]] = {
+    require(inDim > 0 && outDim > 0, s"dims must be positive, got $inDim -> $outDim")
+    val scale = math.sqrt(3.0 / outDim)
+    IndexedSeq.tabulate(outDim) { j =>
+      Seq.tabulate(inDim) { i =>
+        // non-negative bucket in [0, 6): top bits of the mix, unbiased
+        // enough for a projection draw
+        (splitmix64(seed + j.toLong * inDim + i) >>> 8) % 6 match {
+          case 0 => scale
+          case 1 => -scale
+          case _ => 0.0
+        }
+      }
+    }
+  }
+
+  /** Project an `array<float|double>` vector column through `matrix`:
+    * one codegen'd [[dot]] against a literal row per output dimension —
+    * a single narrow scan, no shuffle, no UDF. */
+  def projectColumn(vecCol: Column, matrix: IndexedSeq[Seq[Double]]): Column = {
+    val v = transform(vecCol, x => x.cast("double"))
+    array(matrix.map(row => dot(v, array(row.map(lit): _*))): _*)
+  }
+
+  /** Batch ANN through a random-projection candidate stage: score
+    * query-corpus pairs by cosine in the `outDim`-dimensional projected
+    * space (cheap), keep `candidateK` candidates per query, then re-rank
+    * ONLY the candidates by exact cosine in the original space and emit
+    * the top `k`.
+    *
+    * The scale shape: the projection itself is a one-off narrow pass
+    * (outDim dot products per corpus row) whose output is `outDim/inDim`
+    * the size of the original vectors — at 100 TB you persist the
+    * projected index once (IndexStore-style, exactly like [[lshIndex]])
+    * and every subsequent batch pays pair-scoring at the REDUCED width,
+    * with exact re-ranking touching just `candidateK` full-width rows per
+    * query. Composes with the bucketed candidate generators: LSH/IVF over
+    * the projected vectors prunes the pair space on top of the width
+    * reduction (JL preserves the cosine structure those rely on).
+    *
+    * Inherits [[topKForQueries]]'s small-query-set bound (the query side
+    * broadcasts). Recall is approximate by JL nature; `candidateK >> k`
+    * buys distortion headroom (RpSpec pins 100% top-k coverage on the
+    * test corpus — the catalog entry's DuckDB-oracle precondition). */
+  def rpTopKForQueries(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDim: Int,
+      candidateK: Int,
+      k: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
+    val inDim = vectorDimOf(corpus, vecCol)
+    val m = randomProjectionMatrix(inDim, outDim, seed)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cvec"),
+      projectColumn(col(vecCol), m).as("cproj"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"),
+      projectColumn(col(vecCol), m).as("qproj"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("rp_cosine").desc, col("corpus_id").asc)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("rp_cosine", cosine(col("cproj"), col("qproj")))
+      .withColumn("__cand_rank", row_number().over(wCand))
+      .where(col("__cand_rank") <= candidateK)
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
 }

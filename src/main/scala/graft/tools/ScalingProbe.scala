@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, Scoring, Similarity}
+import graft.operators.{Dedup, HeavyHitters, Packing, Scoring, Similarity}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -178,6 +178,12 @@ object ScalingProbe {
       }),
       ("bigram_score", Seq(1, 10, 100), nx =>
         Scoring.bigramFrequencyScore(docs(nx), "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()),
+      // r12 Misra-Gries hot-gram discovery: capacity fixed at the
+      // catalog's 32768 while the gram dictionary grows ~100x past it —
+      // the curve must stay scan-bound because the summary never grows
+      ("hot_grams", Seq(1, 10, 100), nx =>
+        HeavyHitters.hotGrams(docs(nx), "text", n = 3, capacity = 32768, k = 20)
           .write.format("noop").mode("overwrite").save()),
       // r11 line hygiene: corpus reflowed to 10-token lines with one
       // shared boilerplate line planted on every 11th doc (the catalog
