@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, HeavyHitters, KMeans, Multimodal, Packing, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, Tfidf}
+import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, FuzzyJoin, HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -398,6 +398,39 @@ object QueryCatalog {
           count(lit(1)).as("n_items"))
         .orderBy("nation")
     }),
+    // Salted skew join (SkewJoin): same revenue rollup as the plain
+    // lineitem->orders join, but the fact side takes a deterministic
+    // content-hash salt and orders explodes into 8 copies, so a hot
+    // orderkey spreads over 8 reducer tasks instead of pinning one
+    // straggler (the remedy when the dim can't broadcast and AQE skew
+    // handling can't reach the stage). Oracle is the UNSALTED join:
+    // salting must be invisible in the result.
+    "salted_join" -> ((s, dir) => {
+      val f = lineitem(s, dir).select(col("l_orderkey").as("okey"),
+        (col("l_extendedprice").cast("decimal(18,6)") *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          .as("rev"))
+      val d = orders(s, dir).select(col("o_orderkey").as("okey"),
+        col("o_orderpriority"))
+      SkewJoin.saltedInnerJoin(f, d, Seq("okey"), numSalts = 8)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("priority")
+    }),
+    // Deterministic PageRank over the customer->supplier purchase graph
+    // (suppliers offset by 10000 to keep the graph bipartite): 3 damped
+    // rounds of integer micro-unit arithmetic, so the DuckDB oracle is an
+    // exact iteration-for-iteration replica (no float drift) — the
+    // KMeans.lloyd determinism contract applied to graph propagation.
+    "pagerank" -> ((s, dir) => {
+      val e = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000)).as("dst"))
+      PageRank.ranks(e, "src", "dst", iterations = 3).orderBy("node")
+    }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("text_hash")),
@@ -415,6 +448,18 @@ object QueryCatalog {
     "hot_grams" -> ((s, dir) =>
       HeavyHitters.hotGrams(documents(s, dir), "text", n = 3,
         capacity = 32768, k = 20)),
+    // Edit-distance entity resolution (FastSS deletion neighborhoods):
+    // every customer-name pair within 1 edit, with NO cartesian product —
+    // candidates come from an equi-join on hashed deletion variants (text
+    // never shuffles; the corpus's constant "Customer#0000..." prefix
+    // would collapse q-gram or pigeonhole blocking into one hot bucket,
+    // but deletion variants stay near-complete strings so buckets track
+    // true edit neighborhoods), then one levenshtein verify per distinct
+    // candidate pair. Oracle is DuckDB's O(n^2) brute force — blocked ==
+    // exhaustive is exactly the claim under test.
+    "fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.selfPairs(customer(s, dir), "c_custkey", "c_name", maxDist = 1)
+        .orderBy("a_c_custkey", "b_c_custkey")),
     // Incremental ingestion dedup: the last fifth of the corpus arrives
     // as a new batch and is checked against the first four fifths — the
     // batch's inverted index broadcasts, the "corpus" side never
@@ -1998,6 +2043,15 @@ object QueryCatalog {
         |GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
+    // brute-force n^2 levenshtein — the exhaustive semantics the blocked
+    // FastSS join must reproduce exactly
+    "fuzzy_join" ->
+      """SELECT a.c_custkey AS a_c_custkey, b.c_custkey AS b_c_custkey,
+        |  a.c_name AS a_c_name, b.c_name AS b_c_name,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_c_custkey, b_c_custkey""".stripMargin,
     // bloom gate oracle: a batch doc is new iff its normalized-content
     // fingerprint (the same md5 recipe as the Spark side) never appears
     // in the corpus half — the bloom filter only prunes, never decides
@@ -2460,7 +2514,37 @@ object QueryCatalog {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_quantity >= 25
-        |GROUP BY 1 ORDER BY nation""".stripMargin
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    // the UNSALTED join — salting must not change the result
+    "salted_join" ->
+      """SELECT o_orderpriority AS priority,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |    * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY priority""".stripMargin,
+    // exact integer-arithmetic replica of the 3 damped PageRank rounds
+    // (// is floor division = `div` on the non-negative ranks)
+    "pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
   )
 
   /** Twin of the 64/16 chunking: same single-space normalization, same

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBridge
+
+/** Deterministic bounded-iteration PageRank over an edge table — the graph
+  * primitive a web-corpus curation pipeline uses to weight documents by
+  * link authority before sampling (Page et al. 1999, public).
+  *
+  * Determinism contract (the [[KMeans.lloyd]] rule): ranks live as LONG
+  * micro-units (1e6 = 1.0) and every step is integer arithmetic —
+  * per-edge contribution `rank div out_degree`, damping
+  * `150000 + (85 * sum) div 100` — so a distributed sum's association
+  * order cannot perturb the result and the driver's hash gate can compare
+  * a floating-point-free replica in DuckDB iteration for iteration.
+  * A plain double PageRank is partition-order-dependent in the 1-ulp tail;
+  * this one is bit-exact under any partitioning (spec-asserted).
+  *
+  * Scale shape, per iteration: ONE shuffle keyed by `dst` (the
+  * contribution aggregate, map-side combined) plus the ranks-to-edges
+  * equi-join on `src` — the standard Pregel dataflow. The edge table is
+  * localCheckpoint'ed ONCE and re-read every round; the rank state is one
+  * row per node and each superseded round's checkpoint blocks are
+  * released through [[CheckpointBridge]] (O(1) persisted copies, the
+  * dedup-frontier discipline). Dangling nodes (no out-edges) leak their
+  * mass — the documented simple-PageRank variant; add a dangling-mass
+  * redistribution term if stationary L1 mass matters.
+  */
+object PageRank {
+
+  /** `(node, rank_micro)` after `iterations` damped rounds. `rank_micro`
+    * is the integer-scaled rank (1e6 = 1.0, initial value for every
+    * node). Self-loops count; parallel edges collapse (edge set is
+    * distinct). */
+  def ranks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val edgesDeg = e.join(deg, "__src").localCheckpoint(true)
+    val nodes = edgesDeg.select(col("__src").as("__node"))
+      .union(edgesDeg.select(col("__dst").as("__node")))
+      .distinct()
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("__r", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("__src") === ranks("__node"))
+        .select(col("__dst").as("__node"), expr("__r div __deg").as("__c"))
+        .groupBy("__node").agg(sum(col("__c")).as("__s"))
+      val next = nodes
+        .join(contrib, Seq("__node"), "left")
+        .select(col("__node"),
+          (lit(150000L) + expr("(85 * coalesce(__s, 0L)) div 100")).as("__r"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(ranks)
+      ranks = next
+    }
+    // the final state is materialized in ranks' own checkpoint, so the
+    // edge and node scaffolding can release immediately; the returned
+    // frame's single checkpoint is the caller's to consume
+    val out = ranks
+      .select(col("__node").as("node"), col("__r").as("rank_micro"))
+    CheckpointBridge.release(edgesDeg)
+    CheckpointBridge.release(nodes)
+    out
+  }
+}

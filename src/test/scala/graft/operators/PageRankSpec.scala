@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PageRankSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def edges(rows: Seq[(Long, Long)], parts: Int = 4): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), parts),
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+
+  private def run(df: DataFrame, iters: Int): Map[Long, Long] =
+    PageRank.ranks(df, "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** driver-side reference with the identical integer arithmetic */
+  private def reference(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = es.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(n => n -> (150000L + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("hand-computed two-iteration ranks on a 3-node cycle graph") {
+    val es = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L)
+    assert(run(edges(es), 1) ==
+      Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    assert(run(edges(es), 2) ==
+      Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("dangling node receives rank but leaks its own mass (documented variant)") {
+    // 1 -> 2; node 2 has no out-edges
+    val got = run(edges(Seq(1L -> 2L)), 1)
+    assert(got == Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
+  test("parallel edges collapse; self-loops count") {
+    val got = run(edges(Seq(1L -> 2L, 1L -> 2L, 2L -> 2L)), 1)
+    // deg(1)=1, deg(2)=1(self); contrib to 2: 1e6 (from 1) + 1e6 (self)
+    assert(got(2L) == 150000L + 85L * 2000000L / 100L)
+  }
+
+  test("differential vs driver reference on a random graph, bit-exact") {
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    assert(run(edges(es), 4) == reference(es, 4))
+  }
+
+  test("partitioning-independent (the integer-arithmetic contract)") {
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val a = run(edges(es, parts = 1), 3)
+    val b = run(edges(es, parts = 17), 3)
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("iteration bound is enforced") {
+    intercept[IllegalArgumentException] {
+      PageRank.ranks(edges(Seq(1L -> 2L)), "src", "dst", 0)
+    }
+  }
+}
