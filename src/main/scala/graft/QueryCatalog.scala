@@ -1347,6 +1347,21 @@ object QueryCatalog {
         .select(col("media_id"), col("width"), col("height"), col("pixel_sum"))
         .orderBy("media_id")
     }),
+    // Perceptual image dedup: dHash over REAL decoded pixels + banded
+    // hamming pairing (exact recall) — byte-level dedup misses re-encoded
+    // copies of the same pixels; this is the visual analog of SimHash.
+    // The oracle replays resample + gradient bits from the closed-form
+    // synthetic pixels, and brute-forces the hamming pairs.
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(Multimodal.syntheticPngMedia(
+          documents(s, dir).select(col("doc_id")), "doc_id"))
+        .orderBy("media_id")),
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      val ph = Multimodal.perceptualHash(Multimodal.syntheticPngMedia(
+        documents(s, dir).select(col("doc_id")), "doc_id"))
+      Dedup.hammingPairs(ph, "media_id", "phash", nBits = 60, maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    }),
     // REAL audio codec round trip (javax.sound.sampled WAV/PCM — JDK
     // native, no external codecs): every doc_id becomes an actual mono
     // 16-bit WAV whose frame count and samples are closed-form functions
@@ -1583,6 +1598,19 @@ object QueryCatalog {
     """d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
       |  CAST(1 + doc_id % 16 AS BIGINT) AS w, CAST(1 + doc_id % 9 AS BIGINT) AS h
       |  FROM documents)""".stripMargin
+
+  /** SQL twin of the 60-bit image dHash: the same 61-point nearest
+    * resample (`idx = d*(w*h)//61`) over the closed-form synthetic
+    * pixels, gradient bits summed as BIGINT powers of two. */
+  private val pngPhashCte =
+    s"""$pngMediaCte,
+       |g AS (SELECT media_id, t.d AS bit,
+       |  ((media_id*31 + (((t.d*(w*h))//61) % w)*7 + (((t.d*(w*h))//61) // w)*13) % 256) AS pc,
+       |  ((media_id*31 + ((((t.d+1)*(w*h))//61) % w)*7 + ((((t.d+1)*(w*h))//61) // w)*13) % 256) AS pn
+       |  FROM d, range(0, 60) t(d)),
+       |ph AS (SELECT media_id,
+       |  CAST(sum(CASE WHEN pn > pc THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM g GROUP BY 1)""".stripMargin
 
   /** SQL twin of the real image feature path (dim=16) + the mean-feature
     * aggregation: 16 closed-form pixel terms summed in array order (the
@@ -2310,6 +2338,18 @@ object QueryCatalog {
     "multimodal_pq_topk" -> multimodalPqSql,
     "multimodal_video_decode" -> multimodalVideoDecodeSql,
     "multimodal_image_decode" -> multimodalDecodeSql,
+    "multimodal_phash" ->
+      s"""WITH $pngPhashCte
+         |SELECT media_id, phash FROM ph ORDER BY media_id""".stripMargin,
+    // brute-force all-pairs hamming over the replayed hashes — the
+    // banded candidate+verify path must reproduce it exactly
+    "multimodal_phash_pairs" ->
+      s"""WITH $pngPhashCte
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     // closed-form twin of the WAV round trip (frame counts bounded at
     // 191, so a fixed series + filter again replaces the lateral)
     "multimodal_audio_decode" ->

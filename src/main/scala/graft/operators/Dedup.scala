@@ -792,6 +792,28 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Hamming near-dup pairs over ANY precomputed `nBits`-bit hash column
+    * (simhash, image dHash, audio fingerprints): the same pigeonhole
+    * banding as [[simHashPairs]] — `maxHamming + 1` equal chunks, any
+    * pair within the budget shares one identical chunk (EXACT recall,
+    * not probabilistic), then the true `bit_count` confirms. Null hashes
+    * (e.g. undecodable media) drop out before banding. Output
+    * `(id_a, id_b, hamming)`. */
+  def hammingPairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      nBits: Int,
+      maxHamming: Int,
+      materialize: Boolean = true
+  ): DataFrame = {
+    val h = hashed
+      .select(col(idCol).as("id"), col(hashCol).as("simhash"))
+      .where(col("simhash").isNotNull)
+    simHashPairsFrom(
+      if (materialize) h.localCheckpoint(true) else h, nBits, maxHamming)
+  }
+
   /** SimHash near-dup candidates, 64-bit xxhash64 flavor. */
   def simHashPairs(
       df: DataFrame,

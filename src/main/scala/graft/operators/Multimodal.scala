@@ -190,6 +190,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference-hash (dHash) of an image payload: decode with
+    * the REAL codec, nearest-resample the row-major band-0 samples to
+    * `bits + 1` integer points (the [[extractImageFeatures]] resample
+    * formula, un-normalized), and set bit `d` when sample `d+1` is
+    * brighter than sample `d` — the classic gradient fingerprint. Two
+    * visually identical images hash equal regardless of byte encoding;
+    * small pixel perturbations flip few bits, so near-duplicate images
+    * sit within a small hamming distance — pair them with
+    * [[Dedup.hammingPairs]] (pigeonhole banding, exact recall), giving
+    * image dedup the same candidate+verify shape as text SimHash. 60
+    * bits (not 64) keeps every stage SQL-twin-able without BIGINT sign
+    * games, the [[Dedup.simHash60]] precedent. Undecodable/null payloads
+    * degrade to null-hash rows. */
+  def perceptualHash(media: DataFrame, bits: Int = 60): DataFrame = {
+    require(bits >= 4 && bits <= 62, s"bits must be in [4, 62], got $bits")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        ImageCodec.decode(r.getAs[Array[Byte]](contentIdx)) match {
+          case None => Row(id, null)
+          case Some(img) =>
+            val w = img.getWidth
+            val raster = img.getRaster
+            val len = w.toLong * img.getHeight
+            def sample(d: Int): Int = {
+              val idx = (d.toLong * len / (bits + 1)).toInt
+              raster.getSample(idx % w, idx / w, 0)
+            }
+            var hash = 0L
+            var prev = sample(0)
+            var d = 0
+            while (d < bits) {
+              val cur = sample(d + 1)
+              if (cur > prev) hash |= 1L << d
+              prev = cur
+              d += 1
+            }
+            Row(id, hash)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL audio features: decode with [[AudioCodec.decodeSamples]] and
     * emit `windows` per-window RMS values normalized to full-scale PCM —
     * the standard energy-envelope descriptor. Window of sample i is
