@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, Decontamination, Dedup, FuzzyJoin, HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, Tfidf}
+import graft.operators.{AsOfJoin, Chunking, CountMin, Decontamination, Dedup, FuzzyJoin, HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, Tfidf}
 import graft.functions.TextFunctions
 import graft.sources.IndexStore
 
@@ -460,6 +460,31 @@ object QueryCatalog {
     "fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.selfPairs(customer(s, dir), "c_custkey", "c_name", maxDist = 1)
         .orderBy("a_c_custkey", "b_c_custkey")),
+    // Count-min sketch frequency estimation under the sketch-contract
+    // oracle pattern: estimate the top-20 tokens' counts from a bounded
+    // depth*width table and emit in-plan containment booleans — never
+    // undercounts, and the overcount stays within the classic 2eN/width
+    // envelope. The exact side and the total derive from ONE token
+    // aggregate; the corpus is read twice only because the CONTRACT
+    // check needs both the sketch and the exact counts.
+    "cms_token_counts" -> ((s, dir) => {
+      val depth = 4
+      val width = 4096
+      val toks = documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      val cms = CountMin.sketch(toks, "token", depth, width)
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      val top = counts.orderBy(col("n_exact").desc, col("token").asc).limit(20)
+      val totals = counts.agg(sum("n_exact").as("n_total"))
+      CountMin.estimates(cms, top, "token", depth, width)
+        .crossJoin(broadcast(totals))
+        .select(col("token"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("lower_ok"),
+          (col("est") <= col("n_exact") +
+            ceil(lit(2.0 * math.E) * col("n_total") / lit(width)).cast("long"))
+            .as("upper_ok"))
+        .orderBy(col("n_exact").desc, col("token").asc)
+    }),
     // Incremental ingestion dedup: the last fifth of the corpus arrives
     // as a new batch and is checked against the first four fifths — the
     // batch's inverted index broadcasts, the "corpus" side never
@@ -2069,6 +2094,17 @@ object QueryCatalog {
         |g AS (SELECT unnest(sh) AS gram FROM sets)
         |SELECT gram, count(*) AS df FROM g
         |GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,
+    // exact top-20 token counts + constant-true contract booleans (the
+    // group_percentiles_approx pattern: DuckDB checks the exact side and
+    // the CONTRACT, not the sketch internals)
+    "cms_token_counts" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token FROM documents),
+        |top AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+        |  GROUP BY 1 ORDER BY n_exact DESC, token ASC LIMIT 20)
+        |SELECT token, n_exact, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM top ORDER BY n_exact DESC, token ASC""".stripMargin,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
     // brute-force n^2 levenshtein — the exhaustive semantics the blocked
