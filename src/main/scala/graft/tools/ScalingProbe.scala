@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, HeavyHitters, Packing, Scoring, Similarity}
+import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, Multimodal, Packing, PageRank, Scoring, Similarity}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -86,6 +86,48 @@ object ScalingProbe {
     base.unionAll(twins)
   }
 
+  /** customer-name-shaped strings (zero-padded ids): every number has a
+    * BOUNDED set of single-digit-edit neighbors, so fuzzy-join pair
+    * volume grows linearly with the corpus — the realistic ER regime. */
+  def genNames(spark: SparkSession, factor: Int, namesPerShard: Int = 15000): DataFrame =
+    spark.range(0L, factor.toLong * namesPerShard)
+      .select(col("id"), format_string("Entity#%09d", col("id")).as("name"))
+
+  /** media-shaped real-PNG frame: 24x24 grayscale with a per-id hashed
+    * bilinear-gradient pixel field (~3.7e9 distinct (off,a,b,c) combos,
+    * so unrelated images share neither pixels nor hashes and near-dup
+    * output stays linear) + an exact twin for every 50th image. */
+  def genMedia(spark: SparkSession, factor: Int, imagesPerShard: Int = 5000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType))))
+    val n = factor.toLong * imagesPerShard
+    val ids = spark.range(0L, n).select(col("id").as("media_id"))
+      .unionAll(spark.range(0L, n).where(col("id") % 50 === 0)
+        .select((col("id") + 10000000L).as("media_id")))
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val h = (id % 10000000L) * 0x9E3779B97F4A7C15L
+        val off = ((h >>> 16) & 0xffL).toInt
+        val a = java.lang.Long.remainderUnsigned(h >>> 8, 251L).toInt
+        val b = java.lang.Long.remainderUnsigned(h >>> 24, 241L).toInt
+        val c = java.lang.Long.remainderUnsigned(h >>> 40, 239L).toInt
+        Row(id, Multimodal.ImageCodec.encodePngGray(24, 24,
+          (x, y) => (off + x * a + y * b + x * y * c) % 256))
+      }
+    }(enc)
+  }
+
+  /** uniform random digraph for the PageRank curve: edges and nodes both
+    * scale with the factor (mean degree constant at 10). */
+  def genEdges(spark: SparkSession, factor: Int,
+      edgesPerShard: Int = 200000, nodesPerShard: Int = 20000): DataFrame =
+    spark.range(0L, factor.toLong * edgesPerShard).select(
+      (abs(xxhash64(col("id"), lit(20))) % lit(factor.toLong * nodesPerShard)).as("src"),
+      (abs(xxhash64(col("id"), lit(21))) % lit(factor.toLong * nodesPerShard)).as("dst"))
+
   /** lineitem-shaped numeric frame for the fit curve. */
   def genFit(spark: SparkSession, rows: Long): DataFrame =
     spark.range(0L, rows).select(
@@ -120,6 +162,11 @@ object ScalingProbe {
     ensure(s"$Dir/fit_1x.parquet")(genFit(spark, 600000L))
     ensure(s"$Dir/fit_10x.parquet")(genFit(spark, 6000000L))
     Seq(1, 10, 100).foreach(nx => ensure(s"$Dir/emb_${nx}x.parquet")(genEmb(spark, nx)))
+    Seq(1, 10, 100).foreach { nx =>
+      ensure(s"$Dir/names_${nx}x.parquet")(genNames(spark, nx))
+      ensure(s"$Dir/media_${nx}x.parquet")(genMedia(spark, nx))
+      ensure(s"$Dir/edges_${nx}x.parquet")(genEdges(spark, nx))
+    }
 
     def docs(nx: Int) = spark.read.parquet(s"$Dir/docs_${nx}x.parquet")
     // 10-token-line reflow + a planted boilerplate banner on every 11th
@@ -137,6 +184,9 @@ object ScalingProbe {
     }
     def fitDf(nx: Int) = spark.read.parquet(s"$Dir/fit_${nx}x.parquet")
     def embs(nx: Int) = spark.read.parquet(s"$Dir/emb_${nx}x.parquet")
+    def namesDf(nx: Int) = spark.read.parquet(s"$Dir/names_${nx}x.parquet")
+    def mediaDf(nx: Int) = spark.read.parquet(s"$Dir/media_${nx}x.parquet")
+    def edgesDf(nx: Int) = spark.read.parquet(s"$Dir/edges_${nx}x.parquet")
 
     // (name, measured decades, body) — the dedup/pair family runs the
     // full 1x/10x/100x curve; the rest keep the two-decade curve
@@ -203,6 +253,28 @@ object ScalingProbe {
         Packing.packByBudget(d, "doc_id", "n_tokens", budget = 2048L, numBuckets = 8)
           .write.format("noop").mode("overwrite").save()
       }),
+      // r12 FastSS fuzzy join: deletion-variant index is O(L) rows per
+      // name; candidate buckets track true edit neighborhoods, so the
+      // curve must stay near-linear even though every name shares the
+      // "Entity#0000..." prefix (the case that melts q-gram blocking)
+      ("fuzzy_join", Seq(1, 10, 100), nx =>
+        FuzzyJoin.selfPairs(namesDf(nx), "id", "name", maxDist = 1)
+          .write.format("noop").mode("overwrite").save()),
+      // r12 perceptual image dedup: real PNG decode + 60-bit dHash +
+      // banded hamming pairs; planted twins keep output linear, the
+      // decode seam dominates (scan-shaped) and the pair join is
+      // bounded by hash-bucket collisions
+      ("multimodal_phash_pairs", Seq(1, 10, 100), nx => {
+        val ph = Multimodal.perceptualHash(mediaDf(nx))
+        Dedup.hammingPairs(ph, "media_id", "phash", 60, 2)
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // r12 PageRank: 3 iterations, each one dst-keyed aggregate + one
+      // src-keyed join over the edge table — per-decade cost should be
+      // linear in edges with a constant iteration count
+      ("pagerank", Seq(1, 10, 100), nx =>
+        PageRank.ranks(edgesDf(nx), "src", "dst", iterations = 3)
+          .write.format("noop").mode("overwrite").save()),
       ("fit_depth4_entropy_scalable", Seq(1, 10), nx => {
         val df = fitDf(nx)
         val model = DecisionTreeClassifier(maxDepth = Some(4),
@@ -227,12 +299,21 @@ object ScalingProbe {
       Seq(1, 10).map(nx => nx -> fitDf(nx).count()).toMap
     lazy val embRows: Map[Int, Long] =
       Seq(1, 10, 100).map(nx => nx -> embs(nx).count()).toMap
+    lazy val nameRows: Map[Int, Long] =
+      Seq(1, 10, 100).map(nx => nx -> namesDf(nx).count()).toMap
+    lazy val mediaRows: Map[Int, Long] =
+      Seq(1, 10, 100).map(nx => nx -> mediaDf(nx).count()).toMap
+    lazy val edgeRows: Map[Int, Long] =
+      Seq(1, 10, 100).map(nx => nx -> edgesDf(nx).count()).toMap
 
     ops.filter { case (name, _, _) => opFilter.forall(name.contains) }
       .foreach { case (name, levels, body) =>
         val rows =
           if (name.startsWith("fit")) fitRows
           else if (name.startsWith("semantic")) embRows
+          else if (name.startsWith("fuzzy")) nameRows
+          else if (name.startsWith("multimodal")) mediaRows
+          else if (name.startsWith("pagerank")) edgeRows
           else docRows
         time(body(levels.head)) // discarded warmup (codegen/JIT)
         val times = levels.map(nx => nx -> math.min(time(body(nx)), time(body(nx)))).toMap
