@@ -33,8 +33,8 @@ object CountMin {
     requireDims(depth, width)
     items
       .where(col(itemCol).isNotNull)
-      .select(posexplode(array((0 until depth).map(i =>
-        cell(col(itemCol), i, width)): _*)).as(Seq("row", "bucket")))
+      .select(posexplode(cellArray(col(itemCol), depth, width))
+        .as(Seq("row", "bucket")))
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
   }
@@ -54,13 +54,19 @@ object CountMin {
     val outCols = queries.columns.toIndexedSeq
     val probed = queries
       .select(outCols.map(col) :+
-        posexplode(array((0 until depth).map(i =>
-          cell(col(itemCol), i, width)): _*)).as(Seq("row", "bucket")): _*)
+        posexplode(cellArray(col(itemCol), depth, width))
+          .as(Seq("row", "bucket")): _*)
     probed
       .join(broadcast(cms), Seq("row", "bucket"), "left")
       .groupBy(outCols.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** The `depth` (row, bucket) cells of one item as an array column —
+    * shared with the streaming twin so batch and stream hash
+    * identically. */
+  private[graft] def cellArray(item: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(i => cell(item, i, width)): _*)
 
   private def cell(item: Column, row: Int, width: Int): Column =
     pmod(xxhash64(lit(row), item), lit(width.toLong))

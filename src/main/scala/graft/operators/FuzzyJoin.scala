@@ -41,15 +41,10 @@ object FuzzyJoin {
   def deletionNeighborhood(s: Column, maxDist: Int): Column = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2, got $maxDist")
-    def deleteOne(v: Column): Column =
-      when(length(v) > 0,
-        transform(sequence(lit(0), length(v) - lit(1)),
-          i => concat(v.substr(lit(1), i), v.substr(i + lit(2), length(v)))))
-        .otherwise(array().cast("array<string>"))
     var frontier = array(s) // exactly k deletions so far
     var all = array(s)
     for (_ <- 1 to maxDist) {
-      frontier = array_distinct(flatten(transform(frontier, v => deleteOne(v))))
+      frontier = array_distinct(flatten(transform(frontier, v => deleteOneAll(v))))
       all = array_distinct(concat(all, frontier))
     }
     all
@@ -81,7 +76,21 @@ object FuzzyJoin {
       df, df, idCol, strCol, maxDist)
 
   /** Deduplicated candidate id pairs sharing a deletion-neighborhood
-    * member. Index rows are (hash, id) longs only — text never shuffles. */
+    * member. Index rows are (hash, id[, pos]) longs only — text never
+    * shuffles.
+    *
+    * `maxDist = 1` applies the FastSS POSITIONAL refinement: a true
+    * distance-<=1 pair always matches either at the SAME deletion
+    * position (substitution at p -> both delete p; identity -> both
+    * full) or with one side's full string (indel -> the longer side
+    * deletes the inserted char, the shorter side is untouched), so
+    * candidates with incompatible positions — which are exactly the
+    * distance-2 pairs the plain variant join admits — are pruned
+    * map-side BEFORE the distinct-pair exchange. Measured on the
+    * 1.5M-name scaling corpus this cut the candidate volume ~8x and
+    * restored the linear curve (SCALING.md). `maxDist = 2` keeps the
+    * plain neighborhood join (position algebra for multi-deletion
+    * variants buys less and costs sorted-list compares). */
   private def candidates(
       left: DataFrame,
       right: DataFrame,
@@ -90,18 +99,41 @@ object FuzzyJoin {
       maxDist: Int,
       selfPairs: Boolean
   ): DataFrame = {
-    def index(df: DataFrame, side: String): DataFrame =
-      df.where(col(strCol).isNotNull)
-        .select(col(idCol).as(s"${side}_id"),
-          explode(deletionNeighborhood(col(strCol), maxDist)).as("__v"))
-        .select(col(s"${side}_id"), xxhash64(col("__v")).as("__vh"))
-    val a = index(left, "a")
-    val b = index(right, "b")
-    val joined = a.join(b, a("__vh") === b("__vh"))
+    val joined = if (maxDist == 1) {
+      def index(df: DataFrame, side: String): DataFrame = {
+        val base = df.where(col(strCol).isNotNull)
+        val full = base.select(col(idCol).as(s"${side}_id"),
+          xxhash64(col(strCol)).as(s"${side}_vh"), lit(-1).as(s"${side}_p"))
+        val dels = base
+          .select(col(idCol).as(s"${side}_id"),
+            posexplode(deleteOneAll(col(strCol))).as(Seq(s"${side}_p", "__v")))
+          .select(col(s"${side}_id"), xxhash64(col("__v")).as(s"${side}_vh"),
+            col(s"${side}_p"))
+        full.unionByName(dels)
+      }
+      index(left, "a").join(index(right, "b"),
+        col("a_vh") === col("b_vh") &&
+          (col("a_p") === col("b_p") || col("a_p") === -1 || col("b_p") === -1))
+    } else {
+      def index(df: DataFrame, side: String): DataFrame =
+        df.where(col(strCol).isNotNull)
+          .select(col(idCol).as(s"${side}_id"),
+            explode(deletionNeighborhood(col(strCol), maxDist)).as("__v"))
+          .select(col(s"${side}_id"), xxhash64(col("__v")).as(s"${side}_vh"))
+      index(left, "a").join(index(right, "b"), col("a_vh") === col("b_vh"))
+    }
     val filtered =
       if (selfPairs) joined.where(col("a_id") < col("b_id")) else joined
     filtered.select("a_id", "b_id").distinct()
   }
+
+  /** All single-deletion variants of `s` in position order (index i =
+    * delete character i); empty array for the empty string. */
+  private def deleteOneAll(s: Column): Column =
+    when(length(s) > 0,
+      transform(sequence(lit(0), length(s) - lit(1)),
+        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+      .otherwise(array().cast("array<string>"))
 
   private def verified(
       cand: DataFrame,

@@ -434,6 +434,60 @@ object StreamOps {
         ()
       }
 
+  /** Streaming count-min sketch: the running depth x width counter table
+    * over an unbounded item stream, as ONE stateful streaming aggregation
+    * (state bounded at depth*width rows — the sketch's whole point, and
+    * why this aggregation is safe where an exact per-key count's state
+    * would grow with the key space). Use Update/Complete output; the
+    * materialized table at any point equals
+    * [[graft.operators.CountMin.sketch]] over the rows seen so far
+    * (StreamOpsSpec identity), so batch-side
+    * [[graft.operators.CountMin.estimates]] reads it unchanged. */
+  def cmsSketch(
+      items: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 4096
+  ): DataFrame =
+    items
+      .where(col(itemCol).isNotNull)
+      .select(posexplode(
+          graft.operators.CountMin.cellArray(col(itemCol), depth, width))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Streaming fuzzy match (entity resolution on a stream): each
+    * micro-batch of arriving strings is matched against a STATIC
+    * reference table within `maxDist` edits via the batch
+    * [[graft.operators.FuzzyJoin.pairs]] VERBATIM — the candidate
+    * dedup after the variant join is a multi-aggregation dataflow, which
+    * append-mode streaming can't run incrementally, so the wiring is
+    * `foreachBatch` (the [[incrementalDedup]] pattern). Per batch the
+    * reference side contributes its deletion-variant index derivation;
+    * persist the reference (or its variant index through
+    * [[graft.sources.IndexStore]] bucketed by variant hash) to amortize
+    * it at scale. `reference` is by-name so each batch re-reads it.
+    *
+    * Identity (StreamOpsSpec): per-row independent, so the union of
+    * per-batch pair sets over any micro-batching equals the batch
+    * operator on the concatenation. */
+  def fuzzyMatch(
+      docs: DataFrame,
+      reference: => DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 1
+  )(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.FuzzyJoin.pairs(
+          batch, reference, idCol, strCol, maxDist), batchId)
+        ()
+      }
+
   /** Stream-side stratified quality filtering against STATIC thresholds:
     * the per-stratum quantile table comes from a batch pass over a
     * reference corpus ([[graft.operators.Scoring.qualityFilterStratified]]

@@ -525,4 +525,55 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(out(2L) == ("a\nb", 0L))
     } finally q.stop()
   }
+
+  test("streaming CMS sketch (complete mode) equals the batch sketch at every point") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = StreamOps.cmsSketch(input.toDF().toDF("item"), "item", depth = 3, width = 16)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cms_stream").start()
+    def snapshot: Set[(Int, Long, Long)] = spark.table("cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def batchSketch(data: Seq[String]): Set[(Int, Long, Long)] =
+      graft.operators.CountMin.sketch(data.toDF("item"), "item", 3, 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      val b1 = Seq("a", "b", "a", "c")
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(snapshot == batchSketch(b1))
+      val b2 = Seq("a", "d", "d")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(snapshot == batchSketch(b1 ++ b2))
+      assert(snapshot.size <= 3 * 16, "state bounded at depth*width")
+    } finally q.stop()
+  }
+
+  test("streaming fuzzy match per micro-batch: union == batch pairs on the concatenation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "name")
+    val got = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.fuzzyMatch(
+        input.toDF().toDF("id", "name"), reference, "id", "name", 1) { (pairs, _) =>
+      got.synchronized {
+        got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+      }
+      ()
+    }.start()
+    try {
+      input.addData((10L, "alpho"))
+      q.processAllAvailable()
+      input.addData((11L, "betas"), (12L, "nothing"))
+      q.processAllAvailable()
+      val all = Seq((10L, "alpho"), (11L, "betas"), (12L, "nothing")).toDF("id", "name")
+      val batch = graft.operators.FuzzyJoin.pairs(all, reference, "id", "name", 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      assert(got.toSet == batch)
+      assert(batch == Set((10L, 1L, 1), (11L, 2L, 1)))
+    } finally q.stop()
+  }
 }
