@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StringType
 import graft.tree._
 import graft.operators.{AsOfJoin, Chunking, CountMin, Decontamination, Dedup, FuzzyJoin, HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, Tfidf}
 import graft.functions.TextFunctions
-import graft.sources.IndexStore
+import graft.sources.{IndexStore, ZOrder}
 
 /** The driver contract's query catalog: every implemented operator from
   * SURVEY.md §2 plus the LLM-pipeline extensions, each as a
@@ -348,6 +348,28 @@ object QueryCatalog {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("lang", "source")
+    }),
+    // Z-order (Morton) clustered write + multi-dimension predicate read
+    // back: rows co-located in BOTH l_quantity and l_tax, so the pushed
+    // 2-D box predicate prunes parquet row groups on either dimension
+    // (ZOrderSpec counts overlapping row-group stats mechanically; a
+    // single-column sort prunes only its leading column). Timing
+    // honestly includes the clustered write.
+    "zorder_scan" -> ((s, dir) => {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val zDir = s"${System.getProperty("java.io.tmpdir")}/graft_lineitem_z_$key"
+      ZOrder.writeZOrdered(
+        lineitem(s, dir).select("l_orderkey", "l_quantity", "l_tax",
+          "l_extendedprice"),
+        zDir, dims = Seq("l_quantity", "l_tax"), bits = 8, numFiles = 8)
+      s.read.parquet(zDir)
+        .where(col("l_quantity").between(10, 20) && col("l_tax").between(0.02, 0.05))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            .as("total_price"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+        .select(col("n_rows"), round(col("total_price"), 4).as("total_price"),
+          col("min_key"), col("max_key"))
     }),
     // Row format for ingest pipelines: JSONL round trip with an EXPLICIT
     // read schema (inference on a line-oriented source is
@@ -2468,6 +2490,12 @@ object QueryCatalog {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "zorder_scan" ->
+      """SELECT count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_tax BETWEEN 0.02 AND 0.05""".stripMargin,
     "jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
