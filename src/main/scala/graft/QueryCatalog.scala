@@ -482,6 +482,15 @@ object QueryCatalog {
     "fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.selfPairs(customer(s, dir), "c_custkey", "c_name", maxDist = 1)
         .orderBy("a_c_custkey", "b_c_custkey")),
+    // Interpolated Kneser-Ney bigram LM scoring (the CCNet-style LM
+    // filter's smoothing): every model table is an aggregate over the
+    // once-materialized bigram-count table, the probability joins back
+    // on the bigram key, and the per-doc double sum folds in
+    // bigram-sorted order so DuckDB's `sum(... ORDER BY bg)` replays it
+    // exactly.
+    "kneser_ney_score" -> ((s, dir) =>
+      Scoring.kneserNeyScore(documents(s, dir), "doc_id", "text", discount = 0.75)
+        .orderBy("doc_id")),
     // Count-min sketch frequency estimation under the sketch-contract
     // oracle pattern: estimate the top-20 tokens' counts from a bounded
     // depth*width table and emit in-plan containment booleans — never
@@ -2116,6 +2125,33 @@ object QueryCatalog {
         |g AS (SELECT unnest(sh) AS gram FROM sets)
         |SELECT gram, count(*) AS df FROM g
         |GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,
+    // full interpolated-KN replica: same tokenization, same double-op
+    // sequence, per-doc sum ordered by bigram = the Spark side's sorted
+    // in-row fold
+    "kneser_ney_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w1 || ' ' || s.w2 AS bg
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |          i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS s
+        |        FROM t WHERE len(tk) >= 2)),
+        |c AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c) AS c1, count(*) AS n1p FROM c GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS ncont FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM c),
+        |p AS (SELECT c.w1 || ' ' || c.w2 AS bg,
+        |    ln(greatest(CAST(c.c AS DOUBLE) - 0.75, 0) / CAST(c1.c1 AS DOUBLE)
+        |      + (0.75 * CAST(c1.n1p AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+        |        * (CAST(cont.ncont AS DOUBLE) / (SELECT bt FROM tot))) AS logp
+        |  FROM c JOIN c1 USING (w1) JOIN cont USING (w2)),
+        |db AS (SELECT doc_id, bg, count(*) AS cd FROM b GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(cd) AS n_bigrams,
+        |    sum(cd * logp ORDER BY bg) AS lsum
+        |  FROM db JOIN p USING (bg) GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  round(lsum / n_bigrams, 6) AS avg_logp
+        |FROM s ORDER BY doc_id""".stripMargin,
     // exact top-20 token counts + constant-true contract booleans (the
     // group_percentiles_approx pattern: DuckDB checks the exact side and
     // the CONTRACT, not the sketch internals)

@@ -247,6 +247,79 @@ object Scoring {
           lit(0.0), (acc, x) => acc + x.getField("__w")).as("log_weight"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring — the smoothed-probability
+    * upgrade of [[bigramFrequencyScore]] and the count-based skeleton of
+    * CCNet-style LM-perplexity filtering (Wenzek et al. 2020 filter on
+    * KenLM perplexity; Kneser & Ney 1995 is the smoothing):
+    *
+    *   P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+    *            + (D * N1+(w1,·)/c(w1)) * (N1+(·,w2) / |bigram types|)
+    *
+    * with absolute discount `D`. The continuation weight (how many
+    * DISTINCT contexts a word follows) is what distinguishes KN from
+    * plain add-k: "francisco" is frequent but nearly always follows
+    * "san", so its unigram backoff is small. Output per document:
+    * `(idCol, n_bigrams, avg_logp)` — average natural-log bigram
+    * probability; perplexity = exp(-avg_logp). Documents with fewer
+    * than two tokens drop out.
+    *
+    * Scale shape: every model table is a map-side-combined aggregate
+    * over the bigram-count table `c` (materialized ONCE via
+    * localCheckpoint; shuffle volume = distinct bigrams, the
+    * [[bigramFrequencyScore]] discipline), the probability table joins
+    * back on the bigram key, and the per-doc rollup is the only
+    * corpus-keyed shuffle. The double sum folds in BIGRAM-SORTED order
+    * inside the row (the DSIR rule), so the score is
+    * partitioning-independent bit-for-bit and the DuckDB twin replays it
+    * with `sum(... ORDER BY bg)` — both engines add in binary string
+    * order. Self-scoring (model = corpus) means every doc bigram exists
+    * in the model, so no backoff path is needed in-plan; score a stream
+    * against a FROZEN model table for the serving shape. */
+  def kneserNeyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75
+  ): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val tokenized = df.select(col(idCol), toks.as("__toks"))
+    val ta = col("__toks")
+    val n = size(ta)
+    val pairs = when(n >= lit(2),
+      transform(sequence(lit(1), n - lit(1)),
+        i => struct(element_at(ta, i).as("w1"), element_at(ta, i + lit(1)).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val docBg = tokenized
+      .select(col(idCol), explode(pairs).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val c = docBg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // read by c1, cont, the type count, and p
+    val c1 = c.groupBy("__w1")
+      .agg(sum("__c").as("__c1"), count(lit(1)).as("__n1p"))
+    val cont = c.groupBy("__w2").agg(count(lit(1)).as("__ncont"))
+    val bigramTypes = c.count().toDouble
+    val p = c.join(c1, "__w1").join(cont, "__w2")
+      .select(concat_ws(" ", col("__w1"), col("__w2")).as("__bg"),
+        log(greatest(col("__c").cast("double") - lit(discount), lit(0.0))
+            / col("__c1").cast("double")
+          + (lit(discount) * col("__n1p").cast("double") / col("__c1").cast("double"))
+            * (col("__ncont").cast("double") / lit(bigramTypes))).as("__logp"))
+    val db = docBg
+      .select(col(idCol), concat_ws(" ", col("__w1"), col("__w2")).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__cd"))
+    db.join(p, "__bg")
+      .select(col(idCol), col("__bg"),
+        (col("__cd") * col("__logp")).as("__w"), col("__cd"))
+      .groupBy(col(idCol))
+      .agg(sum("__cd").as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("__bg"), col("__w")))),
+          lit(0.0), (acc, x) => acc + x.getField("__w")).as("__lsum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lsum") / col("n_bigrams").cast("double"), 6).as("avg_logp"))
+  }
+
   /** Character-weighted repetition signals (Gopher, Rae et al. 2021
     * Table A1; MassiveText's repetition filters, reused by RefinedWeb /
     * Dolma): per document,
