@@ -52,6 +52,85 @@ object StreamOps {
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Open-session state for [[sessionizeStateful]]: millis since epoch
+    * plus running aggregates. Top-level so the product Encoder derives. */
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+  /** Gap-based sessionization with CUSTOM state via
+    * `flatMapGroupsWithState` — the same semantics as [[sessionize]]
+    * (`session_window`), re-expressed on the arbitrary-state API for the
+    * session logic the built-in can't grow into (per-session derived
+    * metrics, conditional session splits, enrichment at close). State is
+    * one [[OpenSession]] per active user, closed either by an in-batch
+    * gap or by an `EventTimeTimeout` once the watermark passes
+    * `last event + gap` — so state size is bounded by ACTIVE users, and
+    * a dead key leaves the store at timeout exactly like the built-in's
+    * window state. Late rows under the watermark within a batch are
+    * handled by sorting the batch's rows per key before merging;
+    * StreamOpsSpec pins output identity against [[sessionize]] on the
+    * same stream. */
+  def sessionizeStateful(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "30 minutes"
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val session = events.sparkSession
+    import session.implicits._
+    val gapMs = gapSeconds * 1000L
+    // cast BEFORE the watermark: a projection over a watermarked column
+    // re-binds the attribute and silently drops the watermark tag, and
+    // EventTimeTimeout refuses to plan without it
+    val typed = events
+      .select(col(userCol).cast("long").as("__u"),
+        col(tsCol).cast("timestamp").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .withWatermark("__t", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Double)]
+    val out = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession,
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state) =>
+          def close(s: OpenSession) =
+            (user, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs + gapMs), s.n, s.sum)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(_._2.getTime)
+            var closed = List.empty[OpenSession]
+            var cur = state.getOption
+            sorted.foreach { case (_, t, v) =>
+              val ms = t.getTime
+              cur match {
+                case Some(s) if ms - s.lastMs <= gapMs =>
+                  cur = Some(OpenSession(s.startMs, math.max(s.lastMs, ms),
+                    s.n + 1, s.sum + v))
+                case Some(s) =>
+                  closed ::= s
+                  cur = Some(OpenSession(ms, ms, 1L, v))
+                case None =>
+                  cur = Some(OpenSession(ms, ms, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator.map(close)
+          }
+      }
+    out.toDF(userCol, "session_start", "session_end", "n_events", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 6))
+  }
+
   /** Tumbling event-time rollup — the streaming twin of the batch
     * `event_hourly_rollup` catalog entry: counts and value sums per
     * (window, type) bucket via the native `window()` aggregate, state

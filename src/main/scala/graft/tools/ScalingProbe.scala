@@ -229,6 +229,12 @@ object ScalingProbe {
       ("bigram_score", Seq(1, 10, 100), nx =>
         Scoring.bigramFrequencyScore(docs(nx), "doc_id", "text")
           .write.format("noop").mode("overwrite").save()),
+      // r12 interpolated KN: same bigram-table discipline as
+      // bigram_score plus the model-table joins — the sharded vocab
+      // keeps distinct-bigram volume linear in the corpus
+      ("kneser_ney_score", Seq(1, 10, 100), nx =>
+        Scoring.kneserNeyScore(docs(nx), "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()),
       // r12 Misra-Gries hot-gram discovery: capacity fixed at the
       // catalog's 32768 while the gram dictionary grows ~100x past it —
       // the curve must stay scan-bound because the summary never grows

@@ -526,6 +526,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful flatMapGroupsWithState sessionizer matches the session_window twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Set[(Long, Long, Long, Long, Double)] = {
+      val input = MemoryStream[(Long, Timestamp, Double)]
+      val q = mk(input.toDF().toDF("user_id", "ts", "value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(25), 4.0),
+          (2L, ts(3), 7.0))
+        q.processAllAvailable()
+        input.addData((1L, ts(40), 1.5)) // 15 min after ts(25): new session
+        q.processAllAvailable()
+        input.addData((9L, ts(1000), 0.0)) // watermark driver
+        q.processAllAvailable()
+        spark.table(name).collect().map(r => (r.getLong(0),
+          r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4))).toSet
+      } finally q.stop()
+    }
+    val builtin = run(df => StreamOps.sessionize(df, gapSeconds = 600), "sess_builtin")
+    val stateful = run(df => StreamOps.sessionizeStateful(df, gapSeconds = 600), "sess_stateful")
+    assert(stateful == builtin, s"stateful $stateful vs builtin $builtin")
+    assert(builtin.size == 4, s"expected 4 closed sessions, got $builtin")
+  }
+
   test("streaming CMS sketch (complete mode) equals the batch sketch at every point") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
