@@ -482,6 +482,19 @@ object QueryCatalog {
     "fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.selfPairs(customer(s, dir), "c_custkey", "c_name", maxDist = 1)
         .orderBy("a_c_custkey", "b_c_custkey")),
+    // End-to-end entity resolution: FastSS fuzzy pairs feed the
+    // large-star/small-star contraction — every customer labeled with
+    // its edit-distance-connected component. The oracle recomputes
+    // components independently (brute-force pairs + recursive min-label
+    // to fixpoint), so BOTH the blocked candidate generation and the
+    // O(log n) contraction are checked against first principles.
+    "fuzzy_clusters" -> ((s, dir) => {
+      val cust = customer(s, dir)
+      val pairs = FuzzyJoin.selfPairs(cust, "c_custkey", "c_name", maxDist = 1)
+        .select(col("a_c_custkey").as("id_a"), col("b_c_custkey").as("id_b"))
+      Dedup.duplicateClusters(cust.select("c_custkey"), "c_custkey", pairs)
+        .orderBy("c_custkey")
+    }),
     // Interpolated Kneser-Ney bigram LM scoring (the CCNet-style LM
     // filter's smoothing): every model table is an aggregate over the
     // once-materialized bigram-count table, the probability joins back
@@ -2125,6 +2138,21 @@ object QueryCatalog {
         |g AS (SELECT unnest(sh) AS gram FROM sets)
         |SELECT gram, count(*) AS df FROM g
         |GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,
+    // independent connected components: brute-force distance-1 pairs,
+    // then recursive min-label propagation to fixpoint
+    "fuzzy_clusters" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT id_a AS id, id_b AS nbr FROM e0
+        |      UNION ALL SELECT id_b AS id, id_a AS nbr FROM e0),
+        |cc(id, lbl) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT e.id, cc.lbl FROM e JOIN cc ON cc.id = e.nbr)
+        |SELECT id AS c_custkey, min(lbl) AS cluster_id
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
     // full interpolated-KN replica: same tokenization, same double-op
     // sequence, per-doc sum ordered by bigram = the Spark side's sorted
     // in-row fold
