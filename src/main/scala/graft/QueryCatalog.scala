@@ -969,6 +969,24 @@ object QueryCatalog {
           col("r_session_idx").as("session_idx"))
         .orderBy("user_id", "event_id", "session_idx")
     }),
+    // Interval-OVERLAP join (vs range_join's point containment): every
+    // 5th event's 4-hour activity window paired with every same-user
+    // window it overlaps. Both sides bin-explode; each pair emits only
+    // in its FIRST shared bin (map-side filter), so no dedup exchange
+    // exists in the plan. Oracle is the brute per-key overlap join.
+    "overlap_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val iv = 14400L * 1000000L
+      val all = e.select(col("user_id"), col("event_id"),
+          Sessionize.epochMicros(e, "ts").as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(iv))
+      val lefts = all.where(col("event_id") % 5 === 0)
+      RangeJoin.overlapJoin(lefts, all, "user_id", "s_us", "e_us", "s_us", "e_us",
+          rightCols = Seq("event_id"), binWidth = iv)
+        .where(col("event_id") < col("r_event_id"))
+        .select(col("user_id"), col("event_id"), col("r_event_id"))
+        .orderBy("user_id", "event_id", "r_event_id")
+    }),
     // As-of join: every click event enriched with the latest prior view's
     // value per user — union-tag + carry-forward window, ONE key shuffle,
     // never the O(|l| x |r|)-per-key range self-join. The oracle is
@@ -2670,6 +2688,17 @@ object QueryCatalog {
     "asof_join" -> asofJoinSql,
     "asof_join_bucketed" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
+    // brute per-key interval overlap — the bin-bucketed plan must
+    // reproduce it exactly, each pair once
+    "overlap_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 14400000000 AS e FROM events),
+        |l AS (SELECT * FROM ev WHERE event_id % 5 = 0)
+        |SELECT l.user_id AS user_id, l.event_id AS event_id,
+        |  r.event_id AS r_event_id
+        |FROM l JOIN ev r ON l.user_id = r.user_id AND l.event_id < r.event_id
+        |  AND l.s <= r.e AND r.s <= l.e
+        |ORDER BY user_id, event_id, r_event_id""".stripMargin,
     "chunk_documents" -> chunkDocumentsSql,
     "mixture_sample" -> mixtureSampleSql,
     "nation_revenue" ->

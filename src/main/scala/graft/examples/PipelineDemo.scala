@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Similarity, Tfidf}
+import graft.operators.{Dedup, Multimodal, Packing, Scoring, Similarity, Tfidf}
 import graft.sources.CorpusSink
 
 /** End-to-end training-data curation pipeline over the provided tables —
@@ -35,10 +35,17 @@ object PipelineDemo {
       .withColumn("text", TextFunctions.scrubPii(col("text")))
     val n1 = kept.count()
 
+    // 1b. corpus-LM fluency gate: interpolated Kneser-Ney bigram scoring
+    //     (the CCNet-style perplexity filter) — drop the gibberish tail
+    val knScores = Scoring.kneserNeyScore(kept, "doc_id", "text")
+    val fluent = kept.join(
+      knScores.where(col("avg_logp") > -12.0).select("doc_id"), Seq("doc_id"))
+    val n1b = fluent.count()
+
     // 2. near-duplicate handling: trigram jaccard pairs -> cluster labels
     //    -> keep the BEST-QUALITY representative per cluster
-    val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", n = 3, threshold = 0.8)
-    val deduped = Dedup.clusterRepresentatives(kept, "doc_id", pairs,
+    val pairs = Dedup.jaccardPairs(fluent, "doc_id", "text", n = 3, threshold = 0.8)
+    val deduped = Dedup.clusterRepresentatives(fluent, "doc_id", pairs,
       better = Seq(col("quality").desc))
     val n2 = deduped.count()
 
@@ -49,12 +56,17 @@ object PipelineDemo {
     val embKept = Dedup.dropDuplicatePairs(emb, "vec_id", embPairs)
     val n3 = embKept.count()
 
-    // 4. multimodal feature extraction for the surviving docs — real PNG
-    //    payloads (the synthetic corpus generator is itself a real
-    //    encode), real decode-to-pixel features
+    // 4. multimodal: real PNG payloads, PERCEPTUAL dedup first (60-bit
+    //    dHash over decoded pixels + banded hamming pairing — catches
+    //    re-encoded copies byte-level dedup misses), then real
+    //    decode-to-pixel features for the visually-distinct survivors
     val media = Multimodal.syntheticPngMedia(deduped.select(col("doc_id")), "doc_id")
-    val features = Multimodal.extractFeatures(media, dim = 32)
+    val phashPairs = Dedup.hammingPairs(
+      Multimodal.perceptualHash(media), "media_id", "phash", 60, maxHamming = 0)
+    val visuallyDistinct = Dedup.dropDuplicatePairs(media, "media_id", phashPairs)
+    val features = Multimodal.extractFeatures(visuallyDistinct, dim = 32)
     val n4 = features.where(col("features").isNotNull).count()
+    val n4dropped = deduped.count() - visuallyDistinct.count()
 
     // 5. keyword extraction over the deduped corpus (topic routing)
     val keywords = Tfidf.topTerms(deduped, "doc_id", "text", k = 3, minDf = 2)
@@ -70,10 +82,10 @@ object PipelineDemo {
     val n6 = spark.read.parquet(outDir).count()
     val nPacks = packed.select("pack_id").distinct().count()
 
-    println(s"[pipeline] docs=$n0 -> curated=$n1 -> representatives=$n2; " +
-      s"embeddings kept=$n3; media features=$n4; keyworded=$n5; " +
-      s"packed=$n6 into $nPacks shards")
-    require(n1 <= n0 && n2 <= n1 && n4 == n2 && n6 == n2,
+    println(s"[pipeline] docs=$n0 -> curated=$n1 -> fluent=$n1b -> " +
+      s"representatives=$n2; embeddings kept=$n3; visually-dup dropped=$n4dropped, " +
+      s"media features=$n4; keyworded=$n5; packed=$n6 into $nPacks shards")
+    require(n1 <= n0 && n1b <= n1 && n2 <= n1b && n4 <= n2 && n4dropped >= 0 && n6 == n2,
       "pipeline stage counts inconsistent")
     spark.stop()
   }

@@ -55,6 +55,47 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("spans more than 16 bins")), e.toString)
   }
 
+  test("overlap join: inclusive endpoints, cross-key exclusion, each pair ONCE") {
+    val got = RangeJoin.overlapJoin(intervals, intervals, "k", "s", "e", "s", "e",
+        rightCols = Seq("name"), binWidth = 10L)
+      .select("name", "r_name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // duplicates would show up as repeated tuples — the first-shared-bin
+    // rule must emit each pair exactly once even when they share 2 bins
+    assert(got.length == got.distinct.length, s"duplicate pairs: ${got.toSeq}")
+    val set = got.toSet
+    assert(set.contains(("i1", "i2")) && set.contains(("i2", "i1")),
+      "i1 [0,7] and i2 [5,12] overlap")
+    assert(set.contains(("i1", "i1")), "self-overlap under left==right input")
+    assert(!set.contains(("i1", "i3")) && !set.contains(("i2", "i3")))
+    assert(!set.exists { case (a, b) => (a == "i4") != (b == "i4") },
+      "cross-key pairs must not appear")
+  }
+
+  test("overlap join differential vs brute force on random intervals") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      Seq[Any]((i % 3).toLong, i.toLong, s, s + rnd.nextInt(80).toLong)
+    }
+    val iv = frame("k" -> LongType, "id" -> LongType, "s" -> LongType, "e" -> LongType)(rows: _*)
+    for (binWidth <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.overlapJoin(iv, iv, "k", "s", "e", "s", "e",
+          rightCols = Seq("id"), binWidth = binWidth)
+        .where(org.apache.spark.sql.functions.col("id") <
+          org.apache.spark.sql.functions.col("r_id"))
+        .select("id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length, s"dup pairs at binWidth=$binWidth")
+      val brute = (for {
+        Seq(ka, ia, sa, ea) <- rows.map(_.map(_.asInstanceOf[Long]))
+        Seq(kb, ib, sb, eb) <- rows.map(_.map(_.asInstanceOf[Long]))
+        if ka == kb && ia < ib && sa <= eb && sb <= ea
+      } yield (ia, ib)).toSet
+      assert(got.toSet == brute, s"binWidth=$binWidth")
+    }
+  }
+
   test("inverted and null intervals are dropped, not matched") {
     val weird = frame("k" -> LongType, "s" -> LongType, "e" -> LongType, "name" -> StringType)(
       Seq[Any](1L, 10L, 5L, "inverted"), Seq[Any](1L, null, 7L, "nullstart"))
