@@ -1449,6 +1449,16 @@ object QueryCatalog {
       Dedup.hammingPairs(ph, "media_id", "phash", nBits = 60, maxHamming = 2)
         .orderBy("id_a", "id_b")
     }),
+    // Perceptual AUDIO hash: gradient bits over the 61-window RMS
+    // envelope of real decoded WAV samples — dedup by loudness shape,
+    // the second modality on the dHash + hammingPairs composition. The
+    // oracle replays integer energy sums -> IEEE sqrt/divide -> float32
+    // -> gradient bits, all correctly-rounded ops, so the hash is
+    // bit-identical cross-engine.
+    "multimodal_audio_phash" -> ((s, dir) =>
+      Multimodal.audioPerceptualHash(Multimodal.syntheticWavMedia(
+          documents(s, dir).select(col("doc_id")), "doc_id"))
+        .orderBy("media_id")),
     // REAL audio codec round trip (javax.sound.sampled WAV/PCM — JDK
     // native, no external codecs): every doc_id becomes an actual mono
     // 16-bit WAV whose frame count and samples are closed-form functions
@@ -2456,6 +2466,21 @@ object QueryCatalog {
     "simhash_pairs" -> simhash60Sql,
     "multimodal_real_features" -> multimodalRealFeaturesSql,
     "multimodal_audio_features" -> multimodalAudioFeaturesSql,
+    "multimodal_audio_phash" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(64 + doc_id % 128 AS BIGINT) AS n FROM documents),
+        |s AS (SELECT media_id, n, x.i AS i, (media_id*31 + x.i*7) % 2048 - 1024 AS v
+        |  FROM d, generate_series(0, 191) x(i) WHERE x.i < n),
+        |w AS (SELECT media_id, (i * 61) // n AS win, sum(v*v) AS ss, count(*) AS c
+        |  FROM s GROUP BY 1, 2),
+        |r AS (SELECT media_id, win,
+        |    CAST(sqrt(CAST(ss AS DOUBLE) / c) / 32768.0 AS REAL) AS rms FROM w),
+        |g AS (SELECT a.media_id, a.win AS bit, a.rms AS cur, b.rms AS nxt
+        |  FROM r a JOIN r b ON a.media_id = b.media_id AND b.win = a.win + 1
+        |  WHERE a.win < 60)
+        |SELECT media_id,
+        |  CAST(sum(CASE WHEN nxt > cur THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
+        |FROM g GROUP BY 1 ORDER BY media_id""".stripMargin,
     // video feature twin: closed-form frame means, nearest-resample
     // fm.fr = (dim * nf) // 4, ordered fold over the 4 dims
     "multimodal_video_features" ->

@@ -239,6 +239,29 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual AUDIO hash: gradient bits over the `bits + 1`-window RMS
+    * energy envelope ([[extractAudioFeatures]]) — bit `d` set when
+    * window `d+1` is louder than window `d`. Computed entirely as column
+    * algebra over the decoded features (one decode pass, no UDF; the
+    * 2^i terms are exact double powers cast to long), so it inherits the
+    * audio twin's cross-engine exactness: integer squared-sample sums ->
+    * correctly-rounded divide/sqrt -> float32, bit-identical in any
+    * IEEE engine. Pairs via [[Dedup.hammingPairs]], the image-dHash
+    * composition — re-encoded or resampled-alike audio clusters by
+    * envelope shape, not byte identity. Undecodable -> null. */
+  def audioPerceptualHash(media: DataFrame, bits: Int = 60): DataFrame = {
+    require(bits >= 4 && bits <= 62, s"bits must be in [4, 62], got $bits")
+    extractAudioFeatures(media, windows = bits + 1)
+      .select(col("media_id"),
+        when(col("features").isNotNull,
+          aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+            (acc, i) => acc +
+              when(element_at(col("features"), i + lit(2)) >
+                  element_at(col("features"), i + lit(1)),
+                pow(lit(2.0d), i).cast("long")).otherwise(lit(0L))))
+          .as("phash"))
+  }
+
   /** REAL audio features: decode with [[AudioCodec.decodeSamples]] and
     * emit `windows` per-window RMS values normalized to full-scale PCM —
     * the standard energy-envelope descriptor. Window of sample i is

@@ -90,6 +90,34 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  test("audio phash: identical envelopes hash equal, a local loudness edit stays near, pairing composes") {
+    def wav(perturb: Boolean): Array[Byte] = {
+      val samples = (0 until 2000).map { i =>
+        val base = (math.sin(i / 40.0) * 8000).toShort
+        if (perturb && i >= 900 && i < 940) (base / 8).toShort else base
+      }.toArray
+      Multimodal.AudioCodec.encodeWavPcm16Mono(8000, samples)
+    }
+    val noise = (0 until 2000).map(i =>
+      (((i * 2654435761L) % 16384) - 8192).toShort).toArray
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, wav(perturb = false)), Row(2L, wav(perturb = false)),
+        Row(3L, wav(perturb = true)),
+        Row(4L, Multimodal.AudioCodec.encodeWavPcm16Mono(8000, noise))), 2),
+      mediaSchema)
+    val h = Multimodal.audioPerceptualHash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "identical audio must hash equal")
+    val near = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    val far = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(near < far, s"local edit ($near flipped) should stay nearer than noise ($far)")
+    val pairs = Dedup.hammingPairs(
+        Multimodal.audioPerceptualHash(df), "media_id", "phash", 60, maxHamming = near)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+
   test("undecodable payloads degrade to null hashes and drop out of pairing") {
     val good = Multimodal.ImageCodec.encodePngGray(4, 4, (x, y) => x + y)
     val df = mediaDf(Seq(1L -> good, 2L -> Array[Byte](1, 2, 3), 3L -> good))
