@@ -1409,6 +1409,14 @@ object QueryCatalog {
           .as("mean_feature"))
         .orderBy("media_id")
     }),
+    // Perceptual VIDEO hash: gradient bits over the 61-point frame-mean
+    // brightness envelope of real decoded GIF frames — the third
+    // modality on the dHash + hammingPairs composition; oracle replays
+    // frame means + resample + gradient bits from the closed forms.
+    "multimodal_video_phash" -> ((s, dir) =>
+      Multimodal.videoPerceptualHash(Multimodal.syntheticGifMedia(
+          documents(s, dir).select(col("doc_id")), "doc_id"))
+        .orderBy("media_id")),
     // REAL multi-frame video decode (ImageIO GIF): dims, TRUE frame
     // count and the cross-frame pixel checksum all come from the payload
     // bytes; the oracle recomputes the closed forms, completing the
@@ -2501,6 +2509,26 @@ object QueryCatalog {
         |  round(list_sum(list(CAST(m AS DOUBLE) ORDER BY dim)) / 4.0, 6) AS mean_feature
         |FROM feat GROUP BY 1 ORDER BY media_id""".stripMargin,
     "multimodal_pq_topk" -> multimodalPqSql,
+    "multimodal_video_phash" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(2 + doc_id % 8 AS BIGINT) AS w, CAST(2 + doc_id % 6 AS BIGINT) AS h,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents),
+        |fm AS (SELECT d.media_id, f.k AS fr,
+        |    CAST(CAST(sum((d.media_id*31 + f.k*17 + x.i*7 + y.j*13) % 256) AS DOUBLE)
+        |      / (d.w * d.h * 255) AS REAL) AS m
+        |  FROM d, generate_series(0, 4) f(k), generate_series(0, 8) x(i), generate_series(0, 6) y(j)
+        |  WHERE f.k < d.nf AND x.i < d.w AND y.j < d.h
+        |  GROUP BY 1, 2, d.w, d.h),
+        |feat AS (SELECT d.media_id, s.i AS dim, fm.m
+        |  FROM d CROSS JOIN generate_series(0, 60) s(i)
+        |  JOIN fm ON fm.media_id = d.media_id AND fm.fr = (s.i * d.nf) // 61),
+        |g AS (SELECT a.media_id, a.dim AS bit, a.m AS cur, b.m AS nxt
+        |  FROM feat a JOIN feat b ON a.media_id = b.media_id AND b.dim = a.dim + 1
+        |  WHERE a.dim < 60)
+        |SELECT media_id,
+        |  CAST(sum(CASE WHEN nxt > cur THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
+        |FROM g GROUP BY 1 ORDER BY media_id""".stripMargin,
     "multimodal_video_decode" -> multimodalVideoDecodeSql,
     "multimodal_image_decode" -> multimodalDecodeSql,
     "multimodal_phash" ->

@@ -251,16 +251,33 @@ object Multimodal {
     * envelope shape, not byte identity. Undecodable -> null. */
   def audioPerceptualHash(media: DataFrame, bits: Int = 60): DataFrame = {
     require(bits >= 4 && bits <= 62, s"bits must be in [4, 62], got $bits")
-    extractAudioFeatures(media, windows = bits + 1)
-      .select(col("media_id"),
-        when(col("features").isNotNull,
-          aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-            (acc, i) => acc +
-              when(element_at(col("features"), i + lit(2)) >
-                  element_at(col("features"), i + lit(1)),
-                pow(lit(2.0d), i).cast("long")).otherwise(lit(0L))))
-          .as("phash"))
+    gradientHash(extractAudioFeatures(media, windows = bits + 1), bits)
   }
+
+  /** Perceptual VIDEO hash: gradient bits over the `bits + 1`-point
+    * frame-mean-gray envelope ([[extractFeatures]] video arm) — the
+    * brightness-over-time signature. Short clips repeat frames under the
+    * resample (flat gradient, bit 0 — deterministic on both engines);
+    * the hash earns its bits on real multi-frame footage. Same
+    * [[Dedup.hammingPairs]] composition as image/audio, completing
+    * perceptual dedup across all three modalities. */
+  def videoPerceptualHash(media: DataFrame, bits: Int = 60): DataFrame = {
+    require(bits >= 4 && bits <= 62, s"bits must be in [4, 62], got $bits")
+    gradientHash(extractFeatures(media, dim = bits + 1), bits)
+  }
+
+  /** Shared gradient-bit fold: bit `d` set when feature `d+1` exceeds
+    * feature `d`; 2^d terms are exact double powers cast to long. Null
+    * features propagate to a null hash. */
+  private def gradientHash(feats: DataFrame, bits: Int): DataFrame =
+    feats.select(col("media_id"),
+      when(col("features").isNotNull,
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+          (acc, i) => acc +
+            when(element_at(col("features"), i + lit(2)) >
+                element_at(col("features"), i + lit(1)),
+              pow(lit(2.0d), i).cast("long")).otherwise(lit(0L))))
+        .as("phash"))
 
   /** REAL audio features: decode with [[AudioCodec.decodeSamples]] and
     * emit `windows` per-window RMS values normalized to full-scale PCM —
