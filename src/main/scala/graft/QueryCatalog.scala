@@ -748,6 +748,21 @@ object QueryCatalog {
         .select("doc_id", "n_tokens", "offset", "pack_id", "pack_offset")
         .orderBy("doc_id")
     }),
+    // Per-pack manifest: the ordered doc list + within-pack boundary
+    // offsets a data loader needs to build per-pack attention masks.
+    // One pack-keyed aggregate over the packing result; per-group state
+    // bounded by the context window. Arrays stringify canonically so
+    // the hash gate compares them exactly.
+    "pack_manifest" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packManifest(
+          Packing.packByBudget(docs, "doc_id", "n_tokens", budget = 2048L, numBuckets = 8))
+        .select(col("pack_id"), col("n_docs"), col("total_tokens"),
+          array_join(transform(col("doc_ids"), x => x.cast("string")), ",").as("doc_ids"),
+          array_join(transform(col("doc_offsets"), x => x.cast("string")), ",").as("doc_offsets"))
+        .orderBy("pack_id")
+    }),
     // Token-AWARE packing: identical distributed prefix-sum scheme, but
     // the budget counts BPE-ish subword tokens (letter runs, digit runs,
     // single symbols) instead of whitespace words. Whitespace counts
@@ -2725,6 +2740,24 @@ object QueryCatalog {
     "quality_filter_stratified" -> qualityFilterStratifiedSql,
     "source_quality_rollup" -> sourceQualityRollupSql,
     "pack_sequences" -> packSequencesSql,
+    // same pack assignment CTEs + ordered per-pack string aggregation
+    "pack_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS "offset"
+        |  FROM t),
+        |p AS (SELECT doc_id, n_tokens, "offset" // 2048 AS pack_id,
+        |      "offset" % 2048 AS pack_offset FROM c)
+        |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pack_offset, doc_id) AS doc_ids,
+        |  string_agg(CAST(pack_offset AS VARCHAR), ',' ORDER BY pack_offset, doc_id) AS doc_offsets
+        |FROM p GROUP BY 1 ORDER BY pack_id""".stripMargin,
     "pack_sequences_bpeish" -> packSequencesBpeishSql,
     "brute_force_topk" -> topkSql,
     "topk_for_queries" -> topkForQueriesSql,

@@ -79,4 +79,25 @@ object Packing {
       .withColumn("pack_id", floor(col("offset") / lit(budget)).cast("long"))
       .withColumn("pack_offset", col("offset") % lit(budget))
   }
+
+  /** Per-pack manifest from a [[packByBudget]] result: the ORDERED
+    * document list and within-pack boundary offsets —
+    * `(pack_id, n_docs, total_tokens, doc_ids, doc_offsets)`. This is
+    * the artifact a pretraining data loader consumes to build per-pack
+    * attention masks (tokens must not attend across the document
+    * boundaries the offsets mark). One pack-keyed aggregate; rows per
+    * pack are bounded by budget/min-doc-tokens, so the per-group
+    * collect_list state is bounded by the context window, not the
+    * corpus. Arrays are pack_offset-sorted in-plan (array_sort on the
+    * (offset, id) struct), deterministic under any partitioning. */
+  def packManifest(packed: DataFrame, idCol: String = "doc_id"): DataFrame =
+    packed
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        array_sort(collect_list(struct(col("pack_offset"), col(idCol))))
+          .as("__entries"))
+      .select(col("pack_id"), col("n_docs"), col("total_tokens"),
+        transform(col("__entries"), e => e.getField(idCol)).as("doc_ids"),
+        transform(col("__entries"), e => e.getField("pack_offset")).as("doc_offsets"))
 }

@@ -88,6 +88,34 @@ class PackingSpec extends AnyFunSuite {
       "fixture should demonstrate the whitespace undercount")
   }
 
+  test("packManifest: per-pack ordered ids/offsets, zero-token ties broken by id") {
+    // budget 10: docs (1:4)(2:0)(3:0)(4:6) -> offsets 0,4,4,4; pack 0
+    // holds all four; ties at offset 4 order by doc_id
+    val packed = Packing.packByBudget(
+      docs(1L -> 4L, 2L -> 0L, 3L -> 0L, 4L -> 6L, 5L -> 9L), "doc_id", "n_tokens",
+      budget = 10L, numBuckets = 3)
+    val m = Packing.packManifest(packed).orderBy("pack_id").collect()
+    assert(m.length == 2)
+    val p0 = m(0)
+    assert(p0.getLong(0) == 0L && p0.getLong(1) == 4L && p0.getLong(2) == 10L)
+    assert(p0.getSeq[Long](3) == Seq(1L, 2L, 3L, 4L))
+    assert(p0.getSeq[Long](4) == Seq(0L, 4L, 4L, 4L))
+    val p1 = m(1)
+    assert(p1.getSeq[Long](3) == Seq(5L) && p1.getSeq[Long](4) == Seq(0L))
+  }
+
+  test("packManifest is partitioning-independent") {
+    val rows = (1L to 60L).map(i => i -> (i % 7 + 1))
+    def run(parts: Int) = {
+      val d = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, parts),
+        StructType(Seq(StructField("doc_id", LongType), StructField("n_tokens", LongType))))
+      Packing.packManifest(Packing.packByBudget(d, "doc_id", "n_tokens", 16L, 4))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](3), r.getSeq[Long](4))).toSet
+    }
+    assert(run(1) == run(13))
+  }
+
   test("the plan has no unpartitioned data-sized window (scale guard)") {
     val d = docs((1L to 50L).map(i => i -> i): _*)
     val plan = Packing.exclusivePrefixSum(d, "doc_id", "n_tokens", 8)

@@ -96,6 +96,18 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("overlap join plans WITHOUT a dedup exchange (first-shared-bin filter, not distinct)") {
+    val plan = RangeJoin.overlapJoin(intervals, intervals, "k", "s", "e", "s", "e",
+        rightCols = Seq("name"), binWidth = 10L)
+      .queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+    }
+    assert(aggs.isEmpty, s"pair dedup must be the map-side bin filter, found: $aggs")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("inverted and null intervals are dropped, not matched") {
     val weird = frame("k" -> LongType, "s" -> LongType, "e" -> LongType, "name" -> StringType)(
       Seq[Any](1L, 10L, 5L, "inverted"), Seq[Any](1L, null, 7L, "nullstart"))
