@@ -275,6 +275,11 @@ object ScalingProbe {
         Dedup.hammingPairs(ph, "media_id", "phash", 60, 2)
           .write.format("noop").mode("overwrite").save()
       }),
+      // decomposition of the row above: the decode+hash stage alone —
+      // the pairs row minus this one isolates the banding join's cost
+      ("multimodal_phash_hashonly", Seq(1, 10, 100), nx =>
+        Multimodal.perceptualHash(mediaDf(nx))
+          .write.format("noop").mode("overwrite").save()),
       // r12 PageRank: 3 iterations, each one dst-keyed aggregate + one
       // src-keyed join over the edge table — per-decade cost should be
       // linear in edges with a constant iteration count
