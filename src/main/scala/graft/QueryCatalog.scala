@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -1137,6 +1138,38 @@ object QueryCatalog {
       Similarity.rpTopKForQueries(e, e.where(col("vec_id") < 5),
           "vec_id", "embedding", outDim = 16, candidateK = 32, k = 1)
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // Reciprocal-rank fusion: three heterogeneous retrieval rankings
+    // (cosine, raw dot product, L2) fused by rank only — no score
+    // calibration. The aggregate touches at most 3*10 rows per query;
+    // the corpus never re-scans. The fused double score folds in
+    // list-index order (DSIR rule) so the oracle replays it with
+    // sum(term ORDER BY src).
+    "rrf_fusion" -> ((s, dir) => {
+      val e = plantedEmbeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      val cosR = Similarity.topKForQueries(e, q, "vec_id", "embedding", k = 10)
+        .select("query_id", "corpus_id", "rank")
+      val c = e.select(col("vec_id").as("corpus_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+      val qq = q.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      val scored = c.join(broadcast(qq), col("corpus_id") =!= col("query_id"))
+        .withColumn("dotp", Similarity.dot(col("cv"), col("qv")))
+        .withColumn("l2", aggregate(
+          zip_with(col("cv"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+      def ranked(ord: Column): DataFrame = scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(ord, col("corpus_id").asc)))
+        .where(col("rank") <= 10)
+        .select("query_id", "corpus_id", "rank")
+      Similarity.reciprocalRankFusion(
+          Seq(cosR, ranked(col("dotp").desc), ranked(col("l2").asc)),
+          k0 = 60, topK = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("rrf_score"), 6).as("rrf_score"), col("n_lists"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     // The PERSISTED-index flavor of batch ANN: the LSH index is written
@@ -2706,6 +2739,36 @@ object QueryCatalog {
          |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          |FROM r WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
     "batch_ann_topk_bucketed" -> topkForQueriesSql,
+    // three independent rankings replayed exactly (cosine / dot / L2 as
+    // the same left folds), RRF terms summed in src order
+    "rrf_fusion" ->
+      s"""WITH $plantedCorpusCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+         |s AS (SELECT query_id, c.vec_id AS corpus_id,
+         |    ${cosSql("c.v", "qv")} AS cosv,
+         |    list_inner_product(c.v, qv) AS dotp,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> (c.v[j] - qv[j]) * (c.v[j] - qv[j]))) AS l2
+         |  FROM corpus c JOIN q ON c.vec_id <> query_id),
+         |rc AS (SELECT query_id, corpus_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosv DESC, corpus_id) AS rank FROM s),
+         |rd AS (SELECT query_id, corpus_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dotp DESC, corpus_id) AS rank FROM s),
+         |rl AS (SELECT query_id, corpus_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY l2 ASC, corpus_id) AS rank FROM s),
+         |u AS (
+         |  SELECT query_id, corpus_id, 0 AS src, 1.0/(60 + rank) AS term FROM rc WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT query_id, corpus_id, 1 AS src, 1.0/(60 + rank) AS term FROM rd WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT query_id, corpus_id, 2 AS src, 1.0/(60 + rank) AS term FROM rl WHERE rank <= 10),
+         |f AS (SELECT query_id, corpus_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |    sum(term ORDER BY src) AS score FROM u GROUP BY 1, 2),
+         |r AS (SELECT query_id, corpus_id, score, n_lists,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS INTEGER) AS rank
+         |  FROM f)
+         |SELECT query_id, corpus_id, round(score, 6) AS rrf_score, n_lists, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "batch_ivf_topk" -> topkForQueriesSql,
     "batch_ivf_topk_bucketed" -> topkForQueriesSql,
     "batch_ivf_topk_kmeans" -> topkForQueriesSql,

@@ -79,6 +79,49 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009, public): merge N
+    * candidate rankings into one list per query by
+    * `score(d) = sum over lists of 1 / (k0 + rank_list(d))` — the
+    * standard way to combine heterogeneous retrieval signals (brute
+    * cosine, LSH, IVF, random-projection, lexical BM25) without score
+    * calibration, since only RANKS enter. Each input is a
+    * `(query_id, corpus_id, rank)` frame.
+    *
+    * Scale shape: one union + ONE (query, corpus)-keyed aggregate over
+    * at most `N * per-list-k` rows per query, then a per-query top-k
+    * window over the same bounded set — the corpus itself is never
+    * touched (the generators did that). The fused double score folds in
+    * LIST-INDEX order inside the row (the DSIR determinism rule), so it
+    * is partitioning-independent bit-for-bit and the DuckDB twin
+    * replays it with `sum(term ORDER BY src)`.
+    *
+    * Output: `(query_id, corpus_id, rrf_score, n_lists, rank)`,
+    * `rank <= topK` per query (score desc, corpus_id tie-break). */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame],
+      k0: Int = 60,
+      topK: Int = 10
+  ): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("corpus_id"), lit(i).as("__src"),
+        (lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double"))).as("__term"))
+    }.reduce(_ unionByName _)
+    val fused = tagged
+      .groupBy("query_id", "corpus_id")
+      .agg(count(lit(1)).as("n_lists"),
+        aggregate(array_sort(collect_list(struct(col("__src"), col("__term")))),
+          lit(0.0), (acc, x) => acc + x.getField("__term")).as("rrf_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("corpus_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("query_id", "corpus_id", "rrf_score", "n_lists", "rank")
+  }
+
   /** kNN weak labeling: each query vector takes the MAJORITY LABEL of
     * its k nearest corpus neighbors (exact cosine; vote ties break to
     * the smaller label — deterministic). The per-query vote is a k-row

@@ -302,4 +302,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.length < 100000,
       s"plan must not embed nlist x dim literals (got ${plan.length} chars)")
   }
+
+  test("reciprocal-rank fusion: hand-computed scores, list count, tie-break, determinism") {
+    def ranking(rows: Seq[(Long, Long, Int)], parts: Int = 3) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), parts),
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("corpus_id", LongType), StructField("rank", IntegerType))))
+    // query 1: doc 10 is rank 1 in both lists; doc 11 rank 2 in A only;
+    // doc 12 rank 2 in B only -> 11 and 12 tie exactly, corpus_id breaks
+    val a = ranking(Seq((1L, 10L, 1), (1L, 11L, 2)))
+    val b = ranking(Seq((1L, 10L, 1), (1L, 12L, 2)))
+    val out = Similarity.reciprocalRankFusion(Seq(a, b), k0 = 60, topK = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getDouble(2), r.getInt(4)))
+      .sortBy(_._4)
+    assert(out.map(x => (x._1, x._2, x._4)).toSeq ==
+      Seq((10L, 2L, 1), (11L, 1L, 2), (12L, 1L, 3)))
+    assert(math.abs(out(0)._3 - 2.0 / 61) < 1e-12)
+    assert(out(1)._3 == out(2)._3, "equal-rank singletons must score identically")
+    // partitioning independence of the fused double (sorted in-row fold)
+    val p1 = Similarity.reciprocalRankFusion(
+      Seq(ranking((1 to 40).map(i => (1L, i.toLong, i)), 1),
+        ranking((1 to 40).map(i => (1L, (41 - i).toLong, i)), 1)), 60, 40)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val p2 = Similarity.reciprocalRankFusion(
+      Seq(ranking((1 to 40).map(i => (1L, i.toLong, i)), 11),
+        ranking((1 to 40).map(i => (1L, (41 - i).toLong, i)), 7)), 60, 40)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(p1 == p2)
+  }
 }
