@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, CountMin, Decontamination, Dedup, FuzzyJoin, HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, Tfidf}
+import graft.operators.{AsOfJoin, Chunking, CountMin, Decontamination, Dedup, FuzzyJoin, HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.sources.{IndexStore, ZOrder}
 
@@ -454,6 +454,21 @@ object QueryCatalog {
           (col("l_suppkey") + lit(10000)).as("dst"))
       PageRank.ranks(e, "src", "dst", iterations = 3).orderBy("node")
     }),
+    // Triangle counting over the supplier co-supply graph (suppliers
+    // sharing an order; fan-out bounded by items-per-order). Degree-
+    // ordered forward counting: the wedge apex is always the minimum-
+    // rank corner, so wedge fan-out is bounded by O(sqrt|E|) even at
+    // hubs; all stages are equi-joins on vertex ids. Pure integer
+    // output -> exact hash oracle (which counts triangles the naive
+    // x<y<z way — the algorithms must agree, not just the shapes).
+    "triangle_count" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Triangles.perNodeCounts(pairs, "src", "dst").orderBy("node")
+    }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("text_hash")),
@@ -714,6 +729,22 @@ object QueryCatalog {
         .select(col("id"), col("term"), col("tf"), col("df"),
           round(col("tfidf"), 6).as("tfidf"), col("rank"))
         .orderBy("id", "rank")),
+    // BM25 ranked retrieval: three probe queries (the first 8 tokens of
+    // docs 0..2, so matches are guaranteed without fixture text
+    // assumptions) scored against the whole corpus. Query terms
+    // broadcast onto the TF table (corpus never shuffles for the match);
+    // the per-(query, doc) double folds term-sorted in-row (DSIR rule),
+    // so the oracle replays it with sum(s ORDER BY term).
+    "bm25_topk" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val probes = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("qtext"))
+      Tfidf.bm25TopK(docs, "doc_id", "text", probes, "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Document chunking: 64-token windows with 16-token overlap (stride
     // 48) — the embedding/RAG prep shape. Pure per-row algebra: no
     // shuffle, row multiplier = ceil(n_tokens / stride).
@@ -833,6 +864,18 @@ object QueryCatalog {
       Shuffling.sampleNPerStratum(documents(s, dir), "doc_id", "lang", n = 20, seed = 5L)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    // Weighted sample without replacement (Efraimidis-Spirakis): 50 docs
+    // drawn with probability tracking text length. The -ln(u)/w key is a
+    // scan-speed projection; the cut is TakeOrderedAndProject (per-
+    // partition 50-row heaps + driver merge), never a global sort. The
+    // oracle replays the exact key arithmetic.
+    "weighted_sample" -> ((s, dir) =>
+      Shuffling.weightedSampleN(
+          documents(s, dir).withColumn("w", length(col("text")).cast("double")),
+          "doc_id", "w", n = 50, seed = 7L)
+        .select(col("doc_id"), col("w").cast("long").as("w"),
+          round(col("sample_key"), 6).as("sample_key"))
+        .orderBy("sample_key", "doc_id")),
     // Corpus vocabulary: top-50 terms by total count — per-(doc,term)
     // map-side combine bounds the first shuffle, term rollup is one row
     // per term, global cut is TakeOrderedAndProject (per-partition heaps).
@@ -2784,6 +2827,7 @@ object QueryCatalog {
     "quality_signals" -> qualitySignalsSql,
     "scrub_pii" -> scrubPiiSql,
     "tfidf_topk" -> tfidfSql,
+    "bm25_topk" -> bm25Sql,
     "decontaminate" -> decontaminateSql,
     "contamination_pairs" -> contaminationPairsSql,
     "global_shuffle" -> globalShuffleSql,
@@ -2794,6 +2838,16 @@ object QueryCatalog {
         |    PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) AS rn
         |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+        |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT + 0.5)
+        |        / 4294967296.0)
+        |      / CAST(length(text) AS DOUBLE) AS k
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, round(k, 6) AS sample_key
+        |FROM k ORDER BY k, doc_id LIMIT 50""".stripMargin,
     "vocab_topk" -> vocabTopkSql,
     "corpus_cube" -> corpusCubeSql,
     "bigram_score" -> bigramScoreSql,
@@ -2869,6 +2923,24 @@ object QueryCatalog {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY priority""".stripMargin,
+    // naive-enumeration triangle oracle: canonical a<b co-supply edges,
+    // each triangle found once as x<y<z, then per-corner credit
+    "triangle_count" ->
+      """WITH p AS (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM p e1
+        |  JOIN p e2 ON e2.a = e1.b
+        |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM corners GROUP BY 1 ORDER BY node""".stripMargin,
     // exact integer-arithmetic replica of the 3 damped PageRank rounds
     // (// is floor division = `div` on the non-negative ranks)
     "pagerank" ->
@@ -3012,6 +3084,51 @@ object QueryCatalog {
       |  FROM s)
       |SELECT id, term, tf, df, round(tfidf, 6) AS tfidf, rank
       |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+
+  /** Exact replica of [[Tfidf.bm25TopK]] (k1=1.2, b=0.75, k=5) on the
+    * three first-8-token probe queries: same tokenization, same idf and
+    * saturation expressions with the SAME literal op sequence
+    * ((1.2 + 1.0), not 2.2 — the parsed-literal sum must match the JVM's
+    * compile-time k1+1.0 bit-for-bit), and the per-(query, doc) score
+    * summed with `sum(s ORDER BY term)` — the ordered left fold matching
+    * the Spark side's term-sorted in-row `aggregate` (the DSIR rule). */
+  private lazy val bm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY 1),
+      |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qd AS (
+      |  SELECT DISTINCT doc_id AS query_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 1, 8)) AS term
+      |    FROM documents WHERE doc_id < 3)
+      |  WHERE length(term) > 0),
+      |dfq AS (
+      |  SELECT term, count(*) AS df FROM t
+      |  WHERE term IN (SELECT term FROM qd) GROUP BY 1),
+      |sc AS (
+      |  SELECT qd.query_id, t.doc_id, qd.term,
+      |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+      |      * (t.tf * (1.2 + 1.0))
+      |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+      |  FROM qd
+      |  JOIN t USING (term)
+      |  JOIN dfq USING (term)
+      |  JOIN dl ON t.doc_id = dl.doc_id
+      |  CROSS JOIN st),
+      |agg AS (
+      |  SELECT query_id, doc_id, count(*) AS n_terms,
+      |    sum(s ORDER BY term) AS score
+      |  FROM sc GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, doc_id, n_terms, score,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+      |  FROM agg)
+      |SELECT query_id, doc_id, n_terms, round(score, 6) AS score, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Trigram-shingle CTEs for the decontamination twins: corpus/bench
     * split on doc_id % 10, shingles built exactly like [[jaccardCtes]]

@@ -118,6 +118,53 @@ object Shuffling {
       .drop("__rn")
   }
 
+  /** Strictly-positive uniform in (0, 1) for log-based sampling keys:
+    * (first-8-hex-digits + 0.5) / 2^32 — never 0 (so `ln` never hits
+    * -inf) and never 1. Integer-to-double conversion is exact below
+    * 2^53, so the value reproduces bit-for-bit in any engine. */
+  def hashUniformOpen(idCol: Column, seed: Long): Column =
+    (conv(substring(shuffleKey(idCol, seed), 1, 8), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+
+  /** Weighted sample WITHOUT replacement of exactly `n` rows
+    * (Efraimidis & Spirakis 2006, the exponential-race form): each row
+    * draws key = -ln(u) / w with u a seeded content-hash uniform, and
+    * the n smallest keys win — distributionally identical to sequential
+    * weighted draws without replacement, in one pass with no sequential
+    * state. The curation use: sample a training subset where selection
+    * probability tracks a quality/length/importance weight instead of
+    * being uniform ([[sampleNPerStratum]]'s regime).
+    *
+    * Deterministic: the key is a pure function of (id, weight, seed) —
+    * stable across runs, partitionings, and retries, and replayable in
+    * SQL (`-ln((hex8 + 0.5)/2^32)/w`). Nested-sample property: the
+    * top-n set is a prefix of the top-m set for n < m, so growing a
+    * sample only appends. Rows with NULL or non-positive weight are
+    * excluded (a zero weight must never win; a negative one is a caller
+    * bug surfaced by the `weighted_sample` contract, not silently
+    * ranked first).
+    *
+    * Scale shape: the key is a scan-speed projection and the cut
+    * compiles to TakeOrderedAndProject — per-partition n-row heaps and
+    * a driver merge of n rows; the corpus is never globally sorted. */
+  def weightedSampleN(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      seed: Long
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = col(weightCol).cast("double")
+    // NaN must be excluded explicitly: Spark orders NaN ABOVE every
+    // number, so `w > 0` alone would admit it (and its NaN key would
+    // quietly ride along at the bottom of every sample)
+    df.where(w.isNotNull && !isnan(w) && w > 0 && col(idCol).isNotNull)
+      .withColumn("sample_key", -log(hashUniformOpen(col(idCol), seed)) / w)
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(n)
+  }
+
   /** Deterministic shard assignment in [0, numShards): the first 8 hex
     * digits of the shuffle key mod `numShards`. Stable across runs and
     * cluster sizes; `repartition(numShards, col("shard"))` + a

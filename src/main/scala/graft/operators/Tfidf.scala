@@ -80,4 +80,83 @@ object Tfidf {
       .orderBy(col("term_count").desc, col("term").asc)
       .limit(topK)
   }
+
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene
+    * form) — score a small query batch against the corpus and return each
+    * query's top-k documents. This is the lexical-retrieval complement of
+    * the embedding ANN family: the same "find the documents most relevant
+    * to this probe" primitive, over terms instead of vectors, used for
+    * targeted corpus slicing and retrieval-quality evaluation.
+    *
+    *   idf(t)        = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   score(q, d)   = sum over matched query terms of
+    *                   idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    *
+    * Query term frequency is collapsed to the distinct term set (the
+    * standard short-query simplification; repeat a term in `queries` and
+    * it still counts once).
+    *
+    * Scale shape (the [[Decontamination]] discipline): the query side is
+    * MBs against a 100 TB corpus, so its distinct (query, term) set
+    * `broadcast()`s onto the per-(doc, term) TF table — the corpus never
+    * shuffles for the match, and everything downstream of the broadcast
+    * hash join is bounded by MATCHED rows, not corpus rows. TF and
+    * per-doc length are map-side-combined aggregates (shuffle volume =
+    * distinct (doc, term) pairs); document frequency is computed over the
+    * match-restricted TF table only (one row per query term, exact — df
+    * counts corpus docs containing the term, and restricting to query
+    * terms first drops no such doc); N and avgdl ride a one-row broadcast
+    * (the scalar-totals pattern). The per-(query, doc) double folds in
+    * TERM-SORTED order inside the row (the DSIR rule), so the score is
+    * partitioning-independent bit-for-bit and a SQL twin replays it with
+    * `sum(s ORDER BY term)`. The final cut is a per-query top-k window
+    * over candidate rows (bounded by matches), never the corpus. */
+  def bm25TopK(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got k1=$k1 b=$b")
+    def tokens(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id), explode(split(lower(trim(col(text))), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+    val tf = tokens(corpus, idCol, textCol)
+      .groupBy(col(idCol).as("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N + avgdl in one row; derived from the dl table so the whole
+    // operator tokenizes the corpus exactly once.
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum("dl").cast("double") / count(lit(1))).as("__avgdl"))
+    val qterms = tokens(queries, queryIdCol, queryTextCol)
+      .select(col(queryIdCol).as("query_id"), col("term")).distinct()
+    val matched = tf.join(broadcast(qterms), Seq("term"))
+    // matched is one row per (doc, term, QUERY) — a term shared by two
+    // queries appears twice per doc, so df must dedup on (term, doc)
+    // first or shared terms get a multiplied document frequency
+    val dfreq = matched.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("__s")))),
+          lit(0.0), (acc, x) => acc + x.getField("__s")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting — the clustering-coefficient /
+  * community-density primitive of the graph-analytics family
+  * ([[PageRank]] is the propagation half). Over a duplicate graph it
+  * measures how clique-like the duplicate neighborhoods are; over a
+  * co-occurrence graph it finds tightly-coupled entity groups.
+  *
+  * Algorithm: the degree-ordered "forward"/node-iterator method
+  * (Schank & Wagner 2005). Each undirected edge is oriented from its
+  * lower-ranked to its higher-ranked endpoint, rank = (degree, id) —
+  * a total order, ties broken by id. Every triangle then has exactly
+  * ONE wedge apex (its minimum-rank vertex), so it is found exactly
+  * once: join oriented edges on the apex, order the two tips, and
+  * check the closing oriented edge with an equi-join.
+  *
+  * Why this survives 100x: the wedge fan-out of a vertex is its
+  * OUT-degree under the orientation, which degree-ordering bounds by
+  * O(sqrt(|E|)) for any graph (and by the arboricity for real ones) —
+  * the hub that would generate deg^2 wedges as an apex in the naive
+  * formulation has the highest rank, so every edge at it points IN and
+  * it apexes nothing. All three stages are equi-joins keyed on vertex
+  * ids (degree table: one map-side-combined aggregate; closing check:
+  * join on the (tip_a, tip_b) pair) — no cartesian anywhere, and the
+  * shuffles carry (long, long) edge rows only.
+  */
+object Triangles {
+
+  /** Canonical undirected distinct edges (a < b) from a possibly-dirty
+    * directed/duplicated edge list; self-loops dropped. */
+  def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+      least(col(srcCol), col(dstCol)).as("a"),
+      greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+
+  /** Per-node triangle participation counts: `(node, n_triangles)`, one
+    * row per vertex that is in at least one triangle (each triangle
+    * credits all three corners). Input edges are canonicalized first,
+    * so callers may pass raw directed pairs. */
+  def perNodeCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    // degree over the undirected edge set — rank = (degree, id)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withRanks = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+    // orient low rank -> high rank (struct fields named uniformly so the
+    // when-branches type-unify)
+    val rankA = struct(col("deg_a").as("deg"), col("a").as("id"))
+    val rankB = struct(col("deg_b").as("deg"), col("b").as("id"))
+    val aLower = rankA < rankB
+    val oriented = withRanks.select(
+      when(aLower, col("a")).otherwise(col("b")).as("lo"),
+      when(aLower, col("b")).otherwise(col("a")).as("hi"),
+      when(aLower, rankB).otherwise(rankA).as("hi_rank"))
+    // wedges at the apex: two out-edges, tips ordered by rank so the
+    // closing edge (rank-oriented by construction) is a plain equi-join
+    val e1 = oriented.select(col("lo").as("apex"), col("hi").as("t1"), col("hi_rank").as("r1"))
+    val e2 = oriented.select(col("lo").as("apex"), col("hi").as("t2"), col("hi_rank").as("r2"))
+    val wedges = e1.join(e2, Seq("apex")).where(col("r1") < col("r2"))
+      .select(col("apex"), col("t1"), col("t2"))
+    val closing = oriented.select(col("lo").as("t1"), col("hi").as("t2"))
+    val tris = wedges.join(closing, Seq("t1", "t2"))
+    tris.select(col("apex").as("node"))
+      .union(tris.select(col("t1").as("node")))
+      .union(tris.select(col("t2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Global triangle count as a one-row DataFrame `(n_triangles)`. */
+  def totalCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    perNodeCounts(edges, srcCol, dstCol)
+      .agg((coalesce(sum("n_triangles"), lit(0L)) / 3).cast("long").as("n_triangles"))
+}

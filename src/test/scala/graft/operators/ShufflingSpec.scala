@@ -121,4 +121,45 @@ class ShufflingSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning"),
       s"orderBy must compile to a range-partitioned sort:\n$plan")
   }
+
+  test("weighted sample: differential vs a Scala replica of the A-ES keys") {
+    val d = (1L to 300L).map(i => (i, (i % 17 + 1).toDouble)).toDF("doc_id", "w")
+    val out = Shuffling.weightedSampleN(d, "doc_id", "w", n = 25, seed = 9L)
+      .collect().map(_.getLong(0)).toSeq
+    // replica: same md5-hex8 uniform, same -ln(u)/w key, same (key, id) order
+    def key(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:9".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      -math.log(u) / w
+    }
+    val expected = (1L to 300L).map(i => (key(i, (i % 17 + 1).toDouble), i))
+      .sorted.take(25).map(_._2)
+    assert(out == expected, "distributed keys must equal the sequential replica")
+  }
+
+  test("weighted sample: nested across n, weight-sensitive, guards bad weights") {
+    val d = (1L to 400L).map(i => (i, if (i == 123L) 1e6 else 1.0)).toDF("doc_id", "w")
+    val small = Shuffling.weightedSampleN(d, "doc_id", "w", n = 10, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    val big = Shuffling.weightedSampleN(d, "doc_id", "w", n = 40, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "top-10 must nest inside top-40")
+    assert(small.contains(123L),
+      "a 1e6x weight must dominate a 10-of-400 draw (deterministic for this seed)")
+    // zero / negative / null weights never win
+    val mixed = Seq((1L, 0.0), (2L, -5.0), (3L, 2.0)).toDF("doc_id", "w")
+      .union(Seq((4L, Double.NaN)).toDF("doc_id", "w"))
+    val kept = Shuffling.weightedSampleN(mixed, "doc_id", "w", n = 10, seed = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"only the positive-weight row may survive, got $kept")
+  }
+
+  test("weighted sample: the cut is TakeOrderedAndProject, not a global sort") {
+    val d = ids(200).withColumn("w", col("doc_id").cast("double"))
+    val plan = Shuffling.weightedSampleN(d, "doc_id", "w", n = 5, seed = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy.limit must compile to per-partition heaps:\n$plan")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -61,5 +62,72 @@ class TfidfSpec extends AnyFunSuite {
     val r1 = Tfidf.topTerms(d, "doc_id", "text", k = 2, minDf = 1)
       .collect().map(r => (r.getLong(0), r.getInt(5)) -> r.getString(1)).toMap
     assert(r1((1L, 1)) == "aa" && r1((1L, 2)) == "zz")
+  }
+
+  private def queries(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, 2),
+      StructType(Seq(StructField("query_id", LongType), StructField("qtext", StringType))))
+
+  test("bm25: hand-computed scores on a 3-doc corpus") {
+    val d = docs(
+      1L -> "cat cat fish",   // dl 3
+      2L -> "cat dog",        // dl 2
+      3L -> "cat dog")        // dl 2
+    val q = queries(10L -> "fish")
+    val out = Tfidf.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // only doc 1 contains "fish": N=3, df=1, tf=1, dl=3, avgdl=7/3
+    val idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    val expected = idf * (1 * (1.2 + 1.0)) / (1 + 1.2 * ((1.0 - 0.75) + 0.75 * 3 / (7.0 / 3)))
+    assert(out.length == 1)
+    val (qid, did, nTerms, score, rank) = out.head
+    assert(qid == 10L && did == 1L && nTerms == 1L && rank == 1)
+    assert(math.abs(score - expected) < 1e-12, s"got $score want $expected")
+  }
+
+  test("bm25: multi-term queries sum matched terms; rarer terms dominate; k cuts") {
+    val d = docs(
+      1L -> "cat cat fish",
+      2L -> "cat dog",
+      3L -> "cat dog bird")
+    val q = queries(10L -> "cat fish", 11L -> "dog dog")
+    val rows = Tfidf.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> (r.getLong(1), r.getLong(2))).toMap
+    // query 10: doc 1 matches both terms (rank 1); docs 2/3 match "cat" only
+    assert(rows((10L, 1)) == ((1L, 2L)), "doc with the rare term must rank first")
+    assert(rows((10L, 2))._2 == 1L)
+    // query 11 repeats "dog": distinct-term semantics -> n_terms = 1
+    assert(rows((11L, 1))._2 == 1L && rows((11L, 2))._2 == 1L)
+    assert(rows.keys.count(_._1 == 10L) == 2, "k=2 bounds per-query output")
+  }
+
+  test("bm25: a term shared by two queries keeps its true document frequency") {
+    // regression: df was once counted over (doc, term, query) rows, so a
+    // term in two queries got df doubled (idf wrong for both queries)
+    val d = docs(1L -> "cat fish", 2L -> "cat dog", 3L -> "bird")
+    val solo = Tfidf.bm25TopK(d, "doc_id", "text",
+      queries(10L -> "cat"), "query_id", "qtext", k = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val shared = Tfidf.bm25TopK(d, "doc_id", "text",
+      queries(10L -> "cat", 11L -> "cat"), "query_id", "qtext", k = 5)
+      .where(col("query_id") === 10L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(solo == shared, "adding a second query with the same term must not move scores")
+  }
+
+  test("bm25: score is partitioning-independent (the in-row term-sorted fold)") {
+    val d = docs((1L to 40L).map(i =>
+      i -> s"alpha beta gamma t$i ${"delta " * (i % 5).toInt}".trim): _*)
+    val q = queries(1L -> "alpha beta gamma delta")
+    def run(parts: Int) =
+      Tfidf.bm25TopK(d.repartition(parts), "doc_id", "text", q, "query_id", "qtext", k = 40)
+        .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val a = run(1)
+    val b = run(7)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, s) =>
+      assert(java.lang.Double.compare(s, b(id)) == 0, s"doc $id: $s vs ${b(id)}")
+    }
   }
 }

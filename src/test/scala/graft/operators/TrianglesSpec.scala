@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TrianglesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  test("hand graphs: triangle, square, K4") {
+    // one triangle + a pendant edge
+    val tri = Triangles.perNodeCounts(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a 4-cycle has no triangles
+    val square = Triangles.perNodeCounts(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L), "src", "dst").collect()
+    assert(square.isEmpty)
+    // K4: 4 triangles, every node in 3 of them
+    val k4 = Triangles.perNodeCounts(
+      edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val total = Triangles.totalCount(
+      edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L), "src", "dst")
+      .collect().head.getLong(0)
+    assert(total == 4L)
+  }
+
+  test("dirty input: duplicates, reversed edges, and self-loops are canonicalized") {
+    val out = Triangles.perNodeCounts(
+      edges(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 2L), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("differential vs brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val es = (1 to 400).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val out = Triangles.perNodeCounts(edges(es: _*), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over canonical undirected edges
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap { case (a, b) => Set(a, b) }.toSeq.sorted
+    val expected = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if und((x, y)) && und((y, z)) && und((x, z))
+      n <- Seq(x, y, z)
+    } expected(n) += 1
+    assert(out == expected.toMap, "distributed counts must equal brute force")
+  }
+
+  test("plan: equi-joins only — no cartesian, no nested loop") {
+    val d = edges((1 to 200).map(i => (i.toLong, ((i * 7) % 200 + 1).toLong)): _*)
+    val plan = Triangles.perNodeCounts(d, "src", "dst")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay equi-join shaped:\n$plan")
+  }
+}
