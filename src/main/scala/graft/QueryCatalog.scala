@@ -1000,6 +1000,16 @@ object QueryCatalog {
         .select(unix_micros(col("w.start")).as("window_start_us"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start_us", "event_type")),
+    // Per-user EWMA of event values in event-time order: the sequential
+    // recurrence runs as ONE user-keyed aggregate with a ts-sorted
+    // in-row fold (DSIR rule — bit-stable under any partitioning); the
+    // oracle replays it with list_reduce over list(v ORDER BY ts,
+    // event_id) and the identical IEEE constants.
+    "event_ewma" -> ((s, dir) =>
+      Sessionize.ewma(events(s, dir), "user_id", "ts", "event_id", "value",
+          alpha = 0.3)
+        .select(col("user_id"), col("n_events"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")),
     // Semi-structured extraction: pull the typed k out of the JSON props
     // column per event — get_json_object is a codegen'd path expression
     // (no UDF, no schema inference pass); row-level output so the gate
@@ -1181,6 +1191,22 @@ object QueryCatalog {
       Similarity.rpTopKForQueries(e, e.where(col("vec_id") < 5),
           "vec_id", "embedding", outDim = 16, candidateK = 32, k = 1)
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // SQ8 scalar-quantized ANN: per-dimension 256-level codes (the FAISS
+    // SQ8 shape — a 4x smaller persisted index, scan bandwidth at probe
+    // time), asymmetric probe = exact queries vs dequantized corpus.
+    // Params are a dim-bounded aggregate riding a broadcast; encode is
+    // scan-speed; every double op is closed-form, so the oracle replays
+    // quantize -> dequantize -> cosine exactly.
+    "sq8_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val params = Similarity.sq8Params(e, "embedding", dim = 64)
+      val codes = Similarity.sq8Encode(e, "vec_id", "embedding", params)
+      Similarity.sq8TopKForQueries(codes, params, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     // Reciprocal-rank fusion: three heterogeneous retrieval rankings
@@ -2001,6 +2027,36 @@ object QueryCatalog {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact replica of the SQ8 pipeline: per-dimension min/width, the
+    * clamped floor((x-min)/width*255 + 0.5) quantizer, dequantize
+    * min + c*width/255, then the [[topkForQueriesSql]] cosine ranking
+    * over the reconstructed vectors. */
+  private val sq8TopkSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (
+       |  SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS wd
+       |  FROM e CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY i),
+       |pm AS (SELECT list(mn ORDER BY i) AS mins, list(wd ORDER BY i) AS wds FROM p),
+       |c AS (
+       |  SELECT vec_id AS corpus_id,
+       |    list_transform(range(1, 65), i ->
+       |      mins[i] + CAST(CASE WHEN wds[i] = 0 THEN 0 ELSE
+       |          least(255.0, greatest(0.0,
+       |            floor((v[i] - mins[i]) / wds[i] * 255.0 + 0.5)))
+       |        END AS DOUBLE) * wds[i] / 255.0) AS cv
+       |  FROM e CROSS JOIN pm),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < 5),
+       |s AS (
+       |  SELECT query_id, corpus_id, ${cosSql("cv", "qv")} AS cos
+       |  FROM c JOIN q ON corpus_id <> query_id),
+       |r AS (
+       |  SELECT query_id, corpus_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val topkForQueriesSql =
     s"""WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
@@ -2782,6 +2838,7 @@ object QueryCatalog {
          |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          |FROM r WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
     "batch_ann_topk_bucketed" -> topkForQueriesSql,
+    "sq8_topk" -> sq8TopkSql,
     // three independent rankings replayed exactly (cosine / dot / L2 as
     // the same left folds), RRF terms summed in src order
     "rrf_fusion" ->
@@ -2888,6 +2945,21 @@ object QueryCatalog {
     "event_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // exact replica of the EWMA fold: list_reduce inits with the first
+    // element (matching the Spark zero = v_1 over the rest), and beta is
+    // REPLAYED as 1.0 - 0.3 in doubles — a 0.7 literal is a different
+    // IEEE value than the subtraction the operator computes
+    "event_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |a AS (SELECT user_id, list(v ORDER BY ts, event_id) AS arr FROM e GROUP BY 1)
+        |SELECT user_id, CAST(len(arr) AS BIGINT) AS n_events,
+        |  round(CASE WHEN len(arr) = 1 THEN arr[1]
+        |    ELSE list_reduce(arr, (acc, x) ->
+        |      CAST(0.3 AS DOUBLE) * x +
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc) END, 6) AS ewma
+        |FROM a ORDER BY user_id""".stripMargin,
     "asof_join" -> asofJoinSql,
     "asof_join_bucketed" -> asofJoinSql,
     "range_join" -> rangeJoinSql,

@@ -99,6 +99,51 @@ object Sessionize {
       .drop("__boundary")
   }
 
+  /** Per-key exponentially-weighted moving average of `valueCol` in
+    * event-time order — the recency-weighted engagement / rate signal
+    * (y_1 = x_1; y_t = a*x_t + (1-a)*y_{t-1}). Output per key:
+    * `(keyCol, n_events, ewma)` over the non-null values.
+    *
+    * The recurrence is inherently sequential, so it runs as ONE
+    * key-partitioned aggregate: events collect into a (ts, tie, value)
+    * struct array, `array_sort` pins event-time order (tie-broken by
+    * `tieCol`, so the order is total and retry-stable), and the EWMA is
+    * an in-row left fold — partitioning-independent bit-for-bit (the
+    * DSIR rule), which is what lets the gate hash a float produced from
+    * shuffled rows, and lets a SQL twin replay it with
+    * `list_reduce(list(v ORDER BY ts, tie), ...)`.
+    *
+    * Scale: one shuffle keyed by `keyCol`; per-key state is that key's
+    * event array (the sessionize regime — bound it upstream by
+    * windowing ts). For mega-keys, EWMA composes across ordered chunks:
+    * y(AB) = (1-a)^|B| * y(A) + y(B with zero init), so a chunked
+    * two-pass variant exists without changing the math — not needed at
+    * the catalog's per-user volumes. */
+  def ewma(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha // computed ONCE here; a SQL twin must replay 1.0 - a, not a 0.x literal
+    val g = events
+      .where(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("ts"), col(tieCol).as("tie"),
+        col(valueCol).cast("double").as("v")))).as("__arr"))
+    g.select(
+      col(keyCol),
+      size(col("__arr")).cast("long").as("n_events"),
+      aggregate(
+        slice(col("__arr"), lit(2), greatest(size(col("__arr")) - 1, lit(0))),
+        element_at(col("__arr"), 1).getField("v"),
+        (acc, x) => lit(alpha) * x.getField("v") + lit(beta) * acc).as("ewma"))
+  }
+
   /** Per-session rollup: event count, value sum, first/last timestamps
     * (epoch micros). */
   def sessionStats(

@@ -1333,4 +1333,81 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
+
+  // ---- scalar quantization (SQ8) -----------------------------------------
+
+  /** Per-dimension SQ8 range parameters: ONE row
+    * `(mins: array<double>, widths: array<double>)` with
+    * `widths[d] = max_d - min_d`. The per-dimension min/max aggregate is
+    * map-side combined (shuffle volume: `dim` rows per map task) and the
+    * final fold to one row is `dim` rows — at 100 TB the parameter table
+    * is a few KB riding a broadcast, the FAISS `SQ8` train step. */
+  def sq8Params(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val perDim = df
+      .select(posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+    perDim
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("pm"))
+      .select(
+        transform(col("pm"), s => s.getField("mn")).as("mins"),
+        transform(col("pm"), s => s.getField("mx") - s.getField("mn")).as("widths"))
+  }
+
+  /** SQ8 encode: each dimension rounds to its nearest of 256 uniform
+    * levels across the corpus range — `code = floor((x-min)/width*255
+    * + 0.5)` clamped to [0, 255], degenerate (width 0) dimensions code
+    * to 0. A scan-speed projection over a broadcast parameter row.
+    * Codes are logically uint8: parquet dictionary/bit-pack encoding
+    * stores the 0..255 int elements at ~1 byte, so the persisted index
+    * is ~4x smaller than fp32 (the point of SQ8 — scan bandwidth at
+    * probe time), while the in-plan element type stays int. */
+  def sq8Encode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: DataFrame
+  ): DataFrame =
+    df.crossJoin(broadcast(params))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val wd = element_at(col("widths"), i + 1)
+          when(wd === 0.0, lit(0)).otherwise(
+            least(lit(255.0), greatest(lit(0.0),
+              floor((x.cast("double") - mn) / wd * lit(255.0) + lit(0.5)))).cast("int"))
+        }).as("codes"))
+
+  /** Asymmetric SQ8 top-k: full-precision queries score against
+    * DEQUANTIZED codes (`x_hat = min + code*width/255`) — the classic
+    * asymmetric-distance setup (query exact, corpus compressed). Same
+    * broadcast-query brute scorer shape (and the same small-query-set
+    * bound) as [[topKForQueries]], but the corpus side reads the 4x
+    * smaller code table; compose with the LSH/IVF candidate stages for
+    * bulk query sets exactly as the exact scorer does.
+    * Output: `(query_id, corpus_id, cosine, rank)` where cosine is the
+    * ADC estimate — every double op is closed-form replayable. */
+  def sq8TopKForQueries(
+      codes: DataFrame,
+      params: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qvec"))
+    val dequant = codes.crossJoin(broadcast(params))
+      .select(col("id").as("corpus_id"),
+        transform(col("codes"), (c, i) =>
+          element_at(col("mins"), i + 1) +
+            c.cast("double") * element_at(col("widths"), i + 1) / lit(255.0)).as("cvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
+    dequant.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
 }

@@ -106,4 +106,63 @@ class SessionizeSpec extends AnyFunSuite {
     assert(r.getLong(0) > 1600000000L * 1000000L) // sane epoch-micros range
     assert(r.getLong(1) >= r.getLong(0))
   }
+
+  private def ewmaEvents(rows: (Long, Long, Long, Double)*) = {
+    val rs = rows.map { case (u, ts, id, v) => Row(u, ts * 1000000000L, id, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rs, 3),
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("value", DoubleType))))
+  }
+
+  test("ewma: hand-computed recurrence in event-time order, not input order") {
+    // user 1 rows arrive ts-disordered; fold must follow ts
+    val d = ewmaEvents((1L, 30L, 3L, 4.0), (1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0),
+      (2L, 5L, 4L, 9.0))
+    val out = Sessionize.ewma(d, "user_id", "ts", "event_id", "value", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // y = 1.0 -> 0.5*2+0.5*1 = 1.5 -> 0.5*4+0.5*1.5 = 2.75
+    assert(out(1L) == ((3L, 2.75)))
+    assert(out(2L) == ((1L, 9.0)), "single event: ewma = the value itself")
+  }
+
+  test("ewma: equal timestamps tie-break on event_id; nulls excluded") {
+    val d = ewmaEvents((1L, 10L, 2L, 100.0), (1L, 10L, 1L, 0.0))
+    val out = Sessionize.ewma(d, "user_id", "ts", "event_id", "value", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // order by (ts, event_id): 0.0 then 100.0 -> 0.5*100 + 0.5*0 = 50
+    assert(out(1L) == 50.0)
+    val withNull = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(3L, 1000000000L, 1L, 5.0), Row(3L, 2000000000L, 2L, null)), 2),
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("value", DoubleType))))
+    val n = Sessionize.ewma(withNull, "user_id", "ts", "event_id", "value", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(n(3L) == ((1L, 5.0)), "null values must not enter the fold or the count")
+  }
+
+  test("ewma: bit-identical under repartitioning (in-row fold)") {
+    val rows = (1L to 200L).map(i => (i % 7, i, i, (i % 13).toDouble + 0.25))
+    def run(parts: Int) =
+      Sessionize.ewma(ewmaEvents(rows: _*).repartition(parts),
+          "user_id", "ts", "event_id", "value", alpha = 0.3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = run(1)
+    val b = run(11)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, b(k)) == 0, s"user $k: $v vs ${b(k)}") }
+  }
+
+  test("ewma: chunked composition identity y(AB) = (1-a)^|B| y(A) + y0(B)") {
+    // the documented mega-key escape hatch: fold of a concatenation equals
+    // the scaled fold of the prefix plus the zero-init fold of the suffix
+    val a = 0.3
+    val xs = Seq(1.0, 4.0, 2.0, 8.0, 3.0, 5.0)
+    def fold(init: Double, rest: Seq[Double]) = rest.foldLeft(init)((acc, x) => a * x + (1 - a) * acc)
+    val full = fold(xs.head, xs.tail)
+    val (pre, suf) = xs.splitAt(3)
+    val yA = fold(pre.head, pre.tail)
+    val y0B = suf.foldLeft(0.0)((acc, x) => a * x + (1 - a) * acc)
+    assert(math.abs(full - (math.pow(1 - a, suf.size) * yA + y0B)) < 1e-12)
+  }
 }

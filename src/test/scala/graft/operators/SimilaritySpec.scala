@@ -331,4 +331,43 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     assert(p1 == p2)
   }
+
+  test("sq8: codes in [0,255], reconstruction within half a level, width-0 dims exact") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val d = emb((1L to 50L).map(i =>
+      i -> (Seq.fill(7)(rnd.nextDouble() * 10 - 5) :+ 3.25)): _*) // dim 8, last constant
+    val params = Similarity.sq8Params(d, "embedding", dim = 8)
+    val pRow = params.collect().head
+    val mins = pRow.getSeq[Double](0).toIndexedSeq
+    val widths = pRow.getSeq[Double](1).toIndexedSeq
+    assert(widths(7) == 0.0, "constant dimension must have width 0")
+    val codes = Similarity.sq8Encode(d, "vec_id", "embedding", params)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    val orig = d.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, cs) <- codes; i <- cs.indices) {
+      val dq = mins(i) + cs(i).toDouble * widths(i) / 255.0
+      val tol = if (widths(i) == 0.0) 1e-12 else widths(i) / 255.0 / 2 + 1e-9
+      assert(math.abs(dq - orig(id)(i)) <= tol,
+        s"id $id dim $i: $dq vs ${orig(id)(i)} (width ${widths(i)})")
+    }
+  }
+
+  test("sq8 ADC retrieves the planted twin: quantization noise < the planted margin") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // 20 random base vectors + a near-identical twin for each of 3 queries
+    val base = (1L to 20L).map(i => i -> Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val twins = (1L to 3L).map(q =>
+      (100L + q) -> base(q.toInt - 1)._2.map(_ + rnd.nextDouble() * 0.01))
+    val d = emb((base ++ twins): _*)
+    val params = Similarity.sq8Params(d, "embedding", dim = 16)
+    val codes = Similarity.sq8Encode(d, "vec_id", "embedding", params)
+    val top1 = Similarity.sq8TopKForQueries(codes, params,
+        d.where(col("vec_id").isin(101L, 102L, 103L)), "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(101L -> 1L, 102L -> 2L, 103L -> 3L),
+      s"each query must retrieve its planted twin, got $top1")
+  }
 }
