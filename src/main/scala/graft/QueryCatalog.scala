@@ -754,6 +754,16 @@ object QueryCatalog {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))
         .orderBy("doc_id", "chunk_idx")),
+    // Top-40 collocations by PMI (minCount=5 floors the hapax-pair
+    // explosion): gram tables map-side combined, probability joins are
+    // word-keyed equi-joins, totals ride a one-row broadcast, the cut is
+    // TakeOrderedAndProject. PMI is one closed-form double over exact
+    // integer counts -> replayable.
+    "pmi_collocations" -> ((s, dir) =>
+      Scoring.pmiCollocations(documents(s, dir), "doc_id", "text",
+          k = 40, minCount = 5)
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(col("pmi"), 6).as("pmi"))),
     // Weighted corpus mixture via deterministic content-hash sampling:
     // survival (and repetition) is a pure function of (doc_id, lang), so
     // the mixture is reproducible across engines/layouts/retries — which
@@ -1208,6 +1218,20 @@ object QueryCatalog {
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+    // MMR diversified re-ranking over the planted-twin corpus: top-10
+    // exact candidates per query, then 5 greedy in-plan selection steps
+    // (lambda=0.7) — each step an aggregate argmax fold over the
+    // candidate array, no driver loop, corpus untouched after stage 1.
+    // The oracle unrolls the same 5 steps in SQL with identical
+    // closed-form doubles.
+    "mmr_rerank" -> ((s, dir) => {
+      val e = plantedEmbeddings(s, dir)
+      Similarity.mmrRerank(e, e.where(col("vec_id") < 3), "vec_id", "embedding",
+          candidateK = 10, m = 5, lambdaRel = 0.7)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("mmr_score"), 6).as("mmr_score"), col("step"))
+        .orderBy("query_id", "step")
     }),
     // Reciprocal-rank fusion: three heterogeneous retrieval rankings
     // (cosine, raw dot product, L2) fused by rank only — no score
@@ -2027,6 +2051,52 @@ object QueryCatalog {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact replica of [[Similarity.mmrRerank]] (candidateK=10, m=5,
+    * lambda=0.7) on the planted corpus: the same top-10 exact-cosine
+    * candidates, then the 5 greedy steps UNROLLED — step i scores every
+    * unselected candidate `0.7*rel - (1.0 - 0.7)*greatest(sims to the
+    * i-1 picks)` (sims = dot over the same per-element-normalized
+    * vectors) and takes the (score DESC, id ASC) argmax. Identical
+    * IEEE op order throughout, so the selection replays exactly. */
+  private lazy val mmrRerankSql = {
+    val steps = (2 to 5).map { i =>
+      val prev = (1 until i).map(j => s"s$j")
+      val joins = prev.map(p => s"JOIN $p ON c.query_id = $p.query_id AND c.corpus_id <> $p.corpus_id").mkString("\n  ")
+      val sims = prev.map(p => s"list_inner_product(c.vn, $p.vn)").mkString(", ")
+      val scoreExpr = s"CAST(0.7 AS DOUBLE) * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * greatest($sims)"
+      s"""s$i AS (
+         |  SELECT query_id, corpus_id, sc AS mmr, vn FROM (
+         |    SELECT c.query_id, c.corpus_id, c.vn, $scoreExpr AS sc,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY ($scoreExpr) DESC, c.corpus_id ASC) AS rn
+         |    FROM cand c
+         |  $joins)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val s1Score = "CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(0 AS DOUBLE)"
+    s"""WITH $plantedCorpusCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 3),
+       |sc0 AS (
+       |  SELECT query_id, c.vec_id AS corpus_id, ${cosSql("c.v", "qv")} AS rel,
+       |    list_transform(c.v, x -> x / sqrt(list_inner_product(c.v, c.v))) AS vn
+       |  FROM corpus c JOIN q ON c.vec_id <> query_id),
+       |cand AS (
+       |  SELECT query_id, corpus_id, rel, vn FROM (
+       |    SELECT sc0.*, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, corpus_id ASC) AS rk FROM sc0)
+       |  WHERE rk <= 10),
+       |s1 AS (
+       |  SELECT query_id, corpus_id, $s1Score AS mmr, vn FROM (
+       |    SELECT cand.*, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ($s1Score) DESC, corpus_id ASC) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$steps,
+       |allsel AS (
+       |${(1 to 5).map(i => s"  SELECT query_id, corpus_id, mmr, $i AS step FROM s$i").mkString("\n  UNION ALL\n")})
+       |SELECT query_id, corpus_id, round(mmr, 6) AS mmr_score, CAST(step AS INTEGER) AS step
+       |FROM allsel ORDER BY query_id, step""".stripMargin
+  }
+
   /** Exact replica of the SQ8 pipeline: per-dimension min/width, the
     * clamped floor((x-min)/width*255 + 0.5) quantizer, dequantize
     * min + c*width/255, then the [[topkForQueriesSql]] cosine ranking
@@ -2839,6 +2909,7 @@ object QueryCatalog {
          |FROM r WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
     "batch_ann_topk_bucketed" -> topkForQueriesSql,
     "sq8_topk" -> sq8TopkSql,
+    "mmr_rerank" -> mmrRerankSql,
     // three independent rankings replayed exactly (cosine / dot / L2 as
     // the same left folds), RRF terms summed in src order
     "rrf_fusion" ->
@@ -2908,6 +2979,7 @@ object QueryCatalog {
     "vocab_topk" -> vocabTopkSql,
     "corpus_cube" -> corpusCubeSql,
     "bigram_score" -> bigramScoreSql,
+    "pmi_collocations" -> pmiCollocationsSql,
     "dsir_scores" -> dsirScoresSql,
     "bigram_score_topk" -> bigramScoreTopkSql,
     "kmeans_centroids" -> kmeansCentroidsSql,
@@ -3307,6 +3379,34 @@ object QueryCatalog {
        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        |  round(log_weight, 6) AS log_weight
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact replica of [[Scoring.pmiCollocations]] (k=40, minCount=5):
+    * same tokenization, exact integer gram counts, and the identical
+    * closed-form PMI double (counts enter as exact doubles, one op
+    * order), totals cast to BIGINT so DuckDB's HUGEINT sum cannot
+    * change the arithmetic. */
+  private lazy val pmiCollocationsSql = {
+    val tk = """regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+    s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |u AS (SELECT unnest(tk) AS w FROM t),
+       |uc AS (SELECT w, count(*) AS c FROM u WHERE length(w) > 0 GROUP BY 1),
+       |bgs AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+       |  FROM t WHERE len(tk) >= 2),
+       |pc AS (SELECT bg, count(*) AS n_pair FROM bgs GROUP BY 1 HAVING count(*) >= 5),
+       |px AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, n_pair FROM pc),
+       |tot AS (SELECT CAST((SELECT sum(c) FROM uc) AS BIGINT) AS n,
+       |               CAST((SELECT count(*) FROM bgs) AS BIGINT) AS b),
+       |s AS (
+       |  SELECT w1, w2, n_pair,
+       |    ln(CAST(n_pair AS DOUBLE) * n * n / (CAST(b AS DOUBLE) * c1.c * c2.c)) AS pmi
+       |  FROM px
+       |  JOIN uc c1 ON c1.w = px.w1
+       |  JOIN uc c2 ON c2.w = px.w2
+       |  CROSS JOIN tot)
+       |SELECT w1, w2, n_pair, round(pmi, 6) AS pmi
+       |FROM s ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 40""".stripMargin
   }
 
   /** Same corpus as [[bigramScoreSql]] with the deterministic top-64 cut

@@ -80,6 +80,62 @@ object Scoring {
         round(col("freq_sum").cast("double") / col("n_bigrams"), 6))
   }
 
+  /** Top-k collocations by pointwise mutual information:
+    * `pmi(w1, w2) = ln( P(w1 w2) / (P(w1) P(w2)) )` over corpus bigram /
+    * unigram frequencies — the classic collocation-extraction signal
+    * (Church & Hanks 1990), used here to surface multi-word boilerplate
+    * and named-entity phrases worth treating as units.
+    *
+    * Scale shape: unigram and bigram count tables are map-side-combined
+    * aggregates (shuffle volume = distinct grams, the
+    * [[bigramFrequencyScore]] discipline); the two probability joins are
+    * plain equi-joins on the word key; corpus totals ride a one-row
+    * broadcast; the cut compiles to TakeOrderedAndProject. The PMI double
+    * is a single per-row closed-form expression over exact integer counts
+    * (counts enter as exact <2^53 doubles, one op order), so it is
+    * deterministic and SQL-replayable.
+    *
+    * `minCount` floors the bigram count — PMI famously explodes for
+    * hapax pairs (two words seen once, together), so a raw top-k without
+    * the floor returns noise. Output: `(w1, w2, n_pair, pmi)`. */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val tokenized = df.select(col(idCol), toks.as("__toks"))
+    val ta = col("__toks")
+    val n = size(ta)
+    val bigrams = when(n >= lit(2),
+      transform(sequence(lit(1), n - lit(1)),
+        i => struct(element_at(ta, i).as("w1"), element_at(ta, i + lit(1)).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val uni = tokenized.select(explode(ta).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pair = tokenized.select(explode(bigrams).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= lit(minCount))
+    val totals = uni.agg(sum("c").as("__n")).crossJoin(
+      tokenized.select(explode(bigrams).as("bg")).agg(count(lit(1)).as("__b")))
+    pair
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        log(col("n_pair").cast("double") * col("__n") * col("__n") /
+          (col("__b").cast("double") * col("c1") * col("c2"))))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Keep documents above their stratum's quality quantile — "top half by
     * quality within each language/source", the standard way to apply one
     * quality bar across strata with different score distributions without

@@ -1334,6 +1334,96 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * diversify a per-query candidate list by greedily selecting
+    *
+    *   argmax over unselected d of
+    *     lambda * rel(d) - (1 - lambda) * max over selected s of sim(d, s)
+    *
+    * — the standard redundancy-removal step after retrieval (near-twin
+    * results collapse to one representative plus genuinely-different
+    * follow-ups). `rel` is exact cosine to the query; `sim` is cosine
+    * between candidates (computed as a plain dot over pre-NORMALIZED
+    * vectors, so the inner loop is one fused multiply-add chain).
+    *
+    * Scale shape: stage 1 is the existing bounded candidate generator
+    * ([[topKForQueries]] here; swap in LSH/IVF for bulk query sets —
+    * only the `(query_id, corpus_id, cosine)` shape matters). The greedy
+    * recursion then runs entirely IN-PLAN over the per-query candidate
+    * array (one collect_list aggregate, candidateK-bounded): the `m`
+    * selection steps unroll into `m` projection stages, each an
+    * `aggregate` argmax fold over <= candidateK structs — no driver
+    * loop, no UDF, no extra shuffle; the corpus is never touched after
+    * stage 1. Every double is closed-form (argmax tie-breaks on
+    * (score, -id) struct order), so an unrolled SQL twin replays the
+    * selection exactly.
+    *
+    * Output: `(query_id, corpus_id, mmr_score, step)`, `step` = 1..m
+    * selection order (fewer if a query has < m candidates). */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candidateK: Int,
+      m: Int,
+      lambdaRel: Double = 0.7
+  ): DataFrame = {
+    require(m >= 1 && candidateK >= m, s"need 1 <= m <= candidateK, got m=$m candidateK=$candidateK")
+    require(lambdaRel >= 0 && lambdaRel <= 1, s"lambda must be in [0,1], got $lambdaRel")
+    val oneMinus = 1.0 - lambdaRel // SQL twins must replay 1.0 - lambda, not a rounded literal
+    val cands = topKForQueries(corpus, queries, idCol, vecCol, candidateK)
+    val cvecs = corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__cv"))
+    val withVec = cands.join(cvecs, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("cosine").as("rel"),
+        transform(col("__cv"), x => x / norm(col("__cv"))).as("vn"))
+    // one row per query: candidates sorted by id (a canonical order for
+    // the folds; selection order is decided by the argmax, not this)
+    val grouped = withVec.groupBy("query_id")
+      .agg(array_sort(collect_list(struct(
+        col("corpus_id").as("id"), col("rel"), col("vn")))).as("cands"))
+    // the m greedy steps run as ONE fold over sequence(1, m) whose
+    // state (the selected structs) is a lambda VARIABLE — unrolling them
+    // into m projection stages instead re-inlines the accumulated
+    // columns and the expression tree grows ~4^m (measured: analysis
+    // OOM at m=5), while this form is O(1) plan size and
+    // m * candidateK * m evaluation work per row
+    val zeroState = array().cast("array<struct<id:bigint,mmr:double,vn:array<double>>>")
+    val zeroPick = struct(lit(Double.NegativeInfinity).as("key_score"),
+      lit(Long.MinValue).as("key_negid"),
+      lit(null).cast("bigint").as("id"), lit(null).cast("double").as("mmr"),
+      lit(null).cast("array<double>").as("vn"))
+    val selExpr = aggregate(
+      sequence(lit(1), lit(m)), zeroState,
+      (state, step) => {
+        val pick = aggregate(
+          col("cands"), zeroPick,
+          (acc, cand) => {
+            val already = exists(state, s => s.getField("id") === cand.getField("id"))
+            val maxSim = when(size(state) === 0, lit(0.0))
+              .otherwise(array_max(transform(state,
+                s => dot(cand.getField("vn"), s.getField("vn")))))
+            val score = when(already, lit(Double.NegativeInfinity))
+              .otherwise(lit(lambdaRel) * cand.getField("rel") - lit(oneMinus) * maxSim)
+            val negid = -cand.getField("id")
+            val better = score > acc.getField("key_score") ||
+              (score === acc.getField("key_score") && negid > acc.getField("key_negid"))
+            when(better, struct(score.as("key_score"), negid.as("key_negid"),
+              cand.getField("id").as("id"), score.as("mmr"), cand.getField("vn").as("vn")))
+              .otherwise(acc)
+          })
+        when(step <= size(col("cands")),
+          array_append(state, struct(pick.getField("id").as("id"),
+            pick.getField("mmr").as("mmr"), pick.getField("vn").as("vn"))))
+          .otherwise(state)
+      })
+    grouped.select(col("query_id"), selExpr.as("sel"))
+      .select(col("query_id"), posexplode(col("sel")).as(Seq("__pos", "s")))
+      .select(col("query_id"), col("s.id").as("corpus_id"),
+        col("s.mmr").as("mmr_score"), (col("__pos") + 1).cast("int").as("step"))
+  }
+
   // ---- scalar quantization (SQ8) -----------------------------------------
 
   /** Per-dimension SQ8 range parameters: ONE row

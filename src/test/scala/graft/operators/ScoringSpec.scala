@@ -205,4 +205,41 @@ class ScoringSpec extends AnyFunSuite {
     // shuffle-arrival order, defines the double sum
     assert(run(7) == one)
   }
+
+  test("pmi: hand-computed association, collocation outranks chance pair") {
+    // "san francisco" always together; "the cat"/"the dog" mix freely
+    val d = Seq(
+      (1L, "san francisco the cat"),
+      (2L, "san francisco the dog"),
+      (3L, "the cat the dog"),
+      (4L, "san francisco")
+    ).toDF("doc_id", "text")
+    val out = Scoring.pmiCollocations(d, "doc_id", "text", k = 10, minCount = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // totals: N = 14 unigrams, B = 10 bigrams
+    // c(san)=3, c(francisco)=3, c(san francisco)=3
+    val expSf = math.log(3.0 * 14 * 14 / (10.0 * 3 * 3))
+    val (cSf, pmiSf) = out(("san", "francisco"))
+    assert(cSf == 3L)
+    assert(math.abs(pmiSf - expSf) < 1e-12, s"$pmiSf vs $expSf")
+    // "the cat" (c=2, c(the)=4, c(cat)=2) is weaker association
+    val (_, pmiCat) = out(("the", "cat"))
+    assert(pmiSf > pmiCat, "a fixed collocation must outrank a chance pair")
+  }
+
+  test("pmi: minCount floors hapax pairs; k bounds output; order deterministic") {
+    val d = Seq(
+      (1L, "aa bb aa bb aa bb"),
+      (2L, "unique pairing here")
+    ).toDF("doc_id", "text")
+    val floored = Scoring.pmiCollocations(d, "doc_id", "text", k = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!floored.contains(("unique", "pairing")), "hapax pairs must be floored out")
+    val capped = Scoring.pmiCollocations(d, "doc_id", "text", k = 1, minCount = 1)
+      .collect()
+    assert(capped.length == 1)
+    val a = Scoring.pmiCollocations(d, "doc_id", "text", k = 5, minCount = 1).collect().toSeq
+    val b = Scoring.pmiCollocations(d, "doc_id", "text", k = 5, minCount = 1).collect().toSeq
+    assert(a == b, "the cut must be deterministic run to run")
+  }
 }

@@ -332,6 +332,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p1 == p2)
   }
 
+  test("mmr: diversifies across clusters where plain top-k repeats the twin") {
+    import org.apache.spark.sql.functions._
+    // cluster A ~ query direction; A' = near-copy of A; cluster B orthogonal-ish
+    val d = emb(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),   // query
+      1L -> Seq(0.99, 0.1, 0.0, 0.0),  // A
+      2L -> Seq(0.98, 0.11, 0.0, 0.0), // A twin
+      3L -> Seq(0.6, 0.0, 0.8, 0.0))   // B: relevant but different direction
+    val plain = Similarity.topKForQueries(d, d.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L), "plain top-2 returns the redundant twin")
+    val mmr = Similarity.mmrRerank(d, d.where(col("vec_id") === 0),
+        "vec_id", "embedding", candidateK = 3, m = 2, lambdaRel = 0.5)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    assert(mmr == Seq(1L, 3L), s"mmr must swap the twin for the cross-cluster doc, got $mmr")
+  }
+
+  test("mmr: differential vs an independent sequential greedy; short candidate lists") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L to 30L).map(i => i -> Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val d = emb(vecs: _*)
+    val lam = 0.7
+    val out = Similarity.mmrRerank(d, d.where(col("vec_id") < 2), "vec_id", "embedding",
+        candidateK = 8, m = 4, lambdaRel = lam)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // independent replica in plain Scala
+    def dotp(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dotp(a, b) / (math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b)))
+    val byId = vecs.toMap
+    for (q <- 0L to 1L) {
+      val qv = byId(q)
+      val cands = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(8)
+      val vn = cands.map { case (id, _) =>
+        val v = byId(id); val n = math.sqrt(dotp(v, v)); id -> v.map(_ / n) }.toMap
+      var sel = Vector.empty[Long]
+      for (_ <- 1 to 4) {
+        val best = cands.filterNot { case (id, _) => sel.contains(id) }
+          .map { case (id, rel) =>
+            val maxSim = if (sel.isEmpty) 0.0 else sel.map(s => dotp(vn(id), vn(s))).max
+            (id, lam * rel - (1 - lam) * maxSim) }
+          .minBy { case (id, sc) => (-sc, id) }
+        sel :+= best._1
+      }
+      sel.zipWithIndex.foreach { case (id, i) =>
+        assert(out((q, i + 1)) == id, s"query $q step ${i + 1}: ${out((q, i + 1))} vs $id")
+      }
+    }
+    // fewer candidates than m: steps stop at the candidate count
+    val tiny = emb(0L -> Seq(1.0, 0.0), 1L -> Seq(0.9, 0.1), 2L -> Seq(0.8, 0.2))
+    val short = Similarity.mmrRerank(tiny, tiny.where(col("vec_id") === 0),
+        "vec_id", "embedding", candidateK = 2, m = 2, lambdaRel = 0.7)
+    assert(short.count() == 2)
+  }
+
   test("sq8: codes in [0,255], reconstruction within half a level, width-0 dims exact") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)
