@@ -56,6 +56,61 @@ object StreamOps {
     * plus running aggregates. Top-level so the product Encoder derives. */
   case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
 
+  /** Running-EWMA state for [[ewmaState]]: event count + current value. */
+  case class EwmaState(n: Long, y: Double)
+
+  /** Streaming twin of [[graft.operators.Sessionize.ewma]]: a per-key
+    * running EWMA maintained in `mapGroupsWithState` (Update output mode
+    * — each micro-batch emits the refreshed `(key, n_events, ewma)` row
+    * for keys it touched). State is two numbers per key — O(keys),
+    * watermark-free by design (an EWMA never "closes").
+    *
+    * Within a micro-batch, rows fold in (ts, tie) order — the same total
+    * order as the batch operator (full-precision Timestamp comparison,
+    * not millis) — so on an in-event-time-order stream (each batch's
+    * events no older than the previous batch's) every emitted row is
+    * BIT-IDENTICAL to running the batch operator on the stream-so-far:
+    * same fold sequence `y_1 = x_1; y = a*x + (1-a)*y`, same IEEE
+    * constants. Out-of-order arrivals fold at arrival position instead
+    * of event position (the standard recurrence-vs-late-data trade;
+    * session-style buffering would need a watermark and an EWMA horizon
+    * cut — compose [[sessionizeStateful]]'s shape if that is needed). */
+  def ewmaState(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value",
+      alpha: Double = 0.3
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha // ONE subtraction here, matching the batch operator's lit(beta)
+    val session = events.sparkSession
+    import session.implicits._
+    val typed = events
+      .where(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"),
+        col(tsCol).cast("timestamp").as("__t"),
+        col(tieCol).cast("long").as("__tie"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[EwmaState, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3))(
+            Ordering.Tuple2(Ordering.ordered[java.sql.Timestamp], Ordering.Long))
+          var (n, y) = state.getOption.map(s => (s.n, s.y)).getOrElse((0L, 0.0))
+          sorted.foreach { case (_, _, _, v) =>
+            y = if (n == 0) v else alpha * v + beta * y
+            n += 1
+          }
+          state.update(EwmaState(n, y))
+          (key, n, y)
+      }
+      .toDF(keyCol, "n_events", "ewma")
+  }
+
   /** Gap-based sessionization with CUSTOM state via
     * `flatMapGroupsWithState` — the same semantics as [[sessionize]]
     * (`session_window`), re-expressed on the arbitrary-state API for the

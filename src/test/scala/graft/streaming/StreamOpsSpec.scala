@@ -604,4 +604,39 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(batch == Set((10L, 1L, 1), (11L, 2L, 1)))
     } finally q.stop()
   }
+
+  test("streaming EWMA (update mode) is bit-identical to the batch fold at every point") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamOps.ewmaState(
+        input.toDF().toDF("user_id", "ts", "event_id", "value"), alpha = 0.3)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ewma_stream").start()
+    def latest: Map[Long, (Long, Double)] = spark.table("ewma_stream")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.last._2 } // update mode: last row wins
+    def batch(rows: Seq[(Long, Timestamp, Long, Double)]): Map[Long, (Long, Double)] =
+      graft.operators.Sessionize.ewma(
+          rows.toDF("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", alpha = 0.3)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    try {
+      // batch 1: disordered within the batch (fold must follow ts, not arrival)
+      val b1 = Seq((1L, ts(5), 2L, 4.0), (1L, ts(1), 1L, 1.0), (2L, ts(2), 3L, 7.0))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val exp1 = batch(b1)
+      assert(latest == exp1, s"${latest} vs $exp1")
+      // batch 2: later events continue the recurrence across the batch boundary
+      val b2 = Seq((1L, ts(9), 4L, 10.0), (3L, ts(9), 5L, 2.5))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val exp2 = batch(b1 ++ b2)
+      val l2 = latest
+      assert(l2 == exp2, s"$l2 vs $exp2")
+      l2.foreach { case (k, (_, y)) =>
+        assert(java.lang.Double.compare(y, exp2(k)._2) == 0, s"user $k drifted") }
+    } finally q.stop()
+  }
 }
