@@ -454,20 +454,40 @@ object QueryCatalog {
           (col("l_suppkey") + lit(10000)).as("dst"))
       PageRank.ranks(e, "src", "dst", iterations = 3).orderBy("node")
     }),
-    // Triangle counting over the supplier co-supply graph (suppliers
-    // sharing an order; fan-out bounded by items-per-order). Degree-
-    // ordered forward counting: the wedge apex is always the minimum-
-    // rank corner, so wedge fan-out is bounded by O(sqrt|E|) even at
-    // hubs; all stages are equi-joins on vertex ids. Pure integer
-    // output -> exact hash oracle (which counts triangles the naive
-    // x<y<z way — the algorithms must agree, not just the shapes).
+    // Triangle counting over the HIGH-QUANTITY supplier co-supply graph
+    // (suppliers sharing an order on l_quantity >= 48 items — the filter
+    // keeps the graph sparse; the unfiltered co-supply graph over the
+    // small supplier key space is near-complete, and triangle counting
+    // on a clique is O(n^3) OUTPUT, not an algorithmic artifact:
+    // measured 40 s vs 0.6 s at sf0.1). Degree-ordered forward
+    // counting: the wedge apex is always the minimum-rank corner, so
+    // wedge fan-out is bounded by O(sqrt|E|) even at hubs; all stages
+    // are equi-joins on vertex ids. Pure integer output -> exact hash
+    // oracle (which counts triangles the naive x<y<z way — the
+    // algorithms must agree, not just the shapes).
     "triangle_count" -> ((s, dir) => {
-      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val li = lineitem(s, dir).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
       val pairs = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_suppkey") < col("y.l_suppkey"))
         .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
       Triangles.perNodeCounts(pairs, "src", "dst").orderBy("node")
+    }),
+    // Local clustering coefficient on the same sparse co-supply graph:
+    // 2T/(d(d-1)) per vertex of degree >= 2, triangle-free vertices 0.0
+    // via left join — one closed-form double over exact integers.
+    "clustering_coeff" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Triangles.clusteringCoefficient(pairs, "src", "dst")
+        .select(col("node"), col("deg"), col("n_triangles"),
+          round(col("coeff"), 6).as("coeff"))
+        .orderBy("node")
     }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -486,6 +506,20 @@ object QueryCatalog {
     "hot_grams" -> ((s, dir) =>
       HeavyHitters.hotGrams(documents(s, dir), "text", n = 3,
         capacity = 32768, k = 20)),
+    // Per-language top-5 terms via one Misra-Gries summary PER GROUP —
+    // the shuffle carries capacity-entry summaries, never the term
+    // dictionary. Capacity exceeds sf0.01's per-language vocabulary, so
+    // the sketch is exact there (max_err = 0 is part of the hashed
+    // output — the oracle pins the exactness contract, not just rows).
+    "hot_terms_per_lang" -> ((s, dir) =>
+      HeavyHitters.topKPerGroup(
+          documents(s, dir).select(col("lang"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+            .where(length(col("term")) > 0),
+          "lang", "term", capacity = 32768, k = 5)
+        .select(col("lang"), col("item").as("term"), col("n"), col("max_err"),
+          col("rank"))
+        .orderBy("lang", "rank")),
     // Edit-distance entity resolution (FastSS deletion neighborhoods):
     // every customer-name pair within 1 edit, with NO cartesian product —
     // candidates come from an equi-join on hashed deletion variants (text
@@ -2391,6 +2425,21 @@ object QueryCatalog {
         |g AS (SELECT unnest(sh) AS gram FROM sets)
         |SELECT gram, count(*) AS df FROM g
         |GROUP BY 1 ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin,
+    // exact per-language top-5 terms — valid against the per-group MG
+    // sketch in its exact regime (capacity > per-language vocabulary);
+    // max_err pinned at 0
+    "hot_terms_per_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS n FROM toks
+        |      WHERE length(term) > 0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, term, n, CAST(0 AS BIGINT) AS max_err,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT lang, term, n, max_err, rank
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     // independent connected components: brute-force distance-1 pairs,
     // then recursive min-label propagation to fixpoint
     "fuzzy_clusters" ->
@@ -3070,9 +3119,10 @@ object QueryCatalog {
     // naive-enumeration triangle oracle: canonical a<b co-supply edges,
     // each triangle found once as x<y<z, then per-corner credit
     "triangle_count" ->
-      """WITH p AS (
+      """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
+        |p AS (
         |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-        |  FROM lineitem x JOIN lineitem y
+        |  FROM hi x JOIN hi y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
         |tri AS (
         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -3085,6 +3135,32 @@ object QueryCatalog {
         |  UNION ALL SELECT z FROM tri)
         |SELECT node, count(*) AS n_triangles
         |FROM corners GROUP BY 1 ORDER BY node""".stripMargin,
+    // same graph: degree table + naive triangle counts -> 2T/(d(d-1))
+    "clustering_coeff" ->
+      """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
+        |p AS (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM hi x JOIN hi y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM p e1
+        |  JOIN p e2 ON e2.a = e1.b
+        |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT node, count(*) AS n_triangles FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.deg, coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  round(CAST(2.0 AS DOUBLE) * coalesce(tc.n_triangles, 0) / (deg.deg * (deg.deg - 1)), 6) AS coeff
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |WHERE deg.deg >= 2 ORDER BY deg.node""".stripMargin,
     // exact integer-arithmetic replica of the 3 damped PageRank rounds
     // (// is floor division = `div` on the non-negative ranks)
     "pagerank" ->

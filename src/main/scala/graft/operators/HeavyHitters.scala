@@ -44,6 +44,34 @@ object HeavyHitters {
       .orderBy(col("n").desc, col("item").asc)
       .limit(k)
 
+  /** Per-GROUP top-k frequent items: one Misra–Gries summary per group
+    * key (`groupBy(group).agg(sketch)`), then a per-group rank window
+    * over the <= capacity retained items. Same exactness contract as
+    * [[frequentItems]] per group (max_err = 0 when a group's distinct
+    * items fit in capacity); same scale story — the shuffle carries one
+    * `capacity`-entry summary per (task, group), never the item
+    * dictionary, and the rank window's partitions are capacity-bounded.
+    * The per-language / per-source "what dominates this slice" probe.
+    * Output: (group, item, n, max_err, rank). */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      capacity: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val agg = FrequentItemsSketch(ColumnBridge.expression(col(itemCol)), capacity)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("n").desc, col("item").asc)
+    df.groupBy(col(groupCol))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("sk"))
+      .select(col(groupCol), explode(col("sk.items")).as("e"),
+        col("sk.max_err").as("max_err"))
+      .select(col(groupCol), col("e.item").as("item"), col("e.n").as("n"), col("max_err"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Top-k word n-grams by DOCUMENT frequency (each document counts a
     * gram once — [[Dedup.shingleSet]]'s distinct semantics, the same
     * recipe the Jaccard family shingles with): (gram, df). */

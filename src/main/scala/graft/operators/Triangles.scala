@@ -78,4 +78,24 @@ object Triangles {
   def totalCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     perNodeCounts(edges, srcCol, dstCol)
       .agg((coalesce(sum("n_triangles"), lit(0L)) / 3).cast("long").as("n_triangles"))
+
+  /** Local clustering coefficient per vertex:
+    * `coeff = 2*T(v) / (deg(v) * (deg(v) - 1))` — how close each
+    * vertex's neighborhood is to a clique (1.0 = fully connected,
+    * 0.0 = star center). Vertices of degree < 2 drop out (the
+    * coefficient is undefined); triangle-free vertices report 0.0 via a
+    * left join. One closed-form double over exact integers, so the
+    * value hash-replays in SQL. Output: `(node, deg, n_triangles,
+    * coeff)`. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(perNodeCounts(und, "a", "b"), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("coeff",
+        lit(2.0) * col("n_triangles") / (col("deg") * (col("deg") - 1)))
+  }
 }

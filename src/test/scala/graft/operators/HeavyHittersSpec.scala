@@ -105,4 +105,22 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(item"),
       s"unexpected item-keyed exchange in:\n$plan")
   }
+
+  test("per-group top-k: exact per group in the exact regime, rank tie-break on item") {
+    val rows = Seq(
+      "en" -> "a", "en" -> "a", "en" -> "a", "en" -> "b", "en" -> "b", "en" -> "c",
+      "de" -> "x", "de" -> "x", "de" -> "y")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (g, i) => Row(g, i) }, 3),
+      StructType(Seq(StructField("lang", StringType), StructField("item", StringType))))
+    val out = HeavyHitters.topKPerGroup(df, "lang", "item", capacity = 64, k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(4)) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(("en", 1)) == (("a", 3L, 0L)))
+    assert(out(("en", 2)) == (("b", 2L, 0L)))
+    assert(out(("de", 1)) == (("x", 2L, 0L)))
+    assert(out(("de", 2)) == (("y", 1L, 0L)))
+    // the k cut is per group, not global
+    assert(out.size == 4)
+  }
 }

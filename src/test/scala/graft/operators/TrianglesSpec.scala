@@ -57,6 +57,26 @@ class TrianglesSpec extends AnyFunSuite {
     assert(out == expected.toMap, "distributed counts must equal brute force")
   }
 
+  test("clustering coefficient: clique 1.0, star center 0.0, mixed hand values") {
+    // K4: every node coeff 1.0
+    val k4 = Triangles.clusteringCoefficient(
+      edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L), "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(k4.values.forall { case (d, t, c) => d == 3L && t == 3L && c == 1.0 })
+    // star: center deg 3 coeff 0.0; leaves deg 1 dropped (undefined)
+    val star = Triangles.clusteringCoefficient(
+      edges(1L -> 2L, 1L -> 3L, 1L -> 4L), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(star == Map(1L -> 0.0), s"got $star")
+    // triangle + pendant on node 3: coeff(3) = 2*1/(3*2) = 1/3
+    val mixed = Triangles.clusteringCoefficient(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(mixed(1L) == 1.0 && mixed(2L) == 1.0)
+    assert(math.abs(mixed(3L) - 1.0 / 3) < 1e-12)
+    assert(!mixed.contains(4L), "degree-1 vertices have no defined coefficient")
+  }
+
   test("plan: equi-joins only — no cartesian, no nested loop") {
     val d = edges((1 to 200).map(i => (i.toLong, ((i * 7) % 200 + 1).toLong)): _*)
     val plan = Triangles.perNodeCounts(d, "src", "dst")
