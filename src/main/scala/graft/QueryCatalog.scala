@@ -496,6 +496,25 @@ object QueryCatalog {
       Dedup.jaccardPairs(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // Asymmetric containment dedup over documents + planted 40-token
+    // excerpts (id + 2e6): an excerpt's shingles are a subset of its
+    // source, so containment ~1.0 where Jaccard sits near
+    // 40/len(doc) — the subset-duplication class the symmetric measure
+    // misses by construction. Same inverted-index plan as
+    // jaccard_pairs; both directions derive from each unordered
+    // candidate, no second join.
+    "containment_pairs" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val excerpts = docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)).as("text"))
+      Dedup.containmentPairs(
+          docs.select(col("doc_id"), col("text")).unionByName(excerpts),
+          "doc_id", "text", n = 3, threshold = 0.9)
+        .select(col("id_sub"), col("id_super"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_sub", "id_super")
+    }),
     // Hot-gram discovery via the bounded-memory Misra-Gries aggregate:
     // top-20 trigrams by document frequency WITHOUT shuffling the gram
     // dictionary (one narrow aggregate; the only exchange is the final
@@ -2410,6 +2429,23 @@ object QueryCatalog {
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
     "jaccard_pairs" -> jaccardSql,
+    // same shingle/candidate CTEs over documents + the planted excerpts;
+    // both directed containments from each unordered candidate
+    "containment_pairs" ->
+      s"""WITH ccorp AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'), 1, 40), ' ')
+         |  FROM documents WHERE doc_id < 10),
+         |${jaccardCtes("ccorp")},
+         |dirs AS (
+         |  SELECT id_a AS id_sub, id_b AS id_super, n_common / size_a AS containment FROM cand
+         |  UNION ALL
+         |  SELECT id_b, id_a, n_common / size_b FROM cand)
+         |SELECT id_sub, id_super, round(containment, 6) AS containment
+         |FROM dirs WHERE containment >= 0.9
+         |ORDER BY id_sub, id_super""".stripMargin,
     // exact top-20 trigram document frequencies — valid against the MG
     // sketch because capacity=32768 > sf0.01's distinct trigram count
     // (the sketch's exact regime; same shingle recipe as jaccardCtes)

@@ -294,6 +294,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup: directed pairs where
+    * `containment(sub in super) = |sub ∩ super| / |sub| >= threshold`
+    * over n-gram shingle sets. The subset-duplication detector symmetric
+    * Jaccard structurally misses: a 40-token excerpt inside a 4000-token
+    * document has containment 1.0 but Jaccard ~0.01 — exactly the
+    * quoted-reply / excerpt / wrapped-license shape (Lee et al. 2022's
+    * motivation for substring dedup, at shingle-set granularity).
+    *
+    * Same plan as [[jaccardPairs]] — one inverted-index self-join, no
+    * cartesian, `maxDf` hot-shingle cap — with both directed
+    * containments derived from each UNordered candidate pair (no second
+    * join; the union doubles only the bounded candidate table). Output:
+    * `(id_sub, id_super, containment)`. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.8,
+      maxDf: Option[Long] = None,
+      materialize: Boolean = true
+  ): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+    val inv1 = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val inv0 = if (materialize) inv1.localCheckpoint(true) else inv1
+    val inv = maxDf match {
+      case Some(cap) =>
+        val dfreq = inv0.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= cap)
+        inv0.join(dfreq.select("shingle"), Seq("shingle"))
+      case None => inv0
+    }
+    val a = inv.select(col("shingle"), col("id").as("id_a"), col("set_size").as("size_a"))
+    val b = inv.select(col("shingle"), col("id").as("id_b"), col("set_size").as("size_b"))
+    val pairs = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs.select(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+        (col("n_common") / col("size_a")).as("containment"))
+      .unionByName(pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+        (col("n_common") / col("size_b")).as("containment")))
+      .where(col("containment") >= lit(threshold))
+  }
+
   /** Incremental near-dup check: exact n-gram Jaccard pairs between an
     * INCOMING batch and the EXISTING corpus — the production ingestion
     * shape ([[jaccardPairs]] dedups a corpus against itself; this keeps

@@ -159,4 +159,27 @@ object Tfidf {
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
     perDoc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Frozen BM25 index tables: per-(doc, term) TF, per-term document
+    * frequency, per-doc length, and the one-row (N, avgdl) stats —
+    * the serving-side artifact. At scale persist each (tf bucketed by
+    * `term` — the probe key — via IndexStore) so query batches and the
+    * streaming probe ([[graft.streaming.StreamOps.bm25Probe]]) join a
+    * columnar read-back instead of re-tokenizing the corpus. */
+  final case class Bm25Index(tf: DataFrame, df: DataFrame, dl: DataFrame, stats: DataFrame)
+
+  /** Build [[Bm25Index]] from a corpus — one tokenize pass, three
+    * map-side-combined aggregates (tf; df over tf, one row per term; dl
+    * over tf, one row per doc) and the one-row stats fold. */
+  def bm25Index(corpus: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val tf = corpus
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol).as("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum("dl").cast("double") / count(lit(1))).as("__avgdl"))
+    Bm25Index(tf, df, dl, stats)
+  }
 }

@@ -263,6 +263,52 @@ object StreamOps {
       .select(col("query_id"), (-col("best.nid")).as("corpus_id"), col("best.cosine").as("cosine"))
   }
 
+  /** Streaming BM25 scorer: a stream of text queries scores a FROZEN
+    * corpus index ([[graft.operators.Tfidf.bm25Index]], persisted at
+    * scale with the tf table bucketed by `term` — the probe key) — the
+    * lexical-search serving shape. Emits the per-(query, doc) BM25
+    * partial result `(query_id, doc_id, n_terms, score)` in update
+    * mode; the top-k rank is the CONSUMER's cut (a rank window is a
+    * second aggregation, which a single incremental query cannot run —
+    * the foreachBatch-the-batch-operator pattern applies if end-to-end
+    * ranking must live in one stream).
+    *
+    * Query terms dedup IN-ROW (`array_distinct`, stateless) rather than
+    * via `distinct()` — matching the batch operator's distinct-term
+    * semantics without spending the one allowed aggregation. Stream-
+    * static joins keyed on term/doc; only the one-row stats broadcast.
+    * Identical IEEE score arithmetic and the same term-sorted in-row
+    * fold as [[graft.operators.Tfidf.bm25TopK]], so stream rows are
+    * BIT-IDENTICAL to the batch scorer's pre-rank table
+    * (StreamOpsSpec). */
+  def bm25Probe(
+      queries: DataFrame,
+      index: graft.operators.Tfidf.Bm25Index,
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext",
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(split(lower(trim(col(queryTextCol))), "\\s+"))).as("term"))
+      .where(length(col("term")) > 0)
+    val scored = qterms
+      .join(index.tf, Seq("term"))
+      .join(index.df, Seq("term"))
+      .join(index.dl, Seq("doc_id"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+    scored.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("__s")))),
+          lit(0.0), (acc, x) => acc + x.getField("__s")).as("score"))
+  }
+
   /** Streaming PQ probe: a stream of query vectors scores a STATIC
     * compressed code table ([[Similarity.pqEncode]] output, persisted at
     * scale) by ADC and keeps each query's best match — the

@@ -248,4 +248,27 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.subsetOf(est) || (exact -- est).size <= exact.size / 10,
       s"LSH missed ${(exact -- est).size} of ${exact.size} exact pairs")
   }
+
+  test("containment finds an excerpt inside a long doc where jaccard misses it") {
+    val long = (1 to 100).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> long, 2L -> excerpt, 3L -> "totally different text here")
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "symmetric jaccard must miss the excerpt (8/98 shared trigrams)")
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // excerpt (8 trigrams, all in doc 1) is contained; the reverse is not
+    assert(cont.keySet == Set((2L, 1L)), s"got ${cont.keySet}")
+    assert(cont((2L, 1L)) == 1.0)
+  }
+
+  test("containment: identical docs contain each other; direction respects sizes") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "a b c d e f g")
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 and 2 identical (3 trigrams each, mutual); both contained in 3
+    // (whose 5 trigrams include all 3 of theirs); 3 contained in neither
+    assert(cont == Set((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L)), s"got $cont")
+  }
 }

@@ -605,6 +605,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BM25 probe matches the batch scorer bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "cat cat fish swims"), (2L, "cat dog barks"), (3L, "dog dog bird"),
+      (4L, "fish and chips")).toDF("doc_id", "text")
+    val index = graft.operators.Tfidf.bm25Index(corpus, "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.bm25Probe(input.toDF().toDF("query_id", "qtext"), index)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("bm25_stream").start()
+    def streamed: Map[(Long, Long), (Long, Double)] = spark.table("bm25_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    def batch(qs: Seq[(Long, String)]): Map[(Long, Long), (Long, Double)] =
+      graft.operators.Tfidf.bm25TopK(corpus, "doc_id", "text",
+          qs.toDF("query_id", "qtext"), "query_id", "qtext", k = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    try {
+      val b1 = Seq((10L, "cat fish"), (11L, "dog dog")) // repeated term dedups in-row
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val exp = batch(b1)
+      val got = streamed
+      assert(got == exp, s"$got vs $exp")
+      got.foreach { case (k, (_, s)) =>
+        assert(java.lang.Double.compare(s, exp(k)._2) == 0, s"$k drifted") }
+      input.addData((12L, "bird chips"))
+      q.processAllAvailable()
+      assert(streamed.keySet.count(_._1 == 12L) == 2, "second batch scores both matches")
+    } finally q.stop()
+  }
+
   test("streaming EWMA (update mode) is bit-identical to the batch fold at every point") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
