@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, Multimodal, Packing, PageRank, Scoring, Similarity}
+import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, Multimodal, Packing, PageRank, Scoring, Sessionize, Similarity, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -286,6 +286,56 @@ object ScalingProbe {
       ("pagerank", Seq(1, 10, 100), nx =>
         PageRank.ranks(edgesDf(nx), "src", "dst", iterations = 3)
           .write.format("noop").mode("overwrite").save()),
+      // r12 second half: BM25 with a FIXED 3-query probe against a
+      // growing corpus — the broadcast query side is constant and every
+      // post-match stage is bounded by matches (shard-0 vocabulary only),
+      // so the curve should track the tokenize+tf scan
+      ("bm25_topk", Seq(1, 10, 100), nx => {
+        val d = docs(nx)
+        val probes = d.where(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("qtext"))
+        Tfidf.bm25TopK(d, "doc_id", "text", probes, "query_id", "qtext", k = 5)
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // r12 second half: containment — same inverted-index plan as
+      // jaccard_pairs, doubled candidate table; planted exact twins keep
+      // the qualifying-pair output linear
+      ("containment_pairs", Seq(1, 10, 100), nx =>
+        Dedup.containmentPairs(docs(nx), "doc_id", "text", n = 3, threshold = 0.9)
+          .write.format("noop").mode("overwrite").save()),
+      // r12 second half: PMI — gram tables linear in distinct grams
+      // (sharded vocab), word-keyed joins, TakeOrdered cut
+      ("pmi_collocations", Seq(1, 10, 100), nx =>
+        Scoring.pmiCollocations(docs(nx), "doc_id", "text", k = 40, minCount = 5)
+          .write.format("noop").mode("overwrite").save()),
+      // r12 second half: degree-ordered triangles on the random graph
+      // (constant avg degree 20 across decades) — wedge volume ~ m*d,
+      // so the curve should be near-linear in edges
+      ("triangle_count", Seq(1, 10, 100), nx =>
+        Triangles.perNodeCounts(edgesDf(nx), "src", "dst")
+          .write.format("noop").mode("overwrite").save()),
+      // r12 second half: SQ8 — params aggregate + full-corpus encode +
+      // fixed 5-query asymmetric probe; everything is scan-shaped
+      ("sq8_topk", Seq(1, 10, 100), nx => {
+        val e = embs(nx)
+        val params = Similarity.sq8Params(e, "embedding", dim = 64)
+        val codes = Similarity.sq8Encode(e, "vec_id", "embedding", params)
+        Similarity.sq8TopKForQueries(codes, params, e.where(col("vec_id") < 5),
+            "vec_id", "embedding", k = 5)
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // r12 second half: EWMA — constant 100 events/user as users grow,
+      // so per-key arrays are bounded and the one shuffle is linear
+      ("event_ewma", Seq(1, 10, 100), nx => {
+        val ev = spark.range(0L, 500000L * nx).select(
+          (col("id") % (5000L * nx)).as("user_id"),
+          (lit(1700000000000000L) + col("id") * 1000000L).as("ts"),
+          col("id").as("event_id"),
+          (abs(xxhash64(col("id"), lit(30))) % 1000).cast("double").as("value"))
+        Sessionize.ewma(ev, "user_id", "ts", "event_id", "value", alpha = 0.3)
+          .write.format("noop").mode("overwrite").save()
+      }),
       ("fit_depth4_entropy_scalable", Seq(1, 10), nx => {
         val df = fitDf(nx)
         val model = DecisionTreeClassifier(maxDepth = Some(4),
@@ -321,10 +371,12 @@ object ScalingProbe {
       .foreach { case (name, levels, body) =>
         val rows =
           if (name.startsWith("fit")) fitRows
-          else if (name.startsWith("semantic")) embRows
+          else if (name.startsWith("semantic") || name.startsWith("sq8")) embRows
           else if (name.startsWith("fuzzy")) nameRows
           else if (name.startsWith("multimodal")) mediaRows
-          else if (name.startsWith("pagerank")) edgeRows
+          else if (name.startsWith("pagerank") || name.startsWith("triangle")) edgeRows
+          else if (name.startsWith("event_ewma"))
+            Seq(1, 10, 100).map(nx => nx -> 500000L * nx).toMap
           else docRows
         time(body(levels.head)) // discarded warmup (codegen/JIT)
         val times = levels.map(nx => nx -> math.min(time(body(nx)), time(body(nx)))).toMap
