@@ -3,17 +3,18 @@ package graft.examples
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Scoring, Similarity, Tfidf}
+import graft.operators.{Dedup, Multimodal, Packing, Scoring, Shuffling, Similarity, Tfidf}
 import graft.sources.CorpusSink
 
 /** End-to-end training-data curation pipeline over the provided tables —
   * the composition story: quality/repetition-filter and scrub documents,
   * cluster near-duplicates and keep the best-quality representative per
   * cluster, prune the embedding space, extract multimodal features and
-  * TF-IDF keywords for what survives, pack the survivors into
-  * context-window shards, and write the corpus partitioned for pruned
-  * downstream reads. Prints stage counts;
-  * `sbt "runMain graft.examples.PipelineDemo"`.
+  * TF-IDF keywords for what survives, BM25-retrieve a topic slice /
+  * MMR-diversify an embedding neighborhood / draw a length-weighted
+  * training sample, pack the survivors into context-window shards, and
+  * write the corpus partitioned for pruned downstream reads. Prints
+  * stage counts; `sbt "runMain graft.examples.PipelineDemo"`.
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
@@ -72,6 +73,25 @@ object PipelineDemo {
     val keywords = Tfidf.topTerms(deduped, "doc_id", "text", k = 3, minDf = 2)
     val n5 = keywords.select("id").distinct().count()
 
+    // 5b. targeted slice: BM25-retrieve docs relevant to a probe topic,
+    //     MMR-diversify the embedding neighborhood of the top hit, and
+    //     draw a length-weighted training sample from the survivors —
+    //     the r12 retrieval-curation stages composed end to end
+    val probe = deduped.orderBy("doc_id").limit(1)
+      .select(lit(0L).as("query_id"),
+        concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("qtext"))
+    val bm25Hits = Tfidf.bm25TopK(deduped, "doc_id", "text",
+      probe, "query_id", "qtext", k = 20)
+    val nBm25 = bm25Hits.count()
+    val diversified = Similarity.mmrRerank(embKept,
+      embKept.orderBy("vec_id").limit(2), "vec_id", "embedding",
+      candidateK = 10, m = 5)
+    val nMmr = diversified.count()
+    val sample = Shuffling.weightedSampleN(
+      deduped.withColumn("w", col("n_tokens").cast("double")),
+      "doc_id", "w", n = math.min(50, n2).toInt, seed = 7L)
+    val nSample = sample.count()
+
     // 6. pack survivors into context-window shards and write the corpus
     //    partitioned by detected language (pruned downstream reads)
     val packed = Packing.packByBudget(
@@ -84,9 +104,12 @@ object PipelineDemo {
 
     println(s"[pipeline] docs=$n0 -> curated=$n1 -> fluent=$n1b -> " +
       s"representatives=$n2; embeddings kept=$n3; visually-dup dropped=$n4dropped, " +
-      s"media features=$n4; keyworded=$n5; packed=$n6 into $nPacks shards")
+      s"media features=$n4; keyworded=$n5; bm25 hits=$nBm25, mmr picks=$nMmr, " +
+      s"weighted sample=$nSample; packed=$n6 into $nPacks shards")
     require(n1 <= n0 && n1b <= n1 && n2 <= n1b && n4 <= n2 && n4dropped >= 0 && n6 == n2,
       "pipeline stage counts inconsistent")
+    require(nBm25 > 0 && nBm25 <= 20 && nMmr == 10 && nSample <= 50,
+      "retrieval-curation stage counts inconsistent")
     spark.stop()
   }
 }
