@@ -927,6 +927,19 @@ object QueryCatalog {
       Shuffling.sampleNPerStratum(documents(s, dir), "doc_id", "lang", n = 20, seed = 5L)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    // Within-source percentile-rank normalization of the quality score
+    // (+ ntile curriculum buckets): makes scores comparable across
+    // sources with different raw distributions. (score, id) total order
+    // -> percent_rank == row_number-based, deterministic in any engine;
+    // one source-keyed shuffle.
+    "quality_percentile_norm" -> ((s, dir) =>
+      Scoring.percentileNormalize(
+          documents(s, dir).withColumn("quality",
+            TextFunctions.qualityScore(col("text"))),
+          "doc_id", "quality", "source", nBuckets = 4)
+        .select(col("doc_id"), col("source"), col("quality"),
+          round(col("pct"), 6).as("pct"), col("bucket"))
+        .orderBy("doc_id")),
     // Weighted sample without replacement (Efraimidis-Spirakis): 50 docs
     // drawn with probability tracking text length. The -ln(u)/w key is a
     // scan-speed projection; the cut is TakeOrderedAndProject (per-
@@ -3051,6 +3064,14 @@ object QueryCatalog {
         |    PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) AS rn
         |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "quality_percentile_norm" ->
+      s"""WITH q AS (SELECT doc_id, source, $qualityExprSql AS quality FROM documents)
+         |SELECT doc_id, source, quality,
+         |  round(percent_rank() OVER w, 6) AS pct,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS bucket
+         |FROM q
+         |WINDOW w AS (PARTITION BY source ORDER BY quality ASC, doc_id ASC)
+         |ORDER BY doc_id""".stripMargin,
     "weighted_sample" ->
       """WITH k AS (
         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,

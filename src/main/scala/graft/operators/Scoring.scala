@@ -136,6 +136,41 @@ object Scoring {
       .limit(k)
   }
 
+  /** Percentile-rank normalization of a score WITHIN each stratum:
+    * `pct = percent_rank` and an `ntile` curriculum bucket over the
+    * (score, id) total order per group — the standard way to make
+    * quality scores comparable ACROSS sources whose raw distributions
+    * differ (source A's 0.6 may be its top decile while source B's 0.6
+    * is median; after normalization both read as their within-source
+    * percentile). The continuous counterpart of
+    * [[qualityFilterStratified]]'s single-threshold cut, and the
+    * ordering input for curriculum schedules (train easy-to-hard by
+    * bucket).
+    *
+    * Deterministic: the window orders by (score, id) — a total order, so
+    * `percent_rank`'s rank equals row_number and both the percentile and
+    * the ntile bucket are pure functions of the group's sorted id
+    * sequence, replayable in any engine. One group-keyed shuffle; window
+    * partition size = stratum size (the [[graft.operators.Shuffling
+    * .sampleNPerStratum]] regime — for mega-strata, pre-aggregate an
+    * equi-width score histogram per group and broadcast cumulative
+    * counts instead; the trade is exact rank for bounded memory). */
+  def percentileNormalize(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      groupCol: String,
+      nBuckets: Int = 4
+  ): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .where(col(scoreCol).isNotNull)
+      .withColumn("pct", percent_rank().over(w))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
   /** Keep documents above their stratum's quality quantile — "top half by
     * quality within each language/source", the standard way to apply one
     * quality bar across strata with different score distributions without

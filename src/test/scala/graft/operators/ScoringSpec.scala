@@ -206,6 +206,32 @@ class ScoringSpec extends AnyFunSuite {
     assert(run(7) == one)
   }
 
+  test("percentile normalization: within-group ranks, cross-source comparability") {
+    val d = Seq(
+      (1L, "a", 0.2), (2L, "a", 0.5), (3L, "a", 0.9),
+      (4L, "b", 0.5), (5L, "b", 0.6)
+    ).toDF("doc_id", "source", "score")
+    val out = Scoring.percentileNormalize(d, "doc_id", "score", "source", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getInt(4))).toMap
+    assert(out(1L) == ((0.0, 1)) && out(2L) == ((0.5, 1)) && out(3L) == ((1.0, 2)))
+    // raw 0.5 is TOP of nothing in source a (pct 0.5) but BOTTOM of b (pct 0)
+    assert(out(4L)._1 == 0.0 && out(5L)._1 == 1.0,
+      "same raw score must normalize per source, not globally")
+    // null scores drop; ties order by id so pct stays deterministic
+    val ties = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "x", 1.0),
+        org.apache.spark.sql.Row(2L, "x", 1.0),
+        org.apache.spark.sql.Row(3L, "x", null)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    val t = Scoring.percentileNormalize(ties, "doc_id", "score", "source", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(t == Map(1L -> 0.0, 2L -> 1.0), s"null dropped, tie split by id: $t")
+  }
+
   test("pmi: hand-computed association, collocation outranks chance pair") {
     // "san francisco" always together; "the cat"/"the dog" mix freely
     val d = Seq(
