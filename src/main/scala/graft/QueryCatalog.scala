@@ -1076,6 +1076,23 @@ object QueryCatalog {
         .select(unix_micros(col("w.start")).as("window_start_us"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start_us", "event_type")),
+    // Ordered conversion funnel view -> click -> purchase: per-step
+    // earliest completion strictly after the prior step; user-keyed
+    // aggregates/joins only, with each stage's input pre-filtered to its
+    // event type. Broken funnels propagate nulls via the strict
+    // conditional-min.
+    "event_funnel" -> ((s, dir) =>
+      Sessionize.funnel(events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+          col("stage").cast("int").as("stage"))
+        .orderBy("user_id")),
+    // Weekly cohort retention triangle: cohort = first-activity week
+    // (epoch-aligned integer division — no calendar/timezone
+    // dependence), counts exact.
+    "cohort_retention" -> ((s, dir) =>
+      Sessionize.cohortRetention(events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "active_week")),
     // Per-user EWMA of event values in event-time order: the sequential
     // recurrence runs as ONE user-keyed aggregate with a ts-sorted
     // in-row fold (DSIR rule — bit-stable under any partitioning); the
@@ -3123,6 +3140,32 @@ object QueryCatalog {
     "event_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // step-wise conditional minima replayed as chained CTEs; null t2
+    // makes the t3 CASE null-strict in both engines
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE t = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(CASE WHEN e.us > s1.t1 THEN e.us END) AS t2
+        |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.t = 'click'
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, t1, t2, min(CASE WHEN e.us > s2.t2 THEN e.us END) AS t3
+        |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.t = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS stage
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM b GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM b)
+        |SELECT cohort_week, week AS active_week, count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact replica of the EWMA fold: list_reduce inits with the first
     // element (matching the Spark zero = v_1 over the rest), and beta is
     // REPLAYED as 1.0 - 0.3 in doubles — a 0.7 literal is a different

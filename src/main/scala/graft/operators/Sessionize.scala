@@ -144,6 +144,78 @@ object Sessionize {
         (acc, x) => lit(alpha) * x.getField("v") + lit(beta) * acc).as("ewma"))
   }
 
+  /** Ordered funnel analysis: for each user, the earliest time they
+    * completed each step of `steps` IN ORDER (step k's timestamp is the
+    * minimum event time of that step's type strictly after step k-1's
+    * completion — the standard "view -> click -> purchase" conversion
+    * measure, not mere set membership). Output: one row per user who
+    * reached step 1, with `t<k>_us` epoch-micros per completed step
+    * (null once the funnel breaks) and `stage` = number of steps
+    * completed.
+    *
+    * Shape: one user-keyed aggregate per step plus a user-keyed equi
+    * join per later step — all shuffles on the user key, candidate rows
+    * filtered to the step's type BEFORE the join (each stage's input is
+    * that type's events, not the whole log). The conditional-min is
+    * null-strict: a broken funnel propagates nulls through the
+    * remaining stages without special-casing. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"duplicate step types in $steps")
+    val base = events.select(col(userCol).as("user_id"),
+      epochMicros(events, tsCol).as("__us"), col(typeCol).as("__t"))
+    val first = base.where(col("__t") === steps.head)
+      .groupBy("user_id").agg(min("__us").as("t1_us"))
+    val full = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
+      val k = i + 2
+      val prior = (1 until k).map(j => s"t${j}_us")
+      val cands = base.where(col("__t") === st)
+        .select(col("user_id"), col("__us").as("__c"))
+      acc.join(cands, Seq("user_id"), "left")
+        .groupBy("user_id", prior: _*)
+        .agg(min(when(col("__c") > col(s"t${k - 1}_us"), col("__c"))).as(s"t${k}_us"))
+    }
+    // fold ascending so the final chain tests the DEEPEST step first
+    val stage = steps.indices.foldLeft(lit(0)) { (rest, i) =>
+      when(col(s"t${i + 1}_us").isNotNull, lit(i + 1)).otherwise(rest)
+    }
+    full.withColumn("stage", stage)
+  }
+
+  /** Weekly cohort retention: users grouped by their FIRST-activity week
+    * (the cohort), counted per subsequent active week — the standard
+    * retention triangle. `week` = epoch-days / 7 (epoch-aligned, no
+    * timezone or calendar dependence, so any engine reproduces it).
+    * Output: `(cohort_week, active_week, n_users)`.
+    *
+    * Shape: first-week table is one user-keyed aggregate; distinct
+    * (user, week) activity is a second; the cohort join is user-keyed;
+    * the final rollup is (cohort, week)-keyed and map-side combined.
+    * Counts are exact integers — hashable in any engine. */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val base = events
+      .select(col(userCol).as("user_id"), epochMicros(events, tsCol).as("__us"))
+      .where(col("user_id").isNotNull)
+      // integer division, not double: epoch micros near 2^53 would lose
+      // exactness through a true-division round trip
+      .select(col("user_id"), expr("__us div 604800000000").as("week"))
+    val firstWeek = base.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = base.distinct()
+    active.join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_week"), col("week").as("active_week"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-session rollup: event count, value sum, first/last timestamps
     * (epoch micros). */
   def sessionStats(

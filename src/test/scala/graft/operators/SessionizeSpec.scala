@@ -107,6 +107,60 @@ class SessionizeSpec extends AnyFunSuite {
     assert(r.getLong(1) >= r.getLong(0))
   }
 
+  private def typedEvents(rows: (Long, Long, String)*) = {
+    val rs = rows.map { case (u, ts, t) => Row(u, ts * 1000000000L, t) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rs, 3),
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", LongType),
+        StructField("event_type", StringType))))
+  }
+
+  test("funnel: ordered completion, not set membership") {
+    val d = typedEvents(
+      // user 1: full ordered funnel
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE click — stage stops at 2
+      (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      // user 3: view only
+      (3L, 5L, "view"),
+      // user 4: click/purchase but never viewed — not in the funnel at all
+      (4L, 1L, "click"), (4L, 2L, "purchase"))
+    val out = Sessionize.funnel(d, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(4),
+        !r.isNullAt(1), !r.isNullAt(2), !r.isNullAt(3))).toMap
+    assert(out(1L) == ((3, true, true, true)))
+    assert(out(2L) == ((2, true, true, false)),
+      "an out-of-order purchase must not complete the funnel")
+    assert(out(3L) == ((1, true, false, false)))
+    assert(!out.contains(4L), "users who never hit step 1 are outside the funnel")
+  }
+
+  test("funnel: earliest qualifying times; repeat events pick the first valid one") {
+    val d = typedEvents(
+      (1L, 10L, "view"), (1L, 5L, "click"), (1L, 15L, "click"), (1L, 25L, "click"))
+    val r = Sessionize.funnel(d, "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect().head
+    assert(r.getLong(1) == 10L * 1000000L && r.getLong(2) == 15L * 1000000L,
+      "step 2 must take the first click AFTER the first view (5s click ignored)")
+  }
+
+  test("cohort retention: triangle counts on a hand-built log") {
+    val wk = 604800L // seconds per week
+    val d = typedEvents(
+      // cohort week 0: users 1, 2; user 1 returns weeks 1 and 2, user 2 week 1
+      (1L, 10L, "view"), (1L, wk + 5L, "view"), (1L, 2 * wk + 5L, "view"),
+      (2L, 20L, "view"), (2L, wk + 9L, "view"),
+      // cohort week 1: user 3, never returns
+      (3L, wk + 1L, "view"),
+      // duplicate same-week events count a user once
+      (1L, 11L, "click"))
+    val out = Sessionize.cohortRetention(d, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 2L) -> 1L,
+      (1L, 1L) -> 1L), s"got $out")
+  }
+
   private def ewmaEvents(rows: (Long, Long, Long, Double)*) = {
     val rs = rows.map { case (u, ts, id, v) => Row(u, ts * 1000000000L, id, v) }
     spark.createDataFrame(spark.sparkContext.parallelize(rs, 3),
