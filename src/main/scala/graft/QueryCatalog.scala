@@ -474,6 +474,19 @@ object QueryCatalog {
         .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
       Triangles.perNodeCounts(pairs, "src", "dst").orderBy("node")
     }),
+    // 3-core of the sparse co-supply graph: iterative peeling with
+    // edge volume only shrinking, O(1) persisted copies, early stop at
+    // the fixpoint. Peeling is idempotent after convergence, so the
+    // fixed-depth SQL unroll is an exact oracle.
+    "kcore" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Triangles.kCore(pairs, "src", "dst", k = 3).orderBy("node")
+    }),
     // Local clustering coefficient on the same sparse co-supply graph:
     // 2T/(d(d-1)) per vertex of degree >= 2, triangle-free vertices 0.0
     // via left join — one closed-form double over exact integers.
@@ -2134,6 +2147,35 @@ object QueryCatalog {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact replica of [[graft.operators.Triangles.kCore]] (k=3) on the
+    * sparse co-supply graph: 8 unrolled peel rounds — at or beyond the
+    * graph's fixpoint depth, and peeling is idempotent after
+    * convergence, so a fixed unroll equals the early-stopping loop. */
+  private lazy val kcoreSql = {
+    def degKeep(p: String, i: Int) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM $p UNION ALL SELECT b FROM $p)
+         |  GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3),
+         |p$i AS MATERIALIZED (
+         |  SELECT a, b FROM $p
+         |  WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))""".stripMargin
+    val rounds = (1 to 8).map(i => degKeep(if (i == 1) "p0" else s"p${i - 1}", i)).mkString(",\n")
+    s"""WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
+       |p0 AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM hi x JOIN hi y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+       |$rounds,
+       |fin AS (
+       |  SELECT node, count(*) AS core_degree FROM (
+       |    SELECT a AS node FROM p8 UNION ALL SELECT b FROM p8)
+       |  GROUP BY 1)
+       |SELECT node, core_degree FROM fin WHERE core_degree >= 3
+       |ORDER BY node""".stripMargin
+  }
+
   /** Exact replica of [[Similarity.mmrRerank]] (candidateK=10, m=5,
     * lambda=0.7) on the planted corpus: the same top-10 exact-cosine
     * candidates, then the 5 greedy steps UNROLLED — step i scores every
@@ -3235,6 +3277,9 @@ object QueryCatalog {
         |  UNION ALL SELECT z FROM tri)
         |SELECT node, count(*) AS n_triangles
         |FROM corners GROUP BY 1 ORDER BY node""".stripMargin,
+    // 8 unrolled peel rounds (>= the fixpoint depth on this graph;
+    // idempotent beyond it), then the surviving-degree filter
+    "kcore" -> kcoreSql,
     // same graph: degree table + naive triangle counts -> 2T/(d(d-1))
     "clustering_coeff" ->
       """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),

@@ -79,6 +79,58 @@ object Triangles {
     perNodeCounts(edges, srcCol, dstCol)
       .agg((coalesce(sum("n_triangles"), lit(0L)) / 3).cast("long").as("n_triangles"))
 
+  /** k-core decomposition membership: the maximal subgraph in which
+    * every vertex has degree >= k, found by iterative peeling (drop
+    * under-degree vertices, recompute, repeat) — the standard
+    * dense-community / spam-farm detector over co-occurrence and link
+    * graphs, and the graph-side complement of [[clusteringCoefficient]]
+    * (coefficient measures local density; the core measures robust
+    * global density).
+    *
+    * Each round is one degree aggregate + two semi-joins over the
+    * surviving edge table — shuffles carry (long, long) rows, volume
+    * only ever SHRINKS, and superseded rounds release their checkpoint
+    * blocks (CheckpointBridge: O(1) persisted copies). Rounds are
+    * bounded by `maxRounds` with early stop at the fixpoint (the edge
+    * count is the loop's only driver scalar); peeling is idempotent
+    * after convergence, which is what lets a fixed-depth SQL unroll
+    * serve as the oracle. Output: `(node, core_degree)` for k-core
+    * members, `core_degree` = degree within the core. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 30
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.graft.CheckpointBridge
+    def degrees(und: DataFrame): DataFrame =
+      und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var und = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    var nEdges = und.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val keep = degrees(und).where(col("deg") >= k).select("node")
+      val next = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n = next.count()
+      CheckpointBridge.release(und)
+      und = next
+      converged = n == nEdges || n == 0L
+      nEdges = n
+      round += 1
+    }
+    val out = degrees(und).select(col("node"), col("deg").as("core_degree"))
+      .where(col("core_degree") >= k)
+    out
+  }
+
   /** Local clustering coefficient per vertex:
     * `coeff = 2*T(v) / (deg(v) * (deg(v) - 1))` — how close each
     * vertex's neighborhood is to a clique (1.0 = fully connected,

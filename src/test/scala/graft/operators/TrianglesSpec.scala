@@ -77,6 +77,44 @@ class TrianglesSpec extends AnyFunSuite {
     assert(!mixed.contains(4L), "degree-1 vertices have no defined coefficient")
   }
 
+  test("k-core: cascading peel reaches the fixpoint, not just one round") {
+    // K4 {1..4} + a chain 4-5-6: under k=2 the chain peels in TWO rounds
+    // (6 first, then 5 — 5's degree only drops after 6 leaves)
+    val d = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L)
+    val core2 = Triangles.kCore(d, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core2")
+    // k=4: K4 has max degree 3 — empty core
+    assert(Triangles.kCore(d, "src", "dst", k = 4).collect().isEmpty)
+    // a 5-cycle is exactly its own 2-core
+    val cyc = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 1L)
+    val c2 = Triangles.kCore(cyc, "src", "dst", k = 2).collect()
+    assert(c2.length == 5 && c2.forall(_.getLong(1) == 2L))
+  }
+
+  test("k-core: differential vs brute-force peeling on a random graph") {
+    val rnd = new scala.util.Random(9)
+    val es = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = Triangles.kCore(edges(es: _*), "src", "dst", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute peel
+    var und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 4).keySet
+      val next = und.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != und
+      und = next
+    }
+    val expected = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got == expected, s"got $got want $expected")
+  }
+
   test("plan: equi-joins only — no cartesian, no nested loop") {
     val d = edges((1 to 200).map(i => (i.toLong, ((i * 7) % 200 + 1).toLong)): _*)
     val plan = Triangles.perNodeCounts(d, "src", "dst")
