@@ -59,6 +59,57 @@ object StreamOps {
   /** Running-EWMA state for [[ewmaState]]: event count + current value. */
   case class EwmaState(n: Long, y: Double)
 
+  /** One reservoir entry: the A-ES race key, the row id, its weight. */
+  case class ReservoirItem(k: Double, id: Long, w: Double)
+
+  /** Reservoir state for [[weightedReservoir]]: the n smallest keys seen. */
+  case class ReservoirState(items: Seq[ReservoirItem])
+
+  /** Streaming twin of [[graft.operators.Shuffling.weightedSampleN]]:
+    * a weighted sample WITHOUT replacement maintained incrementally.
+    * The Efraimidis–Spirakis key makes this trivially correct online:
+    * the sample of a stream prefix is exactly the n smallest
+    * `-ln(u)/w` keys seen so far, and that set is mergeable — so state
+    * is n rows, each batch folds its rows in, and every emitted
+    * snapshot (update mode) is IDENTICAL to running the batch sampler
+    * on the stream-so-far (same key arithmetic, same (key, id)
+    * order). Key computation is a stateless scan-speed projection; the
+    * merge itself runs in a single state group (n is small — tens to
+    * thousands; a per-partition pre-cut stage would bound the group's
+    * input for very hot streams, at the cost of a second shuffle).
+    * Output per batch: the current reservoir `(id, weight,
+    * sample_key)`. */
+  def weightedReservoir(
+      rows: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      seed: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(n >= 1, s"n must be >= 1, got $n")
+    val session = rows.sparkSession
+    import session.implicits._
+    val w = col(weightCol).cast("double")
+    val keyed = rows
+      .where(w.isNotNull && !isnan(w) && w > 0 && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), w.as("__w"),
+        (-log(graft.operators.Shuffling.hashUniformOpen(col(idCol), seed)) / w).as("__k"))
+      .as[(Long, Double, Double)]
+    keyed.groupByKey(_ => 0)
+      .mapGroupsWithState[ReservoirState, Seq[ReservoirItem]](GroupStateTimeout.NoTimeout) {
+        case (_, batch, state) =>
+          val merged =
+            (state.getOption.map(_.items).getOrElse(Seq.empty) ++
+              batch.map { case (id, w0, k) => ReservoirItem(k, id, w0) })
+              .sortBy(i => (i.k, i.id)).take(n)
+          state.update(ReservoirState(merged))
+          merged
+      }
+      .flatMap(identity)
+      .select(col("id"), col("w").as("weight"), col("k").as("sample_key"))
+  }
+
   /** Streaming twin of [[graft.operators.Sessionize.ewma]]: a per-key
     * running EWMA maintained in `mapGroupsWithState` (Update output mode
     * — each micro-batch emits the refreshed `(key, n_events, ewma)` row

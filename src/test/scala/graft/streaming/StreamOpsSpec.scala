@@ -639,6 +639,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming weighted reservoir equals the batch sampler on the stream-so-far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = StreamOps.weightedReservoir(
+        input.toDF().toDF("doc_id", "w"), "doc_id", "w", n = 10, seed = 9L)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("reservoir_stream").start()
+    def latestIds: Set[Long] = {
+      // update mode appends each batch's snapshot; the final 10 rows are
+      // the latest reservoir
+      val all = spark.table("reservoir_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+      all.takeRight(math.min(10, all.length)).map(_._1).toSet
+    }
+    def batchIds(rows: Seq[(Long, Double)]): Set[Long] =
+      graft.operators.Shuffling.weightedSampleN(
+          rows.toDF("doc_id", "w"), "doc_id", "w", n = 10, seed = 9L)
+        .collect().map(_.getLong(0)).toSet
+    try {
+      val b1 = (1L to 30L).map(i => (i, (i % 5 + 1).toDouble))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latestIds == batchIds(b1))
+      val b2 = (31L to 60L).map(i => (i, (i % 7 + 1).toDouble))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latestIds == batchIds(b1 ++ b2),
+        "reservoir after two batches must equal the batch sample of the union")
+    } finally q.stop()
+  }
+
   test("streaming EWMA (update mode) is bit-identical to the batch fold at every point") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
