@@ -1089,6 +1089,42 @@ object QueryCatalog {
         .select(unix_micros(col("w.start")).as("window_start_us"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start_us", "event_type")),
+    // HOPPING (sliding) event-time rollup: 1h windows every 15min —
+    // each event lands in 4 overlapping buckets (the smoothing twin of
+    // event_hourly_rollup's tumbling mode); native window(len, hop),
+    // one map-side-combined shuffle on (window, type). The oracle
+    // derives the 4 covering windows per event arithmetically.
+    "event_hopping_rollup" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          round(sum("value"), 6).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start_us", "event_type")),
+    // Top event-type transition patterns: per-user event sequences in
+    // (ts, event_id) order, adjacent-pair mining, global top-20 by
+    // count — the behavioral-pattern summary. One user-keyed collect +
+    // one pair-keyed map-side-combined count; TakeOrdered cut.
+    "event_transitions" -> ((s, dir) => {
+      val seq0 = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("__us"), col("event_id"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("__us"), col("event_id"),
+          col("event_type")))).as("__evs"))
+        .select(col("user_id"),
+          transform(col("__evs"), e => e.getField("event_type")).as("__types"))
+      val n = size(col("__types"))
+      seq0.select(explode(when(n >= 2,
+          transform(sequence(lit(1), n - 1), i =>
+            concat_ws(" -> ", element_at(col("__types"), i),
+              element_at(col("__types"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("transition"))
+        .groupBy("transition").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("transition").asc)
+        .limit(20)
+    }),
     // Ordered conversion funnel view -> click -> purchase: per-step
     // earliest completion strictly after the prior step; user-keyed
     // aggregates/joins only, with each stage's input pre-filtered to its
@@ -3182,6 +3218,26 @@ object QueryCatalog {
     "event_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // 4 covering 15-min-aligned windows per event, derived
+    // arithmetically (len/hop = 4)
+    "event_hopping_rollup" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT ((us // 900000000) - j) * 900000000 AS ws, event_type, value
+        |  FROM e CROSS JOIN generate_series(0, 3) AS t(j))
+        |SELECT ws AS window_start_us, event_type,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_id) AS types
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(types)),
+        |    i -> types[i] || ' -> ' || types[i + 1])) AS transition
+        |  FROM s WHERE len(types) >= 2)
+        |SELECT transition, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, transition ASC LIMIT 20""".stripMargin,
     // step-wise conditional minima replayed as chained CTEs; null t2
     // makes the t3 CASE null-strict in both engines
     "event_funnel" ->
