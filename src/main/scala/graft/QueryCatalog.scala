@@ -811,6 +811,25 @@ object QueryCatalog {
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // The PERSISTED-index flavor of BM25: the tf table is written once
+    // bucketed by term (the probe key) and the query probes the
+    // read-back — timing honestly includes the index build + write.
+    // Identical arithmetic to bm25_topk, so it shares that oracle.
+    "bm25_topk_indexed" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val built = Tfidf.bm25Index(docs, "doc_id", "text")
+      val tbl = "graft_bm25_tf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.writeBucketed(built.tf, tbl, "term", 8)
+      val index = Tfidf.Bm25Index(IndexStore.read(s, tbl),
+        built.df, built.dl, built.stats)
+      val probes = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("qtext"))
+      Tfidf.bm25TopKOnIndex(index, probes, "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Document chunking: 64-token windows with 16-token overlap (stride
     // 48) — the embedding/RAG prep shape. Pure per-row algebra: no
     // shuffle, row multiplier = ceil(n_tokens / stride).
@@ -1088,6 +1107,16 @@ object QueryCatalog {
           round(sum("value"), 6).as("sum_value"))
         .select(unix_micros(col("w.start")).as("window_start_us"),
           col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start_us", "event_type")),
+    // Hourly volume anomalies at |z| >= 1.5: stats from INTEGER sums
+    // only (exact under any partitioning), z a closed-form double per
+    // bucket — deterministic and replayable; zero-variance types
+    // excluded by the integer predicate.
+    "event_anomaly" -> ((s, dir) =>
+      Sessionize.hourlyCountAnomalies(events(s, dir), "event_type", "ts",
+          zThreshold = 1.5)
+        .select(col("window_start_us"), col("event_type"), col("n_events"),
+          round(col("z"), 6).as("z"))
         .orderBy("window_start_us", "event_type")),
     // HOPPING (sliding) event-time rollup: 1h windows every 15min —
     // each event lands in 4 overlapping buckets (the smoothing twin of
@@ -3149,6 +3178,7 @@ object QueryCatalog {
     "scrub_pii" -> scrubPiiSql,
     "tfidf_topk" -> tfidfSql,
     "bm25_topk" -> bm25Sql,
+    "bm25_topk_indexed" -> bm25Sql,
     "decontaminate" -> decontaminateSql,
     "contamination_pairs" -> contaminationPairsSql,
     "global_shuffle" -> globalShuffleSql,
@@ -3218,6 +3248,23 @@ object QueryCatalog {
     "event_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // identical integer-sum statistics and closed-form z per bucket
+    "event_anomaly" ->
+      """WITH b AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM b GROUP BY 1),
+        |z AS (
+        |  SELECT b.ws, b.event_type, b.c,
+        |    (CAST(b.c AS DOUBLE) - CAST(st.s1 AS DOUBLE) / st.n)
+        |      / sqrt(CAST(st.n * st.s2 - st.s1 * st.s1 AS DOUBLE) / (st.n * st.n)) AS z
+        |  FROM b JOIN st USING (event_type)
+        |  WHERE st.n * st.s2 - st.s1 * st.s1 > 0)
+        |SELECT ws AS window_start_us, event_type, c AS n_events, round(z, 6) AS z
+        |FROM z WHERE abs(z) >= 1.5 ORDER BY 1, 2""".stripMargin,
     // 4 covering 15-min-aligned windows per event, derived
     // arithmetically (len/hop = 4)
     "event_hopping_rollup" ->

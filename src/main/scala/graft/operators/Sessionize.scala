@@ -188,6 +188,51 @@ object Sessionize {
     full.withColumn("stage", stage)
   }
 
+  /** Volume-anomaly detection over hourly event counts: flag
+    * (hour, type) buckets whose count deviates from that type's mean by
+    * at least `zThreshold` standard deviations — the monitoring-side
+    * "traffic spike / outage dip" primitive.
+    *
+    * Determinism discipline: the statistics are computed from INTEGER
+    * sums only (n, Σc, Σc² — all exact longs; a naive avg/stddev over
+    * doubles would depend on shuffle arrival order), and the z-score is
+    * one closed-form double per row from those exact integers — so the
+    * flagged set and the scores hash-replay in any engine. Long
+    * arithmetic bounds the per-type total at ~3e9 events before Σc²
+    * style products overflow; beyond that, lift the sums to DECIMAL.
+    * Buckets with zero variance (a type with constant hourly volume)
+    * are excluded — their z is undefined, not infinite.
+    *
+    * Shape: one (bucket, type)-keyed count (map-side combined), one
+    * type-keyed stats rollup (rows = types), broadcast join back.
+    * Output: `(window_start_us, event_type, n_events, z)` for flagged
+    * buckets. */
+  def hourlyCountAnomalies(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      zThreshold: Double = 2.0
+  ): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val buckets = normalizeTs(events, tsCol)
+      .groupBy(window(col(tsCol), "1 hour").as("w"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("c"))
+    val stats = buckets.groupBy("event_type")
+      .agg(count(lit(1)).as("__n"), sum("c").as("__s1"),
+        sum(col("c") * col("c")).as("__s2"))
+    val mu = col("__s1").cast("double") / col("__n")
+    val sigma = sqrt((col("__n") * col("__s2") - col("__s1") * col("__s1")).cast("double") /
+      (col("__n") * col("__n")))
+    buckets.join(broadcast(stats), Seq("event_type"))
+      .where(col("__n") * col("__s2") - col("__s1") * col("__s1") > 0)
+      .withColumn("z", (col("c").cast("double") - mu) / sigma)
+      .where(abs(col("z")) >= lit(zThreshold))
+      .select(col("window_start_us"), col("event_type"),
+        col("c").as("n_events"), col("z"))
+  }
+
   /** Weekly cohort retention: users grouped by their FIRST-activity week
     * (the cohort), counted per subsequent active week — the standard
     * retention triangle. `week` = epoch-days / 7 (epoch-aligned, no

@@ -168,6 +168,47 @@ object Tfidf {
     * columnar read-back instead of re-tokenizing the corpus. */
   final case class Bm25Index(tf: DataFrame, df: DataFrame, dl: DataFrame, stats: DataFrame)
 
+  /** BM25 top-k against a PREBUILT [[Bm25Index]] — the serving path:
+    * the corpus is never re-tokenized; the probe joins the persisted tf
+    * table (bucketed by `term` via IndexStore, the join key — so the
+    * candidate equi-join plans a probe-side-only exchange, the
+    * batch_ann_topk_bucketed discipline applied to lexical retrieval).
+    * Identical arithmetic and fold order to [[bm25TopK]] — the full-
+    * dictionary df table carries the same values for the matched terms
+    * as the match-restricted one, so results are bit-identical. */
+  def bm25TopKOnIndex(
+      index: Bm25Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(lower(trim(col(queryTextCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .select("query_id", "term").distinct()
+    val scored = index.tf.join(broadcast(qterms), Seq("term"))
+      .join(index.df, Seq("term"))
+      .join(index.dl, Seq("doc_id"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("__s")))),
+          lit(0.0), (acc, x) => acc + x.getField("__s")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Build [[Bm25Index]] from a corpus — one tokenize pass, three
     * map-side-combined aggregates (tf; df over tf, one row per term; dl
     * over tf, one row per doc) and the one-row stats fold. */
