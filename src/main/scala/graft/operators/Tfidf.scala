@@ -110,7 +110,15 @@ object Tfidf {
     * TERM-SORTED order inside the row (the DSIR rule), so the score is
     * partitioning-independent bit-for-bit and a SQL twin replays it with
     * `sum(s ORDER BY term)`. The final cut is a per-query top-k window
-    * over candidate rows (bounded by matches), never the corpus. */
+    * over candidate rows (bounded by matches), never the corpus.
+    *
+    * `maxDf` is the hot-term guard (the jaccard family's stop-gram cap
+    * applied to retrieval): a query term present in more than `maxDf`
+    * documents matches a corpus-sized candidate set while contributing
+    * near-zero idf — at crawl scale one stopword in a query would
+    * otherwise turn the bounded-candidate plan into a full-corpus
+    * scoring pass. Capped terms drop from scoring entirely (they do not
+    * count toward `n_terms`). */
   def bm25TopK(
       corpus: DataFrame,
       idCol: String,
@@ -120,7 +128,8 @@ object Tfidf {
       queryTextCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      maxDf: Option[Long] = None
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got k1=$k1 b=$b")
@@ -140,8 +149,9 @@ object Tfidf {
     // matched is one row per (doc, term, QUERY) — a term shared by two
     // queries appears twice per doc, so df must dedup on (term, doc)
     // first or shared terms get a multiplied document frequency
-    val dfreq = matched.select("term", "doc_id").distinct()
+    val dfreq0 = matched.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = maxDf.fold(dfreq0)(cap => dfreq0.where(col("df") <= cap))
     val scored = matched
       .join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -175,7 +185,13 @@ object Tfidf {
     * batch_ann_topk_bucketed discipline applied to lexical retrieval).
     * Identical arithmetic and fold order to [[bm25TopK]] — the full-
     * dictionary df table carries the same values for the matched terms
-    * as the match-restricted one, so results are bit-identical. */
+    * as the match-restricted one, so results are bit-identical.
+    *
+    * Unlike the ad-hoc scorer (whose `maxDf` can only drop capped terms
+    * AFTER the match), here the document frequency is known BEFORE the
+    * probe, so `maxDf` prunes hot query terms ahead of the candidate
+    * join — one stopword in a query can no longer turn the bounded
+    * probe into a corpus-sized scoring pass. */
   def bm25TopKOnIndex(
       index: Bm25Index,
       queries: DataFrame,
@@ -183,16 +199,19 @@ object Tfidf {
       queryTextCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      maxDf: Option[Long] = None
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val dfKept = maxDf.fold(index.df)(cap => index.df.where(col("df") <= cap))
     val qterms = queries
       .select(col(queryIdCol).as("query_id"),
         explode(split(lower(trim(col(queryTextCol))), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
       .select("query_id", "term").distinct()
+      .join(dfKept.select("term"), Seq("term"), "left_semi")
     val scored = index.tf.join(broadcast(qterms), Seq("term"))
-      .join(index.df, Seq("term"))
+      .join(dfKept, Seq("term"))
       .join(index.dl, Seq("doc_id"))
       .crossJoin(broadcast(index.stats))
       .withColumn("__idf",

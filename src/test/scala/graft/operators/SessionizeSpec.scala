@@ -161,6 +161,30 @@ class SessionizeSpec extends AnyFunSuite {
       (1L, 1L) -> 1L), s"got $out")
   }
 
+  test("hourly anomalies: hand-computed z from integer sums; constant types excluded") {
+    // type A: nine hours of 4 events + one hour of 20 -> n=10, mean 5.6,
+    // var = (10*544 - 3136)/100 = 23.04, sd = 4.8, z(20) = 14.4/4.8 = 3.0
+    // (a 3-bucket fixture can't work: max |z| over n points is ~sqrt(n-1))
+    // type B constant 2 per hour -> zero variance, excluded entirely
+    val hr = 3600L
+    def rep(t: String, hour: Long, n: Int) =
+      (1 to n).map(i => (hour * 100 + i, hour * hr + i, t))
+    val rows = (0L to 8L).flatMap(h => rep("A", h, 4)) ++ rep("A", 9, 20) ++
+      (0L to 2L).flatMap(h => rep("B", h, 2))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, s, t) =>
+        Row(id, s * 1000000000L, t) }, 3),
+      StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_type", StringType))))
+    val out = Sessionize.hourlyCountAnomalies(d, "event_type", "ts", zThreshold = 2.0)
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(("A", 9L * hr * 1000000L)), s"got ${out.keySet}")
+    val (n, z) = out(("A", 9L * hr * 1000000L))
+    assert(n == 20L)
+    assert(math.abs(z - 3.0) < 1e-12)
+  }
+
   private def ewmaEvents(rows: (Long, Long, Long, Double)*) = {
     val rs = rows.map { case (u, ts, id, v) => Row(u, ts * 1000000000L, id, v) }
     spark.createDataFrame(spark.sparkContext.parallelize(rs, 3),

@@ -116,6 +116,34 @@ class TfidfSpec extends AnyFunSuite {
     assert(solo == shared, "adding a second query with the same term must not move scores")
   }
 
+  test("bm25 maxDf: hot terms drop from scoring; both scorers agree; index path prunes pre-join") {
+    // "the" in every doc (df=3); "fish" rare
+    val d = docs(1L -> "the cat fish", 2L -> "the dog", 3L -> "the bird")
+    val q = queries(10L -> "the fish")
+    val capped = Tfidf.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext",
+        k = 5, maxDf = Some(2))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(capped == Map(1L -> 1L),
+      s"only the rare term may score, and only its doc may match: $capped")
+    // the indexed scorer with the same cap returns identical rows
+    val idx = Tfidf.bm25Index(d, "doc_id", "text")
+    val viaIndex = Tfidf.bm25TopKOnIndex(idx, q, "query_id", "qtext",
+        k = 5, maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val adHoc = Tfidf.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext",
+        k = 5, maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaIndex.toSet == adHoc.toSet)
+    // uncapped: both paths also agree (full-dictionary df == restricted df)
+    val u1 = Tfidf.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val u2 = Tfidf.bm25TopKOnIndex(idx, q, "query_id", "qtext", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(u1.keySet == u2.keySet)
+    u1.foreach { case (id, s) =>
+      assert(java.lang.Double.compare(s, u2(id)) == 0, s"doc $id drifted") }
+  }
+
   test("bm25: score is partitioning-independent (the in-row term-sorted fold)") {
     val d = docs((1L to 40L).map(i =>
       i -> s"alpha beta gamma t$i ${"delta " * (i % 5).toInt}".trim): _*)
