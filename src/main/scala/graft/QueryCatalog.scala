@@ -811,6 +811,22 @@ object QueryCatalog {
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Search-serving snippets: top-3 BM25 hits highlighted with a
+    // 3-token keyword-in-context window around the first query-term
+    // occurrence — in-plan index-lambda scan per hit, no explode, two
+    // hit-keyed equi-joins.
+    "bm25_snippets" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val probes = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("qtext"))
+      val hits = Tfidf.bm25TopK(docs, "doc_id", "text", probes, "query_id", "qtext", k = 3)
+      Tfidf.snippets(hits, docs, "doc_id", "text", probes, "query_id", "qtext",
+          windowTokens = 3)
+        .select(col("query_id"), col("doc_id"),
+          col("first_pos").cast("int").as("first_pos"), col("snippet"))
+        .orderBy("query_id", "doc_id")
+    }),
     // The PERSISTED-index flavor of BM25: the tf table is written once
     // bucketed by term (the probe key) and the query probes the
     // read-back — timing honestly includes the index build + write.
@@ -3179,6 +3195,7 @@ object QueryCatalog {
     "tfidf_topk" -> tfidfSql,
     "bm25_topk" -> bm25Sql,
     "bm25_topk_indexed" -> bm25Sql,
+    "bm25_snippets" -> bm25SnippetsSql,
     "decontaminate" -> decontaminateSql,
     "contamination_pairs" -> contaminationPairsSql,
     "global_shuffle" -> globalShuffleSql,
@@ -3560,8 +3577,11 @@ object QueryCatalog {
     * compile-time k1+1.0 bit-for-bit), and the per-(query, doc) score
     * summed with `sum(s ORDER BY term)` — the ordered left fold matching
     * the Spark side's term-sorted in-row `aggregate` (the DSIR rule). */
-  private lazy val bm25Sql =
-    """WITH toks AS (
+  /** The bm25 pipeline CTEs through the ranked table `r` (also exposes
+    * `qd`, the per-query distinct term sets) — shared by [[bm25Sql]]
+    * and the snippets twin. */
+  private lazy val bm25Ctes =
+    """toks AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
       |  FROM documents),
       |t AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
@@ -3594,9 +3614,34 @@ object QueryCatalog {
       |  SELECT query_id, doc_id, n_terms, score,
       |    CAST(row_number() OVER (
       |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
-      |  FROM agg)
-      |SELECT query_id, doc_id, n_terms, round(score, 6) AS score, rank
-      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |  FROM agg)""".stripMargin
+
+  private lazy val bm25Sql =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, doc_id, n_terms, round(score, 6) AS score, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Snippet twin: top-3 bm25 hits, first query-term position via the
+    * same index-lambda scan (list_min skips nulls, like array_min), and
+    * the identical greatest/least window arithmetic. */
+  private lazy val bm25SnippetsSql =
+    s"""WITH $bm25Ctes,
+       |hits AS (SELECT query_id, doc_id FROM r WHERE rank <= 3),
+       |dtok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |qt2 AS (SELECT query_id, list(DISTINCT term) AS qt FROM qd GROUP BY 1),
+       |p AS (
+       |  SELECT h.query_id, h.doc_id, tk,
+       |    list_min(list_transform(range(1, len(tk) + 1),
+       |      i -> CASE WHEN list_contains(qt, tk[i]) THEN i END)) AS first_pos
+       |  FROM hits h JOIN dtok USING (doc_id) JOIN qt2 USING (query_id))
+       |SELECT query_id, doc_id, CAST(first_pos AS INTEGER) AS first_pos,
+       |  CASE WHEN first_pos IS NOT NULL THEN
+       |    array_to_string(list_slice(tk,
+       |      greatest(1, first_pos - 3), least(len(tk), first_pos + 3)), ' ')
+       |  END AS snippet
+       |FROM p ORDER BY query_id, doc_id""".stripMargin
 
   /** Trigram-shingle CTEs for the decontamination twins: corpus/bench
     * split on doc_id % 10, shingles built exactly like [[jaccardCtes]]

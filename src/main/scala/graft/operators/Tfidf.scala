@@ -170,6 +170,51 @@ object Tfidf {
     perDoc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Keyword-in-context snippets for retrieval hits: for each
+    * `(query_id, doc_id)` pair in `hits`, the token window of
+    * `windowTokens` before/after the FIRST occurrence of any query term
+    * in the document — the search-serving highlight step after
+    * [[bm25TopK]]/[[bm25TopKOnIndex]] (or any hit list with the same
+    * two columns).
+    *
+    * Fully in-plan per hit row: the document tokenizes once, the first
+    * matching position is an index-lambda scan over the token array
+    * (`array_min` over per-position matches — no explode, no shuffle
+    * beyond the two hit-keyed equi-joins), and the snippet is a slice
+    * around it. Hits whose document no longer contains any query term
+    * (e.g. a stale hit list) emit a null position and snippet rather
+    * than dropping. Output: `(query_id, doc_id, first_pos, snippet)`
+    * with `first_pos` 1-based. */
+  def snippets(
+      hits: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      windowTokens: Int = 3
+  ): DataFrame = {
+    require(windowTokens >= 0, s"windowTokens must be >= 0, got $windowTokens")
+    val docs = corpus.select(col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val qs = queries.select(col(queryIdCol).as("query_id"),
+      array_distinct(split(lower(trim(col(queryTextCol))), "\\s+")).as("__qt"))
+    val n = size(col("__toks"))
+    val pos = array_min(transform(sequence(lit(1), n),
+      i => when(array_contains(col("__qt"), element_at(col("__toks"), i)), i)))
+    val begin = greatest(lit(1), col("first_pos") - windowTokens)
+    val len = least(n, col("first_pos") + windowTokens) - begin + 1
+    hits.select("query_id", "doc_id")
+      .join(docs, Seq("doc_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("first_pos", pos)
+      .withColumn("snippet",
+        when(col("first_pos").isNotNull,
+          concat_ws(" ", slice(col("__toks"), begin, len))))
+      .select("query_id", "doc_id", "first_pos", "snippet")
+  }
+
   /** Frozen BM25 index tables: per-(doc, term) TF, per-term document
     * frequency, per-doc length, and the one-row (N, avgdl) stats —
     * the serving-side artifact. At scale persist each (tf bucketed by

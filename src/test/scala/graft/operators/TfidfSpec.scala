@@ -144,6 +144,30 @@ class TfidfSpec extends AnyFunSuite {
       assert(java.lang.Double.compare(s, u2(id)) == 0, s"doc $id drifted") }
   }
 
+  test("snippets: first-occurrence window, edge clipping, stale hits go null") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "a b c TARGET d e f g",
+      2L -> "TARGET x y z",
+      3L -> "p q r s t u v w TARGET")
+    val q = queries(10L -> "target")
+    val hits = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 99L))
+      .toDF("query_id", "doc_id")
+    val out = Tfidf.snippets(hits, d, "doc_id", "text", q, "query_id", "qtext",
+        windowTokens = 2)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((4, "b c target d e")), s"got ${out(1L)}")
+    assert(out(2L) == ((1, "target x y")), "window clips at the doc start")
+    assert(out(3L) == ((9, "v w target")), "window clips at the doc end")
+    assert(!out.contains(99L), "hits for unknown docs drop at the join")
+    // a hit whose doc has no query term: null position and snippet
+    val stale = Tfidf.snippets(Seq((10L, 1L)).toDF("query_id", "doc_id"),
+        docs(1L -> "nothing here"), "doc_id", "text", q, "query_id", "qtext")
+      .collect().head
+    assert(stale.isNullAt(2) && stale.isNullAt(3))
+  }
+
   test("bm25: score is partitioning-independent (the in-row term-sorted fold)") {
     val d = docs((1L to 40L).map(i =>
       i -> s"alpha beta gamma t$i ${"delta " * (i % 5).toInt}".trim): _*)
