@@ -811,6 +811,23 @@ object QueryCatalog {
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Incremental-ingest flavor: the index is built from the even-id
+    // half and the odd-id half MERGES in (tf/dl append, df term-keyed
+    // add, stats refold) — structurally identical to a full rebuild, so
+    // it shares the bm25 oracle. The corpus is never re-tokenized.
+    "bm25_topk_merged" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val standing = Tfidf.bm25Index(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      val merged = Tfidf.bm25IndexMerge(standing,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      val probes = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("qtext"))
+      Tfidf.bm25TopKOnIndex(merged, probes, "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Search-serving snippets: top-3 BM25 hits highlighted with a
     // 3-token keyword-in-context window around the first query-term
     // occurrence — in-plan index-lambda scan per hit, no explode, two
@@ -3196,6 +3213,7 @@ object QueryCatalog {
     "bm25_topk" -> bm25Sql,
     "bm25_topk_indexed" -> bm25Sql,
     "bm25_snippets" -> bm25SnippetsSql,
+    "bm25_topk_merged" -> bm25Sql,
     "decontaminate" -> decontaminateSql,
     "contamination_pairs" -> contaminationPairsSql,
     "global_shuffle" -> globalShuffleSql,

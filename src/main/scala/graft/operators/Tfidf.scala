@@ -276,6 +276,32 @@ object Tfidf {
   /** Build [[Bm25Index]] from a corpus — one tokenize pass, three
     * map-side-combined aggregates (tf; df over tf, one row per term; dl
     * over tf, one row per doc) and the one-row stats fold. */
+  /** Merge an ingest batch into a standing [[Bm25Index]] WITHOUT
+    * re-tokenizing the corpus — the incremental-ingest path (the
+    * jaccard `shingleIndex` discipline applied to retrieval): the batch
+    * tokenizes once into its own increment, tf/dl append (document sets
+    * must be disjoint — same contract as every incremental dedup
+    * ingest), df adds term-keyed, and the one-row stats fold recomputes
+    * from the merged per-doc lengths (corpus-linear scan of 1-row-per-
+    * doc, never the text). The result is structurally IDENTICAL to
+    * rebuilding from the concatenated corpus (spec pins probe
+    * bit-identity), so merges compose associatively across epochs. */
+  def bm25IndexMerge(
+      standing: Bm25Index,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Bm25Index = {
+    val inc = bm25Index(newDocs, idCol, textCol)
+    val tf = standing.tf.unionByName(inc.tf)
+    val df = standing.df.unionByName(inc.df)
+      .groupBy("term").agg(sum("df").as("df"))
+    val dl = standing.dl.unionByName(inc.dl)
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum("dl").cast("double") / count(lit(1))).as("__avgdl"))
+    Bm25Index(tf, df, dl, stats)
+  }
+
   def bm25Index(corpus: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val tf = corpus
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))

@@ -168,6 +168,32 @@ class TfidfSpec extends AnyFunSuite {
     assert(stale.isNullAt(2) && stale.isNullAt(3))
   }
 
+  test("bm25 index merge: bit-identical to a full rebuild; merges compose") {
+    val d = docs(
+      1L -> "cat cat fish swims", 2L -> "cat dog barks",
+      3L -> "dog dog bird", 4L -> "fish and chips")
+    val q = queries(10L -> "cat fish", 11L -> "dog bird")
+    def probe(idx: Tfidf.Bm25Index) =
+      Tfidf.bm25TopKOnIndex(idx, q, "query_id", "qtext", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    val full = probe(Tfidf.bm25Index(d, "doc_id", "text"))
+    val merged = probe(Tfidf.bm25IndexMerge(
+      Tfidf.bm25Index(d.where(col("doc_id") <= 2), "doc_id", "text"),
+      d.where(col("doc_id") > 2), "doc_id", "text"))
+    assert(full.keySet == merged.keySet)
+    full.foreach { case (k, (n, s)) =>
+      assert(merged(k)._1 == n)
+      assert(java.lang.Double.compare(s, merged(k)._2) == 0, s"$k drifted") }
+    // associativity: merging in two steps equals one rebuild too
+    val twoStep = probe(Tfidf.bm25IndexMerge(
+      Tfidf.bm25IndexMerge(
+        Tfidf.bm25Index(d.where(col("doc_id") === 1), "doc_id", "text"),
+        d.where(col("doc_id") === 2 || col("doc_id") === 3), "doc_id", "text"),
+      d.where(col("doc_id") === 4), "doc_id", "text"))
+    assert(twoStep == full)
+  }
+
   test("bm25: score is partitioning-independent (the in-row term-sorted fold)") {
     val d = docs((1L to 40L).map(i =>
       i -> s"alpha beta gamma t$i ${"delta " * (i % 5).toInt}".trim): _*)
