@@ -828,6 +828,29 @@ object QueryCatalog {
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // HYBRID retrieval: BM25 lexical top-10 fused with exact-cosine
+    // semantic top-10 by reciprocal rank (no score calibration across
+    // the two signal types — only ranks enter). The classic two-tower
+    // search stack composed from in-repo parts; the aligned
+    // documents/embeddings ids make the fused ranking meaningful.
+    "hybrid_search" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val emb = embeddings(s, dir)
+      val probes = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("qtext"))
+      val lexical = Tfidf.bm25TopK(docs, "doc_id", "text", probes,
+          "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id").as("corpus_id"), col("rank"))
+      val semantic = Similarity.topKForQueries(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"), col("rank"))
+      Similarity.reciprocalRankFusion(Seq(lexical, semantic), k0 = 60, topK = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("rrf_score"), 6).as("rrf_score"), col("n_lists"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Search-serving snippets: top-3 BM25 hits highlighted with a
     // 3-token keyword-in-context window around the first query-term
     // occurrence — in-plan index-lambda scan per hit, no explode, two
@@ -991,6 +1014,18 @@ object QueryCatalog {
     "sample_n_per_stratum" -> ((s, dir) =>
       Shuffling.sampleNPerStratum(documents(s, dir), "doc_id", "lang", n = 20, seed = 5L)
         .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    // Robust per-source scaling of the quality score: (x - median)/IQR
+    // from ONE exact array-probability percentile per source (the
+    // group_percentiles discipline), broadcast back, scan-speed
+    // projection. Outlier-resistant where z-scores move with the tails.
+    "robust_scale" -> ((s, dir) =>
+      Scoring.robustScale(
+          documents(s, dir).withColumn("quality",
+            TextFunctions.qualityScore(col("text"))),
+          "doc_id", "quality", "source")
+        .select(col("doc_id"), col("source"), col("quality"),
+          round(col("scaled"), 6).as("scaled"))
         .orderBy("doc_id")),
     // Within-source percentile-rank normalization of the quality score
     // (+ ntile curriculum buckets): makes scores comparable across
@@ -3214,6 +3249,7 @@ object QueryCatalog {
     "bm25_topk_indexed" -> bm25Sql,
     "bm25_snippets" -> bm25SnippetsSql,
     "bm25_topk_merged" -> bm25Sql,
+    "hybrid_search" -> hybridSearchSql,
     "decontaminate" -> decontaminateSql,
     "contamination_pairs" -> contaminationPairsSql,
     "global_shuffle" -> globalShuffleSql,
@@ -3224,6 +3260,15 @@ object QueryCatalog {
         |    PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) AS rn
         |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "robust_scale" ->
+      s"""WITH q AS (SELECT doc_id, source, $qualityExprSql AS quality FROM documents),
+         |st AS (
+         |  SELECT source, quantile_cont(quality, 0.5) AS med,
+         |    quantile_cont(quality, 0.75) - quantile_cont(quality, 0.25) AS iqr
+         |  FROM q GROUP BY 1)
+         |SELECT doc_id, q.source, quality, round((quality - med) / iqr, 6) AS scaled
+         |FROM q JOIN st USING (source)
+         |WHERE iqr > 0 ORDER BY doc_id""".stripMargin,
     "quality_percentile_norm" ->
       s"""WITH q AS (SELECT doc_id, source, $qualityExprSql AS quality FROM documents)
          |SELECT doc_id, source, quality,
@@ -3660,6 +3705,37 @@ object QueryCatalog {
        |      greatest(1, first_pos - 3), least(len(tk), first_pos + 3)), ' ')
        |  END AS snippet
        |FROM p ORDER BY query_id, doc_id""".stripMargin
+
+  /** Hybrid-search twin: the bm25 ranked table fused with an
+    * exact-cosine ranking over the aligned embeddings by the RRF fold
+    * (terms summed in src order — lexical 0, semantic 1). */
+  private lazy val hybridSearchSql =
+    s"""WITH $bm25Ctes,
+       |e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |eq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+       |es AS (
+       |  SELECT query_id, e.vec_id AS corpus_id, ${cosSql("e.v", "qv")} AS cos
+       |  FROM e JOIN eq ON e.vec_id <> query_id),
+       |er AS (
+       |  SELECT query_id, corpus_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank FROM es),
+       |u AS (
+       |  SELECT query_id, doc_id AS corpus_id, 0 AS src, 1.0/(60 + rank) AS term
+       |  FROM r WHERE rank <= 10
+       |  UNION ALL
+       |  SELECT query_id, corpus_id, 1 AS src, 1.0/(60 + rank) AS term
+       |  FROM er WHERE rank <= 10),
+       |f AS (
+       |  SELECT query_id, corpus_id, CAST(count(*) AS BIGINT) AS n_lists,
+       |    sum(term ORDER BY src) AS score FROM u GROUP BY 1, 2),
+       |rr AS (
+       |  SELECT query_id, corpus_id, score, n_lists,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, corpus_id) AS INTEGER) AS rank
+       |  FROM f)
+       |SELECT query_id, corpus_id, round(score, 6) AS rrf_score, n_lists, rank
+       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Trigram-shingle CTEs for the decontamination twins: corpus/bench
     * split on doc_id % 10, shingles built exactly like [[jaccardCtes]]

@@ -136,6 +136,37 @@ object Scoring {
       .limit(k)
   }
 
+  /** Robust per-stratum scaling: `scaled = (x - median) / IQR` within
+    * each group — the outlier-resistant alternative to z-scoring
+    * (mean/stddev move with the tails; median/IQR don't), and the
+    * affine complement of [[percentileNormalize]] (which discards
+    * magnitude entirely). Strata with zero IQR (constant scores) are
+    * excluded — their scale is undefined, not infinite.
+    *
+    * Shape: one exact-percentile aggregate per stratum (ONE per-group
+    * sort serves all three quantiles via the array-probability form —
+    * the group_percentiles discipline), a one-row-per-stratum broadcast
+    * join back, and a scan-speed projection. The `approx = true`
+    * regime of [[qualityFilterStratified]] applies here too when strata
+    * outgrow the exact sort. */
+  def robustScale(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      groupCol: String
+  ): DataFrame = {
+    val stats = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(col(scoreCol), array(lit(0.25), lit(0.5), lit(0.75))).as("__p"))
+      .select(col(groupCol), col("__p")(1).as("__med"),
+        (col("__p")(2) - col("__p")(0)).as("__iqr"))
+    df.where(col(scoreCol).isNotNull)
+      .join(broadcast(stats), Seq(groupCol))
+      .where(col("__iqr") > 0)
+      .withColumn("scaled", (col(scoreCol) - col("__med")) / col("__iqr"))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("scaled"))
+  }
+
   /** Percentile-rank normalization of a score WITHIN each stratum:
     * `pct = percent_rank` and an `ntile` curriculum bucket over the
     * (score, id) total order per group — the standard way to make

@@ -232,6 +232,22 @@ class ScoringSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0.0, 2L -> 1.0), s"null dropped, tie split by id: $t")
   }
 
+  test("robust scale: hand-computed median/IQR; constant strata excluded; outlier-resistant") {
+    val d = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0), (5L, "a", 1000.0),
+      (6L, "b", 7.0), (7L, "b", 7.0)
+    ).toDF("doc_id", "source", "score")
+    val out = Scoring.robustScale(d, "doc_id", "score", "source")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // source a: med 3, p25 2, p75 4 -> IQR 2; the outlier does not move
+    // the center or the scale (that is the point)
+    assert(out(3L) == 0.0)
+    assert(out(1L) == -1.0 && out(4L) == 0.5)
+    assert(out(5L) == (1000.0 - 3.0) / 2.0)
+    // constant stratum b: IQR 0, excluded
+    assert(!out.contains(6L) && !out.contains(7L), s"got ${out.keySet}")
+  }
+
   test("pmi: hand-computed association, collocation outranks chance pair") {
     // "san francisco" always together; "the cat"/"the dog" mix freely
     val d = Seq(
