@@ -1462,6 +1462,24 @@ object QueryCatalog {
           round(col("mmr_score"), 6).as("mmr_score"), col("step"))
         .orderBy("query_id", "step")
     }),
+    // Retrieval evaluation: recall@5 / MRR of the SQ8 compressed index
+    // against the exact-cosine ground truth — the measurement half of
+    // the ANN stack (what does quantization give up, per query).
+    // Closed-form doubles from integer hit counts; queries retrieving
+    // nothing still emit (0, 0) rows.
+    "retrieval_metrics" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val params = Similarity.sq8Params(e, "embedding", dim = 64)
+      val codes = Similarity.sq8Encode(e, "vec_id", "embedding", params)
+      val results = Similarity.sq8TopKForQueries(codes, params,
+        e.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      val truth = Similarity.topKForQueries(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      Similarity.retrievalMetrics(results, truth, k = 5)
+        .select(col("query_id"), round(col("recall"), 6).as("recall"),
+          round(col("mrr"), 6).as("mrr"))
+        .orderBy("query_id")
+    }),
     // Reciprocal-rank fusion: three heterogeneous retrieval rankings
     // (cosine, raw dot product, L2) fused by rank only — no score
     // calibration. The aggregate touches at most 3*10 rows per query;
@@ -2359,8 +2377,8 @@ object QueryCatalog {
     * clamped floor((x-min)/width*255 + 0.5) quantizer, dequantize
     * min + c*width/255, then the [[topkForQueriesSql]] cosine ranking
     * over the reconstructed vectors. */
-  private val sq8TopkSql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private val sq8Ctes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |p AS (
        |  SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS wd
        |  FROM e CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY i),
@@ -2381,9 +2399,38 @@ object QueryCatalog {
        |r AS (
        |  SELECT query_id, corpus_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INTEGER) AS rank
-       |  FROM s)
+       |  FROM s)""".stripMargin
+
+  private val sq8TopkSql =
+    s"""WITH $sq8Ctes
        |SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Retrieval-metrics twin: the sq8 ranked table as results, an exact
+    * cosine ranking as truth (k=5 both), then closed-form recall@5 /
+    * MRR from integer hit counts and the min matched rank. */
+  private lazy val retrievalMetricsSql =
+    s"""WITH $sq8Ctes,
+       |tr AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT query_id, c2.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ${cosSql("c2.v", "qv")} DESC, c2.vec_id ASC) AS trk
+       |    FROM e c2 JOIN q ON c2.vec_id <> query_id)
+       |  WHERE trk <= 5),
+       |ts AS (SELECT query_id, count(*) AS n_truth FROM tr GROUP BY 1),
+       |h AS (
+       |  SELECT r.query_id, count(*) AS n_hits, min(r.rank) AS first_rank
+       |  FROM r JOIN tr ON r.query_id = tr.query_id AND r.corpus_id = tr.corpus_id
+       |  WHERE r.rank <= 5 GROUP BY 1),
+       |m AS (
+       |  SELECT ts.query_id,
+       |    CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ts.n_truth AS recall,
+       |    CASE WHEN h.first_rank IS NOT NULL
+       |         THEN CAST(1.0 AS DOUBLE) / h.first_rank ELSE 0.0 END AS mrr
+       |  FROM ts LEFT JOIN h ON ts.query_id = h.query_id)
+       |SELECT query_id, round(recall, 6) AS recall, round(mrr, 6) AS mrr
+       |FROM m ORDER BY query_id""".stripMargin
 
   private val topkForQueriesSql =
     s"""WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -3199,6 +3246,7 @@ object QueryCatalog {
          |FROM r WHERE rank <= 1 ORDER BY query_id, rank""".stripMargin,
     "batch_ann_topk_bucketed" -> topkForQueriesSql,
     "sq8_topk" -> sq8TopkSql,
+    "retrieval_metrics" -> retrievalMetricsSql,
     "mmr_rerank" -> mmrRerankSql,
     // three independent rankings replayed exactly (cosine / dot / L2 as
     // the same left folds), RRF terms summed in src order

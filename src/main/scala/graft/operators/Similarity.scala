@@ -1424,6 +1424,39 @@ object Similarity {
         col("s.mmr").as("mmr_score"), (col("__pos") + 1).cast("int").as("step"))
   }
 
+  /** Retrieval-quality metrics per query: recall@k (fraction of the
+    * truth set retrieved) and MRR (reciprocal rank of the first
+    * relevant result; 0 when none) — the evaluation half of the
+    * ANN/lexical stack, for measuring what a compressed or approximate
+    * index (SQ8, PQ, LSH, RP) gives up against the exact ranking.
+    *
+    * Inputs are two `(query_id, corpus_id, rank)` lists; metrics are
+    * closed-form doubles over exact integers (hit counts and the min
+    * matched rank — both from one (query, corpus)-keyed join + a
+    * query-keyed aggregate over <= k rows per query), so the values
+    * hash-replay in SQL. Queries present in `truth` but retrieving
+    * nothing still emit a row (recall 0, mrr 0) via the right join. */
+  def retrievalMetrics(
+      results: DataFrame,
+      truth: DataFrame,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val res = results.where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+    val tr = truth.select(col("query_id"), col("corpus_id"))
+    val truthSizes = tr.groupBy("query_id").agg(count(lit(1)).as("__n_truth"))
+    val hits = res.join(tr, Seq("query_id", "corpus_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("__n_hits"), min("rank").as("__first_rank"))
+    truthSizes.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__n_hits"), lit(0L)).cast("double") / col("__n_truth"))
+          .as("recall"),
+        when(col("__first_rank").isNotNull,
+          lit(1.0) / col("__first_rank")).otherwise(lit(0.0)).as("mrr"))
+  }
+
   // ---- scalar quantization (SQ8) -----------------------------------------
 
   /** Per-dimension SQ8 range parameters: ONE row

@@ -391,6 +391,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(short.count() == 2)
   }
 
+  test("retrieval metrics: hand-computed recall and MRR, empty-result queries emit zeros") {
+    import org.apache.spark.sql.functions._
+    def ranking(rows: (Long, Long, Int)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (q, c, r) => Row(q, c, r) }, 2),
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("corpus_id", LongType),
+          StructField("rank", IntegerType))))
+    val truth = ranking((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1))
+    val results = ranking(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3),      // 2/3 recalled, first hit rank 1
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 21L, 3))      // 1/3 recalled, first hit rank 3
+      // query 3: retrieves nothing at all
+    val out = Similarity.retrievalMetrics(results, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((2.0 / 3, 1.0)))
+    assert(out(2L) == ((1.0 / 3, 1.0 / 3)))
+    assert(out(3L) == ((0.0, 0.0)), "truth-only queries must emit zeros, not vanish")
+    // k cuts results before matching: rank-3 hits vanish at k=2
+    val cut = Similarity.retrievalMetrics(results, truth, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cut(2L) == 0.0, "the rank-3 hit must not count at k=2")
+  }
+
   test("sq8: codes in [0,255], reconstruction within half a level, width-0 dims exact") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)
