@@ -261,6 +261,33 @@ object StreamOps {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col(typeCol), col("n_events"), col("sum_value"))
 
+  /** HOPPING (sliding) streaming rollup — the twin of the batch
+    * `event_hopping_rollup` entry: overlapping `windowLength` windows
+    * every `slide`, each event contributing to length/slide buckets.
+    * Same native `window(len, slide)` aggregate as [[windowedRollup]];
+    * state per open window is one partial aggregate and the watermark
+    * finalizes a window `watermarkDelay` after its END, so at any time
+    * ~(length/slide + delay/slide) windows per type are live — the
+    * smoothing-vs-state trade is the slide knob. Batch rows and stream
+    * rows are interchangeable (same epoch-aligned starts). */
+  def hoppingRollup(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes",
+      watermarkDelay: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength, slide), col(typeCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        round(sum(col(valueCol)), 6).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col(typeCol), col("n_events"), col("sum_value"))
+
   /** Streaming dedup: first occurrence of each normalized-content
     * fingerprint within the watermark horizon survives.
     * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) is what

@@ -336,6 +336,13 @@ object ScalingProbe {
         Sessionize.ewma(ev, "user_id", "ts", "event_id", "value", alpha = 0.3)
           .write.format("noop").mode("overwrite").save()
       }),
+      // r12 second half: k-core peeling on the random graph (mean degree
+      // 20, k=12 forces a multi-round cascade) — per-round cost is one
+      // degree aggregate + two semi-joins over a SHRINKING edge table,
+      // rounds roughly constant across decades at constant degree
+      ("kcore", Seq(1, 10, 100), nx =>
+        Triangles.kCore(edgesDf(nx), "src", "dst", k = 12)
+          .write.format("noop").mode("overwrite").save()),
       ("fit_depth4_entropy_scalable", Seq(1, 10), nx => {
         val df = fitDf(nx)
         val model = DecisionTreeClassifier(maxDepth = Some(4),
@@ -374,7 +381,8 @@ object ScalingProbe {
           else if (name.startsWith("semantic") || name.startsWith("sq8")) embRows
           else if (name.startsWith("fuzzy")) nameRows
           else if (name.startsWith("multimodal")) mediaRows
-          else if (name.startsWith("pagerank") || name.startsWith("triangle")) edgeRows
+          else if (name.startsWith("pagerank") || name.startsWith("triangle") ||
+            name.startsWith("kcore")) edgeRows
           else if (name.startsWith("event_ewma"))
             Seq(1, 10, 100).map(nx => nx -> 500000L * nx).toMap
           else docRows

@@ -69,6 +69,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping rollup: each event lands in length/slide buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val rollup = StreamOps.hoppingRollup(
+      input.toDF().toDF("ts", "event_type", "value"),
+      windowLength = "20 minutes", slide = "10 minutes",
+      watermarkDelay = "10 minutes")
+    val q = rollup.writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one event at ts(25): covered by the two 20-min windows starting
+      // at the 10-min-aligned marks <= its time
+      def slot(t: Timestamp): Long = t.getTime / 600000L * 600000L * 1000L
+      val e = ts(25)
+      input.addData((e, "click", 3.0))
+      q.processAllAvailable()
+      input.addData((ts(1000), "noise", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("hop_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._2 == "click").toSet
+      val w1 = slot(e)                       // window [w1, w1+20m)
+      val w0 = w1 - 600000000L               // window [w0, w0+20m)
+      assert(rows == Set((w0, "click", 1L, 3.0), (w1, "click", 1L, 3.0)),
+        s"one event must appear in exactly the 2 covering windows: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup by fingerprint keeps first occurrence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
