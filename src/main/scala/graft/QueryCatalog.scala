@@ -454,6 +454,18 @@ object QueryCatalog {
           (col("l_suppkey") + lit(10000)).as("dst"))
       PageRank.ranks(e, "src", "dst", iterations = 3).orderBy("node")
     }),
+    // Weight-proportional PageRank on the same purchase graph with
+    // multiplicity as the weight (lineitem count per customer-supplier
+    // pair): rank splits (r*w) div W — the co-occurrence-strength
+    // variant, same integer determinism contract.
+    "pagerank_weighted" -> ((s, dir) => {
+      val e = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000)).as("dst"), lit(1L).as("w"))
+      PageRank.weightedRanks(e, "src", "dst", "w", iterations = 3).orderBy("node")
+    }),
     // Triangle counting over the HIGH-QUANTITY supplier co-supply graph
     // (suppliers sharing an order on l_quantity >= 48 items — the filter
     // keeps the graph sparse; the unfiltered co-supply graph over the
@@ -3556,6 +3568,29 @@ object QueryCatalog {
         |       FROM nodes n LEFT JOIN c2 USING (node)),
         |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS s
         |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin,
+    // weighted replica: per-(src,dst) lineitem counts as weights,
+    // contribution (r * w) // W_src, same damped integer rounds
+    "pagerank_weighted" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS src, l_suppkey + 10000 AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS ww FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum((r0.r * e.w) // ws.ww) AS s
+        |       FROM e JOIN ws USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum((r1.r * e.w) // ws.ww) AS s
+        |       FROM e JOIN ws USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum((r2.r * e.w) // ws.ww) AS s
+        |       FROM e JOIN ws USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 USING (node))
         |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin

@@ -75,4 +75,59 @@ object PageRank {
     CheckpointBridge.release(nodes)
     out
   }
+
+  /** Weight-proportional PageRank: each source splits its rank across
+    * out-edges proportionally to integer edge weights — per-edge
+    * contribution `(rank * w) div W_src` — instead of uniformly. The
+    * natural fit for co-occurrence graphs where multiplicity IS the
+    * signal (how often two entities co-occur, how many links between
+    * two hosts). Parallel input edges ADD their weights (vs the
+    * unweighted variant's distinct-edge collapse); non-positive and
+    * null weights drop. Same integer micro-unit determinism contract,
+    * same per-iteration dataflow and O(1)-checkpoint discipline as
+    * [[ranks]]. Long bound: `max_rank * max_weight` must stay under
+    * 2^63 — at micro-unit ranks that allows per-edge weights up to
+    * ~2^43 / n, far beyond any co-occurrence count. */
+  def weightedRanks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int = 3
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__w").isNotNull && col("__w") > 0)
+      .groupBy("__src", "__dst").agg(sum("__w").as("__w"))
+    val wsum = e.groupBy("__src").agg(sum("__w").as("__ww"))
+    val edgesW = e.join(wsum, "__src").localCheckpoint(true)
+    val nodes = edgesW.select(col("__src").as("__node"))
+      .union(edgesW.select(col("__dst").as("__node")))
+      .distinct()
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("__r", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = edgesW
+        .join(ranks, edgesW("__src") === ranks("__node"))
+        .select(col("__dst").as("__node"), expr("(__r * __w) div __ww").as("__c"))
+        .groupBy("__node").agg(sum(col("__c")).as("__s"))
+      val next = nodes
+        .join(contrib, Seq("__node"), "left")
+        .select(col("__node"),
+          (lit(150000L) + expr("(85 * coalesce(__s, 0L)) div 100")).as("__r"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(ranks)
+      ranks = next
+    }
+    val out = ranks
+      .select(col("__node").as("node"), col("__r").as("rank_micro"))
+    CheckpointBridge.release(edgesW)
+    CheckpointBridge.release(nodes)
+    out
+  }
 }

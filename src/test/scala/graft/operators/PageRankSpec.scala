@@ -73,4 +73,44 @@ class PageRankSpec extends AnyFunSuite {
       PageRank.ranks(edges(Seq(1L -> 2L)), "src", "dst", 0)
     }
   }
+
+  private def wEdges(rows: Seq[(Long, Long, Long)], parts: Int = 4): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), parts),
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+        StructField("w", LongType))))
+
+  test("weighted ranks: weight-proportional split vs a driver-side replica") {
+    // node 1 sends 3/4 of its rank to 2 and 1/4 to 3; 2 and 3 loop back
+    val es = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val got = PageRank.weightedRanks(wEdges(es), "src", "dst", "w", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replica with identical integer arithmetic
+    val nodes = Seq(1L, 2L, 3L)
+    val wsum = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val sums = es.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _, w) => r(s) * w / wsum(s) }.sum }
+      r = nodes.map(n => n -> (150000L + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got == r, s"got $got want $r")
+    assert(got(2L) > got(3L), "the heavier edge must carry more rank")
+  }
+
+  test("weighted ranks: parallel edges add weight; uniform weights equal the unweighted variant") {
+    // duplicate (1,2) edges sum to weight 2 == a single weight-2 edge
+    val dup = PageRank.weightedRanks(
+      wEdges(Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 1L, 1L), (3L, 1L, 1L))),
+      "src", "dst", "w", 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = PageRank.weightedRanks(
+      wEdges(Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 1L, 1L), (3L, 1L, 1L))),
+      "src", "dst", "w", 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == merged)
+    // all-ones weights reproduce the unweighted distinct-edge variant
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val uni = PageRank.weightedRanks(wEdges(es.map { case (s, d) => (s, d, 1L) }),
+      "src", "dst", "w", 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni == run(edges(es), 3))
+  }
 }
