@@ -466,6 +466,20 @@ object QueryCatalog {
           (col("l_suppkey") + lit(10000)).as("dst"), lit(1L).as("w"))
       PageRank.weightedRanks(e, "src", "dst", "w", iterations = 3).orderBy("node")
     }),
+    // Personalized PageRank from the first 50 customers as seeds: ranks
+    // measure proximity to the seed cohort, not global authority — the
+    // teleport term is seed-only, everything else identical.
+    "pagerank_personalized" -> ((s, dir) => {
+      val e = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000)).as("dst"))
+      val seeds = customer(s, dir).where(col("c_custkey") < 50)
+        .select(col("c_custkey").as("node"))
+      PageRank.personalizedRanks(e, "src", "dst", seeds, "node", iterations = 3)
+        .orderBy("node")
+    }),
     // Triangle counting over the HIGH-QUANTITY supplier co-supply graph
     // (suppliers sharing an order on l_quantity >= 48 items — the filter
     // keeps the graph sparse; the unfiltered co-supply graph over the
@@ -3593,6 +3607,33 @@ object QueryCatalog {
         |       FROM e JOIN ws USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin,
+    // seed-teleport replica: r0 = seed*1e6, each round seed*150000 +
+    // damped sum — one CASE away from the uniform oracle
+    "pagerank_personalized" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sd AS (
+        |  SELECT node,
+        |    CASE WHEN node IN (SELECT c_custkey FROM customer WHERE c_custkey < 50)
+        |         THEN 1 ELSE 0 END AS seed
+        |  FROM nodes),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(seed * 1000000 AS BIGINT) AS r FROM sd),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(n.seed * 150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(n.seed * 150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(n.seed * 150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c3 USING (node))
         |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
   )
 

@@ -76,6 +76,61 @@ object PageRank {
     out
   }
 
+  /** Personalized PageRank: the teleport mass returns ONLY to the seed
+    * set instead of every node — ranks measure proximity to the seeds
+    * ("related entities", seed-anchored relevance for corpus slicing)
+    * rather than global authority. Integer contract: seeds get the
+    * 150000-micro teleport term, non-seeds 0, propagation unchanged —
+    * so the oracle replica is one CASE away from the uniform one.
+    * Same dataflow and checkpoint discipline as [[ranks]]; the seed
+    * table broadcasts (seed sets are small by use-case). */
+  def personalizedRanks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 3
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val edgesDeg = e.join(deg, "__src").localCheckpoint(true)
+    val seedSet = seeds.select(col(seedCol).cast("long").as("__node")).distinct()
+    val nodes = edgesDeg.select(col("__src").as("__node"))
+      .union(edgesDeg.select(col("__dst").as("__node")))
+      .distinct()
+      .join(broadcast(seedSet.withColumn("__seed", lit(1L))), Seq("__node"), "left")
+      .select(col("__node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .localCheckpoint(true)
+    var ranks = nodes
+      .select(col("__node"), (col("__seed") * 1000000L).as("__r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("__src") === ranks("__node"))
+        .select(col("__dst").as("__node"), expr("__r div __deg").as("__c"))
+        .groupBy("__node").agg(sum(col("__c")).as("__s"))
+      val next = nodes
+        .join(contrib, Seq("__node"), "left")
+        .select(col("__node"), col("__seed"),
+          (col("__seed") * 150000L + expr("(85 * coalesce(__s, 0L)) div 100")).as("__r"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(ranks)
+      ranks = next
+    }
+    val out = ranks
+      .select(col("__node").as("node"), col("__r").as("rank_micro"))
+    CheckpointBridge.release(edgesDeg)
+    CheckpointBridge.release(nodes)
+    out
+  }
+
   /** Weight-proportional PageRank: each source splits its rank across
     * out-edges proportionally to integer edge weights — per-edge
     * contribution `(rank * w) div W_src` — instead of uniformly. The

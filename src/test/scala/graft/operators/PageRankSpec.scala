@@ -98,6 +98,34 @@ class PageRankSpec extends AnyFunSuite {
     assert(got(2L) > got(3L), "the heavier edge must carry more rank")
   }
 
+  test("personalized ranks: mass concentrates near seeds; all-seed equals uniform") {
+    import org.apache.spark.sql.functions.col
+    // 1 -> 2 -> 3 -> 4 chain with a back edge 4 -> 1; seed {1}
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    def seedDf(ids: Long*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_)), 2),
+      StructType(Seq(StructField("node", LongType))))
+    val ppr = PageRank.personalizedRanks(edges(es), "src", "dst", seedDf(1L), "node", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replica with the seed-only teleport
+    var r = Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L, 4L -> 0L)
+    for (_ <- 1 to 3) {
+      val sums = es.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) / 1L }.sum } // all degrees 1
+      r = Seq(1L, 2L, 3L, 4L).map(n =>
+        n -> ((if (n == 1L) 150000L else 0L) + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(ppr == r, s"got $ppr want $r")
+    // only the seed carries the teleport term; the chain nodes hold only
+    // propagated mass (the r0 wave is at node 4 after exactly 3 hops)
+    assert(ppr(1L) >= 150000L && ppr(4L) == 614125L && ppr(2L) == 127500L)
+    // seeding EVERY node reproduces the uniform variant bit-for-bit
+    val all = PageRank.personalizedRanks(edges(es), "src", "dst",
+        seedDf(1L, 2L, 3L, 4L), "node", 3)
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(all == run(edges(es), 3))
+  }
+
   test("weighted ranks: parallel edges add weight; uniform weights equal the unweighted variant") {
     // duplicate (1,2) edges sum to weight 2 == a single weight-2 edge
     val dup = PageRank.weightedRanks(
