@@ -121,4 +121,30 @@ class IndexStoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
     assert(persisted == inMemory)
   }
+
+  test("BM25 term-bucketed tf: the probe's candidate join saves the index-side exchange") {
+    import graft.operators.Tfidf
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 200L).map(i =>
+        org.apache.spark.sql.Row(i, s"term${i % 17} term${i % 5} shared body text")), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val built = Tfidf.bm25Index(docs, "doc_id", "text")
+    IndexStore.writeBucketed(built.tf, "graft_test_bm25_tf", "term", 4)
+    val qterms = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(0L, "term3")), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketedJoin = qterms.join(IndexStore.read(spark, "graft_test_bm25_tf"), Seq("term"))
+      val plainJoin = qterms.join(built.tf, Seq("term"))
+      assert(exchanges(plainJoin) >= 2, "control: unbucketed tf join shuffles both sides")
+      assert(exchanges(bucketedJoin) == 1,
+        "term-bucketed tf must join with no index-side exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
