@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, CountMin, Decontamination, Dedup, FuzzyJoin, HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, Tfidf, Triangles}
+import graft.operators.{AsOfJoin, Chunking, CountMin, Decontamination, Dedup, FuzzyJoin,
+  HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize,
+  Shuffling, Similarity, SkewJoin, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.sources.{IndexStore, ZOrder}
 
@@ -83,9 +85,12 @@ object QueryCatalog {
 
   private val meltCte =
     """m AS (
-      |  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS feature_value, l_returnflag AS t FROM lineitem WHERE l_quantity IS NOT NULL
-      |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_returnflag FROM lineitem WHERE l_discount IS NOT NULL
-      |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_returnflag FROM lineitem WHERE l_tax IS NOT NULL)""".stripMargin
+      |  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS feature_value, l_returnflag AS t FROM
+      |    lineitem WHERE l_quantity IS NOT NULL
+      |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_returnflag FROM lineitem WHERE l_discount
+      |    IS NOT NULL
+      |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_returnflag FROM lineitem WHERE l_tax IS NOT
+      |    NULL)""".stripMargin
 
   private val histCte =
     """h AS (
@@ -145,7 +150,8 @@ object QueryCatalog {
        |g AS (
        |  SELECT feature, feature_value,
        |    parent_criterion - (cum_sum_count_examples / sum_count_examples * left_criterion
-       |      + (sum_count_examples - cum_sum_count_examples) / sum_count_examples * right_criterion) AS information_gain,
+       |      + (sum_count_examples - cum_sum_count_examples) / sum_count_examples * right_criterion) AS
+       |    information_gain,
        |    parent_criterion
        |  FROM crit),
        |g2 AS (SELECT * FROM g WHERE NOT isnan(information_gain) AND information_gain IS NOT NULL),
@@ -202,8 +208,10 @@ object QueryCatalog {
     * single copy every quality-referencing oracle embeds. */
   private lazy val qualityExprSql = {
     val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
-    val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
-    val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
+    val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+      """CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
+    val stop = s"CASE WHEN len($tk) = 0 THEN 0.0 ELSE " +
+      s"""CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
     val lenScore = "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
     val punctScore = s"1.0 - least(($punct) * 5.0, 1.0)"
     val stopScore = s"least(($stop) * 4.0, 1.0)"
@@ -453,6 +461,21 @@ object QueryCatalog {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(10000)).as("dst"))
       PageRank.ranks(e, "src", "dst", iterations = 3).orderBy("node")
+    }),
+    // Dangling-mass redistribution variant on the same purchase graph —
+    // a STRONG exercise of the term, because the graph is bipartite and
+    // every supplier node is dangling (no out-edges): each round their
+    // entire rank mass redistributes uniformly (floor(dsum/n) per node,
+    // exact integers). The oracle replays the redistribution with the
+    // same `//` floors, scalar-subquery per round.
+    "pagerank_dangling" -> ((s, dir) => {
+      val e = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000)).as("dst"))
+      PageRank.ranks(e, "src", "dst", iterations = 3,
+        redistributeDangling = true).orderBy("node")
     }),
     // Weight-proportional PageRank on the same purchase graph with
     // multiplicity as the weight (lineitem count per customer-supplier
@@ -1075,9 +1098,13 @@ object QueryCatalog {
       Shuffling.weightedSampleN(
           documents(s, dir).withColumn("w", length(col("text")).cast("double")),
           "doc_id", "w", n = 50, seed = 7L)
+        // order on the UNROUNDED key (the oracle's ORDER BY k): two keys
+        // differing only below 1e-6 must not flip doc order between the
+        // engines. The rounding projection sits ABOVE the sort and
+        // preserves its order.
+        .orderBy("sample_key", "doc_id")
         .select(col("doc_id"), col("w").cast("long").as("w"),
-          round(col("sample_key"), 6).as("sample_key"))
-        .orderBy("sample_key", "doc_id")),
+          round(col("sample_key"), 6).as("sample_key"))),
     // Corpus vocabulary: top-50 terms by total count — per-(doc,term)
     // map-side combine bounds the first shuffle, term rollup is one row
     // per term, global cut is TakeOrderedAndProject (per-partition heaps).
@@ -1713,7 +1740,8 @@ object QueryCatalog {
     // side of the jaccard near-dup pairs.
     "dedup_drop" -> ((s, dir) => {
       val docs0 = documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
+      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8,
+        maxDf = Some(1000))
       Dedup.dropDuplicatePairs(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
     // Witness-exact materialization (lexicographic MIS over the pair
@@ -1724,7 +1752,8 @@ object QueryCatalog {
     // here; the semantics that differ on chains are pinned by DedupSpec.
     "dedup_drop_exact" -> ((s, dir) => {
       val docs0 = documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
+      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8,
+        maxDf = Some(1000))
       Dedup.dropDuplicatePairsExact(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
     // Cluster-id materialization: connected-component label (min reachable
@@ -1736,7 +1765,8 @@ object QueryCatalog {
     // semantics (where the twin would NOT hold) are pinned by DedupSpec.
     "dedup_clusters" -> ((s, dir) => {
       val docs0 = documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8)
+      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8,
+        maxDf = Some(1000))
       Dedup.duplicateClusters(docs0.select("doc_id"), "doc_id", pairs)
         .select("doc_id", "cluster_id").orderBy("doc_id")
     }),
@@ -1747,7 +1777,8 @@ object QueryCatalog {
     "cluster_representatives" -> ((s, dir) => {
       val docs = documents(s, dir)
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8,
+        maxDf = Some(1000))
       Dedup.clusterRepresentatives(docs.select("doc_id", "quality"), "doc_id", pairs,
           better = Seq(col("quality").desc))
         .select("doc_id", "cluster_id", "quality").orderBy("doc_id")
@@ -1764,7 +1795,8 @@ object QueryCatalog {
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")).cast("long"))
       val kept = scored.where(col("quality") >= 0.5 && col("n_tokens") >= 10)
-      val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", n = 3, threshold = 0.8)
+      val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", n = 3, threshold = 0.8,
+        maxDf = Some(1000))
       Dedup.dropDuplicatePairs(kept, "doc_id", pairs)
         .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
         .orderBy("doc_id")
@@ -2034,9 +2066,12 @@ object QueryCatalog {
   private lazy val textStatsSql = {
     val tk = """regexp_split_to_array(lower(trim(text)), '\s+')"""
     val tkRaw = """regexp_split_to_array(trim(text), '\s+')"""
-    val punct = """CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
-    val stop = s"""CASE WHEN len($tk) = 0 THEN 0.0 ELSE CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
-    val meanLen = s"""CASE WHEN len($tkRaw) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($tkRaw, x -> length(x))) AS DOUBLE) / len($tkRaw) END"""
+    val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+      """CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END"""
+    val stop = s"CASE WHEN len($tk) = 0 THEN 0.0 ELSE " +
+      s"""CAST(len(list_filter($tk, x -> list_contains($stopListSql, x))) AS DOUBLE) / len($tk) END"""
+    val meanLen = s"CASE WHEN len($tkRaw) = 0 THEN 0.0 ELSE " +
+      s"""CAST(list_sum(list_transform($tkRaw, x -> length(x))) AS DOUBLE) / len($tkRaw) END"""
     s"""SELECT doc_id,
        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS n_ws_tokens,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens,
@@ -2197,7 +2232,8 @@ object QueryCatalog {
        |dist AS (
        |  SELECT e.vec_id, s.sub, c.code,
        |    floor(list_sum(list_transform(range(1, 3),
-       |      j -> (e.v[s.sub*2 + j] - c.v[s.sub*2 + j]) * (e.v[s.sub*2 + j] - c.v[s.sub*2 + j]))) * 1e9 + 0.5) / 1e9 AS d
+       |      j -> (e.v[s.sub*2 + j] - c.v[s.sub*2 + j]) * (e.v[s.sub*2 + j] - c.v[s.sub*2 + j]))) * 1e9 + 0.5)
+       |    / 1e9 AS d
        |  FROM e, subs s, cb c),
        |enc AS (
        |  SELECT vec_id, sub, code,
@@ -2206,7 +2242,8 @@ object QueryCatalog {
        |lut AS (
        |  SELECT s.sub, c.code,
        |    floor(list_sum(list_transform(range(1, 3),
-       |      j -> (q.qv[s.sub*2 + j] - c.v[s.sub*2 + j]) * (q.qv[s.sub*2 + j] - c.v[s.sub*2 + j]))) * 1e9 + 0.5) / 1e9 AS d
+       |      j -> (q.qv[s.sub*2 + j] - c.v[s.sub*2 + j]) * (q.qv[s.sub*2 + j] - c.v[s.sub*2 + j]))) * 1e9 +
+       |    0.5) / 1e9 AS d
        |  FROM q, subs s, cb c),
        |adc AS (
        |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
@@ -2545,7 +2582,8 @@ object QueryCatalog {
       |dist AS (
       |  SELECT r.vec_id, s.sub, c.code,
       |    floor(list_sum(list_transform(range(1, 9),
-      |      j -> (r.rv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (r.rv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+      |      j -> (r.rv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (r.rv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5)
+      |    / 1e9 AS d
       |  FROM res r, subs s, cb c
       |  WHERE r.cell IN (SELECT cell FROM probes)),
       |enc AS (
@@ -2558,7 +2596,8 @@ object QueryCatalog {
       |lut AS (
       |  SELECT qr.cell, s.sub, c.code,
       |    floor(list_sum(list_transform(range(1, 9),
-      |      j -> (qr.rqv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (qr.rqv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+      |      j -> (qr.rqv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (qr.rqv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 +
+      |    0.5) / 1e9 AS d
       |  FROM qres qr, subs s, cb c),
       |adc AS (
       |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
@@ -2595,7 +2634,8 @@ object QueryCatalog {
         |dist AS (
         |  SELECT e.vec_id, s.sub, c.code,
         |    floor(list_sum(list_transform(range(1, 9),
-        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5)
+        |    / 1e9 AS d
         |  FROM e, subs s, cb c
         |  WHERE e.vec_id IN (SELECT vec_id FROM cand)),
         |enc AS (
@@ -2605,7 +2645,8 @@ object QueryCatalog {
         |lut AS (
         |  SELECT s.sub, c.code,
         |    floor(list_sum(list_transform(range(1, 9),
-        |      j -> (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |      j -> (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 +
+        |    0.5) / 1e9 AS d
         |  FROM q, subs s, cb c),
         |adc AS (
         |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
@@ -2726,7 +2767,8 @@ object QueryCatalog {
         |FROM (SELECT n_name AS category, avg(CAST(n_regionkey AS DOUBLE)) AS avg_t FROM nation GROUP BY 1)
         |ORDER BY code""".stripMargin,
     "dedup_exact" ->
-      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY text_hash",
+      ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY text_hash"),
     "jaccard_pairs" -> jaccardSql,
     // same shingle/candidate CTEs over documents + the planted excerpts;
     // both directed containments from each unordered candidate
@@ -3167,7 +3209,8 @@ object QueryCatalog {
         |dist AS (
         |  SELECT e.vec_id, s.sub, c.code,
         |    floor(list_sum(list_transform(range(1, 9),
-        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5)
+        |    / 1e9 AS d
         |  FROM e, subs s, cb c),
         |enc AS (
         |  SELECT vec_id, sub, code,
@@ -3176,7 +3219,8 @@ object QueryCatalog {
         |lut AS (
         |  SELECT s.sub, c.code,
         |    floor(list_sum(list_transform(range(1, 9),
-        |      j -> (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |      j -> (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]) * (q.qv[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 +
+        |    0.5) / 1e9 AS d
         |  FROM q, subs s, cb c),
         |adc AS (
         |  SELECT enc.vec_id AS id, round(list_sum(list(lut.d ORDER BY enc.sub)), 6) AS adc
@@ -3202,7 +3246,8 @@ object QueryCatalog {
         |dist AS (
         |  SELECT e.vec_id, s.sub, c.code,
         |    floor(list_sum(list_transform(range(1, 9),
-        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5) / 1e9 AS d
+        |      j -> (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]) * (e.v[s.sub*8 + j] - c.v[s.sub*8 + j]))) * 1e9 + 0.5)
+        |    / 1e9 AS d
         |  FROM e, subs s, cb c),
         |enc AS (
         |  SELECT vec_id, sub, code,
@@ -3401,7 +3446,8 @@ object QueryCatalog {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
-        |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS "offset"
+        |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) AS "offset"
         |  FROM t),
         |p AS (SELECT doc_id, n_tokens, "offset" // 2048 AS pack_id,
         |      "offset" % 2048 AS pack_offset FROM c)
@@ -3617,6 +3663,41 @@ object QueryCatalog {
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 USING (node))
         |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin,
+    // dangling-redistribution replica: per round, the rank mass of the
+    // no-out-edge nodes splits uniformly — contribution sums gain
+    // floor(dangling_sum / n) before the damped step, all `//` floors
+    // on non-negative integers (exact replica of the Spark `div`s)
+    "pagerank_dangling" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |d1 AS (SELECT COALESCE(sum(r), 0) // (SELECT n FROM nn) AS sh
+        |       FROM r0 WHERE node IN (SELECT node FROM dang)),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + (85 * (COALESCE(c1.s, 0) + (SELECT sh FROM d1))) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node)),
+        |d2 AS (SELECT COALESCE(sum(r), 0) // (SELECT n FROM nn) AS sh
+        |       FROM r1 WHERE node IN (SELECT node FROM dang)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + (85 * (COALESCE(c2.s, 0) + (SELECT sh FROM d2))) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node)),
+        |d3 AS (SELECT COALESCE(sum(r), 0) // (SELECT n FROM nn) AS sh
+        |       FROM r2 WHERE node IN (SELECT node FROM dang)),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS s
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + (85 * (COALESCE(c3.s, 0) + (SELECT sh FROM d3))) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin,
     // weighted replica: per-(src,dst) lineitem counts as weights,
     // contribution (r * w) // W_src, same damped integer rounds
     "pagerank_weighted" ->
@@ -3718,7 +3799,8 @@ object QueryCatalog {
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |s AS (
       |  SELECT user_id, us, event_id,
-      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS
+      |    BIGINT) AS session_idx
       |  FROM b),
       |sess AS (
       |  SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
@@ -3753,7 +3835,8 @@ object QueryCatalog {
        |  round(CASE WHEN length(text) = 0 THEN 0.0
        |        ELSE 1.0 - len(list_distinct($ln)) / len($ln) END, 6) AS dup_line_frac,
        |  round(CASE WHEN length(text) = 0 THEN 0.0
-       |        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s.,!?;:''"()-]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS symbol_ratio
+       |        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s.,!?;:''"()-]', '', 'g')) AS DOUBLE) /
+       |    length(text) END, 6) AS symbol_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -4146,7 +4229,8 @@ object QueryCatalog {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, n_tokens,
-      |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS "offset"
+      |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS BIGINT), 0) AS "offset"
       |  FROM t)
       |SELECT doc_id, n_tokens, "offset", "offset" // 2048 AS pack_id, "offset" % 2048 AS pack_offset
       |FROM c ORDER BY doc_id""".stripMargin
@@ -4160,7 +4244,8 @@ object QueryCatalog {
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, n_tokens,
-      |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS "offset"
+      |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS BIGINT), 0) AS "offset"
       |  FROM t)
       |SELECT doc_id, n_tokens, "offset", "offset" // 2048 AS pack_id, "offset" % 2048 AS pack_offset
       |FROM c ORDER BY doc_id""".stripMargin

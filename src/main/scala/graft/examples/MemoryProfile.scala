@@ -38,7 +38,8 @@ object MemoryProfile {
         maxBins = Some(32), cacheNodes = cache).fit(df, "l_returnflag")
       val n = graft.tree.Predict.predictMany(model, df).where(col("prediction").isNotNull).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[mem-profile] $label%-15s fit+predict ${secs}%5.1fs peak-heap ${heap.peakBytes / 1e9}%.2f GB (scored $n rows)")
+      println(f"[mem-profile] $label%-15s fit+predict ${secs}%5.1fs " +
+        f"peak-heap ${heap.peakBytes / 1e9}%.2f GB (scored $n rows)")
     }
     spark.stop()
   }

@@ -143,7 +143,20 @@ object Dedup {
       .where(col("__dc_c") =!= col("__dc_p"))
       .distinct()
       .localCheckpoint(true)
-    var edgeCount = edges.count()
+    // one-job set digest: (count, xor of two independent row hashes).
+    // The xor is order/partitioning-independent and, because the edge
+    // set is DISTINCT, equal digests mean equal sets up to a 2^-128
+    // random collision — replacing the previous `next.except(edges)
+    // .isEmpty` fixpoint test, which cost a full extra shuffle of BOTH
+    // edge sets per round on top of the count job.
+    def digest(d: DataFrame): (Long, Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(__dc_c, __dc_p))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(__dc_p, __dc_c, 7L))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var edgeDigest = digest(edges)
+    var edgeCount = edgeDigest._1
     var stable = edgeCount == 0L
     var iter = 0
     while (!stable) {
@@ -176,14 +189,14 @@ object Dedup {
       // fixpoint = the (distinct, canonical) edge set is unchanged; the
       // only fixpoint of the alternation is a star forest, so on
       // convergence every child carries exactly its component-min root
-      val nextCount = next.count()
-      stable = nextCount == edgeCount &&
-        next.except(edges).isEmpty
+      val nextDigest = digest(next)
+      stable = nextDigest == edgeDigest
       // both intermediates are superseded; nothing reads them again
       CheckpointBridge.release(edges)
       CheckpointBridge.release(large)
       edges = next
-      edgeCount = nextCount
+      edgeDigest = nextDigest
+      edgeCount = nextDigest._1
       iter += 1
     }
     // at the fixpoint each child has a single parent (star forest); the
@@ -571,9 +584,17 @@ object Dedup {
     grams
       .withColumn("fp", min(col("h")).over(win))
       // full windows only — except each doc's last window, kept so docs
-      // shorter than w tokens still carry at least one fingerprint
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
-      .where(col("pos") >= w - 1 || col("pos") === col("__n") - 1)
+      // shorter than w tokens still carry at least one fingerprint.
+      // "last window" = no successor row: lead() shares the min-window's
+      // (id, pos) sort, so BOTH frames evaluate in ONE WindowExec pass,
+      // where the previous unbounded count(*) OVER (PARTITION BY id)
+      // spec planned a second window operator over the full gram table.
+      // (r13 isolation note: both forms time ~1.2-1.4 s on winnow_pairs
+      // at sf0.1 — the per-id partitions are tiny here, so the saved
+      // pass is noise-level; it matters at real document lengths.)
+      .withColumn("__next",
+        lead(col("pos"), 1).over(Window.partitionBy("id").orderBy("pos")))
+      .where(col("pos") >= w - 1 || col("__next").isNull)
       .select(col("id"), col("fp"))
       .distinct()
   }

@@ -24,20 +24,37 @@ import org.apache.spark.sql.graft.CheckpointBridge
   * row per node and each superseded round's checkpoint blocks are
   * released through [[CheckpointBridge]] (O(1) persisted copies, the
   * dedup-frontier discipline). Dangling nodes (no out-edges) leak their
-  * mass — the documented simple-PageRank variant; add a dangling-mass
-  * redistribution term if stationary L1 mass matters.
+  * mass under the default simple variant; [[ranks]]'
+  * `redistributeDangling` flag adds the uniform redistribution term
+  * (in the same exact-integer contract) for graphs where stationary
+  * L1 mass matters — real web crawls, where dangling pages are common.
   */
 object PageRank {
 
   /** `(node, rank_micro)` after `iterations` damped rounds. `rank_micro`
     * is the integer-scaled rank (1e6 = 1.0, initial value for every
     * node). Self-loops count; parallel edges collapse (edge set is
-    * distinct). */
+    * distinct).
+    *
+    * `redistributeDangling = true` closes the documented simple-variant
+    * mass leak: each round, the total rank held by dangling nodes (no
+    * out-edges) is split uniformly — every node's contribution sum gains
+    * `dangling_sum div n` BEFORE damping, so stationary L1 mass is
+    * (almost) conserved on real web graphs where dangling pages are
+    * common. The per-round division's remainder (< n micro-units
+    * globally) is dropped — the deterministic price of staying in exact
+    * integer arithmetic; ranks remain bit-exact under any partitioning
+    * and the DuckDB replica replays the same `//` floor. On a graph with
+    * NO dangling nodes the share is 0 every round and the flag
+    * reproduces the plain variant exactly (spec-asserted). Extra cost
+    * per round: one broadcast-sized semi-join aggregate over the rank
+    * table (a driver scalar), nothing keyed by edges. */
   def ranks(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 3
+      iterations: Int = 3,
+      redistributeDangling: Boolean = false
   ): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
@@ -52,16 +69,32 @@ object PageRank {
       .union(edgesDeg.select(col("__dst").as("__node")))
       .distinct()
       .localCheckpoint(true)
+    // the dangling node set is static (one anti-join, computed once);
+    // nNodes is the redistribution divisor
+    val dangling = if (redistributeDangling)
+      nodes.join(edgesDeg.select(col("__src").as("__node")).distinct(),
+          Seq("__node"), "left_anti")
+        .localCheckpoint(true)
+    else null
+    val nNodes = if (redistributeDangling) math.max(1L, nodes.count()) else 1L
     var ranks = nodes.withColumn("__r", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contrib = edgesDeg
         .join(ranks, edgesDeg("__src") === ranks("__node"))
         .select(col("__dst").as("__node"), expr("__r div __deg").as("__c"))
         .groupBy("__node").agg(sum(col("__c")).as("__s"))
+      // per-node dangling share: floor(dangling rank mass / n) — a
+      // driver scalar (ranks are non-negative, so `div` == floor)
+      val share = if (redistributeDangling) {
+        val dsum = ranks.join(dangling, Seq("__node"), "left_semi")
+          .agg(coalesce(sum("__r"), lit(0L))).head().getLong(0)
+        dsum / nNodes
+      } else 0L
       val next = nodes
         .join(contrib, Seq("__node"), "left")
         .select(col("__node"),
-          (lit(150000L) + expr("(85 * coalesce(__s, 0L)) div 100")).as("__r"))
+          (lit(150000L) +
+            expr(s"(85 * (coalesce(__s, 0L) + ${share}L)) div 100")).as("__r"))
         .localCheckpoint(true)
       CheckpointBridge.release(ranks)
       ranks = next
@@ -73,6 +106,7 @@ object PageRank {
       .select(col("__node").as("node"), col("__r").as("rank_micro"))
     CheckpointBridge.release(edgesDeg)
     CheckpointBridge.release(nodes)
+    if (redistributeDangling) CheckpointBridge.release(dangling)
     out
   }
 

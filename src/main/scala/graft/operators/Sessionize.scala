@@ -235,8 +235,10 @@ object Sessionize {
 
   /** Weekly cohort retention: users grouped by their FIRST-activity week
     * (the cohort), counted per subsequent active week — the standard
-    * retention triangle. `week` = epoch-days / 7 (epoch-aligned, no
-    * timezone or calendar dependence, so any engine reproduces it).
+    * retention triangle. `week` = floor(epoch-micros / week-micros)
+    * (epoch-aligned FLOOR division, so pre-1970 timestamps land in
+    * negative weeks exactly as an engine's `//` does; no timezone or
+    * calendar dependence, so any engine reproduces it).
     * Output: `(cohort_week, active_week, n_users)`.
     *
     * Shape: first-week table is one user-keyed aggregate; distinct
@@ -251,9 +253,13 @@ object Sessionize {
     val base = events
       .select(col(userCol).as("user_id"), epochMicros(events, tsCol).as("__us"))
       .where(col("user_id").isNotNull)
-      // integer division, not double: epoch micros near 2^53 would lose
-      // exactness through a true-division round trip
-      .select(col("user_id"), expr("__us div 604800000000").as("week"))
+      // integer FLOOR division, not double (epoch micros near 2^53 would
+      // lose exactness through a true-division round trip) and not bare
+      // `div` (truncation toward zero would collapse weeks -0/0 and
+      // disagree with the oracle's `//` on pre-1970 timestamps)
+      .select(col("user_id"),
+        expr("(__us div 604800000000) - " +
+          "(CASE WHEN __us % 604800000000 < 0 THEN 1 ELSE 0 END)").as("week"))
     val firstWeek = base.groupBy("user_id").agg(min("week").as("cohort_week"))
     val active = base.distinct()
     active.join(firstWeek, Seq("user_id"))

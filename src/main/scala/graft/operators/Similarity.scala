@@ -1388,39 +1388,47 @@ object Similarity {
     // into m projection stages instead re-inlines the accumulated
     // columns and the expression tree grows ~4^m (measured: analysis
     // OOM at m=5), while this form is O(1) plan size and
-    // m * candidateK * m evaluation work per row
-    val zeroState = array().cast("array<struct<id:bigint,mmr:double,vn:array<double>>>")
+    // m * candidateK * m evaluation work per row.
+    // The state carries the candidate-array INDEX, not the raw id, so
+    // the operator stays id-type generic (string/decimal ids work, and
+    // there is no -Long.MinValue negation edge): `cands` is sorted by
+    // id, so smallest-index tie-break == smallest-id tie-break.
+    val zeroState = array().cast("array<struct<idx:int,mmr:double>>")
     val zeroPick = struct(lit(Double.NegativeInfinity).as("key_score"),
-      lit(Long.MinValue).as("key_negid"),
-      lit(null).cast("bigint").as("id"), lit(null).cast("double").as("mmr"),
-      lit(null).cast("array<double>").as("vn"))
+      lit(Int.MinValue).as("key_negidx"),
+      lit(null).cast("int").as("idx"), lit(null).cast("double").as("mmr"))
+    def candAt(i: Column) = element_at(col("cands"), i + 1)
     val selExpr = aggregate(
       sequence(lit(1), lit(m)), zeroState,
       (state, step) => {
+        // groupBy guarantees size(cands) >= 1, so sequence(0, size-1)
+        // never runs its descending (start > stop) branch
         val pick = aggregate(
-          col("cands"), zeroPick,
-          (acc, cand) => {
-            val already = exists(state, s => s.getField("id") === cand.getField("id"))
+          sequence(lit(0), size(col("cands")) - 1), zeroPick,
+          (acc, i) => {
+            val cand = candAt(i)
+            val already = exists(state, s => s.getField("idx") === i)
             val maxSim = when(size(state) === 0, lit(0.0))
               .otherwise(array_max(transform(state,
-                s => dot(cand.getField("vn"), s.getField("vn")))))
+                s => dot(cand.getField("vn"), candAt(s.getField("idx")).getField("vn")))))
             val score = when(already, lit(Double.NegativeInfinity))
               .otherwise(lit(lambdaRel) * cand.getField("rel") - lit(oneMinus) * maxSim)
-            val negid = -cand.getField("id")
+            val negidx = -i
             val better = score > acc.getField("key_score") ||
-              (score === acc.getField("key_score") && negid > acc.getField("key_negid"))
-            when(better, struct(score.as("key_score"), negid.as("key_negid"),
-              cand.getField("id").as("id"), score.as("mmr"), cand.getField("vn").as("vn")))
+              (score === acc.getField("key_score") && negidx > acc.getField("key_negidx"))
+            when(better, struct(score.as("key_score"), negidx.as("key_negidx"),
+              i.as("idx"), score.as("mmr")))
               .otherwise(acc)
           })
         when(step <= size(col("cands")),
-          array_append(state, struct(pick.getField("id").as("id"),
-            pick.getField("mmr").as("mmr"), pick.getField("vn").as("vn"))))
+          array_append(state, struct(pick.getField("idx").as("idx"),
+            pick.getField("mmr").as("mmr"))))
           .otherwise(state)
       })
-    grouped.select(col("query_id"), selExpr.as("sel"))
-      .select(col("query_id"), posexplode(col("sel")).as(Seq("__pos", "s")))
-      .select(col("query_id"), col("s.id").as("corpus_id"),
+    grouped.select(col("query_id"), col("cands"), selExpr.as("sel"))
+      .select(col("query_id"), col("cands"), posexplode(col("sel")).as(Seq("__pos", "s")))
+      .select(col("query_id"),
+        element_at(col("cands"), col("s.idx") + 1).getField("id").as("corpus_id"),
         col("s.mmr").as("mmr_score"), (col("__pos") + 1).cast("int").as("step"))
   }
 
@@ -1467,8 +1475,17 @@ object Similarity {
     * is a few KB riding a broadcast, the FAISS `SQ8` train step. */
   def sq8Params(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    // `dim` is ENFORCED, not advisory: a ragged vector (or a caller
+    // passing the wrong dim) would otherwise yield silently mismatched
+    // mins/widths that sq8Encode/sq8TopKForQueries consume without
+    // complaint — fail the job at the first offending row instead
+    val checked = when(size(col(vecCol)) === dim,
+        transform(col(vecCol), x => x.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"sq8Params: expected dim=$dim vectors, got size="),
+        size(col(vecCol)).cast("string"))))
     val perDim = df
-      .select(posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
+      .select(posexplode(checked).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
     perDim
       .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("pm"))

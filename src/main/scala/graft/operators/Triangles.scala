@@ -94,8 +94,13 @@ object Triangles {
     * bounded by `maxRounds` with early stop at the fixpoint (the edge
     * count is the loop's only driver scalar); peeling is idempotent
     * after convergence, which is what lets a fixed-depth SQL unroll
-    * serve as the oracle. Output: `(node, core_degree)` for k-core
-    * members, `core_degree` = degree within the core. */
+    * serve as the oracle. If the peel has NOT reached its fixpoint
+    * within `maxRounds` the method throws rather than return vertices
+    * that are not in the true k-core (a long path peels only from its
+    * ends, so cascades need ~n/2 rounds — raise `maxRounds` for such
+    * graphs; real dense-community inputs converge in a few rounds).
+    * Output: `(node, core_degree)` for k-core members, `core_degree` =
+    * degree within the core. */
   def kCore(
       edges: DataFrame,
       srcCol: String,
@@ -126,6 +131,14 @@ object Triangles {
       nEdges = n
       round += 1
     }
+    // a truncated peel would return vertices that are NOT in the true
+    // k-core (the survivors' degrees still include about-to-peel
+    // neighbors) — fail loudly instead of silently over-reporting
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: peel did not converge within $maxRounds rounds " +
+          s"($nEdges edges still shrinking); raise maxRounds — slow " +
+          "cascades (long paths/trees at k=2) need ~n/2 rounds")
     val out = degrees(und).select(col("node"), col("deg").as("core_degree"))
       .where(col("core_degree") >= k)
     out

@@ -21,7 +21,8 @@ object GkMicrobench {
       val t1 = System.nanoTime()
       s = s.compress()
       val tCmp = (System.nanoTime() - t1) / 1e9
-      println(f"[gk] round $round n=$n insert=${tIns}%.2fs (${tIns / n * 1e9}%.0f ns/op) compress=${tCmp}%.3fs sampled=${s.sampled.length}")
+      println(f"[gk] round $round n=$n insert=${tIns}%.2fs (${tIns / n * 1e9}%.0f ns/op) " +
+        f"compress=${tCmp}%.3fs sampled=${s.sampled.length}")
     }
     // 190 summaries round-robin (the actual update pattern): locality check
     val k = 190

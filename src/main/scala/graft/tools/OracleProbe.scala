@@ -43,7 +43,8 @@ object OracleProbe {
     val hams = truthPairs.toSeq.map { case (a, b) =>
       java.lang.Long.bitCount(sims(a) ^ sims(b))
     }.sorted
-    println(s"[probe] simhash hamming over truth pairs: min=${hams.head} max=${hams.last} dist=${hams.groupBy(identity).map { case (k, v) => k -> v.size }.toSeq.sortBy(_._1)}")
+    val hamDist = hams.groupBy(identity).map { case (k, v) => k -> v.size }.toSeq.sortBy(_._1)
+    println(s"[probe] simhash hamming over truth pairs: min=${hams.head} max=${hams.last} dist=$hamDist")
     def chunks(h: Long): Set[Int] = (0 until 4).map(b => ((h >> (b * 16)) & 0xFFFFL).toInt + (b << 16)).toSet
     val chunkMissed = truthPairs.filter { case (a, b) => (chunks(sims(a)) & chunks(sims(b))).isEmpty }
     println(s"[probe] simhash chunk-share missed truth pairs: ${chunkMissed.size} $chunkMissed")
@@ -72,7 +73,8 @@ object OracleProbe {
           .orderBy(col("cosine").desc, col("id").asc).limit(10)
           .collect().map(_.getLong(0)).toSeq
         val scanFrac = probes.size.toDouble / (1L << nBits)
-        println(f"[probe] ann nBits=$nBits radius=$radius probes=${probes.size} scan=$scanFrac%.2f exactMatch=${got == truthTop}")
+        println(f"[probe] ann nBits=$nBits radius=$radius probes=${probes.size} " +
+          f"scan=$scanFrac%.2f exactMatch=${got == truthTop}")
       }
     }
     spark.stop()

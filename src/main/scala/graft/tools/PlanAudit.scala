@@ -39,7 +39,8 @@ object PlanAudit {
 
     val q = graft.QueryCatalog.queries
     audit("split_partition_left (F2 pushdown)", q("split_partition_left")(spark, sfDir), Seq(
-      "filter pushed to parquet" -> (_.contains("PushedFilters: [IsNotNull(l_discount), LessThanOrEqual(l_discount,0.05)]")),
+      "filter pushed to parquet" -> (_.contains(
+        "PushedFilters: [IsNotNull(l_discount), LessThanOrEqual(l_discount,0.05)]")),
       "scan pruned to 4 columns" -> (p => p.contains("ReadSchema") &&
         !p.contains("l_partkey"))
     ))

@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, Multimodal, Packing, PageRank, Scoring, Sessionize, Similarity, Tfidf, Triangles}
+import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, Multimodal, Packing, PageRank,
+  Scoring, Sessionize, Similarity, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -266,6 +267,17 @@ object ScalingProbe {
       ("fuzzy_join", Seq(1, 10, 100), nx =>
         FuzzyJoin.selfPairs(namesDf(nx), "id", "name", maxDist = 1)
           .write.format("noop").mode("overwrite").save()),
+      // r13: the full ER composition (catalog fuzzy_clusters shape) —
+      // FastSS pairs + large-star/small-star contraction, with the
+      // r13 digest fixpoint test (count + order-independent hash in the
+      // count job) replacing the per-round except() double shuffle
+      ("fuzzy_clusters", Seq(1, 10, 100), nx => {
+        val nm = namesDf(nx)
+        val pairs = FuzzyJoin.selfPairs(nm, "id", "name", maxDist = 1)
+          .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+        Dedup.duplicateClusters(nm.select("id"), "id", pairs)
+          .write.format("noop").mode("overwrite").save()
+      }),
       // r12 perceptual image dedup: real PNG decode + 60-bit dHash +
       // banded hamming pairs; planted twins keep output linear, the
       // decode seam dominates (scan-shaped) and the pair join is
@@ -458,6 +470,33 @@ object ScalingProbe {
       val tBase = math.min(time(run(base, None)), time(run(base, None)))
       val tSkew = math.min(time(run(skewed, Some(1000L))), time(run(skewed, Some(1000L))))
       println(f"[scaling] skew_drill/jaccard_pairs corpus ${nx}%3dx " +
+        f"unskewed=${tBase}%6.2fs  skewed+maxDf1000=${tSkew}%6.2fs  " +
+        f"ratio=${tSkew / tBase}%4.2f (gate <= 2.0)")
+    }
+
+    // ---- composed-entry skew drill (r12 verdict task #2) --------------
+    // The catalog's production-shaped compositions (dedup_drop*,
+    // dedup_clusters, cluster_representatives, curation_pipeline) now
+    // pass maxDf = Some(1000) to jaccardPairs; this drill proves the
+    // guard ENGAGES through a full composition — pairs + greedy drop
+    // materialization on the planted-hot-shingle corpus — not only on
+    // the bare pair operator above.
+    if (opFilter.forall("skew_drill_composed".contains)) {
+      val nx = 10
+      val base = docs(nx)
+      val skewed = base.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" hotk0 hotk1 hotk2"))).otherwise(col("text")))
+      def runDrop(d: DataFrame, cap: Option[Long]): Unit =
+        Dedup.dropDuplicatePairs(d, "doc_id",
+            Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8,
+              maxDf = cap))
+          .write.format("noop").mode("overwrite").save()
+      runDrop(base, None) // warmup
+      val tBase = math.min(time(runDrop(base, None)), time(runDrop(base, None)))
+      val tSkew = math.min(time(runDrop(skewed, Some(1000L))),
+        time(runDrop(skewed, Some(1000L))))
+      println(f"[scaling] skew_drill_composed/dedup_drop corpus ${nx}%3dx " +
         f"unskewed=${tBase}%6.2fs  skewed+maxDf1000=${tSkew}%6.2fs  " +
         f"ratio=${tSkew / tBase}%4.2f (gate <= 2.0)")
     }

@@ -20,7 +20,8 @@ object Smoke {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[smoke] documents rows=${docs.count()}")
     val exact = Dedup.exact(docs, "doc_id", "text")
-    println(s"[smoke] exact dedup groups=${exact.count()} dupGroups=${exact.where(org.apache.spark.sql.functions.col("n_copies") > 1).count()}")
+    val dupGroups = exact.where(org.apache.spark.sql.functions.col("n_copies") > 1).count()
+    println(s"[smoke] exact dedup groups=${exact.count()} dupGroups=$dupGroups")
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
     println(s"[smoke] jaccard(n=3,t=0.8) pairs=${jac.count()}")
     jac.show(5, truncate = false)

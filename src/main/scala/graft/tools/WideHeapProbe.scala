@@ -81,7 +81,9 @@ object WideHeapProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       val label = if (run == 0) "warmup" else s"run$run"
-      println(f"[wideheap] $label%-6s ${sec}%6.1fs  rawPeak=${rawPeak.get() / 1e9}%6.2fGB  livePeak=${livePeak.get() / 1e9}%6.2fGB  gcEvents=${gc1 - gc0}%4d  gcTime=${(gct1 - gct0) / 1000.0}%6.1fs")
+      println(f"[wideheap] $label%-6s ${sec}%6.1fs  rawPeak=${rawPeak.get() / 1e9}%6.2fGB  " +
+        f"livePeak=${livePeak.get() / 1e9}%6.2fGB  gcEvents=${gc1 - gc0}%4d  " +
+        f"gcTime=${(gct1 - gct0) / 1000.0}%6.1fs")
     }
     spark.stop()
   }

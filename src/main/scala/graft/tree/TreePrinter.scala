@@ -45,9 +45,13 @@ object TreePrinter {
       val id = n
       node match {
         case LeafNode(v) =>
-          sb ++= s"""  n$id [label="Leaf\\nValue: ${esc(String.valueOf(v))}", fillcolor=lightblue, style="rounded,filled"];\n"""
+          sb ++= s"""  n$id [label="Leaf\\nValue: ${esc(String.valueOf(v))}", """ +
+            s"""fillcolor=lightblue, style="rounded,filled"];\n"""
         case SplitNode(f, thr, gain, crit, dist, l, r) =>
-          sb ++= f"""  n$id [label="Feature: ${esc(f)}\\n<= $thr%.2f\\nCriterion value: $crit%.2f\\nInformation Gain: $gain%.2f\\nTargets: ${dist.mkString("[", ", ", "]")}", fillcolor=lightgreen, style="rounded,filled"];%n"""
+          sb ++= f"""  n$id [label="Feature: ${esc(f)}\\n<= $thr%.2f""" +
+            f"""\\nCriterion value: $crit%.2f\\nInformation Gain: $gain%.2f""" +
+            f"""\\nTargets: ${dist.mkString("[", ", ", "]")}", """ +
+            f"""fillcolor=lightgreen, style="rounded,filled"];%n"""
           val lId = walk(l)
           sb ++= s"  n$id -> n$lId [label=yes];\n"
           val rId = walk(r)

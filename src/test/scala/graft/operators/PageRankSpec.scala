@@ -141,4 +141,21 @@ class PageRankSpec extends AnyFunSuite {
       "src", "dst", "w", 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(uni == run(edges(es), 3))
   }
+
+  test("dangling redistribution: hand-computed 1->2; no-dangling graph reproduces plain ranks") {
+    // bipartite 1->2: node 2 is dangling, n=2 — three rounds replayed by
+    // hand with the exact integer arithmetic (share = dsum div 2):
+    //   r=(575000,1425000) -> (755625,1244375) -> (678858,1321140)
+    val got = PageRank.ranks(edges(Seq(1L -> 2L)), "src", "dst", 3,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 678858L, 2L -> 1321140L), s"got $got")
+    // a cycle has no dangling nodes: the flag must be an exact no-op
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val redist = PageRank.ranks(edges(es), "src", "dst", 3,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(redist == run(edges(es), 3))
+  }
+
 }

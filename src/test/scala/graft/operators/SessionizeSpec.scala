@@ -22,7 +22,8 @@ class SessionizeSpec extends AnyFunSuite {
       StructType(Seq(StructField("user_id", LongType), StructField("ts", LongType),
         StructField("value", DoubleType))))
     val stats = Sessionize.sessionStats(d, gapSeconds = 1800)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
     assert(stats((1L, 1L)) == ((2L, 3.0, 0L, 10000000L)))          // first session: 2 events
     assert(stats((1L, 2L)) == ((1L, 4.0, 1870000000L, 1870000000L))) // post-gap session
     assert(stats((2L, 1L)) == ((1L, 8.0, 5000000L, 5000000L)))
@@ -243,4 +244,17 @@ class SessionizeSpec extends AnyFunSuite {
     val y0B = suf.foldLeft(0.0)((acc, x) => a * x + (1 - a) * acc)
     assert(math.abs(full - (math.pow(1 - a, suf.size) * yA + y0B)) < 1e-12)
   }
+
+  test("cohort retention: pre-1970 events land in negative weeks (floor, not trunc)") {
+    val wk = 604800L
+    val d = typedEvents(
+      (1L, -1L, "view"),      // 1s before epoch -> week -1 (trunc would say 0)
+      (1L, 10L, "view"),      // week 0
+      (2L, -wk - 1L, "view")) // just over one week before epoch -> week -2
+    val out = Sessionize.cohortRetention(d, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((-1L, -1L) -> 1L, (-1L, 0L) -> 1L, (-2L, -2L) -> 1L),
+      s"got $out")
+  }
+
 }

@@ -260,7 +260,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("topKForQueries excludes self and respects k") {
     val d = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1), 3L -> Seq(0.0, 1.0), 4L -> Seq(0.5, 0.5))
-    val res = Similarity.topKForQueries(d, d.where(org.apache.spark.sql.functions.col("vec_id") <= 2), "vec_id", "embedding", 2)
+    val res = Similarity.topKForQueries(d,
+      d.where(org.apache.spark.sql.functions.col("vec_id") <= 2), "vec_id", "embedding", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(res.forall { case (q, c, _) => q != c })
     assert(res.count(_._1 == 1L) == 2 && res.count(_._2 == 1L) >= 1)
@@ -455,4 +456,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top1 == Map(101L -> 1L, 102L -> 2L, 103L -> 3L),
       s"each query must retrieve its planted twin, got $top1")
   }
+
+  test("mmr: id-type generic — string corpus ids rerank identically to long ids") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      "d0" -> Seq(1.0, 0.0, 0.0, 0.0),
+      "d1" -> Seq(0.99, 0.1, 0.0, 0.0),
+      "d2" -> Seq(0.98, 0.11, 0.0, 0.0),
+      "d3" -> Seq(0.6, 0.0, 0.8, 0.0))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map { case (i, v) => Row(i, v) }, 2),
+      StructType(Seq(StructField("vec_id", StringType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val mmr = Similarity.mmrRerank(d, d.where(col("vec_id") === "d0"),
+        "vec_id", "embedding", candidateK = 3, m = 2, lambdaRel = 0.5)
+      .collect().sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+    assert(mmr == Seq("d1", "d3"),
+      s"string-id rerank must match the long-id fixture's picks, got $mmr")
+  }
+
+  test("sq8Params: enforces dim — wrong-dim vectors fail the job, matching dim works") {
+    val d = emb(0L -> Seq(1.0, 2.0), 1L -> Seq(3.0, 4.0))
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Exception] {
+      Similarity.sq8Params(d, "embedding", dim = 3).collect()
+    }
+    assert(chain(e).contains("sq8Params"), chain(e))
+    assert(Similarity.sq8Params(d, "embedding", dim = 2).collect().length == 1)
+  }
+
 }

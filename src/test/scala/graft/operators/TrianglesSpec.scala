@@ -122,4 +122,18 @@ class TrianglesSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"triangle counting must stay equi-join shaped:\n$plan")
   }
+
+  test("kCore: non-convergence within maxRounds throws instead of over-reporting") {
+    // a 10-node path at k=2 peels only from its two ends (~n/2 rounds):
+    // after 2 rounds survivors still carry about-to-peel neighbors in
+    // their degree, so returning them would violate the k-core contract
+    val path = (1L to 9L).map(i => i -> (i + 1))
+    val e = intercept[IllegalStateException] {
+      Triangles.kCore(edges(path: _*), "src", "dst", k = 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    // with enough rounds the peel completes: a path has an empty 2-core
+    assert(Triangles.kCore(edges(path: _*), "src", "dst", k = 2).collect().isEmpty)
+  }
+
 }
