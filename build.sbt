@@ -40,6 +40,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // state in a churn-free JVM — tools/WideHeapProbe). Headroom makes the
   // bench's min-of-interleaved-sweeps measure warm capability again.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+  // JDK 17 G1 can throw a spurious OOM ("Retried waiting for GCLocker
+  // too often") when allocation lands while a JNI critical region
+  // (parquet/compression codecs) holds the GC lock — seen on the 100x
+  // fuzzy_clusters probe. Raising the retry count from the default 2
+  // is the standard mitigation for Spark-on-17 deployments.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
   // NOTE on "peak heap" measurements: raw used-heap sampling is a
   // function of the harness's -Xmx, not just of the code — G1 sizes its
   // young gen up to 60% of the heap, and Spark's on-heap execution pool

@@ -137,12 +137,20 @@ object Dedup {
       "duplicateClusters: input already has a cluster_id column")
     // canonical child>parent orientation; self-loops and duplicate pairs
     // are normalized away up front so set-equality is the fixpoint test
+    // the INITIAL checkpoint evaluates the caller's whole pair plan (a
+    // FastSS join, an inverted-index self-join, ...) and stores its
+    // result; serialized storage keeps that unroll from competing with
+    // the join's execution memory (the 100x fuzzy_clusters probe OOMed
+    // an 8 GB heap with the default deserialized level). The per-round
+    // state checkpoints below stay default: they re-read every round
+    // and their input plans are the already-materialized edge set.
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("__dc_c"),
         least(col("id_a"), col("id_b")).as("__dc_p"))
       .where(col("__dc_c") =!= col("__dc_p"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // one-job set digest: (count, xor of two independent row hashes).
     // The xor is order/partitioning-independent and, because the edge
     // set is DISTINCT, equal digests mean equal sets up to a 2^-128

@@ -298,6 +298,13 @@ object ScalingProbe {
       ("pagerank", Seq(1, 10, 100), nx =>
         PageRank.ranks(edgesDf(nx), "src", "dst", iterations = 3)
           .write.format("noop").mode("overwrite").save()),
+      // r13: dangling-mass redistribution adds one semi-join aggregate
+      // (a driver scalar) per round — the curve must track plain
+      // pagerank, proving the term costs nothing edge-keyed
+      ("pagerank_dangling", Seq(1, 10, 100), nx =>
+        PageRank.ranks(edgesDf(nx), "src", "dst", iterations = 3,
+            redistributeDangling = true)
+          .write.format("noop").mode("overwrite").save()),
       // r12 second half: BM25 with a FIXED 3-query probe against a
       // growing corpus — the broadcast query side is constant and every
       // post-match stage is bounded by matches (shard-0 vocabulary only),
