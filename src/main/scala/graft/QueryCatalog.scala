@@ -1626,6 +1626,35 @@ object QueryCatalog {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // INCREMENTAL flavor of the persisted IVF index (the ANN analog of
+    // bm25_topk_merged): the quantizer trains ONCE on the standing half
+    // and freezes; the new half is cell-assigned with the SAVED
+    // centroids and APPENDED to the bucketed table (cell assignment is
+    // pointwise given frozen centroids, so append == full rebuild
+    // bit-for-bit — IndexStoreSpec pins it). Probe is exhaustive
+    // (nprobe = nlist), so the exact-cosine oracle applies regardless of
+    // where the quantizer trained. Timing honestly includes the train,
+    // both writes, and the append.
+    "batch_ivf_topk_appended" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val standing = e.where(col("vec_id") % 2 === 0)
+      val batch = e.where(col("vec_id") % 2 === 1)
+      val (idxA, cs) = Similarity.ivfIndex(standing, "vec_id", "embedding", nlist = 16)
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxTbl = "graft_ivf_inc_idx_" + suffix
+      val cenTbl = "graft_ivf_inc_cents_" + suffix
+      IndexStore.writeBucketed(idxA, idxTbl, "cell", 8)
+      IndexStore.writeTable(Similarity.centroidTable(s, cs), cenTbl)
+      val (idxB, _) = Similarity.ivfIndex(batch, "vec_id", "embedding",
+        trainedCentroids = Some(cs))
+      IndexStore.appendBucketed(idxB, idxTbl, "cell", 8)
+      Similarity.ivfTopKForQueriesTable(IndexStore.read(s, idxTbl),
+          IndexStore.read(s, cenTbl), e.where(col("vec_id") < 5),
+          "vec_id", "embedding", nprobe = 16, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // Product-quantization ADC: vectors compress to m=8 codes against
     // per-subspace k=16 codebooks (seeded from the first 16 corpus
     // vectors — deterministic, so the encode AND the asymmetric-distance
@@ -3372,6 +3401,9 @@ object QueryCatalog {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "batch_ivf_topk" -> topkForQueriesSql,
     "batch_ivf_topk_bucketed" -> topkForQueriesSql,
+    // append == full rebuild (frozen quantizer) and nprobe = nlist is
+    // exhaustive, so the same exact-cosine twin applies
+    "batch_ivf_topk_appended" -> topkForQueriesSql,
     "batch_ivf_topk_kmeans" -> topkForQueriesSql,
     "curation_pipeline" -> curationPipelineSql,
     // dedup_drop_exact: see the catalog comment — clique components make

@@ -38,7 +38,13 @@ object Sessionize {
     * matches DuckDB's `epoch_us(ts)` on the same file. */
   def epochMicros(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
-      case LongType         => expr(s"`$tsCol` div 1000L")
+      // FLOOR division, not bare `div`: pre-1970 nanos with a sub-us
+      // component would otherwise truncate toward zero and disagree by
+      // 1 us with an engine's floor-semantics epoch_us on the same file
+      // (the cohortRetention week-bucket class of bug, r13)
+      case LongType =>
+        expr(s"(`$tsCol` div 1000L) - " +
+          s"(CASE WHEN `$tsCol` % 1000L < 0 THEN 1 ELSE 0 END)")
       case TimestampType    => unix_micros(col(tsCol))
       case TimestampNTZType =>
         // the NTZ->TIMESTAMP cast interprets the wall-clock in the SESSION

@@ -52,6 +52,29 @@ object IndexStore {
     sorted.saveAsTable(table)
   }
 
+  /** Append `index` rows into an EXISTING bucketed table with the same
+    * bucket spec — the incremental-ingest half of the index story: a new
+    * batch lands as additional per-bucket files (Spark buckets the
+    * appended rows with the table's own spec and refuses a mismatched
+    * one), and the probe-side scan still reports the bucketing, so the
+    * probe join stays exchange-free on the index side after any number
+    * of appends (IndexStoreSpec asserts both properties). */
+  def appendBucketed(
+      index: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    val w = index.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    val sorted = sortCols match {
+      case head +: tail => w.sortBy(head, tail: _*)
+      case _            => w.sortBy(bucketCol)
+    }
+    sorted.saveAsTable(table)
+  }
+
   /** Plain (unbucketed) managed-table write with the same overwrite
     * semantics — for small sidecar tables that travel WITH a bucketed
     * index but are broadcast at probe time rather than joined on the

@@ -257,4 +257,19 @@ class SessionizeSpec extends AnyFunSuite {
       s"got $out")
   }
 
+
+  test("epochMicros nanos arm: negative sub-us nanos floor (not truncate) to micros") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(-1500L, -1000L, -1L, 0L, 999L, 1500L).map(n => Row(n)), 2),
+      StructType(Seq(StructField("ts", LongType))))
+    val got = d.select(Sessionize.epochMicros(d, "ts").as("us"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // floor(n/1000): -1500 -> -2, -1000 -> -1, -1 -> -1, 0 -> 0,
+    // 999 -> 0, 1500 -> 1 (truncation would say -1/-1/0/0/0/1)
+    assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 1L), s"got $got")
+  }
+
 }

@@ -147,4 +147,38 @@ class IndexStoreSpec extends AnyFunSuite {
         "term-bucketed tf must join with no index-side exchange")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("appendBucketed: append equals full rebuild; bucketing survives the append") {
+    val idxTbl = "graft_test_ivf_append"
+    val standing = corpus.where(col("vec_id") % 2 === 0)
+    val batch = corpus.where(col("vec_id") % 2 === 1)
+    // frozen quantizer from the standing half; assignment is pointwise
+    // given centroids, so appended assignment must equal a full rebuild
+    val (idxA, cs) = Similarity.ivfIndex(standing, "vec_id", "embedding", nlist = 8)
+    IndexStore.writeBucketed(idxA, idxTbl, "cell", 4)
+    val (idxB, _) = Similarity.ivfIndex(batch, "vec_id", "embedding",
+      trainedCentroids = Some(cs))
+    IndexStore.appendBucketed(idxB, idxTbl, "cell", 4)
+    val appended = IndexStore.read(spark, idxTbl)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (full, _) = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      trainedCentroids = Some(cs))
+    val rebuilt = full.select("id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(appended == rebuilt, "appended index must equal the full rebuild")
+    // the appended table still reports its bucketing: the probe join
+    // shuffles only the probe side, exactly like a fresh write
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = full.select(col("cell"), col("id").as("q_id"))
+      assert(exchanges(probe.join(IndexStore.read(spark, idxTbl), Seq("cell"))) == 1,
+        "post-append bucketed side must join with no exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a mismatched bucket spec must be refused, not silently rewritten
+    intercept[Exception] {
+      IndexStore.appendBucketed(idxB, idxTbl, "cell", 8)
+    }
+  }
+
 }
