@@ -303,6 +303,10 @@ object Bench {
       "event_hopping_distinct", "knn_classify", "bm25_topk_indexed",
       "semantic_dedup", "pagerank", "pagerank_dangling", "pq_topk_trained",
       "bpe_byte_level_1k")
+    // a renamed/removed catalog key must not vanish silently from the
+    // headline record — flag it where the round notes will see it
+    headline.filterNot(results.contains).foreach(k =>
+      System.err.println(s"[bench] headline entry missing from results: $k"))
     val hqs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +

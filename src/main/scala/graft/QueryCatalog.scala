@@ -187,7 +187,22 @@ object QueryCatalog {
     * size_b, n_common). ONE copy shared by every jaccard-derived oracle
     * (pairs, drop, clusters, curation) so a re-parameterization cannot
     * silently desynchronize one twin from the others. */
-  private def jaccardCtes(src: String): String =
+  /** `maxDf`: when set, mirrors the Spark side's hot-shingle cap
+    * EXACTLY — shingles appearing in more than `maxDf` docs leave the
+    * inverted index (both candidate generation and `n_common`) while
+    * `set_size` still counts them, the same asymmetry `jaccardPairs`
+    * implements. Pass it for every oracle whose Spark twin passes
+    * `maxDf`, so the twins agree on ANY corpus, not only ones where no
+    * shingle reaches the cap. */
+  private def jaccardCtes(src: String, maxDf: Option[Long] = None): String = {
+    val sizedSelect = "SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets"
+    val sized = maxDf match {
+      case Some(cap) =>
+        s"""sized0 AS ($sizedSelect),
+           |keptsh AS (SELECT shingle FROM sized0 GROUP BY shingle HAVING count(*) <= $cap),
+           |sized AS (SELECT sized0.* FROM sized0 JOIN keptsh USING (shingle))""".stripMargin
+      case None => s"sized AS ($sizedSelect)"
+    }
     s"""toks AS (
        |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM $src),
        |sets AS (
@@ -196,11 +211,12 @@ object QueryCatalog {
        |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
        |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
        |  FROM toks),
-       |sized AS (SELECT id, len(sh) AS set_size, unnest(sh) AS shingle FROM sets),
+       |$sized,
        |cand AS (
        |  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS size_a, b.set_size AS size_b, count(*) AS n_common
        |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.id < b.id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
 
   private val jaccardExprSql = "n_common / (size_a + size_b - n_common)"
 
@@ -2402,7 +2418,7 @@ object QueryCatalog {
        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS n_tokens
        |  FROM langc),
        |kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10),
-       |${jaccardCtes("kept")},
+       |${jaccardCtes("kept", maxDf = Some(1000))},
        |dropped AS (
        |  SELECT DISTINCT id_b FROM cand
        |  WHERE $jaccardExprSql >= 0.8)
@@ -4287,7 +4303,7 @@ object QueryCatalog {
     * transitively-closed components the propagation fixpoint equals
     * least(own id, min over DIRECT neighbors) — one join, no recursion. */
   private lazy val clusterCtes =
-    s"""${jaccardCtes("documents")},
+    s"""${jaccardCtes("documents", maxDf = Some(1000))},
        |p AS (SELECT id_a, id_b FROM cand WHERE $jaccardExprSql >= 0.8),
        |e AS (SELECT id_a AS id, id_b AS nbr FROM p UNION ALL SELECT id_b AS id, id_a AS nbr FROM p),
        |m AS (SELECT id, min(nbr) AS mn FROM e GROUP BY id),
@@ -4312,7 +4328,7 @@ object QueryCatalog {
        |SELECT doc_id, cluster_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   private lazy val dedupDropSql =
-      s"""WITH ${jaccardCtes("documents")},
+      s"""WITH ${jaccardCtes("documents", maxDf = Some(1000))},
          |dropped AS (
          |  SELECT DISTINCT id_b FROM cand
          |  WHERE $jaccardExprSql >= 0.8)

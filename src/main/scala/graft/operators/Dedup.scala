@@ -164,8 +164,7 @@ object Dedup {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var edgeDigest = digest(edges)
-    var edgeCount = edgeDigest._1
-    var stable = edgeCount == 0L
+    var stable = edgeDigest._1 == 0L
     var iter = 0
     while (!stable) {
       if (iter >= maxIter)
@@ -204,7 +203,6 @@ object Dedup {
       CheckpointBridge.release(large)
       edges = next
       edgeDigest = nextDigest
-      edgeCount = nextDigest._1
       iter += 1
     }
     // at the fixpoint each child has a single parent (star forest); the

@@ -1354,8 +1354,10 @@ object Similarity {
     * selection steps unroll into `m` projection stages, each an
     * `aggregate` argmax fold over <= candidateK structs — no driver
     * loop, no UDF, no extra shuffle; the corpus is never touched after
-    * stage 1. Every double is closed-form (argmax tie-breaks on
-    * (score, -id) struct order), so an unrolled SQL twin replays the
+    * stage 1. Every double is closed-form (the argmax tie-breaks on
+    * score, then on the SMALLEST candidate-array index — the candidate
+    * array is sorted by id, so that equals the smallest id under the
+    * id type's own ordering), so an unrolled SQL twin replays the
     * selection exactly.
     *
     * Output: `(query_id, corpus_id, mmr_score, step)`, `step` = 1..m
@@ -1478,8 +1480,13 @@ object Similarity {
     // `dim` is ENFORCED, not advisory: a ragged vector (or a caller
     // passing the wrong dim) would otherwise yield silently mismatched
     // mins/widths that sq8Encode/sq8TopKForQueries consume without
-    // complaint — fail the job at the first offending row instead
-    val checked = when(size(col(vecCol)) === dim,
+    // complaint — fail the job at the first offending row instead.
+    // NULL vectors keep their pre-r13 behavior (the posexplode drops
+    // the row; params come from the non-null rows) — the isNull arm
+    // must come FIRST, because size(NULL) is NULL and would otherwise
+    // fall into the raise_error branch with a useless null message.
+    val checked = when(col(vecCol).isNull, lit(null).cast("array<double>"))
+      .when(size(col(vecCol)) === dim,
         transform(col(vecCol), x => x.cast("double")))
       .otherwise(raise_error(concat(
         lit(s"sq8Params: expected dim=$dim vectors, got size="),

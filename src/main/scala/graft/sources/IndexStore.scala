@@ -43,8 +43,20 @@ object IndexStore {
       sortCols: Seq[String] = Nil
   ): Unit = {
     dropWithLocation(index.sparkSession, table)
-    val w = index.write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(numBuckets, bucketCol)
+    bucketedSave(index, table, bucketCol, numBuckets, sortCols, SaveMode.Overwrite)
+  }
+
+  /** The one writer both the fresh write and the append go through, so
+    * their bucket/sort spec can never silently diverge. */
+  private def bucketedSave(
+      index: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCols: Seq[String],
+      mode: SaveMode
+  ): Unit = {
+    val w = index.write.mode(mode).format("parquet").bucketBy(numBuckets, bucketCol)
     val sorted = sortCols match {
       case head +: tail => w.sortBy(head, tail: _*)
       case _            => w.sortBy(bucketCol)
@@ -65,15 +77,8 @@ object IndexStore {
       bucketCol: String,
       numBuckets: Int,
       sortCols: Seq[String] = Nil
-  ): Unit = {
-    val w = index.write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(numBuckets, bucketCol)
-    val sorted = sortCols match {
-      case head +: tail => w.sortBy(head, tail: _*)
-      case _            => w.sortBy(bucketCol)
-    }
-    sorted.saveAsTable(table)
-  }
+  ): Unit =
+    bucketedSave(index, table, bucketCol, numBuckets, sortCols, SaveMode.Append)
 
   /** Plain (unbucketed) managed-table write with the same overwrite
     * semantics — for small sidecar tables that travel WITH a bucketed

@@ -485,6 +485,14 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(chain(e).contains("sq8Params"), chain(e))
     assert(Similarity.sq8Params(d, "embedding", dim = 2).collect().length == 1)
+    // a NULL vector is skipped (pre-check behavior), not a job failure
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0L, Seq(1.0, 2.0)), Row(1L, null)), 2),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val p = Similarity.sq8Params(withNull, "embedding", dim = 2).collect()
+    assert(p.length == 1 && p(0).getSeq[Double](0) == Seq(1.0, 2.0),
+      "null vectors must drop out of the params aggregate")
   }
 
 }
