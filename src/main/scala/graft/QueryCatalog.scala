@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.tree._
-import graft.operators.{AsOfJoin, Chunking, CountMin, Decontamination, Dedup, FuzzyJoin,
-  HeavyHitters, KMeans, Multimodal, Packing, PageRank, RangeJoin, Scoring, Sessionize,
-  Shuffling, Similarity, SkewJoin, Tfidf, Triangles}
+import graft.operators.{AsOfJoin, Chunking, Communities, CountMin, Decontamination, Dedup,
+  FuzzyJoin, HeavyHitters, KMeans, LinkPrediction, Multimodal, Packing, PageRank, RangeJoin,
+  Scoring, Sessionize, Shuffling, Similarity, SkewJoin, SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.sources.{IndexStore, ZOrder}
 
@@ -567,6 +567,36 @@ object QueryCatalog {
           round(col("coeff"), 6).as("coeff"))
         .orderBy("node")
     }),
+    // Synchronous label-propagation communities on the sparse co-supply
+    // graph: 4 exact-integer vote rounds (self-vote, smallest-label
+    // tie-break), so the DuckDB oracle replays the rounds one CTE pair
+    // per round — the PageRank determinism contract, vote-count flavor.
+    "label_propagation" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Communities.labelPropagation(pairs, "src", "dst", iterations = 4)
+        .orderBy("node")
+    }),
+    // Link prediction on the same graph: top-100 unconnected supplier
+    // pairs by resource-allocation index (integer micro-units) with
+    // common-neighbor and Jaccard scores — wedge enumeration + one
+    // pair-keyed aggregate + an anti-join, everything exact until the
+    // single rounded Jaccard division, so the hash oracle is exact.
+    "link_prediction" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      LinkPrediction.scores(pairs, "src", "dst", minCommon = 2L)
+        .orderBy(col("resource_alloc_micro").desc, col("node_a"), col("node_b"))
+        .limit(100)
+    }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("text_hash")),
@@ -574,6 +604,32 @@ object QueryCatalog {
       Dedup.jaccardPairs(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // Per-document memorization-risk scores: fraction of each doc's
+    // distinct 3-gram shingles occurring in >= 2 docs. No pair join —
+    // one shingle-keyed df aggregate + one doc-keyed rollup, the cheap
+    // full-corpus pre-screen the pair operators run after.
+    "duplication_scores" -> ((s, dir) =>
+      Dedup.duplicationScores(documents(s, dir), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+    // Snapshot diff between the corpus and a mutated re-delivery
+    // (deterministic doc_id % 20 buckets: 0-1 dropped, 2 re-keyed
+    // [+1e6, same content -> `moved_from` resolves], 3-4 edited, 5 also
+    // spawns a brand-new +3e6 doc): content-hash full-outer join +
+    // added x removed move resolution, statuses + witness all exact.
+    "corpus_diff" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val b = col("doc_id") % 20
+      val newSnap = docs.where(b >= 5)
+        .unionByName(docs.where(b === 3 || b === 4)
+          .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text")))
+        .unionByName(docs.where(b === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(b === 5)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
+      SnapshotDiff.diff(docs, newSnap, "doc_id", "text").orderBy("id")
+    }),
     // Asymmetric containment dedup over documents + planted 40-token
     // excerpts (id + 2e6): an excerpt's shingles are a subset of its
     // source, so containment ~1.0 where Jaccard sits near
@@ -2431,6 +2487,34 @@ object QueryCatalog {
     * sparse co-supply graph: 8 unrolled peel rounds — at or beyond the
     * graph's fixpoint depth, and peeling is idempotent after
     * convergence, so a fixed unroll equals the early-stopping loop. */
+  /** Exact replica of [[graft.operators.Communities.labelPropagation]]'s
+    * 4 synchronous vote rounds on the sparse co-supply graph — one
+    * (votes, argmax) CTE pair per round, MATERIALIZED so DuckDB does
+    * not re-inline the round chain exponentially (the kcoreSql rule). */
+  private lazy val lpaSql = {
+    val rounds = (1 to 4).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT adj.node, l.lbl, count(*) AS c
+         |  FROM adj JOIN l${i - 1} l ON l.node = adj.nbr GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |  FROM v$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
+       |p AS (
+       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM hi x JOIN hi y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
+       |  UNION ALL SELECT b, a FROM p
+       |  UNION ALL SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |$rounds
+       |SELECT node, lbl AS label FROM l4 ORDER BY node""".stripMargin
+  }
+
   private lazy val kcoreSql = {
     def degKeep(p: String, i: Int) =
       s"""d$i AS MATERIALIZED (
@@ -2815,6 +2899,50 @@ object QueryCatalog {
       ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY text_hash"),
     "jaccard_pairs" -> jaccardSql,
+    // same shingle algebra, no candidate join: per-shingle df then a
+    // per-doc rollup of the df >= 2 fraction
+    "duplication_scores" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sets AS (
+        |  SELECT id,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+        |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+        |  FROM toks),
+        |sized AS (SELECT id, len(sh) AS n_shingles, unnest(sh) AS shingle FROM sets),
+        |dfreq AS (SELECT shingle, count(*) AS sh_df FROM sized GROUP BY 1)
+        |SELECT sized.id AS doc_id, sized.n_shingles,
+        |  CAST(sum(CASE WHEN dfreq.sh_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+        |  round(CAST(sum(CASE WHEN dfreq.sh_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / sized.n_shingles, 6) AS dup_frac
+        |FROM sized JOIN dfreq USING (shingle)
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // the mutated re-delivery replayed bucket for bucket, then the
+    // md5 full-outer classification + min-witness move resolution
+    "corpus_diff" ->
+      """WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |newsnap AS (
+        |  SELECT doc_id, text FROM docs WHERE doc_id % 20 >= 5
+        |  UNION ALL SELECT doc_id, text || ' rev2' FROM docs WHERE doc_id % 20 IN (3, 4)
+        |  UNION ALL SELECT doc_id + 1000000, text FROM docs WHERE doc_id % 20 = 2
+        |  UNION ALL SELECT doc_id + 3000000, 'fresh ' || CAST(doc_id AS VARCHAR)
+        |    FROM docs WHERE doc_id % 20 = 5),
+        |o AS (SELECT doc_id AS id, md5(text) AS old_hash FROM docs),
+        |n AS (SELECT doc_id AS id, md5(text) AS new_hash FROM newsnap),
+        |j AS (
+        |  SELECT coalesce(o.id, n.id) AS id, old_hash, new_hash,
+        |    CASE WHEN old_hash IS NULL THEN 'added'
+        |         WHEN new_hash IS NULL THEN 'removed'
+        |         WHEN old_hash = new_hash THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.id = n.id),
+        |w AS (SELECT old_hash AS h, min(id) AS moved_from FROM j
+        |      WHERE status = 'removed' GROUP BY 1)
+        |SELECT j.id, j.status, j.old_hash, j.new_hash,
+        |  CASE WHEN j.status = 'added' THEN w.moved_from END AS moved_from
+        |FROM j LEFT JOIN w ON j.status = 'added' AND j.new_hash = w.h
+        |ORDER BY id""".stripMargin,
     // same shingle/candidate CTEs over documents + the planted excerpts;
     // both directed containments from each unordered candidate
     "containment_pairs" ->
@@ -3689,6 +3817,35 @@ object QueryCatalog {
         |  round(CAST(2.0 AS DOUBLE) * coalesce(tc.n_triangles, 0) / (deg.deg * (deg.deg - 1)), 6) AS coeff
         |FROM deg LEFT JOIN tc ON deg.node = tc.node
         |WHERE deg.deg >= 2 ORDER BY deg.node""".stripMargin,
+    // exact replica of the 4 synchronous vote rounds: bidirectional
+    // adjacency + one self-loop per node (= the self-vote), argmax by
+    // (votes DESC, label ASC) — all integers, generated one CTE pair
+    // per round
+    "label_propagation" -> lpaSql,
+    // wedge enumeration + pair aggregate, integer RA micro-units
+    // (// == div on the positive degrees), existing edges anti-joined
+    // out, one rounded division for Jaccard
+    "link_prediction" ->
+      """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
+        |p AS (
+        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM hi x JOIN hi y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |adj AS (SELECT a AS node, b AS nbr FROM p UNION ALL SELECT b, a FROM p),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        |w AS (
+        |  SELECT l.nbr AS node_a, r.nbr AS node_b, count(*) AS cn,
+        |    CAST(sum(1000000 // d.deg) AS BIGINT) AS ra
+        |  FROM adj l JOIN adj r ON l.node = r.node AND l.nbr < r.nbr
+        |  JOIN deg d ON d.node = l.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ne AS (SELECT w.* FROM w LEFT JOIN p ON p.a = w.node_a AND p.b = w.node_b
+        |       WHERE p.a IS NULL)
+        |SELECT ne.node_a, ne.node_b, ne.cn AS common_neighbors,
+        |  ne.ra AS resource_alloc_micro,
+        |  round(CAST(ne.cn AS DOUBLE) / (da.deg + db.deg - ne.cn), 6) AS jaccard
+        |FROM ne JOIN deg da ON da.node = ne.node_a JOIN deg db ON db.node = ne.node_b
+        |ORDER BY resource_alloc_micro DESC, node_a, node_b LIMIT 100""".stripMargin,
     // exact integer-arithmetic replica of the 3 damped PageRank rounds
     // (// is floor division = `div` on the non-negative ranks)
     "pagerank" ->

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBridge
+
+/** Community detection by synchronous label propagation (Raghavan et al.
+  * 2007, public) — the clustering primitive for grouping entities that
+  * interact (co-suppliers, co-cited documents, near-dup neighborhoods)
+  * without choosing k up front. In a curation pipeline it slices a link
+  * or co-occurrence graph into topical groups for per-community
+  * sampling quotas.
+  *
+  * Determinism contract (the [[PageRank]] rule, vote-counting flavor):
+  * every quantity is an exact integer — a node's next label is the most
+  * frequent label among its neighbors plus ONE self-vote, ties broken
+  * by the SMALLEST label — so the fixed-round result is bit-exact under
+  * any partitioning and a DuckDB replica can replay it round for round.
+  * The self-vote is load-bearing twice: it makes isolated-after-
+  * canonicalization nodes keep a defined label, and it damps the 2-cycle
+  * oscillation synchronous LPA exhibits on bipartite subgraphs (a
+  * documented failure of the plain synchronous variant; with the
+  * self-vote a stable 2-coloring costs a vote to leave).
+  *
+  * Scale shape, per round: ONE shuffle keyed by `node` (the vote count
+  * + argmax, both map-side combined — the argmax is `min(struct(-votes,
+  * label))`, never a window) plus the labels-to-adjacency equi-join on
+  * the neighbor id. The adjacency (with self-loops appended) is
+  * localCheckpoint'ed ONCE; label state is one row per node, and each
+  * superseded round's checkpoint blocks are released through
+  * [[CheckpointBridge]] (O(1) persisted copies). Hot nodes cost degree
+  * rows in the vote aggregate — map-side combine collapses them per
+  * (node, label) before the exchange.
+  */
+object Communities {
+
+  /** `(node, label)` after `iterations` synchronous vote rounds over the
+    * canonical undirected graph (direction, duplicates, and self-loops
+    * in the input are normalized away; the self-VOTE is separate and
+    * always present). Labels start as each node's own id, so a returned
+    * label is always some member's id and label-equality defines the
+    * communities. Fixed rounds, not convergence-tested: LPA's fixpoint
+    * is not guaranteed to exist under synchronous update, and a bounded
+    * round count is what the exact-replica oracle can replay. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 4
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .distinct()
+    // bidirectional adjacency + one self-loop per node = the self-vote
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      .union(nodes.select(col("node"), col("node").as("nbr")))
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val votes = adj
+        .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      // most votes, smallest label on ties — min of (-votes, label)
+      val next = votes
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("lbl"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(labels)
+      labels = next
+    }
+    val out = labels.select(col("node"), col("lbl").as("label"))
+    CheckpointBridge.release(adj)
+    out
+  }
+
+  /** Community rollup: `(label, n_members, min_member, max_member)` —
+    * the per-community summary a sampling-quota stage consumes. One
+    * extra map-side-combined aggregate over the label table. */
+  def communitySizes(labels: DataFrame): DataFrame =
+    labels.groupBy("label").agg(
+      count(lit(1)).as("n_members"),
+      min("node").as("min_member"),
+      max("node").as("max_member"))
+}

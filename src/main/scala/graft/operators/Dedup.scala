@@ -313,6 +313,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-document cross-corpus duplication score — the memorization-risk
+    * signal (Lee et al. 2022, Carlini et al. 2022: duplicated training
+    * text is what models regurgitate): for each document, the fraction
+    * of its DISTINCT n-gram shingles that also occur in at least
+    * `minDf - 1` OTHER documents. Unlike the pair operators this never
+    * asks "which neighbor" — it is a per-doc scalar for filtering or
+    * down-weighting, so the plan needs no self-join at all.
+    *
+    * Scale shape: explode shingles once (the same codegen'd
+    * [[shingleSet]] recipe as [[jaccardPairs]]), ONE map-side-combined
+    * aggregate keyed by shingle for the document frequencies, one
+    * equi-join of the (doc, shingle) rows against that df table (build
+    * side is one row per distinct shingle — a hot shingle is heavy on
+    * the PROBE side only, which sort-merge streams), and one aggregate
+    * keyed by doc. No candidate pairs, no quadratic term anywhere, so
+    * no `maxDf` cap is needed — this is the cheap pre-screen that can
+    * run on the full corpus before any pair operator does.
+    *
+    * Output `(doc_id, n_shingles, n_dup_shingles, dup_frac)`;
+    * `dup_frac` = n_dup/n_shingles, one IEEE division then round(6). */
+  def duplicationScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDf: Long = 2L
+  ): DataFrame = {
+    require(minDf >= 2L, s"minDf must be >= 2 (a doc always contains itself), got $minDf")
+    val sets = df.select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
+    val inv = sets
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      .localCheckpoint(true)
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("sh_df"))
+    inv.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id", "n_shingles")
+      .agg(sum(when(col("sh_df") >= minDf, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+        round(col("n_dup_shingles") / col("n_shingles"), 6).as("dup_frac"))
+  }
+
   /** Asymmetric containment near-dup: directed pairs where
     * `containment(sub in super) = |sub ∩ super| / |sub| >= threshold`
     * over n-gram shingle sets. The subset-duplication detector symmetric
