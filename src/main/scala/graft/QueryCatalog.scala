@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.StringType
 
 import graft.tree._
 import graft.operators.{AsOfJoin, Chunking, Communities, CountMin, Decontamination, Dedup,
-  FuzzyJoin, HeavyHitters, KMeans, LinkPrediction, Multimodal, Packing, PageRank, RangeJoin,
-  Scoring, Sessionize, Shuffling, Similarity, SkewJoin, SnapshotDiff, Tfidf, Triangles}
+  FuzzyJoin, HeavyHitters, Keyphrases, KMeans, LinkPrediction, Multimodal, Packing, PageRank,
+  RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, SnapshotDiff, Tfidf,
+  Triangles}
 import graft.functions.TextFunctions
 import graft.sources.{IndexStore, ZOrder}
 
@@ -604,6 +605,12 @@ object QueryCatalog {
       Dedup.jaccardPairs(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // RAKE keyphrases: stopword-delimited candidate runs, degree/freq
+    // word scores in integer micro-units, top-3 per doc by (score desc,
+    // phrase) — fully doc-keyed, bit-exact, replayed by the oracle.
+    "rake_keyphrases" -> ((s, dir) =>
+      Keyphrases.rake(documents(s, dir), "doc_id", "text", topK = 3)
+        .orderBy("doc_id", "rank")),
     // Per-document memorization-risk scores: fraction of each doc's
     // distinct 3-gram shingles occurring in >= 2 docs. No pair join —
     // one shingle-keyed df aggregate + one doc-keyed rollup, the cheap
@@ -2899,6 +2906,39 @@ object QueryCatalog {
       ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY text_hash"),
     "jaccard_pairs" -> jaccardSql,
+    // exact RAKE replica: same stopword list, running-delimiter-count
+    // phrase ids, (degree * 1e6) // freq word micros, integer phrase
+    // sums, row_number top-3
+    "rake_keyphrases" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS tok FROM toks),
+        |seg AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')
+        |         OR tok = '' THEN 1 ELSE 0 END AS is_delim,
+        |    sum(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')
+        |         OR tok = '' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS phrase_id
+        |  FROM tok),
+        |w AS (SELECT doc_id, pos, tok, phrase_id,
+        |        count(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+        |      FROM seg WHERE is_delim = 0),
+        |ws AS (SELECT doc_id, tok,
+        |         CAST((sum(phrase_len) * 1000000) // count(*) AS BIGINT) AS word_micro
+        |       FROM w GROUP BY 1, 2),
+        |pt AS (SELECT doc_id, phrase_id, string_agg(tok, ' ' ORDER BY pos) AS phrase
+        |       FROM w GROUP BY 1, 2),
+        |ps AS (SELECT w.doc_id, w.phrase_id, CAST(sum(ws.word_micro) AS BIGINT) AS score_micro
+        |       FROM w JOIN ws ON ws.doc_id = w.doc_id AND ws.tok = w.tok GROUP BY 1, 2),
+        |u AS (SELECT pt.doc_id, pt.phrase, min(ps.score_micro) AS score_micro
+        |      FROM pt JOIN ps ON ps.doc_id = pt.doc_id AND ps.phrase_id = pt.phrase_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, phrase, score_micro,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, phrase) AS INT) AS rank
+        |FROM u QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // same shingle algebra, no candidate join: per-shingle df then a
     // per-doc rollup of the df >= 2 fraction
     "duplication_scores" ->
