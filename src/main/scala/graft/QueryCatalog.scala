@@ -8,8 +8,8 @@ import org.apache.spark.sql.types.StringType
 import graft.tree._
 import graft.operators.{AsOfJoin, Chunking, Communities, CountMin, Decontamination, Dedup,
   FuzzyJoin, HeavyHitters, Keyphrases, KMeans, LinkPrediction, Multimodal, Packing, PageRank,
-  RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, SnapshotDiff, Tfidf,
-  Triangles}
+  Profile, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, SnapshotDiff,
+  Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.sources.{IndexStore, ZOrder}
 
@@ -605,6 +605,12 @@ object QueryCatalog {
       Dedup.jaccardPairs(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // Exact ANALYZE-style profile of four gate-worthy orders columns:
+    // one aggregation pass (Catalyst Expand multi-distinct), bounds
+    // string-cast on cast-stable types (bigint/varchar).
+    "profile_columns" -> ((s, dir) =>
+      Profile.columns(orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     // RAKE keyphrases: stopword-delimited candidate runs, degree/freq
     // word scores in integer micro-units, top-3 per doc by (score desc,
     // phrase) — fully doc-keyed, bit-exact, replayed by the oracle.
@@ -2906,6 +2912,17 @@ object QueryCatalog {
       ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY text_hash"),
     "jaccard_pairs" -> jaccardSql,
+    // one SELECT per profiled column, unioned — count/distinct/bounds
+    // are engine-exact on bigint/varchar
+    "profile_columns" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     // exact RAKE replica: same stopword list, running-delimiter-count
     // phrase ids, (degree * 1e6) // freq word micros, integer phrase
     // sums, row_number top-3

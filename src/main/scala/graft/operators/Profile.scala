@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style column profiling — the table-statistics primitive a
+  * lakehouse catalog publishes per snapshot (row counts, null rates,
+  * cardinalities, value bounds) and the first thing a pipeline author
+  * asks of an unfamiliar 100 TB table. Exact by default: these numbers
+  * feed data-quality GATES (a null-rate regression fails a delivery),
+  * where sketch error bars are the wrong trade — the approximate
+  * cardinality family (HLL / `group_distinct_approx`) already covers
+  * the monitoring side.
+  *
+  * Scale shape: ONE aggregation pass. `count(distinct col)` for several
+  * columns makes Catalyst plan its Expand-based multi-distinct — input
+  * rows replicate once per profiled column before the partial
+  * aggregates, so the shuffle carries O(n_cols * distinct values)
+  * rows. That is the exact-answer floor; profile the columns you gate
+  * on, not all 190. Bounds are emitted as strings so one output schema
+  * covers heterogeneous columns; the profiled columns must be
+  * string-cast-stable across engines (integers/strings — doubles
+  * format differently in Spark vs SQL engines and belong in typed
+  * per-column queries, not this generic surface).
+  */
+object Profile {
+
+  /** One row per profiled column: `(column, n_rows, n_null, n_distinct,
+    * min_value, max_value)` — n_distinct is EXACT and excludes NULL
+    * (SQL `count(distinct)` semantics); bounds are null on all-null
+    * columns. Output ordered by column name. */
+  def columns(df: DataFrame, profileCols: Seq[String]): DataFrame = {
+    require(profileCols.nonEmpty, "profileCols must be non-empty")
+    val missing = profileCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val aggs = profileCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // stack the single wide row into one row per column
+    // stack takes a FLAT argument list: 6 values per output row
+    val stacked = profileCols.map { c =>
+      s"'$c', __n, __n - __nn_$c, __nd_$c, __mn_$c, __mx_$c"
+    }.mkString(", ")
+    wide.select(expr(
+        s"stack(${profileCols.size}, $stacked) AS " +
+          "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"))
+      .orderBy("column_name")
+  }
+}
