@@ -611,6 +611,15 @@ object QueryCatalog {
     "profile_columns" -> ((s, dir) =>
       Profile.columns(orders(s, dir),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    // Prefix-filtered twin of jaccard_pairs (all-pairs/PPJoin candidate
+    // generation): rarest-first global order, only each doc's
+    // (1-t)-fraction prefix enters the inverted index — hot boilerplate
+    // shingles fall OUT of the index by construction. Same output, same
+    // oracle as jaccard_pairs.
+    "jaccard_pairs_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
     // RAKE keyphrases: stopword-delimited candidate runs, degree/freq
     // word scores in integer micro-units, top-3 per doc by (score desc,
     // phrase) — fully doc-keyed, bit-exact, replayed by the oracle.
@@ -2912,6 +2921,9 @@ object QueryCatalog {
       ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY text_hash"),
     "jaccard_pairs" -> jaccardSql,
+    // the prefix-filtered twin is output-identical by the prefix
+    // filtering principle — same oracle
+    "jaccard_pairs_prefix" -> jaccardSql,
     // one SELECT per profiled column, unioned — count/distinct/bounds
     // are engine-exact on bigint/varchar
     "profile_columns" -> {

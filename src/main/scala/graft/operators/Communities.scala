@@ -54,23 +54,41 @@ object Communities {
     val nodes = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .distinct()
-    // bidirectional adjacency + one self-loop per node = the self-vote
+    // bidirectional adjacency + one self-loop per node = the self-vote.
+    // Stored pre-partitioned AND pre-sorted on the per-round join key:
+    // localCheckpoint preserves outputPartitioning/outputOrdering, so
+    // every round's sort-merge join reuses the stored layout and only
+    // the one-row-per-node label table shuffles — without this the big
+    // side re-exchanges and re-sorts every round, which measurably
+    // turns the third scaling decade from sub-linear to linear.
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .union(und.select(col("b").as("node"), col("a").as("nbr")))
       .union(nodes.select(col("node"), col("node").as("nbr")))
+      .repartition(col("nbr"))
+      .sortWithinPartitions("nbr")
       .localCheckpoint(true)
     var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val votes = adj
-        .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
-        .groupBy(col("node"), col("lbl"))
-        .agg(count(lit(1)).as("votes"))
-      // most votes, smallest label on ties — min of (-votes, label)
-      val next = votes
-        .groupBy("node")
-        .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("l"))).as("w"))
-        .select(col("node"), col("w.l").as("lbl"))
-        .localCheckpoint(true)
+    for (i <- 1 to iterations) {
+      // Round 1 closed form: labels are their owners' ids and adjacency
+      // rows are distinct, so every candidate label holds exactly ONE
+      // vote and the smallest-label tie-break degenerates the round to
+      // min over the closed neighborhood — one map-side-combined
+      // aggregate instead of the join + two vote shuffles (round 1 is
+      // the most expensive round of the general form: nothing collapses
+      // when all labels are still distinct).
+      val next = (if (i == 1)
+        adj.groupBy("node").agg(min("nbr").as("lbl"))
+      else {
+        val votes = adj
+          .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+          .groupBy(col("node"), col("lbl"))
+          .agg(count(lit(1)).as("votes"))
+        // most votes, smallest label on ties — min of (-votes, label)
+        votes
+          .groupBy("node")
+          .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("l"))).as("w"))
+          .select(col("node"), col("w.l").as("lbl"))
+      }).localCheckpoint(true)
       CheckpointBridge.release(labels)
       labels = next
     }

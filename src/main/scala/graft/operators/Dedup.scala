@@ -313,6 +313,70 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** [[jaccardPairs]] with PREFIX-FILTERED candidate generation (the
+    * all-pairs/PPJoin scheme — Bayardo et al. 2007, Xiao et al. 2008,
+    * public): identical output, structurally smaller candidate join.
+    *
+    * Prefix filtering principle: sort every set by ONE global total
+    * order (document frequency ascending, shingle ascending — rarest
+    * first) and index only each doc's first `L - floor(t*L) + 1`
+    * shingles; any pair with `J >= t` must share an INDEXED shingle
+    * (pigeonhole on the `>= ceil(t*L)` required overlap), so the
+    * inverted-index self-join runs on ~`(1-t)` of the explode volume
+    * and — because hot boilerplate shingles have the HIGHEST df — the
+    * hottest keys fall out of the index entirely, the skew `maxDf` cap
+    * solves by truncation solved instead by construction, exactly.
+    * (`floor` rather than the paper's `ceil` spends <= 1 extra prefix
+    * token to stay conservative under IEEE rounding of `t*L`.)
+    * A length filter (`min >= t*max - 1`, one-token slack for the same
+    * reason) prunes size-incompatible survivors before the distinct.
+    *
+    * Verification joins the candidate pairs back to the per-doc shingle
+    * ARRAYS and intersects in-row — the shuffle carries arrays only for
+    * candidate-involved docs, not the corpus. Exactness is spec-pinned
+    * differentially against [[jaccardPairs]] and the catalog entry
+    * shares the plain entry's DuckDB oracle. */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.8,
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets0 = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+    val sets = if (materialize) sets0.localCheckpoint(true) else sets0
+    val inv = sets.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixLen =
+      (col("set_size") - floor(lit(threshold) * col("set_size")) + 1).cast("int")
+    val prefix = inv.join(dfreq, Seq("shingle"))
+      .withColumn("__rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("df"), col("shingle"))))
+      .where(col("__rnk") <= prefixLen)
+    val a = prefix.select(col("shingle"), col("id").as("id_a"), col("set_size").as("size_a"))
+    val b = prefix.select(col("shingle"), col("id").as("id_b"), col("set_size").as("size_b"))
+    val cand = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .where(least(col("size_a"), col("size_b")) >=
+        lit(threshold) * greatest(col("size_a"), col("size_b")) - lit(1.0))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("__sh_a"),
+        col("set_size").as("size_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("__sh_b"),
+        col("set_size").as("size_b")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("jaccard",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .where(col("jaccard") >= lit(threshold))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Per-document cross-corpus duplication score — the memorization-risk
     * signal (Lee et al. 2022, Carlini et al. 2022: duplicated training
     * text is what models regurgitate): for each document, the fraction

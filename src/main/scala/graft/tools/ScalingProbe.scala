@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, FuzzyJoin, HeavyHitters, Multimodal, Packing, PageRank,
-  Scoring, Sessionize, Similarity, Tfidf, Triangles}
+import graft.operators.{Communities, Dedup, FuzzyJoin, HeavyHitters, Keyphrases,
+  LinkPrediction, Multimodal, Packing, PageRank, Scoring, Sessionize, Similarity,
+  SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -195,6 +196,12 @@ object ScalingProbe {
       ("jaccard_pairs", Seq(1, 10, 100), nx =>
         Dedup.jaccardPairs(docs(nx), "doc_id", "text", n = 3, threshold = 0.8)
           .write.format("noop").mode("overwrite").save()),
+      // r13 prefix-filtered twin: the candidate join reads the
+      // rarest-first (1-t) prefix of every set — same output, curve
+      // should run BELOW jaccard_pairs and stay sub-linear
+      ("jaccard_pairs_prefix", Seq(1, 10, 100), nx =>
+        Dedup.jaccardPairsPrefix(docs(nx), "doc_id", "text", n = 3, threshold = 0.8)
+          .write.format("noop").mode("overwrite").save()),
       ("minhash_lsh_pairs", Seq(1, 10, 100), nx =>
         Dedup.minHashLshJaccardPairs(docs(nx), "doc_id", "text",
             numHashes = 32, shingleN = 3, bands = 16, threshold = 0.8)
@@ -362,6 +369,53 @@ object ScalingProbe {
       ("kcore", Seq(1, 10, 100), nx =>
         Triangles.kCore(edgesDf(nx), "src", "dst", k = 12)
           .write.format("noop").mode("overwrite").save()),
+      // r13: per-doc duplication score — one shingle-df aggregate + one
+      // doc rollup, no pair join; the curve should track the shingle
+      // explode (sharded vocab keeps per-shingle df constant)
+      ("duplication_scores", Seq(1, 10, 100), nx =>
+        Dedup.duplicationScores(docs(nx), "doc_id", "text", n = 3)
+          .write.format("noop").mode("overwrite").save()),
+      // r13 RAKE: everything doc-keyed (bounded per-doc window + two
+      // doc-keyed aggregates) — must be flat-linear
+      ("rake_keyphrases", Seq(1, 10, 100), nx =>
+        Keyphrases.rake(docs(nx), "doc_id", "text", topK = 3)
+          .write.format("noop").mode("overwrite").save()),
+      // r13 snapshot diff: catalog's bucket-mutation recipe over the
+      // growing corpus — one id-keyed full-outer join + the small
+      // added x removed hash join; linear by construction
+      ("corpus_diff", Seq(1, 10, 100), nx => {
+        val d = docs(nx).select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        val b = col("doc_id") % 20
+        val newSnap = d.where(b >= 5)
+          .unionByName(d.where(b === 3 || b === 4)
+            .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text")))
+          .unionByName(d.where(b === 2)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+          .unionByName(d.where(b === 5)
+            .select((col("doc_id") + 3000000000L).as("doc_id"),
+              concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
+        SnapshotDiff.diff(d, newSnap, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // r13 LPA: 4 vote rounds, each one node-keyed aggregate + one
+      // neighbor equi-join over the (2E + n) adjacency — linear in
+      // edges at a constant round count, like pagerank
+      ("label_propagation", Seq(1, 10, 100), nx =>
+        Communities.labelPropagation(edgesDf(nx), "src", "dst", iterations = 4)
+          .write.format("noop").mode("overwrite").save()),
+      // r13 link prediction, production shape: maxDeg=40 stop-hub cap
+      // (binding on the Poisson-degree tail) bounds wedge fan-out the
+      // way maxDf bounds hot shingles — the 100 TB configuration
+      ("link_prediction", Seq(1, 10, 100), nx =>
+        LinkPrediction.scores(edgesDf(nx), "src", "dst", minCommon = 2L,
+            maxDeg = Some(40L))
+          .write.format("noop").mode("overwrite").save()),
+      // uncapped two-decade reference: what the cap saves (wedge volume
+      // ~ sum(deg^2) grows with the uncut hub tail)
+      ("link_prediction_uncapped", Seq(1, 10), nx =>
+        LinkPrediction.scores(edgesDf(nx), "src", "dst", minCommon = 2L)
+          .write.format("noop").mode("overwrite").save()),
       ("fit_depth4_entropy_scalable", Seq(1, 10), nx => {
         val df = fitDf(nx)
         val model = DecisionTreeClassifier(maxDepth = Some(4),
@@ -401,7 +455,8 @@ object ScalingProbe {
           else if (name.startsWith("fuzzy")) nameRows
           else if (name.startsWith("multimodal")) mediaRows
           else if (name.startsWith("pagerank") || name.startsWith("triangle") ||
-            name.startsWith("kcore")) edgeRows
+            name.startsWith("kcore") || name.startsWith("label_propagation") ||
+            name.startsWith("link_prediction")) edgeRows
           else if (name.startsWith("event_ewma"))
             Seq(1, 10, 100).map(nx => nx -> 500000L * nx).toMap
           else docRows
@@ -479,6 +534,19 @@ object ScalingProbe {
       println(f"[scaling] skew_drill/jaccard_pairs corpus ${nx}%3dx " +
         f"unskewed=${tBase}%6.2fs  skewed+maxDf1000=${tSkew}%6.2fs  " +
         f"ratio=${tSkew / tBase}%4.2f (gate <= 2.0)")
+      // r13 prefix-filter variant: NO cap anywhere — hot shingles have
+      // the highest df, so the rarest-first prefix excludes them from
+      // the index by construction and the skewed corpus must cost about
+      // the same as the unskewed one
+      def runPx(d: DataFrame): Unit =
+        Dedup.jaccardPairsPrefix(d, "doc_id", "text", n = 3, threshold = 0.8)
+          .write.format("noop").mode("overwrite").save()
+      runPx(base) // warmup
+      val tPxBase = math.min(time(runPx(base)), time(runPx(base)))
+      val tPxSkew = math.min(time(runPx(skewed)), time(runPx(skewed)))
+      println(f"[scaling] skew_drill/jaccard_pairs_prefix corpus ${nx}%3dx " +
+        f"unskewed=${tPxBase}%6.2fs  skewed-NO-cap=${tPxSkew}%6.2fs  " +
+        f"ratio=${tPxSkew / tPxBase}%4.2f (gate <= 2.0)")
     }
 
     // ---- composed-entry skew drill (r12 verdict task #2) --------------
