@@ -582,6 +582,20 @@ object QueryCatalog {
       Communities.labelPropagation(pairs, "src", "dst", iterations = 4)
         .orderBy("node")
     }),
+    // Modularity of the LPA labeling — the did-the-communities-mean-
+    // anything score in its exact-integer closed form (q_num/q_den,
+    // one rounded division); two label equi-joins + two aggregates.
+    "lpa_modularity" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val labels = Communities.labelPropagation(pairs, "src", "dst", iterations = 4)
+        .select(col("node"), col("label"))
+      Communities.modularity(pairs, "src", "dst", labels)
+    }),
     // Link prediction on the same graph: top-100 unconnected supplier
     // pairs by resource-allocation index (integer micro-units) with
     // common-neighbor and Jaccard scores — wedge enumeration + one
@@ -2513,7 +2527,7 @@ object QueryCatalog {
     * 4 synchronous vote rounds on the sparse co-supply graph — one
     * (votes, argmax) CTE pair per round, MATERIALIZED so DuckDB does
     * not re-inline the round chain exponentially (the kcoreSql rule). */
-  private lazy val lpaSql = {
+  private lazy val lpaCtes = {
     val rounds = (1 to 4).map { i =>
       s"""v$i AS MATERIALIZED (
          |  SELECT adj.node, l.lbl, count(*) AS c
@@ -2523,8 +2537,8 @@ object QueryCatalog {
          |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
          |  FROM v$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
-       |p AS (
+    s"""hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
+       |p AS MATERIALIZED (
        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
        |  FROM hi x JOIN hi y
        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
@@ -2533,9 +2547,34 @@ object QueryCatalog {
        |  UNION ALL SELECT b, a FROM p
        |  UNION ALL SELECT node, node FROM nodes),
        |l0 AS (SELECT node, node AS lbl FROM nodes),
-       |$rounds
-       |SELECT node, lbl AS label FROM l4 ORDER BY node""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private lazy val lpaSql =
+    s"""WITH $lpaCtes
+       |SELECT node, lbl AS label FROM l4 ORDER BY node""".stripMargin
+
+  /** Newman modularity of the l4 labeling in the exact integer closed
+    * form q_num/q_den, q_num = 4m*intra - sum_c(d_c^2), q_den = 4m^2 —
+    * one IEEE division then round(6), identical to the Spark twin. */
+  private lazy val lpaModularitySql =
+    s"""WITH $lpaCtes,
+       |mm AS (SELECT count(*) AS m FROM p),
+       |intra AS (
+       |  SELECT count(*) AS i FROM p
+       |  JOIN l4 la ON la.node = p.a
+       |  JOIN l4 lb ON lb.node = p.b
+       |  WHERE la.lbl = lb.lbl),
+       |dsq AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS s FROM (
+       |  SELECT l4.lbl, count(*) AS dc
+       |  FROM (SELECT a AS node FROM p UNION ALL SELECT b FROM p) t
+       |  JOIN l4 ON l4.node = t.node GROUP BY 1))
+       |SELECT mm.m AS n_edges, intra.i AS intra_edges,
+       |  CAST(4 * mm.m * intra.i - dsq.s AS BIGINT) AS q_num,
+       |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den,
+       |  round(CAST(4 * mm.m * intra.i - dsq.s AS DOUBLE)
+       |    / (4 * mm.m * mm.m), 6) AS modularity
+       |FROM mm, intra, dsq""".stripMargin
 
   private lazy val kcoreSql = {
     def degKeep(p: String, i: Int) =
@@ -3891,6 +3930,7 @@ object QueryCatalog {
     // (votes DESC, label ASC) — all integers, generated one CTE pair
     // per round
     "label_propagation" -> lpaSql,
+    "lpa_modularity" -> lpaModularitySql,
     // wedge enumeration + pair aggregate, integer RA micro-units
     // (// == div on the positive degrees), existing edges anti-joined
     // out, one rounded division for Jaccard

@@ -3,7 +3,8 @@ package graft.examples
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Scoring, Shuffling, Similarity, Tfidf}
+import graft.operators.{Dedup, Keyphrases, Multimodal, Packing, Profile, Scoring, Shuffling,
+  Similarity, SnapshotDiff, Tfidf}
 import graft.sources.CorpusSink
 
 /** End-to-end training-data curation pipeline over the provided tables —
@@ -24,6 +25,15 @@ object PipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n0 = docs.count()
 
+    // 0. delivery gate: exact profile of the id/metadata columns — a
+    //    null or duplicated doc_id fails the delivery before any
+    //    curation compute is spent
+    val prof = Profile.columns(docs, Seq("doc_id", "lang", "source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    require(prof("doc_id")._2 == 0 && prof("doc_id")._3 == prof("doc_id")._1,
+      "delivery gate: doc_id must be non-null and unique")
+
     // 1. text analysis: language, quality, repetition signals as
     //    filterable columns; PII scrubbed from survivors
     val scored = docs
@@ -43,9 +53,18 @@ object PipelineDemo {
       knScores.where(col("avg_logp") > -12.0).select("doc_id"), Seq("doc_id"))
     val n1b = fluent.count()
 
-    // 2. near-duplicate handling: trigram jaccard pairs -> cluster labels
-    //    -> keep the BEST-QUALITY representative per cluster
-    val pairs = Dedup.jaccardPairs(fluent, "doc_id", "text", n = 3, threshold = 0.8)
+    // 1c. memorization-risk pre-screen: per-doc duplication scores are a
+    //     doc-keyed scalar (no pair join), so they run on everything and
+    //     ride along as a filterable/weightable column
+    val dupScores = Dedup.duplicationScores(fluent, "doc_id", "text", n = 3)
+    val flagged = fluent.join(
+      dupScores.select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+    val nHighRisk = flagged.where(col("dup_frac") >= 0.9).count()
+
+    // 2. near-duplicate handling: PREFIX-FILTERED trigram jaccard pairs
+    //    (hot boilerplate shingles never enter the index — no cap needed)
+    //    -> cluster labels -> keep the BEST-QUALITY representative
+    val pairs = Dedup.jaccardPairsPrefix(fluent, "doc_id", "text", n = 3, threshold = 0.8)
     val deduped = Dedup.clusterRepresentatives(fluent, "doc_id", pairs,
       better = Seq(col("quality").desc))
     val n2 = deduped.count()
@@ -69,9 +88,12 @@ object PipelineDemo {
     val n4 = features.where(col("features").isNotNull).count()
     val n4dropped = deduped.count() - visuallyDistinct.count()
 
-    // 5. keyword extraction over the deduped corpus (topic routing)
+    // 5. keyword extraction over the deduped corpus (topic routing):
+    //    corpus-statistical TF-IDF terms + document-local RAKE phrases
     val keywords = Tfidf.topTerms(deduped, "doc_id", "text", k = 3, minDf = 2)
     val n5 = keywords.select("id").distinct().count()
+    val phrases = Keyphrases.rake(deduped, "doc_id", "text", topK = 3)
+    val n5b = phrases.select("doc_id").distinct().count()
 
     // 5b. targeted slice: BM25-retrieve docs relevant to a probe topic,
     //     MMR-diversify the embedding neighborhood of the top hit, and
@@ -102,12 +124,27 @@ object PipelineDemo {
     val n6 = spark.read.parquet(outDir).count()
     val nPacks = packed.select("pack_id").distinct().count()
 
+    // 7. audit gate: snapshot-diff the curated corpus against the raw
+    //    delivery — every id is accounted for as kept-unchanged,
+    //    kept-rescrubbed (changed), or curated away (removed)
+    val audit = SnapshotDiff.summary(SnapshotDiff.diff(
+      docs.select(col("doc_id"), col("text")),
+      deduped.select(col("doc_id"), col("text")),
+      "doc_id", "text")).collect().head
+    val (aAdded, aRemoved) = (audit.getLong(0), audit.getLong(1))
+    require(aAdded == 0, "curation must not invent documents")
+    require(aRemoved == n0 - n2, "audit: removed must equal curated-away count")
+
     println(s"[pipeline] docs=$n0 -> curated=$n1 -> fluent=$n1b -> " +
-      s"representatives=$n2; embeddings kept=$n3; visually-dup dropped=$n4dropped, " +
-      s"media features=$n4; keyworded=$n5; bm25 hits=$nBm25, mmr picks=$nMmr, " +
-      s"weighted sample=$nSample; packed=$n6 into $nPacks shards")
+      s"representatives=$n2 (high-memorization-risk flagged=$nHighRisk); " +
+      s"embeddings kept=$n3; visually-dup dropped=$n4dropped, " +
+      s"media features=$n4; keyworded=$n5, rake-tagged=$n5b; bm25 hits=$nBm25, " +
+      s"mmr picks=$nMmr, weighted sample=$nSample; packed=$n6 into $nPacks shards; " +
+      s"audit removed=$aRemoved")
     require(n1 <= n0 && n1b <= n1 && n2 <= n1b && n4 <= n2 && n4dropped >= 0 && n6 == n2,
       "pipeline stage counts inconsistent")
+    require(nHighRisk <= n1b && n5b <= n2,
+      "r13 stage counts inconsistent")
     require(nBm25 > 0 && nBm25 <= 20 && nMmr == 10 && nSample <= 50,
       "retrieval-curation stage counts inconsistent")
     spark.stop()

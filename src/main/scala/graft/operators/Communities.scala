@@ -105,4 +105,48 @@ object Communities {
       count(lit(1)).as("n_members"),
       min("node").as("min_member"),
       max("node").as("max_member"))
+
+  /** Newman modularity of a labeling (Newman & Girvan 2004, public) —
+    * the standard did-the-communities-mean-anything score, Q in
+    * [-0.5, 1]: fraction of edges inside communities minus the expected
+    * fraction under the degree-preserving null model.
+    *
+    * Exactness: Q = sum_c [e_c/m - (d_c/2m)^2] has the integer closed
+    * form `q_num / q_den` with q_num = 4m*sum_c(e_c) - sum_c(d_c^2) and
+    * q_den = 4m^2 — so everything distributed is exact longs, and the
+    * single `q_num/q_den` IEEE division (then round 6) is identical in
+    * any engine. No floored micro-units here because Q can be negative
+    * and Spark's `div` truncates toward zero while SQL `//` floors.
+    *
+    * One row out: `(n_edges, intra_edges, q_num, q_den, modularity)`.
+    * Plan: two label equi-joins onto the canonical edge set + two
+    * map-side-combined aggregates; nothing is ever keyed by pair. */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame
+  ): DataFrame = {
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val lab = labels.select(col("node"), col("label"))
+    val tagged = und
+      .join(lab.select(col("node").as("a"), col("label").as("__la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("__lb")), Seq("b"))
+    val counts = tagged.agg(
+      count(lit(1)).as("n_edges"),
+      coalesce(sum(when(col("__la") === col("__lb"), 1L).otherwise(0L)), lit(0L))
+        .as("intra_edges"))
+    // per-community degree sums over the labeled adjacency, then their
+    // squares summed — self-loops are gone, so sum(d_c) = 2m exactly
+    val degSq = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .join(lab, Seq("node"))
+      .groupBy("label").agg(count(lit(1)).as("d_c"))
+      .agg(coalesce(sum(col("d_c") * col("d_c")), lit(0L)).as("sum_d_sq"))
+    counts.crossJoin(broadcast(degSq)) // two one-row frames -> BNLJ, no cartesian
+      .select(col("n_edges"), col("intra_edges"),
+        (lit(4L) * col("n_edges") * col("intra_edges") - col("sum_d_sq")).as("q_num"),
+        (lit(4L) * col("n_edges") * col("n_edges")).as("q_den"))
+      .withColumn("modularity", round(col("q_num") / col("q_den"), 6))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -67,6 +68,32 @@ class CommunitiesSpec extends AnyFunSuite {
     val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSet
     assert(out.keySet == nodes, "every node must be labeled")
     assert(out.values.toSet.subsetOf(nodes), "labels must be node ids")
+  }
+
+  test("modularity: hand values on the two-clique graph, exact integer form") {
+    // K3 {1,2,3} -- bridge 3-4 -- K3 {4,5,6}: m=7; the LPA labeling
+    // splits the cliques, intra=6 (only the bridge crosses);
+    // degrees: nodes 3,4 have 3, others 2 -> d_c = 2+2+3 = 7 per side
+    // q_num = 4*7*6 - (49+49) = 70; q_den = 196; Q = 70/196 = 0.357143
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 4L)
+    val labels = Communities.labelPropagation(e, "src", "dst")
+    val r = Communities.modularity(e, "src", "dst", labels).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 6L, 70L, 196L)), s"got $r")
+    assert(r.getDouble(4) == 0.357143, s"got $r")
+  }
+
+  test("modularity: everything in one community scores 0, singletons score negative") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    import org.apache.spark.sql.functions.lit
+    val one = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+      .distinct().withColumn("label", lit(1L))
+    val rOne = Communities.modularity(e, "src", "dst", one).collect().head
+    // intra = m -> q_num = 4m^2 - (2m)^2 = 0
+    assert(rOne.getLong(2) == 0L && rOne.getDouble(4) == 0.0, s"got $rOne")
+    val singletons = one.withColumn("label", col("node"))
+    val rSing = Communities.modularity(e, "src", "dst", singletons).collect().head
+    assert(rSing.getLong(2) < 0L && rSing.getDouble(4) < 0.0, s"got $rSing")
   }
 
   test("communitySizes rolls up members with min/max witnesses") {
