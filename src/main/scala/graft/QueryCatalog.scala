@@ -1874,11 +1874,16 @@ object QueryCatalog {
         .orderBy("query_id", "rank")
     }),
     // End-to-end dedup materialization: corpus minus the greedy-dropped
-    // side of the jaccard near-dup pairs.
+    // side of the jaccard near-dup pairs. Candidate generation is the
+    // PREFIX-FILTERED arm (r14 promotion): output-identical to
+    // jaccardPairs but skew-immune by construction — hot boilerplate
+    // shingles fall out of the index instead of being truncated by a
+    // maxDf cap, so the composed entry is exact with NO cap and the
+    // oracle is the uncapped jaccard CTE. maxDf stays available on the
+    // plain jaccardPairs operator as the belt for callers that want it.
     "dedup_drop" -> ((s, dir) => {
       val docs0 = documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8,
-        maxDf = Some(1000))
+      val pairs = Dedup.jaccardPairsPrefix(docs0, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.dropDuplicatePairs(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
     // Witness-exact materialization (lexicographic MIS over the pair
@@ -1889,8 +1894,7 @@ object QueryCatalog {
     // here; the semantics that differ on chains are pinned by DedupSpec.
     "dedup_drop_exact" -> ((s, dir) => {
       val docs0 = documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8,
-        maxDf = Some(1000))
+      val pairs = Dedup.jaccardPairsPrefix(docs0, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.dropDuplicatePairsExact(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
     // Cluster-id materialization: connected-component label (min reachable
@@ -1902,8 +1906,7 @@ object QueryCatalog {
     // semantics (where the twin would NOT hold) are pinned by DedupSpec.
     "dedup_clusters" -> ((s, dir) => {
       val docs0 = documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs0, "doc_id", "text", n = 3, threshold = 0.8,
-        maxDf = Some(1000))
+      val pairs = Dedup.jaccardPairsPrefix(docs0, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.duplicateClusters(docs0.select("doc_id"), "doc_id", pairs)
         .select("doc_id", "cluster_id").orderBy("doc_id")
     }),
@@ -1914,8 +1917,7 @@ object QueryCatalog {
     "cluster_representatives" -> ((s, dir) => {
       val docs = documents(s, dir)
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8,
-        maxDf = Some(1000))
+      val pairs = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.clusterRepresentatives(docs.select("doc_id", "quality"), "doc_id", pairs,
           better = Seq(col("quality").desc))
         .select("doc_id", "cluster_id", "quality").orderBy("doc_id")
@@ -1932,8 +1934,7 @@ object QueryCatalog {
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")).cast("long"))
       val kept = scored.where(col("quality") >= 0.5 && col("n_tokens") >= 10)
-      val pairs = Dedup.jaccardPairs(kept, "doc_id", "text", n = 3, threshold = 0.8,
-        maxDf = Some(1000))
+      val pairs = Dedup.jaccardPairsPrefix(kept, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.dropDuplicatePairs(kept, "doc_id", pairs)
         .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
         .orderBy("doc_id")
@@ -2510,7 +2511,7 @@ object QueryCatalog {
        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tkRaw) END AS BIGINT) AS n_tokens
        |  FROM langc),
        |kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10),
-       |${jaccardCtes("kept", maxDf = Some(1000))},
+       |${jaccardCtes("kept")},
        |dropped AS (
        |  SELECT DISTINCT id_b FROM cand
        |  WHERE $jaccardExprSql >= 0.8)
@@ -4567,9 +4568,11 @@ object QueryCatalog {
   /** Shared CTE chain for the clique-corpus cluster twins: the common
     * trigram jaccard pairs at 0.8 -> direct-neighbor min per doc. On
     * transitively-closed components the propagation fixpoint equals
-    * least(own id, min over DIRECT neighbors) — one join, no recursion. */
+    * least(own id, min over DIRECT neighbors) — one join, no recursion.
+    * UNCAPPED since r14: the Spark side now generates candidates via
+    * the exact prefix-filtered arm, so the oracle is exact jaccard. */
   private lazy val clusterCtes =
-    s"""${jaccardCtes("documents", maxDf = Some(1000))},
+    s"""${jaccardCtes("documents")},
        |p AS (SELECT id_a, id_b FROM cand WHERE $jaccardExprSql >= 0.8),
        |e AS (SELECT id_a AS id, id_b AS nbr FROM p UNION ALL SELECT id_b AS id, id_a AS nbr FROM p),
        |m AS (SELECT id, min(nbr) AS mn FROM e GROUP BY id),
@@ -4594,7 +4597,7 @@ object QueryCatalog {
        |SELECT doc_id, cluster_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   private lazy val dedupDropSql =
-      s"""WITH ${jaccardCtes("documents", maxDf = Some(1000))},
+      s"""WITH ${jaccardCtes("documents")},
          |dropped AS (
          |  SELECT DISTINCT id_b FROM cand
          |  WHERE $jaccardExprSql >= 0.8)

@@ -127,7 +127,17 @@ object Dedup {
     * round reaches the fixpoint and the result equals the one-join SQL
     * `least(id, min(neighbor id))`, which is what makes a catalog oracle
     * possible. Chains exercise the real contraction and have no
-    * single-join SQL twin; chain cases are pinned by DedupSpec instead. */
+    * single-join SQL twin; chain cases are pinned by DedupSpec instead.
+    *
+    * Convergence detection is PROBABILISTIC: the per-round fixpoint test
+    * compares (count, two xor-folded row digests from different hash
+    * families) rather than running an exact `except()` — a digest
+    * collision would terminate contraction one round early and emit a
+    * not-yet-minimal label. The collision probability is ~2^-96 per
+    * round (64-bit xxhash64 + 32-bit Murmur3, independent families),
+    * negligible against any realistic corpus; callers that need the
+    * exact guarantee can re-run with the output fed back as pairs and
+    * assert labels are already stable. */
   def duplicateClusters(
       df: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // the output column is part of the contract; internal state columns
@@ -151,16 +161,19 @@ object Dedup {
       .distinct()
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // one-job set digest: (count, xor of two independent row hashes).
-    // The xor is order/partitioning-independent and, because the edge
-    // set is DISTINCT, equal digests mean equal sets up to a 2^-128
-    // random collision — replacing the previous `next.except(edges)
-    // .isEmpty` fixpoint test, which cost a full extra shuffle of BOTH
-    // edge sets per round on top of the count job.
+    // one-job set digest: (count, xor of two row hashes from DIFFERENT
+    // hash families — 64-bit xxHash64 and 32-bit Murmur3 — so a single
+    // family's collision structure can't defeat both). The xor is
+    // order/partitioning-independent and, because the edge set is
+    // DISTINCT, equal digests mean equal sets up to a ~2^-96 random
+    // collision (see the scaladoc's probabilistic-convergence note) —
+    // replacing the previous `next.except(edges).isEmpty` fixpoint
+    // test, which cost a full extra shuffle of BOTH edge sets per
+    // round on top of the count job.
     def digest(d: DataFrame): (Long, Long, Long) = {
       val r = d.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(__dc_c, __dc_p))"), lit(0L)),
-        coalesce(expr("bit_xor(xxhash64(__dc_p, __dc_c, 7L))"), lit(0L))).head()
+        coalesce(expr("bit_xor(cast(hash(__dc_c, __dc_p) as bigint))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var edgeDigest = digest(edges)
@@ -402,14 +415,19 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      minDf: Long = 2L
+      minDf: Long = 2L,
+      materialize: Boolean = true
   ): DataFrame = {
     require(minDf >= 2L, s"minDf must be >= 2 (a doc always contains itself), got $minDf")
     val sets = df.select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
-    val inv = sets
+    val inv0 = sets
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("shingle"))
-      .localCheckpoint(true)
+    // materialize=true computes the exploded index once for its two
+    // consumers (df table + probe side); false keeps the plan lazy for
+    // plan-only inspection / composition — same contract as the pair
+    // operators' flag
+    val inv = if (materialize) inv0.localCheckpoint(true) else inv0
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("sh_df"))
     inv.join(dfreq, Seq("shingle"))
       .groupBy("doc_id", "n_shingles")

@@ -33,22 +33,31 @@ object Profile {
     require(profileCols.nonEmpty, "profileCols must be non-empty")
     val missing = profileCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
-    val aggs = profileCols.flatMap { c =>
+    // everything below is Column-API only, with POSITIONAL internal
+    // aliases — a raw delivery's column names (spaces, dots, quotes,
+    // hyphens) never reach a SQL string or an alias, so they can't
+    // break parsing or mis-resolve; source columns resolve through
+    // df(name), which treats the name literally
+    val aggs = profileCols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+        count(df(c)).as(s"__nn_$i"),
+        countDistinct(df(c)).as(s"__nd_$i"),
+        min(df(c)).cast("string").as(s"__mn_$i"),
+        max(df(c)).cast("string").as(s"__mx_$i"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    // stack the single wide row into one row per column
-    // stack takes a FLAT argument list: 6 values per output row
-    val stacked = profileCols.map { c =>
-      s"'$c', __n, __n - __nn_$c, __nd_$c, __mn_$c, __mx_$c"
-    }.mkString(", ")
-    wide.select(expr(
-        s"stack(${profileCols.size}, $stacked) AS " +
-          "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"))
+    // unpivot the single wide row into one row per profiled column
+    val perCol = profileCols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$i")).as("n_null"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__mn_$i").as("min_value"),
+        col(s"__mx_$i").as("max_value"))
+    }
+    wide.select(explode(array(perCol: _*)).as("__p"))
+      .select(col("__p.*"))
       .orderBy("column_name")
   }
 }

@@ -31,7 +31,14 @@ object SnapshotDiff {
     * `moved_from` is the SMALLEST removed id carrying identical content
     * (deterministic witness), null elsewhere — including for `removed`
     * rows and for added content that duplicates a SURVIVING doc (that
-    * is the dedup family's finding, not a move). */
+    * is the dedup family's finding, not a move).
+    *
+    * Ids keep their NATIVE type (string doc ids join as strings — a
+    * lossy cast would turn them into NULL join keys and misclassify
+    * every such doc as simultaneously added and removed); NULL ids are
+    * rejected up front because a NULL key never matches itself in the
+    * full-outer join, which would silently duplicate the row into both
+    * change slices. */
   def diff(
       oldSnap: DataFrame,
       newSnap: DataFrame,
@@ -39,7 +46,9 @@ object SnapshotDiff {
       textCol: String
   ): DataFrame = {
     def hashed(d: DataFrame, h: String) = d.select(
-      col(idCol).cast("long").as("id"),
+      when(col(idCol).isNull,
+        raise_error(lit(s"SnapshotDiff.diff: NULL $idCol"))
+      ).otherwise(col(idCol)).as("id"),
       md5(coalesce(col(textCol), lit(""))).as(h))
     val o = hashed(oldSnap, "old_hash")
     val n = hashed(newSnap, "new_hash")

@@ -549,23 +549,38 @@ object StreamOps {
     * `benchmark` is a STATIC DataFrame; its 1-row shingle-set aggregate
     * re-executes per micro-batch unless the caller caches it — pass
     * `benchmark.cache()` (eval sets are tiny) or a pre-persisted table.
-    * In-row intersect cost is O(|doc| x log |bench|) per document; for
-    * benchmark sets beyond executor memory, fall back to the batch
-    * operator's exploded broadcast-join shape over micro-batch sinks. */
+    * The 1-row static side joins with an EXPLICIT `broadcast()` (the
+    * batch twin's marker at `Decontamination.flagContaminated`) — one
+    * row, but the row carries the WHOLE benchmark shingle set, so it
+    * must ship driver→executor once as a broadcast, never shuffle.
+    * `maxBenchShingles` bounds that set at plan time (`require`): in-row
+    * intersect cost is O(|doc| x log |bench|) per document and the set
+    * must fit comfortably in executor memory; for benchmark sets beyond
+    * the bound, fall back to the batch operator's exploded
+    * broadcast-join shape over micro-batch sinks. */
   def decontaminate(
       docs: DataFrame,
       benchmark: DataFrame,
       textCol: String = "text",
       n: Int = 3,
-      minOverlap: Long = 1L
+      minOverlap: Long = 1L,
+      maxBenchShingles: Long = 10000000L
   ): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    require(maxBenchShingles >= 1,
+      s"maxBenchShingles must be >= 1, got $maxBenchShingles")
     val benchSh = benchmark
       .select(explode(Dedup.shingleSet(col(textCol), n)).as("__sh"))
       .agg(collect_set(col("__sh")).as("__bench_sh"))
+      .select(when(size(col("__bench_sh")) > maxBenchShingles,
+          raise_error(concat(lit("StreamOps.decontaminate: benchmark shingle set "),
+            size(col("__bench_sh")).cast("string"),
+            lit(s" exceeds maxBenchShingles=$maxBenchShingles — use the batch " +
+              "Decontamination.flagContaminated exploded-join shape"))))
+        .otherwise(col("__bench_sh")).as("__bench_sh"))
     docs
       .withColumn("__sh", Dedup.shingleSet(col(textCol), n))
-      .crossJoin(benchSh)
+      .crossJoin(broadcast(benchSh))
       .withColumn("n_shingles", size(col("__sh")).cast("long"))
       .withColumn("n_contaminated",
         size(array_intersect(col("__sh"), col("__bench_sh"))).cast("long"))
