@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Communities, Dedup, FuzzyJoin, HeavyHitters, Keyphrases,
-  LinkPrediction, Multimodal, Packing, PageRank, Scoring, Sessionize, Similarity,
-  SnapshotDiff, Tfidf, Triangles}
+  LinkPrediction, Multimodal, Packing, PageRank, Profile, Scoring, Sessionize,
+  Similarity, SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -401,6 +401,13 @@ object ScalingProbe {
       // r13 LPA: 4 vote rounds, each one node-keyed aggregate + one
       // neighbor equi-join over the (2E + n) adjacency — linear in
       // edges at a constant round count, like pagerank
+      // r14: exact ANALYZE profiling — the Expand-based multi-distinct
+      // replicates every input row once per profiled column (4 here,
+      // worst case doc_id with distinct = rows), so the curve measures
+      // the documented O(n_cols x distinct) shuffle floor directly
+      ("profile_columns", Seq(1, 10, 100), nx =>
+        Profile.columns(docs(nx), Seq("doc_id", "lang", "source", "n_chars"))
+          .write.format("noop").mode("overwrite").save()),
       ("label_propagation", Seq(1, 10, 100), nx =>
         Communities.labelPropagation(edgesDf(nx), "src", "dst", iterations = 4)
           .write.format("noop").mode("overwrite").save()),
@@ -574,6 +581,97 @@ object ScalingProbe {
       println(f"[scaling] skew_drill_composed/dedup_drop corpus ${nx}%3dx " +
         f"unskewed=${tBase}%6.2fs  skewed+maxDf1000=${tSkew}%6.2fs  " +
         f"ratio=${tSkew / tBase}%4.2f (gate <= 2.0)")
+      // r14: the catalog compositions now generate candidates via the
+      // PREFIX arm with NO cap — re-run the drill through the promoted
+      // composition shape so the skew immunity is measured end to end,
+      // not only on the bare pair operator
+      def runDropPx(d: DataFrame): Unit =
+        Dedup.dropDuplicatePairs(d, "doc_id",
+            Dedup.jaccardPairsPrefix(d, "doc_id", "text", n = 3, threshold = 0.8))
+          .write.format("noop").mode("overwrite").save()
+      runDropPx(base) // warmup
+      val tPxBase = math.min(time(runDropPx(base)), time(runDropPx(base)))
+      val tPxSkew = math.min(time(runDropPx(skewed)), time(runDropPx(skewed)))
+      println(f"[scaling] skew_drill_composed/dedup_drop_prefix corpus ${nx}%3dx " +
+        f"unskewed=${tPxBase}%6.2fs  skewed-NO-cap=${tPxSkew}%6.2fs  " +
+        f"ratio=${tPxSkew / tPxBase}%4.2f (gate <= 2.0)")
+    }
+
+    // ---- hub drill: one planted high-degree node (r13 verdict #7) -----
+    // The link-prediction wedge table is Σ C(deg(v), 2) over CENTER
+    // nodes; on the constant-degree random graph that is linear in
+    // nodes, but one degree-d hub alone contributes C(d, 2) wedges —
+    // the power-law failure mode `maxDeg` exists for (the dedup maxDf
+    // analogue). Plant a 5,000-degree hub into the 10x graph (C(5000,2)
+    // = 12.5M extra wedges uncapped, ~1.6x the whole base graph's
+    // wedge volume) and verify the cap holds the capped path within 2x
+    // of the hub-free baseline; the uncapped-with-hub time is printed
+    // as the honest cost of NOT capping.
+    if (opFilter.forall("hub_drill".contains)) {
+      val nx = 10
+      val base = edgesDf(nx)
+      val hub = spark.range(0L, 5000L).select(
+        lit(999999999L).as("src"), col("id").as("dst"))
+      val withHub = base.unionByName(hub)
+      def run(d: DataFrame, cap: Option[Long]): Unit =
+        LinkPrediction.scores(d, "src", "dst", minCommon = 2L, maxDeg = cap)
+          .write.format("noop").mode("overwrite").save()
+      run(base, Some(40L)) // warmup
+      val tBase = math.min(time(run(base, Some(40L))), time(run(base, Some(40L))))
+      val tHubCap = math.min(time(run(withHub, Some(40L))),
+        time(run(withHub, Some(40L))))
+      val tHubUncap = math.min(time(run(withHub, None)), time(run(withHub, None)))
+      println(f"[scaling] hub_drill/link_prediction corpus ${nx}%3dx " +
+        f"no-hub+maxDeg40=${tBase}%6.2fs  hub+maxDeg40=${tHubCap}%6.2fs  " +
+        f"hub-UNCAPPED=${tHubUncap}%6.2fs  " +
+        f"ratio=${tHubCap / tBase}%4.2f (gate <= 2.0)")
+    }
+
+    // ---- sf1 end-to-end (r13 verdict #8) ------------------------------
+    // SCALING.md's own caveat: the 100x curves are per-operator. This
+    // section runs the two COMPOSED flagships one decade above the
+    // bench's sf0.1 — the full curation_pipeline composition (lang +
+    // quality + token filters -> prefix-arm near-dup pairs -> greedy
+    // drop) on the sf1-shaped 51k-doc corpus, and the scalable fit
+    // flagship (depth-4 entropy fit + predict) on 6M lineitem-shaped
+    // rows (sf1's fit input size) — and records wall AND peak_live, so
+    // the pipeline's AGGREGATE memory story is measured, not inferred
+    // from per-operator peaks. (/root/testdata has no sf1 and is
+    // read-only to the builder; the seed-pinned synthetic corpus has
+    // the generator's shape at exactly 10x the sf0.1 volumes.)
+    if (opFilter.forall("sf1_endtoend".contains)) {
+      val heap = new graft.PeakHeapSampler(100)
+      def measure(label: String, rows: Long)(body: => Unit): Unit = {
+        time(body) // discarded warmup
+        val samples = Seq.fill(2) {
+          heap.reset()
+          val t = time(body)
+          (t, heap.drainLive() / 1e9, heap.drain() / 1e9)
+        }
+        val best = samples.minBy(_._1)
+        println(f"[scaling] sf1_endtoend/$label%-28s rows=$rows%9d " +
+          f"${best._1}%7.2fs  peak_live=${best._2}%5.2f GB  peak_heap=${best._3}%5.2f GB")
+      }
+      val d = docs(10)
+      measure("curation_pipeline", docRows(10)) {
+        val scored = d
+          .withColumn("lang", TextFunctions.langId(col("text")))
+          .withColumn("quality", TextFunctions.qualityScore(col("text")))
+          .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")).cast("long"))
+        val kept = scored.where(col("quality") >= 0.5 && col("n_tokens") >= 10)
+        val pairs = Dedup.jaccardPairsPrefix(kept, "doc_id", "text", n = 3, threshold = 0.8)
+        Dedup.dropDuplicatePairs(kept, "doc_id", pairs)
+          .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      measure("fit_depth4_entropy_scalable", fitRows(10)) {
+        val df = fitDf(10)
+        val model = DecisionTreeClassifier(maxDepth = Some(4),
+          criterion = Criterion.Entropy, exactCumulativePartitions = Some(32))
+          .fit(df, "l_returnflag")
+        graft.tree.Predict.predictMany(model, df)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }
