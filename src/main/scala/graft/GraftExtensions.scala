@@ -18,9 +18,10 @@ import graft.functions.ArrayDotProduct
   * then `SELECT array_dot(a, b)` / `array_cosine(a, b)` work in plain SQL,
   * along with the text-pipeline functions `graft_lang_id`,
   * `graft_quality`, `graft_fingerprint`, `graft_ws_tokens`,
-  * `graft_scrub_pii`, `graft_dup_token_frac`, `graft_dup_line_frac`, and
-  * `graft_symbol_ratio` (each the exact expression tree the Column API
-  * builds — one implementation, two surfaces).
+  * `graft_scrub_pii`, `graft_dup_token_frac`, `graft_dup_line_frac`,
+  * `graft_symbol_ratio`, and `graft_normalize_text` (each the exact
+  * expression tree the Column API builds — one implementation, two
+  * surfaces).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -49,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectUnary(ext, "graft_dup_token_frac", graft.functions.TextFunctions.dupTokenFraction)
     injectUnary(ext, "graft_dup_line_frac", graft.functions.TextFunctions.dupLineFraction)
     injectUnary(ext, "graft_symbol_ratio", graft.functions.TextFunctions.symbolRatio)
+    injectUnary(ext, "graft_normalize_text", graft.functions.TextFunctions.normalizeText)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),

@@ -7,9 +7,9 @@ import org.apache.spark.sql.types.StringType
 
 import graft.tree._
 import graft.operators.{AsOfJoin, Chunking, Communities, CountMin, Decontamination, Dedup,
-  FuzzyJoin, HeavyHitters, Keyphrases, KMeans, LinkPrediction, Multimodal, Packing, PageRank,
-  Profile, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin, SnapshotDiff,
-  Tfidf, Triangles}
+  FuzzyJoin, HeavyHitters, Hits, Keyphrases, KMeans, LinkPrediction, Multimodal, Packing,
+  PageRank, Profile, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin,
+  SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.sources.{IndexStore, ZOrder}
 
@@ -520,6 +520,22 @@ object QueryCatalog {
       PageRank.personalizedRanks(e, "src", "dst", seeds, "node", iterations = 3)
         .orderBy("node")
     }),
+    // HITS hubs/authorities on the same purchase graph (r14): 2 rounds
+    // of the exact-integer L-infinity-normalized power iteration —
+    // authorities from current hubs, hubs from the NEW authorities,
+    // each round `raw * 1e6 div max(raw)`. The bipartite graph is a
+    // strong exercise: customers are pure hubs (auth 0), suppliers pure
+    // authorities (hub 0), and round 2 reinforces suppliers through
+    // their customers' round-1 hub scores. Oracle unrolls both rounds
+    // with scalar-subquery maxes and the same `//` floors.
+    "hits_scores" -> ((s, dir) => {
+      val e = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000)).as("dst"))
+      Hits.scores(e, "src", "dst", iterations = 2).orderBy("node")
+    }),
     // Triangle counting over the HIGH-QUANTITY supplier co-supply graph
     // (suppliers sharing an order on l_quantity >= 48 items — the filter
     // keeps the graph sparse; the unfiltered co-supply graph over the
@@ -944,6 +960,23 @@ object QueryCatalog {
       documents(s, dir).select(col("doc_id"),
         TextFunctions.scrubPii(col("text")).as("scrubbed"))
         .orderBy("doc_id")),
+    // Content-preserving normalization (r14) over a corpus PLANTED with
+    // the dirt real crawls carry (every 7th doc gains C0 controls, DEL,
+    // and tab runs — deterministic, replayed by the oracle): control
+    // chars stripped, whitespace runs collapsed, ends trimmed; case and
+    // punctuation kept (a rewrite stage, not a dedup key). Both char
+    // counts emitted so the gate hashes the size delta too.
+    "normalize_text" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\u0001\t "), col("text"), lit(" \u0007tail\t\t end ")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+          length(col("text")).as("n_chars_raw"),
+          TextFunctions.normalizeText(col("text")).as("text_norm"))
+        .withColumn("n_chars_norm", length(col("text_norm")))
+        .orderBy("doc_id")
+    }),
     // TF-IDF top terms per document: inverted-index-shaped aggregation
     // (shuffle volume = distinct (doc, term) pairs), smoothed idf,
     // deterministic tie-break on term.
@@ -1070,6 +1103,14 @@ object QueryCatalog {
     // 0.5, the rare 'und' stratum UPWEIGHTED to 2.25 (2 guaranteed
     // copies + a hash-thresholded 25% third — how real mixtures boost
     // rare languages/domains), everything else dropped.
+    // Temperature-scaled mixture weights (r14): per-source sampling
+    // weight ∝ count^0.5, the alpha-smoothed multinomial recipe that
+    // feeds mixture_sample's rate map. sqrt is IEEE-correctly-rounded
+    // in both engines and the ratio is integer micro-units, so the
+    // oracle is exact-hash despite the fractional exponent.
+    "mixture_weights" -> ((s, dir) =>
+      Chunking.temperatureWeights(documents(s, dir), "source")
+        .orderBy("source")),
     "mixture_sample" -> ((s, dir) => {
       val docs = documents(s, dir)
         .withColumn("lang", TextFunctions.langId(col("text")))
@@ -1129,6 +1170,24 @@ object QueryCatalog {
           docs.where(col("doc_id") % 10 =!= 0),
           docs.where(col("doc_id") % 10 === 0),
           "doc_id", "text", n = 3, minOverlap = 1)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("contamination_ratio"), 6).as("contamination_ratio"))
+        .orderBy("doc_id")
+    }),
+    // Train/test split-leakage gate (r14): the decontamination check a
+    // training pipeline runs on ITS OWN splits — hash-split the corpus
+    // with the production assignSplit, then flag every TRAIN doc sharing
+    // >= 3 distinct trigrams with any TEST doc. Composes the two
+    // already-verified primitives (split assignment is a pure projection;
+    // the leak check is one corpus scan with the test side broadcast),
+    // so the gate costs one decontamination pass, not a new dataflow.
+    "split_leakage" -> ((s, dir) => {
+      val split = Shuffling.assignSplit(documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+      Decontamination.flagContaminated(
+          split.where(col("split") === "train"),
+          split.where(col("split") === "test"),
+          "doc_id", "text", n = 3, minOverlap = 3)
         .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
           round(col("contamination_ratio"), 6).as("contamination_ratio"))
         .orderBy("doc_id")
@@ -3669,6 +3728,21 @@ object QueryCatalog {
     "lang_id" -> langIdSql,
     "quality_signals" -> qualitySignalsSql,
     "scrub_pii" -> scrubPiiSql,
+    "normalize_text" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(1) || chr(9) || ' ' || text || ' ' || chr(7) || 'tail' || chr(9) || chr(9) || ' end '
+        |      ELSE text END AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, length(text) AS n_chars_raw,
+        |    trim(regexp_replace(
+        |      regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS text_norm
+        |  FROM planted)
+        |SELECT doc_id, n_chars_raw, text_norm, length(text_norm) AS n_chars_norm
+        |FROM norm ORDER BY doc_id""".stripMargin,
     "tfidf_topk" -> tfidfSql,
     "bm25_topk" -> bm25Sql,
     "bm25_topk_indexed" -> bm25Sql,
@@ -3676,6 +3750,7 @@ object QueryCatalog {
     "bm25_topk_merged" -> bm25Sql,
     "hybrid_search" -> hybridSearchSql,
     "decontaminate" -> decontaminateSql,
+    "split_leakage" -> splitLeakageSql,
     "contamination_pairs" -> contaminationPairsSql,
     "global_shuffle" -> globalShuffleSql,
     "dataset_split" -> datasetSplitSql,
@@ -3858,6 +3933,13 @@ object QueryCatalog {
         |  AND l.s <= r.e AND r.s <= l.e
         |ORDER BY user_id, event_id, r_event_id""".stripMargin,
     "chunk_documents" -> chunkDocumentsSql,
+    "mixture_weights" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |s AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS sm FROM c)
+        |SELECT source, n_docs,
+        |  CAST(sm * 1000000 // (SELECT sum(sm) FROM s) AS BIGINT) AS weight_micro
+        |FROM s ORDER BY source""".stripMargin,
     "mixture_sample" -> mixtureSampleSql,
     "nation_revenue" ->
       """SELECT n_name AS nation,
@@ -4013,6 +4095,42 @@ object QueryCatalog {
         |         CAST(150000 + (85 * (COALESCE(c3.s, 0) + (SELECT sh FROM d3))) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 USING (node))
         |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin,
+    // HITS replica: 2 unrolled rounds, auth-from-hubs then
+    // hub-from-NEW-auths, L-infinity normalization via scalar-subquery
+    // max, all `//` floors on non-negative integers (exact replica of
+    // the Spark `div`s; DuckDB's BIGINT sums widen to HUGEINT, so the
+    // raw*1e6 product never wraps before the final BIGINT cast)
+    "hits_scores" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |ar1 AS (SELECT e.dst AS node, sum(CAST(1000000 AS BIGINT)) AS raw FROM e GROUP BY 1),
+        |a1 AS (SELECT n.node,
+        |         CAST(COALESCE(ar1.raw, 0) * 1000000 //
+        |           (SELECT greatest(COALESCE(max(raw), 1), 1) FROM ar1) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN ar1 USING (node)),
+        |hr1 AS (SELECT e.src AS node, sum(a1.a) AS raw
+        |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT n.node,
+        |         CAST(COALESCE(hr1.raw, 0) * 1000000 //
+        |           (SELECT greatest(COALESCE(max(raw), 1), 1) FROM hr1) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN hr1 USING (node)),
+        |ar2 AS (SELECT e.dst AS node, sum(h1.h) AS raw
+        |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2 AS (SELECT n.node,
+        |         CAST(COALESCE(ar2.raw, 0) * 1000000 //
+        |           (SELECT greatest(COALESCE(max(raw), 1), 1) FROM ar2) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN ar2 USING (node)),
+        |hr2 AS (SELECT e.src AS node, sum(a2.a) AS raw
+        |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT n.node,
+        |         CAST(COALESCE(hr2.raw, 0) * 1000000 //
+        |           (SELECT greatest(COALESCE(max(raw), 1), 1) FROM hr2) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN hr2 USING (node))
+        |SELECT n.node, h2.h AS hub_micro, a2.a AS auth_micro
+        |FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
+        |ORDER BY node""".stripMargin,
     // weighted replica: per-(src,dst) lineitem counts as weights,
     // contribution (r * w) // W_src, same damped integer rounds
     "pagerank_weighted" ->
@@ -4294,7 +4412,10 @@ object QueryCatalog {
   /** Trigram-shingle CTEs for the decontamination twins: corpus/bench
     * split on doc_id % 10, shingles built exactly like [[jaccardCtes]]
     * (same trim/lower/split, same >= 3-token CASE, same list_distinct). */
-  private def contaminationCtes(keepBenchId: Boolean): String = {
+  private def contaminationCtes(
+      keepBenchId: Boolean,
+      corpusDef: String = "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
+      benchDef: String = "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0"): String = {
     val benchSets =
       s"""bt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM bench),
          |bs AS (SELECT doc_id,
@@ -4305,8 +4426,8 @@ object QueryCatalog {
     val benchShingles =
       if (keepBenchId) "bsh AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM bs)"
       else "bshu AS (SELECT unnest(sh) AS shingle FROM bs),\nbsh AS (SELECT DISTINCT shingle FROM bshu)"
-    s"""corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
-       |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    s"""corpus AS ($corpusDef),
+       |bench AS ($benchDef),
        |ct AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM corpus),
        |cs AS (SELECT doc_id,
        |  CASE WHEN len(tk) >= 3
@@ -4316,6 +4437,22 @@ object QueryCatalog {
        |csh AS (SELECT doc_id, unnest(sh) AS shingle FROM cs),
        |$benchSets,
        |$benchShingles""".stripMargin
+  }
+
+  /** Split-leakage twin: the datasetSplitSql hash-fraction buckets
+    * replayed as corpus (train) / bench (test) slices, then the same
+    * shingle algebra at minOverlap 3. */
+  private lazy val splitLeakageSql = {
+    val frac = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT / 4294967296.0)"
+    s"""WITH ${contaminationCtes(keepBenchId = false,
+        corpusDef = s"SELECT doc_id, text FROM documents WHERE $frac < 0.8",
+        benchDef = s"SELECT doc_id, text FROM documents WHERE $frac >= 0.9")},
+       |rep AS (
+       |  SELECT c.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_contaminated
+       |  FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_ratio
+       |FROM rep WHERE n_contaminated >= 3 ORDER BY doc_id""".stripMargin
   }
 
   private lazy val decontaminateSql =

@@ -152,6 +152,19 @@ object TextFunctions {
         UrlPattern, "<URL>"),
       LongDigitRunPattern, "<NUM>")
 
+  /** Content-PRESERVING normalization (the CCNet-style cleanup pass a
+    * crawl runs before any scoring): strip C0/DEL control characters
+    * (keeping \t \n \r only long enough for the next step to fold
+    * them), collapse every whitespace run to a single space, trim.
+    * Unlike [[fingerprint]] this keeps case and punctuation — it is a
+    * text REWRITE stage, not a dedup key. Pure regexp_replace chain:
+    * whole-stage codegen, RE2-compatible (no lookaround), exact DuckDB
+    * twin. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   /** Normalized-content fingerprint: lowercase, strip non-alphanumerics
     * (keeping spaces), collapse whitespace, md5. Collisions across
     * formatting variants of the same content collapse to one fingerprint —

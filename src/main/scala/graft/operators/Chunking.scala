@@ -108,4 +108,36 @@ object Chunking {
       .otherwise(array().cast("array<int>"))
     df.withColumn("sample_copy", explode(copySeq))
   }
+
+  /** Temperature-scaled mixture weights — the step UPSTREAM of
+    * [[mixtureSample]]: computes each stratum's sampling weight
+    * proportional to `count^alpha` (alpha-smoothed multinomial mixing,
+    * the XLM-R / GPT-3 recipe for upweighting rare languages/domains;
+    * alpha = 1 reproduces natural proportions, alpha -> 0 uniform).
+    *
+    * Determinism contract: the default `alpha = 0.5` uses `sqrt` — the
+    * one power IEEE 754 requires correctly rounded, so Spark and the
+    * DuckDB oracle agree bit-for-bit — and the score is quantized
+    * BEFORE the ratio: `s = floor(sqrt(n) * 1e6)` as a long, then
+    * `weight_micro = s * 1e6 div sum(s)` in pure integer arithmetic
+    * (overflow-safe to ~1e12 docs per stratum). Other alphas are
+    * accepted but go through libm `pow`, whose last ulp differs across
+    * engines — round-tolerance territory, not exact-hash.
+    *
+    * Scale shape: one map-side-combined count aggregate (rows = strata),
+    * then a 1-row broadcast total — nothing corpus-sized moves. */
+  def temperatureWeights(
+      df: DataFrame,
+      stratumCol: String,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val score = if (alpha == 0.5) sqrt(col("n_docs")) else pow(col("n_docs"), lit(alpha))
+    val scored = counts.withColumn("__s", floor(score * lit(1000000.0)).cast("long"))
+    val tot = scored.agg(sum("__s").as("__tot"))
+    scored.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_docs"),
+        expr("(__s * 1000000L) div __tot").as("weight_micro"))
+  }
 }

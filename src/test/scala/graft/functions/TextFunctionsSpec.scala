@@ -95,6 +95,9 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(sig.getDouble(1) - (1.0 - 2.0 / 3.0)) < 1e-12)
     assert(math.abs(sig.getDouble(2) - (1.0 - 2.0 / 3.0)) < 1e-12)
     assert(math.abs(sig.getDouble(3) - 2.0 / 5.0) < 1e-12)
+    // the r14 normalization function rides the same rule
+    assert(spark.sql("SELECT graft_normalize_text('  a\\tb  c ') AS n")
+      .head().getString(0) == "a b c")
   }
 
   test("token counts") {
@@ -128,6 +131,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     val b = one("hello world").getAs[String]("fp")
     val c = one("different text").getAs[String]("fp")
     assert(a == b && a != c)
+  }
+
+  test("normalizeText strips controls, collapses whitespace, keeps case/punct") {
+    import org.apache.spark.sql.functions.col
+    def norm(text: String): String = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(text)), 1),
+        StructType(Seq(StructField("text", StringType))))
+      df.select(TextFunctions.normalizeText(col("text")).as("n")).head().getString(0)
+    }
+    assert(norm("\u0001\t Hello,  World! \u0007tail\t\t end ") == "Hello, World! tail end")
+    assert(norm("already clean") == "already clean")
+    assert(norm("Keep CASE & punct-uation!") == "Keep CASE & punct-uation!")
+    assert(norm("line1\nline2\r\nline3") == "line1 line2 line3")
+    assert(norm("") == "")
   }
 
   test("quality score bounded in [0,1] and favors clean prose") {

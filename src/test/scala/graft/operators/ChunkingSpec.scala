@@ -98,4 +98,25 @@ class ChunkingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(out.sorted.toSeq == again.sorted.toSeq, "mixture must be reproducible")
   }
+
+  test("temperature weights: sqrt-smoothed integer micro ratios, hand-checked") {
+    import spark.implicits._
+    // strata sizes 100 / 400 / 900 -> sqrt scores 10 / 20 / 30 (exact),
+    // micro scores 1e7 / 2e7 / 3e7, total 6e7 ->
+    // weights floor(s * 1e6 / 6e7) = 166666 / 333333 / 500000
+    val d = ((1 to 100).map(_ => "a") ++ (1 to 400).map(_ => "b") ++
+      (1 to 900).map(_ => "c")).toDF("src")
+    val got = Chunking.temperatureWeights(d, "src")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 100L, 166666L), ("b", 400L, 333333L), ("c", 900L, 500000L)),
+      s"got $got")
+    // alpha = 1 reproduces natural proportions
+    val nat = Chunking.temperatureWeights(d, "src", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(nat("a") == 71428L && nat("b") == 285714L && nat("c") == 642857L, s"got $nat")
+    // partitioning-independent (integer contract)
+    val got13 = Chunking.temperatureWeights(d.repartition(13), "src")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got13 == got)
+  }
 }

@@ -278,6 +278,14 @@ class StreamOpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(batch == out, "stream and batch decontamination must agree")
     } finally q.stop()
+    // r14 parity with the batch twin: the 1-row benchmark shingle-set
+    // frame must join as an explicit BROADCAST nested-loop (the row
+    // carries the whole bench set — ship it once, never shuffle it)
+    val plan = StreamOps.decontaminate(
+        corpusRows.toDF("doc_id", "text"), bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bench side must broadcast, got:\n$plan")
   }
 
   test("incremental dedup runs per micro-batch via foreachBatch against a static corpus") {
