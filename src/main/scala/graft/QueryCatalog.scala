@@ -953,6 +953,14 @@ object QueryCatalog {
           round(col("top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
           round(col("dup_3gram_char_frac"), 6).as("dup_3gram_char_frac"))
         .orderBy("doc_id")),
+    // Token-distribution Shannon entropy (r14): the lexical-diversity
+    // quality signal — ln(n) - Σ c·ln(c) / n folded over the SORTED
+    // distinct tokens, so the oracle replays the identical
+    // left-to-right sum; round(6) absorbs last-ulp ln differences.
+    "token_entropy" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenEntropy(col("text")).as("token_entropy"))
+        .orderBy("doc_id")),
     // PII scrubbing: email/URL/long-digit-run placeholders via a
     // lookaround-free regexp_replace chain that runs verbatim in RE2
     // engines — the DuckDB twin uses the SAME patterns.
@@ -3728,6 +3736,22 @@ object QueryCatalog {
     "lang_id" -> langIdSql,
     "quality_signals" -> qualitySignalsSql,
     "scrub_pii" -> scrubPiiSql,
+    // entropy twin: SAME sorted-distinct fold (list_reduce is the
+    // sequential left fold Spark's aggregate() runs; 0.0+x1 == x1
+    // exactly, so the missing explicit zero start is bit-neutral)
+    "token_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE round(ln(len(tk)) - list_reduce(
+        |      list_transform(list_sort(list_distinct(tk)),
+        |        x -> len(list_filter(tk, y -> y = x)) * ln(len(list_filter(tk, y -> y = x)))),
+        |      (a, b) -> a + b) / len(tk), 6)
+        |  END AS token_entropy
+        |FROM t ORDER BY doc_id""".stripMargin,
     "normalize_text" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -152,6 +152,31 @@ object TextFunctions {
         UrlPattern, "<URL>"),
       LongDigitRunPattern, "<NUM>")
 
+  /** Shannon entropy of the document's TOKEN distribution in nats —
+    * the lexical-diversity quality signal (low entropy = repetitive
+    * boilerplate/spam, high = diverse prose; a standard pretraining
+    * filter axis alongside [[dupTokenFraction]]). Computed as
+    * `ln(n) - (sum over distinct tokens of c*ln(c)) / n` with integer
+    * counts, folding over the SORTED distinct-token array so the
+    * per-row sum order is deterministic and the DuckDB twin replays the
+    * identical left-to-right fold (the DSIR in-row determinism rule);
+    * round(6) absorbs the engines' last-ulp `ln` differences. Cost is
+    * O(distinct x tokens) per row — in-row, shuffle-free, fine at the
+    * ~100-token documents this filters; empty text scores 0. */
+  def tokenEntropy(text: Column): Column = {
+    val tk = split(regexp_replace(trim(lower(text)), "\\s+", " "), " ")
+    val n = size(tk).cast("double")
+    val s = aggregate(
+      array_sort(array_distinct(tk)),
+      lit(0.0),
+      (acc: Column, t: Column) => {
+        val c = size(filter(tk, (x: Column) => x === t)).cast("double")
+        acc + c * log(c)
+      })
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(round(log(n) - s / n, 6))
+  }
+
   /** Content-PRESERVING normalization (the CCNet-style cleanup pass a
     * crawl runs before any scoring): strip C0/DEL control characters
     * (keeping \t \n \r only long enough for the next step to fold

@@ -133,6 +133,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a == b && a != c)
   }
 
+  test("tokenEntropy: hand-checked nats, uniform max, repetition minimum, empty zero") {
+    import org.apache.spark.sql.functions.col
+    def ent(text: String): Double = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(text)), 1),
+        StructType(Seq(StructField("text", StringType))))
+      df.select(TextFunctions.tokenEntropy(col("text")).as("e")).head().getDouble(0)
+    }
+    // counts a=3, b=1, c=1 over n=5: ln(5) - 3*ln(3)/5 = 0.950271
+    assert(ent("a b a c a") == 0.950271)
+    // all-distinct = uniform maximum ln(4)
+    assert(ent("w x y z") == math.rint(math.log(4) * 1e6) / 1e6)
+    // pure repetition = 0
+    assert(ent("spam spam spam spam") == 0.0)
+    assert(ent("") == 0.0 && ent("   ") == 0.0)
+    // case/whitespace normalization folds variants together
+    assert(ent("A  a\ta") == 0.0)
+  }
+
   test("normalizeText strips controls, collapses whitespace, keeps case/punct") {
     import org.apache.spark.sql.functions.col
     def norm(text: String): String = {
