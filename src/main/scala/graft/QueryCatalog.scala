@@ -953,6 +953,29 @@ object QueryCatalog {
           round(col("top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
           round(col("dup_3gram_char_frac"), 6).as("dup_3gram_char_frac"))
         .orderBy("doc_id")),
+    // Per-domain URL rollup (r14): the domain-level curation primitive —
+    // extract every URL, key by lowercased host, one domain-keyed
+    // aggregate (n_urls + distinct docs). URLs are PLANTED
+    // deterministically (every 3rd doc gains two: a %13 site host and a
+    // %5 mirror host) since the synthetic corpus carries none; the
+    // oracle replays the plant.
+    "domain_rollup" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" see http://site"), (col("doc_id") % 13).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"),
+            lit(" and https://mirror"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org/x")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"),
+          explode(TextFunctions.extractUrls(col("text"))).as("url"))
+        .select(col("doc_id"), TextFunctions.urlDomain(col("url")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    }),
     // Token-distribution Shannon entropy (r14): the lexical-diversity
     // quality signal — ln(n) - Σ c·ln(c) / n folded over the SORTED
     // distinct tokens, so the oracle replays the identical
@@ -3736,6 +3759,23 @@ object QueryCatalog {
     "lang_id" -> langIdSql,
     "quality_signals" -> qualitySignalsSql,
     "scrub_pii" -> scrubPiiSql,
+    "domain_rollup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' see http://site' || CAST(doc_id % 13 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |        || ' and https://mirror' || CAST(doc_id % 5 AS VARCHAR)
+        |        || '.example.org/x'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |      FROM planted),
+        |d AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain
+        |      FROM u)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1 ORDER BY domain""".stripMargin,
     // entropy twin: SAME sorted-distinct fold (list_reduce is the
     // sequential left fold Spark's aggregate() runs; 0.0+x1 == x1
     // exactly, so the missing explicit zero start is bit-neutral)

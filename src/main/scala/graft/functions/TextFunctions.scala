@@ -140,6 +140,19 @@ object TextFunctions {
   val UrlPattern = "https?://[^\\s]+"
   val LongDigitRunPattern = "[0-9]{6,}"
 
+  /** All URLs in the text, in order ([[UrlPattern]], RE2-safe) — the
+    * extraction half of domain-level curation: web corpora are
+    * filtered/weighted by registered domain, and the per-domain rollup
+    * (one explode + one domain-keyed aggregate) is how those domain
+    * lists get built. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** The host part of a URL, lowercased (`https?://HOST/...`); empty
+    * string when the input is not a URL. */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "https?://([^/\\s]+)", 1))
+
   /** PII scrubbing: replace emails, URLs, and long digit runs (phone/ID
     * numbers) with typed placeholder tokens. Order matters — emails and
     * URLs are rewritten before the digit-run pass so their digits can't be

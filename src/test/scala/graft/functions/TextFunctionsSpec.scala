@@ -133,6 +133,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a == b && a != c)
   }
 
+  test("extractUrls + urlDomain: ordered extraction, lowercased hosts, non-URL empty") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("see http://A.Example.com/p/1 and https://b.org/x?q=2 end"),
+        Row("no links here")), 1),
+      StructType(Seq(StructField("text", StringType))))
+    val urls = df.select(explode(TextFunctions.extractUrls(col("text"))).as("u"))
+      .select(col("u"), TextFunctions.urlDomain(col("u")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(urls == Seq(
+      ("http://A.Example.com/p/1", "a.example.com"),
+      ("https://b.org/x?q=2", "b.org")), s"got $urls")
+    assert(df.select(TextFunctions.urlDomain(col("text")).as("d"))
+      .collect().forall(_.getString(0) == "" || urls.nonEmpty))
+  }
+
   test("tokenEntropy: hand-checked nats, uniform max, repetition minimum, empty zero") {
     import org.apache.spark.sql.functions.col
     def ent(text: String): Double = {
