@@ -3,9 +3,9 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Communities, Dedup, FuzzyJoin, HeavyHitters, Keyphrases,
-  LinkPrediction, Multimodal, Packing, PageRank, Profile, Scoring, Sessionize,
-  Similarity, SnapshotDiff, Tfidf, Triangles}
+import graft.operators.{Communities, Dedup, FuzzyJoin, HeavyHitters, Hits,
+  Keyphrases, LinkPrediction, Multimodal, Packing, PageRank, Profile, Scoring,
+  Sessionize, Similarity, SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -408,6 +408,12 @@ object ScalingProbe {
       ("profile_columns", Seq(1, 10, 100), nx =>
         Profile.columns(docs(nx), Seq("doc_id", "lang", "source", "n_chars"))
           .write.format("noop").mode("overwrite").save()),
+      // r14: 2-round integer HITS — per round two map-side-combined
+      // aggregates + the 1-row broadcast max; curve should track
+      // pagerank (same Pregel shape, one extra aggregate)
+      ("hits", Seq(1, 10, 100), nx =>
+        Hits.scores(edgesDf(nx), "src", "dst", iterations = 2)
+          .write.format("noop").mode("overwrite").save()),
       ("label_propagation", Seq(1, 10, 100), nx =>
         Communities.labelPropagation(edgesDf(nx), "src", "dst", iterations = 4)
           .write.format("noop").mode("overwrite").save()),
@@ -463,7 +469,7 @@ object ScalingProbe {
           else if (name.startsWith("multimodal")) mediaRows
           else if (name.startsWith("pagerank") || name.startsWith("triangle") ||
             name.startsWith("kcore") || name.startsWith("label_propagation") ||
-            name.startsWith("link_prediction")) edgeRows
+            name.startsWith("link_prediction") || name.startsWith("hits")) edgeRows
           else if (name.startsWith("event_ewma"))
             Seq(1, 10, 100).map(nx => nx -> 500000L * nx).toMap
           else docRows
