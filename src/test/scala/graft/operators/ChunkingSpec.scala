@@ -118,5 +118,15 @@ class ChunkingSpec extends AnyFunSuite {
     val got13 = Chunking.temperatureWeights(d.repartition(13), "src")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got13 == got)
+
+    // invariant: weights sum to 1e6 minus at most (#strata - 1) floor
+    // deficit, never over
+    for (alpha <- Seq(0.5, 0.3, 1.0)) {
+      val ws = Chunking.temperatureWeights(d, "src", alpha)
+        .collect().map(_.getLong(2))
+      assert(ws.sum <= 1000000L && ws.sum > 1000000L - ws.length,
+        s"alpha=$alpha sum=${ws.sum}")
+      assert(ws.forall(w => w > 0 && w < 1000000L), s"alpha=$alpha ws=${ws.toSeq}")
+    }
   }
 }

@@ -76,6 +76,18 @@ class HitsSpec extends AnyFunSuite {
     assert(got(10L)._2 == 1000000L)
   }
 
+  test("invariants: scores in [0, 1e6] and each round's max normalizes to exactly 1e6") {
+    val rnd = new scala.util.Random(99)
+    val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val got = run(edges(es), 3)
+    assert(got.values.forall { case (h, a) =>
+      h >= 0L && h <= 1000000L && a >= 0L && a <= 1000000L }, s"out of range: $got")
+    // L-inf normalization: the arg-max node carries exactly 1e6 per axis
+    assert(got.values.map(_._1).max == 1000000L, "hub max must normalize to 1e6")
+    assert(got.values.map(_._2).max == 1000000L, "auth max must normalize to 1e6")
+  }
+
   test("parallel edges collapse and self-loops count") {
     val base = Seq(1L -> 2L, 1L -> 2L, 2L -> 2L)
     assert(run(edges(base), 2) == run(edges(base.distinct), 2))
