@@ -2000,6 +2000,33 @@ object QueryCatalog {
       Dedup.duplicateClusters(docs0.select("doc_id"), "doc_id", pairs)
         .select("doc_id", "cluster_id").orderBy("doc_id")
     }),
+    // Cluster-size audit (r14): the distribution a release review reads
+    // off the clustering — unduplicated mass at size 1, boilerplate
+    // families in the tail. Two tiny label-keyed aggregates on top of
+    // the same prefix-arm pair graph.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val docs0 = documents(s, dir)
+      val pairs = Dedup.jaccardPairsPrefix(docs0, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.clusterSizeHistogram(
+          Dedup.duplicateClusters(docs0.select("doc_id"), "doc_id", pairs))
+        .orderBy("cluster_size")
+    }),
+    // Incremental containment check (r14): the planted excerpts as the
+    // INCOMING batch against the standing corpus — "is this new doc an
+    // excerpt of something we already have" (and the wrap direction),
+    // batch index broadcast, corpus never shuffles.
+    "containment_incremental" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val excerpts = docs.where(col("doc_id") < 10).select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)).as("text"))
+      Dedup.containmentPairsAgainst(excerpts, docs, "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .select(col("id_new"), col("id_corpus"),
+          round(col("containment_new"), 6).as("containment_new"),
+          round(col("containment_corpus"), 6).as("containment_corpus"))
+        .orderBy("id_new", "id_corpus")
+    }),
     // Policy-based dedup materialization: per cluster keep the HIGHEST
     // QUALITY member (doc_id tie-break), not the min-id — the form
     // curation pipelines use when a quality signal exists. Quality is the
@@ -3754,6 +3781,8 @@ object QueryCatalog {
     "dedup_drop_exact" -> dedupDropSql,
     "dedup_drop" -> dedupDropSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_cluster_sizes" -> dedupClusterSizesSql,
+    "containment_incremental" -> containmentIncrementalSql,
     "cluster_representatives" -> clusterRepresentativesSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
@@ -4784,6 +4813,43 @@ object QueryCatalog {
   private lazy val dedupClustersSql =
     s"""WITH $clusterCtes
        |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin
+
+  private lazy val dedupClusterSizesSql =
+    s"""WITH $clusterCtes,
+       |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM lab GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
+  /** Twin of the incremental containment check: trigram shingle sets on
+    * both sides (the jaccardCtes algebra), planted excerpts as the
+    * batch, both directed containments from each candidate. */
+  private lazy val containmentIncrementalSql = {
+    def shingles(src: String, idAs: String, sizeAs: String, t: String) =
+      s"""${t}t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM $src),
+         |${t}s AS (SELECT doc_id,
+         |  CASE WHEN len(tk) >= 3
+         |    THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+         |    ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+         |  FROM ${t}t),
+         |${t}sh AS (SELECT doc_id AS $idAs, len(sh) AS $sizeAs, unnest(sh) AS shingle FROM ${t}s)""".stripMargin
+    s"""WITH batch AS (
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'), 1, 40), ' ') AS text
+       |  FROM documents WHERE doc_id < 10),
+       |${shingles("documents", "id_corpus", "size_corpus", "c")},
+       |${shingles("batch", "id_new", "size_new", "b")},
+       |cand AS (
+       |  SELECT id_new, id_corpus, size_new, size_corpus, count(*) AS n_common
+       |  FROM csh JOIN bsh USING (shingle) GROUP BY 1, 2, 3, 4)
+       |SELECT id_new, id_corpus,
+       |  round(n_common / size_new, 6) AS containment_new,
+       |  round(n_common / size_corpus, 6) AS containment_corpus
+       |FROM cand
+       |WHERE greatest(n_common / size_new, n_common / size_corpus) >= 0.9
+       |ORDER BY id_new, id_corpus""".stripMargin
+  }
 
   /** Twin of [[graft.operators.Dedup.clusterRepresentatives]] with the
     * text_stats quality score as the policy: top quality (round-6, both

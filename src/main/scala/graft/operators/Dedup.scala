@@ -227,6 +227,24 @@ object Dedup {
         coalesce(col("__dc_label"), col(idCol)).as("cluster_id"): _*)
   }
 
+  /** Cluster-size distribution of a [[duplicateClusters]] labeling —
+    * the release-review audit table: `(cluster_size, n_clusters,
+    * n_docs)` per distinct size, ascending. Size-1 rows are the
+    * unduplicated mass; a fat tail of large clusters is the signature
+    * of boilerplate families and drives the dedup threshold review.
+    * Two label-keyed aggregates, each output bounded by distinct sizes
+    * — nothing corpus-sized moves after the labeling itself. */
+  def clusterSizeHistogram(
+      clusters: DataFrame,
+      clusterCol: String = "cluster_id"
+  ): DataFrame =
+    clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .select("cluster_size", "n_clusters", "n_docs")
+
   /** One representative row per near-dup cluster, chosen by POLICY rather
     * than the keep-minimum-id convention: rank each cluster's members by
     * `better` (e.g. quality score descending) and keep the top row, with
@@ -526,6 +544,50 @@ object Dedup {
         col("n_common") / (col("size_new") + col("size_corpus") - col("n_common")))
       .where(col("jaccard") >= lit(threshold))
       .select("id_new", "id_corpus", "jaccard")
+  }
+
+  /** Incremental ASYMMETRIC-containment check: directed shingle
+    * containment between an INCOMING batch and the EXISTING corpus —
+    * the excerpt-detection twin of [[jaccardPairsAgainst]] (which the
+    * symmetric measure structurally misses: a 40-token quote of a
+    * 4000-token corpus doc has containment ~1.0 but Jaccard ~0.01).
+    * Production question, both directions at once: "is this new doc an
+    * excerpt of something we already have" (`containment_new` high) and
+    * "does this new doc wrap something we already have"
+    * (`containment_corpus` high).
+    *
+    * Same dataflow as [[jaccardPairsAgainst]] — batch index broadcast
+    * onto the corpus index, corpus never shuffles, candidates bounded
+    * by shared shingles — with BOTH directed containments derived from
+    * each candidate (no second join). Output
+    * `(id_new, id_corpus, containment_new, containment_corpus)` where
+    * `containment_new = |new ∩ corpus| / |new|` etc.; a pair survives
+    * when EITHER direction reaches `threshold`. */
+  def containmentPairsAgainst(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.8,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    def inverted(d: DataFrame) = d
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val batch0 = inverted(newDf)
+      .select(col("shingle"), col("id").as("id_new"), col("set_size").as("size_new"))
+    val batch = if (broadcastBatch) broadcast(batch0) else batch0
+    val corpus = inverted(corpusDf)
+      .select(col("shingle"), col("id").as("id_corpus"), col("set_size").as("size_corpus"))
+    corpus.join(batch, Seq("shingle"))
+      .groupBy("id_new", "id_corpus", "size_new", "size_corpus")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment_new", col("n_common") / col("size_new"))
+      .withColumn("containment_corpus", col("n_common") / col("size_corpus"))
+      .where(greatest(col("containment_new"), col("containment_corpus")) >= lit(threshold))
+      .select("id_new", "id_corpus", "containment_new", "containment_corpus")
   }
 
   /** The standing corpus's inverted shingle index as ROWS — one

@@ -271,4 +271,41 @@ class DedupSpec extends AnyFunSuite {
     // (whose 5 trigrams include all 3 of theirs); 3 contained in neither
     assert(cont == Set((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L)), s"got $cont")
   }
+
+  test("incremental containment: batch excerpt flags against the corpus, both directions") {
+    val corpus = docs(
+      1L -> (1 to 100).map(i => s"w$i").mkString(" "),
+      2L -> "unrelated corpus material entirely")
+    // batch: an excerpt of corpus doc 1, and a long doc WRAPPING corpus doc 2
+    val batch = docs(
+      10L -> (1 to 10).map(i => s"w$i").mkString(" "),
+      11L -> ("prefix words here unrelated corpus material entirely suffix words"))
+    val got = Dedup.containmentPairsAgainst(batch, corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set((10L, 1L), (11L, 2L)), s"got ${got.keySet}")
+    val (cNew, _) = got((10L, 1L))
+    assert(cNew == 1.0, "excerpt fully contained in its source")
+    val (_, cCorp) = got((11L, 2L))
+    assert(cCorp == 1.0, "wrapped corpus doc fully contained in the batch doc")
+    // within-batch and within-corpus pairs are never emitted
+    assert(!got.keySet.exists { case (a, b) => a < 100 && b < 100 && a < 10 })
+  }
+
+  test("cluster size histogram: hand-checked distribution incl. singletons") {
+    val d = docs(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "y", 5L -> "y", 6L -> "z")
+    val pairs = docs(1L -> "", 2L -> "").sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, 2L), org.apache.spark.sql.Row(2L, 3L),
+        org.apache.spark.sql.Row(4L, 5L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType))))
+    val hist = Dedup.clusterSizeHistogram(
+        Dedup.duplicateClusters(d.select("doc_id"), "doc_id", pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // clusters: {1,2,3} size 3, {4,5} size 2, {6} size 1
+    assert(hist == Set((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)), s"got $hist")
+  }
 }
