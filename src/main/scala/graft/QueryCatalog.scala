@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.StringType
 import graft.tree._
 import graft.operators.{AsOfJoin, Chunking, Communities, CountMin, Decontamination, Dedup,
   FuzzyJoin, HeavyHitters, Hits, Keyphrases, KMeans, LinkPrediction, Multimodal, Packing,
-  PageRank, Profile, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin,
+  PageRank, Paths, Profile, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin,
   SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.sources.{IndexStore, ZOrder}
@@ -43,6 +43,8 @@ object QueryCatalog {
     s.read.parquet(s"$dir/orders.parquet")
   private def customer(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/customer.parquet")
+  private def supplier(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/supplier.parquet")
 
   /** events.parquet's `ts` encoding has varied across driver-generated
     * testdata (TIMESTAMP(NANOS) -> LongType nanos under nanosAsLong;
@@ -628,6 +630,41 @@ object QueryCatalog {
         .orderBy(col("resource_alloc_micro").desc, col("node_a"), col("node_b"))
         .limit(100)
     }),
+    // Hop-bounded multi-source BFS on the SPARSER (quantity = 50)
+    // co-supply graph (the >= 48 graph is one dense component and
+    // saturates in 2 hops — no frontier structure left to verify):
+    // seeds are every 10th supplier, 4 synchronous frontier rounds,
+    // exact integer dists; isolated seeds stay at dist 0. The oracle
+    // unrolls the same 4 rounds — rounds past frontier exhaustion are
+    // no-ops, so the early-stopping loop equals the fixed unroll.
+    "bfs_hops" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val seeds = supplier(s, dir).where(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").as("node"))
+      Paths.bfsDistances(pairs, "src", "dst", seeds, "node", maxHops = 4)
+        .orderBy("node")
+    }),
+    // Weakly connected components on the same sparse graph (11
+    // components at sf0.01 vs the >= 48 graph's single blob):
+    // large-star/small-star contraction to the component-min label.
+    // The oracle replays min-label propagation over the closed
+    // neighborhood, unrolled 20 rounds — 2x+ the measured propagation
+    // depth (9 at sf0.01); propagation is idempotent at the fixpoint,
+    // so any unroll at or past the depth is exact (the kcore rule).
+    "connected_components" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Communities.connectedComponents(pairs, "src", "dst").orderBy("node")
+    }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("text_hash")),
@@ -641,6 +678,32 @@ object QueryCatalog {
     "profile_columns" -> ((s, dir) =>
       Profile.columns(orders(s, dir),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    // Column-profile drift between the corpus and the corpus_diff
+    // mutated re-delivery: two single-pass profiles joined on column
+    // name, exact integer deltas + a null-safe bounds_changed flag —
+    // the delivery-acceptance gate at column granularity.
+    "profile_drift" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val b = col("doc_id") % 20
+      val newSnap = docs.where(b >= 5)
+        .unionByName(docs.where(b === 3 || b === 4)
+          .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text")))
+        .unionByName(docs.where(b === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(b === 5)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
+      Profile.drift(docs, newSnap, Seq("doc_id", "text"))
+    }),
+    // Embedding-space outlier gate: squared distance to the corpus
+    // centroid in quantized micro-units (exact longs), z-scored against
+    // the corpus's own distance distribution from DECIMAL-exact sums —
+    // one closed-form double per row, so the hash oracle replays it.
+    "embedding_outliers" -> ((s, dir) =>
+      Similarity.outlierScores(embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, zThreshold = 2.0)
+        .orderBy("vec_id")),
     // Prefix-filtered twin of jaccard_pairs (all-pairs/PPJoin candidate
     // generation): rarest-first global order, only each doc's
     // (1-t)-fraction prefix enters the inverted index — hot boilerplate
@@ -2719,6 +2782,64 @@ object QueryCatalog {
        |ORDER BY node""".stripMargin
   }
 
+  /** Exact replica of [[graft.operators.Paths.bfsDistances]] (maxHops=4,
+    * seeds = every 10th supplier) on the sparse (quantity = 50)
+    * co-supply graph: one (frontier, visited) MATERIALIZED CTE pair per
+    * unrolled round; rounds past frontier exhaustion add nothing, so
+    * the fixed unroll equals the operator's early-stopping loop. */
+  private lazy val bfsHopsSql = {
+    val rounds = (1 to 4).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT adj.nbr AS node FROM adj
+         |  JOIN f${i - 1} f ON f.node = adj.node
+         |  WHERE adj.nbr NOT IN (SELECT node FROM v${i - 1})),
+         |v$i AS MATERIALIZED (
+         |  SELECT node, dist FROM v${i - 1}
+         |  UNION ALL SELECT node, $i AS dist FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 50),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM hi x JOIN hi y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p UNION ALL SELECT b, a FROM p),
+       |v0 AS MATERIALIZED (
+       |  SELECT s_suppkey AS node, 0 AS dist FROM supplier WHERE s_suppkey % 10 = 0),
+       |f0 AS (SELECT node FROM v0),
+       |$rounds
+       |SELECT node, CAST(dist AS INT) AS dist FROM v4 ORDER BY node""".stripMargin
+  }
+
+  /** Exact replica of [[graft.operators.Communities.connectedComponents]]
+    * on the sparse (quantity = 50) co-supply graph: min-label
+    * propagation over the closed neighborhood, unrolled 20 MATERIALIZED
+    * rounds — 2x+ the measured propagation depth (9 rounds at sf0.01);
+    * propagation is idempotent at the fixpoint, and the contraction's
+    * converged label IS the component minimum, which propagation also
+    * converges to — so the two different algorithms meet at the same
+    * exact answer (the strongest kind of oracle: independent method,
+    * identical fixpoint). */
+  private lazy val connectedComponentsSql = {
+    val rounds = (1 to 20).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT n.node, least(n.l, coalesce(min(p$i.l), n.l)) AS l
+         |  FROM c${i - 1} n
+         |  LEFT JOIN adj ON adj.node = n.node
+         |  LEFT JOIN c${i - 1} p$i ON p$i.node = adj.nbr
+         |  GROUP BY n.node, n.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 50),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM hi x JOIN hi y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p UNION ALL SELECT b, a FROM p),
+       |c0 AS (SELECT node, node AS l FROM nodes),
+       |$rounds
+       |SELECT node, l AS component FROM c20 ORDER BY node""".stripMargin
+  }
+
   /** Exact replica of [[Similarity.mmrRerank]] (candidateK=10, m=5,
     * lambda=0.7) on the planted corpus: the same top-10 exact-cosine
     * candidates, then the 5 greedy steps UNROLLED — step i scores every
@@ -3092,6 +3213,59 @@ object QueryCatalog {
            |  CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // two profile blocks (one per snapshot) joined on column name;
+    // deltas are exact integers, bounds_changed is IS DISTINCT FROM
+    "profile_drift" -> {
+      def block(table: String) = Seq("doc_id", "text").map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS mn, CAST(max($c) AS VARCHAR) AS mx
+           |FROM $table""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |newsnap AS (
+         |  SELECT doc_id, text FROM docs WHERE doc_id % 20 >= 5
+         |  UNION ALL SELECT doc_id, text || ' rev2' FROM docs WHERE doc_id % 20 IN (3, 4)
+         |  UNION ALL SELECT doc_id + 1000000, text FROM docs WHERE doc_id % 20 = 2
+         |  UNION ALL SELECT doc_id + 3000000, 'fresh ' || CAST(doc_id AS VARCHAR)
+         |    FROM docs WHERE doc_id % 20 = 5),
+         |po AS (${block("docs")}),
+         |pn AS (${block("newsnap")})
+         |SELECT po.column_name,
+         |  po.n_rows AS old_n_rows, pn.n_rows AS new_n_rows,
+         |  pn.n_rows - po.n_rows AS rows_delta,
+         |  po.n_null AS old_n_null, pn.n_null AS new_n_null,
+         |  pn.n_null - po.n_null AS null_delta,
+         |  po.n_distinct AS old_n_distinct, pn.n_distinct AS new_n_distinct,
+         |  pn.n_distinct - po.n_distinct AS distinct_delta,
+         |  (po.mn IS DISTINCT FROM pn.mn) OR (po.mx IS DISTINCT FROM pn.mx)
+         |    AS bounds_changed
+         |FROM po JOIN pn USING (column_name) ORDER BY column_name""".stripMargin
+    },
+    // quantize -> per-dim integer mean (floor division on shifted-
+    // positive values) -> exact-long d2 -> DECIMAL sums -> one
+    // closed-form double z, identical IEEE op order to the Spark side
+    "embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |q AS (SELECT vec_id, unnest(range(0, 64)) AS pos,
+        |        CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 8.0) * 1e6 + 0.5) AS BIGINT) AS xq
+        |      FROM e),
+        |m AS (SELECT pos, CAST(sum(xq) AS BIGINT) // count(*) AS mq FROM q GROUP BY 1),
+        |d AS (SELECT q.vec_id, CAST(sum((q.xq - m.mq) * (q.xq - m.mq)) AS BIGINT) AS d2
+        |      FROM q JOIN m USING (pos) GROUP BY 1),
+        |st AS (SELECT count(*) AS cn,
+        |         CAST(sum(CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |         CAST(sum(CAST(d2 AS DECIMAL(38,0)) * CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        |       FROM d),
+        |stz AS (SELECT cn, CAST(s1 AS DOUBLE) / cn AS mu,
+        |         CAST(s2 AS DOUBLE) / cn
+        |           - (CAST(s1 AS DOUBLE) / cn) * (CAST(s1 AS DOUBLE) / cn) AS varr
+        |       FROM st)
+        |SELECT d.vec_id, d.d2,
+        |  round((CAST(d.d2 AS DOUBLE) - mu) / sqrt(varr), 6) AS z,
+        |  ((CAST(d.d2 AS DOUBLE) - mu) / sqrt(varr)) >= 2.0 AS is_outlier
+        |FROM d, stz WHERE varr > 0 ORDER BY vec_id""".stripMargin,
     // exact RAKE replica: same stopword list, running-delimiter-count
     // phrase ids, (degree * 1e6) // freq word micros, integer phrase
     // sums, row_number top-3
@@ -4075,6 +4249,8 @@ object QueryCatalog {
     // 8 unrolled peel rounds (>= the fixpoint depth on this graph;
     // idempotent beyond it), then the surviving-degree filter
     "kcore" -> kcoreSql,
+    "bfs_hops" -> bfsHopsSql,
+    "connected_components" -> connectedComponentsSql,
     // same graph: degree table + naive triangle counts -> 2T/(d(d-1))
     "clustering_coeff" ->
       """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),

@@ -97,6 +97,38 @@ object Communities {
     out
   }
 
+  /** Weakly connected components: `(node, component)` where `component`
+    * is the COMPONENT-MINIMUM node id — the general-graph face of the
+    * dedup pipeline's cluster machinery ([[Dedup.duplicateClusters]]'s
+    * large-star/small-star contraction, O(log n) rounds over the edge
+    * list, probabilistic digest fixpoint — see that scaladoc for the
+    * collision bound). Isolated nodes never appear in an edge list, so
+    * every input node is emitted and labels are well-defined component
+    * minima on convergence — which is what makes a fixed-unroll
+    * min-propagation SQL replica exact once unrolled past the graph's
+    * propagation depth.
+    *
+    * Scale shape: inherited from the contraction — per round two
+    * group-join passes over the EDGE list (never the node payloads),
+    * checkpointed at O(1) persisted copies; rounds logarithmic in the
+    * largest component's size, not its diameter (the reason this beats
+    * min-label propagation, whose round count is the graph diameter —
+    * a 100 TB web graph's chain-shaped tails would pay hundreds of
+    * propagation rounds where contraction pays ~log). */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .distinct()
+    Dedup.duplicateClusters(nodes, "node",
+        und.select(col("a").as("id_a"), col("b").as("id_b")))
+      .select(col("node"), col("cluster_id").as("component"))
+  }
+
   /** Community rollup: `(label, n_members, min_member, max_member)` —
     * the per-community summary a sampling-quota stage consumes. One
     * extra map-side-combined aggregate over the label table. */

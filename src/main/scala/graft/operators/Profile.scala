@@ -60,4 +60,39 @@ object Profile {
       .select(col("__p.*"))
       .orderBy("column_name")
   }
+
+  /** Profile drift between two snapshots of the same table — the
+    * delivery-acceptance gate a lakehouse runs on every re-delivery:
+    * a null-rate jump, a cardinality collapse, or moved value bounds
+    * on a gated column fails the drop before any downstream job reads
+    * it (the [[SnapshotDiff]] row-level story at column granularity).
+    *
+    * One row per profiled column: both snapshots' exact metrics side
+    * by side plus integer deltas (`new - old`) and a null-safe
+    * `bounds_changed` flag. Scale shape: one [[columns]] pass per
+    * snapshot (each a single aggregation — see that scaladoc for the
+    * Expand floor), then a join of two n_cols-row frames — the
+    * comparison itself is driver-trivial by construction. */
+  def drift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      profileCols: Seq[String]
+  ): DataFrame = {
+    val o = columns(oldDf, profileCols)
+    val n = columns(newDf, profileCols)
+    def pref(df: DataFrame, p: String): DataFrame =
+      df.select(col("column_name") +:
+        df.columns.filter(_ != "column_name").map(c => col(c).as(s"$p$c")).toIndexedSeq: _*)
+    pref(o, "old_").join(pref(n, "new_"), Seq("column_name"))
+      .select(col("column_name"),
+        col("old_n_rows"), col("new_n_rows"),
+        (col("new_n_rows") - col("old_n_rows")).as("rows_delta"),
+        col("old_n_null"), col("new_n_null"),
+        (col("new_n_null") - col("old_n_null")).as("null_delta"),
+        col("old_n_distinct"), col("new_n_distinct"),
+        (col("new_n_distinct") - col("old_n_distinct")).as("distinct_delta"),
+        (not(col("old_min_value") <=> col("new_min_value")) ||
+          not(col("old_max_value") <=> col("new_max_value"))).as("bounds_changed"))
+      .orderBy("column_name")
+  }
 }

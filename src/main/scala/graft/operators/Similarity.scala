@@ -1557,4 +1557,93 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
+
+  /** Embedding outlier scores — the embedding-space quality gate: rows
+    * whose vector sits far from the corpus centroid are OCR garbage,
+    * wrong-modality mixups, or encoder failures, and flagging them is
+    * the standard pre-training screen BEFORE any ANN index is built
+    * over the column. Score = squared distance to the corpus mean in
+    * quantized micro-units; flag = z-score of that distance against the
+    * corpus's own distance distribution (the [[graft.operators.Sessionize]]
+    * `hourlyCountAnomalies` integer-sums rule, embedding flavor).
+    *
+    * Exactness: each element quantizes to `floor((x+8)*1e6 + 0.5)` —
+    * the corpus contract is elements in (-8, 8), ENFORCED by a loud
+    * driver `require` on the same pass that computes the mean (the
+    * shift keeps every quantized value positive, so the per-dimension
+    * integer mean `sum div n` is floor division in ANY engine — `div`
+    * truncates toward zero, `//` floors; they only agree above zero,
+    * and the shift cancels in the differences). d2 is an exact long
+    * (bounded by dim * (16e6)^2 ~ 1.6e16 at dim 64); its corpus sums
+    * are DECIMAL(38,0) (sum of squares overflows a long by design
+    * headroom, and a genuine 38-digit overflow fails loudly under ANSI
+    * instead of wrapping). The z expression is one closed-form double
+    * per row over those exact integers — identical IEEE op order in
+    * any engine, so the hash gate pins it (rounded to 6dp for output).
+    *
+    * Scale shape: two corpus passes, both unavoidable for an exact
+    * mean — (1) one posexplode + 64-key map-side-combined aggregate
+    * (shuffle volume: tasks x dim rows) whose dim-row result is a
+    * BOUNDED driver artifact (the centroid-collect precedent); (2) one
+    * scan-speed projection computing d2 against the mean as a plan
+    * literal, a 1-row stats aggregate broadcast back, and the final
+    * z projection. No corpus-sized shuffle anywhere; ragged vectors
+    * raise_error, null vectors are dropped (the sq8Params contract). */
+  def outlierScores(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      zThreshold: Double = 2.5
+  ): DataFrame = {
+    require(dim > 0, s"dim must be > 0, got $dim")
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val checked = when(col(vecCol).isNull, lit(null).cast("array<double>"))
+      .when(size(col(vecCol)) === dim,
+        transform(col(vecCol), x => x.cast("double")))
+      .otherwise(raise_error(concat(
+        lit(s"outlierScores: expected dim=$dim vectors, got size="),
+        size(col(vecCol)).cast("string"))))
+    val rows = df.select(col(idCol), checked.as("__v"))
+      .where(col("__v").isNotNull)
+    // pass 1: per-dimension quantized sums (+ the range guard) — dim
+    // rows to the driver, floor-divided there into the mean vector
+    val perDim = rows
+      .select(posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .select(col("__pos"), col("__x"),
+        floor((col("__x") + lit(8.0)) * lit(1e6) + lit(0.5)).cast("long").as("__xq"))
+      .groupBy("__pos")
+      .agg(count(lit(1)).as("__n"), sum("__xq").as("__s"),
+        min("__x").as("__mn"), max("__x").as("__mx"))
+      .orderBy("__pos")
+      .collect()
+    require(perDim.length == dim, s"outlierScores: no rows with dim=$dim vectors")
+    val lo = perDim.map(_.getAs[Double]("__mn")).min
+    val hi = perDim.map(_.getAs[Double]("__mx")).max
+    require(lo > -8.0 && hi < 8.0,
+      s"outlierScores: elements must lie in (-8, 8), saw [$lo, $hi]")
+    val n = perDim.head.getAs[Long]("__n")
+    val meanQ: Seq[Long] =
+      perDim.map(r => Math.floorDiv(r.getAs[Long]("__s"), n)).toSeq
+    // pass 2: d2 against the literal mean, 1-row stats broadcast, z
+    val quantized = rows.select(col(idCol),
+      transform(col("__v"),
+        x => floor((x + lit(8.0)) * lit(1e6) + lit(0.5)).cast("long")).as("__vq"))
+    val scored = quantized.select(col(idCol),
+      aggregate(
+        zip_with(col("__vq"), typedLit(meanQ), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, e) => acc + e).as("d2"))
+    val stats = scored.agg(
+      count(lit(1)).as("__cn"),
+      sum(col("d2").cast("decimal(38,0)")).as("__s1"),
+      sum(col("d2").cast("decimal(38,0)") * col("d2").cast("decimal(38,0)"))
+        .as("__s2"))
+    val mu = col("__s1").cast("double") / col("__cn")
+    val varr = col("__s2").cast("double") / col("__cn") - mu * mu
+    val z = (col("d2").cast("double") - mu) / sqrt(varr)
+    scored.crossJoin(broadcast(stats))
+      .where(varr > lit(0.0))
+      .select(col(idCol), col("d2"), round(z, 6).as("z"),
+        (z >= lit(zThreshold)).as("is_outlier"))
+  }
 }

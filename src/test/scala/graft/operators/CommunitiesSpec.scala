@@ -104,4 +104,27 @@ class CommunitiesSpec extends AnyFunSuite {
     assert(sizes(1L) == ((3L, 1L, 3L)), s"got $sizes")
     assert(sizes(10L) == ((2L, 10L, 11L)), s"got $sizes")
   }
+
+  private def components(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Communities.connectedComponents(d, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: a chain collapses to its minimum (multi-round contraction)") {
+    // a 6-node path needs more than one large/small-star round — the
+    // case the single-join clique oracle can't reach
+    val out = components(edges(6L -> 5L, 5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L))
+    assert(out == (1L to 6L).map(_ -> 1L).toMap, s"got $out")
+  }
+
+  test("connectedComponents: disjoint cliques keep disjoint minima") {
+    val out = components(edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      7L -> 8L, 8L -> 9L, 9L -> 7L))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L), s"got $out")
+  }
+
+  test("connectedComponents: direction, duplicates, and self-loops are normalized") {
+    val out = components(edges(2L -> 1L, 1L -> 2L, 1L -> 1L, 3L -> 2L))
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $out")
+  }
 }

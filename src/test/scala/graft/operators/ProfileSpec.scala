@@ -49,4 +49,30 @@ class ProfileSpec extends AnyFunSuite {
     val scans = plan.split("\n").count(_.contains("LocalRelation"))
     assert(scans == 1, s"expected one scan of the input, plan:\n$plan")
   }
+
+  test("drift: exact deltas and the null-safe bounds flag") {
+    val oldDf = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val newDf = Seq((1L, "x"), (2L, "y"), (4L, "y"), (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = Profile.drift(oldDf, newDf, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert((id.getLong(1), id.getLong(2), id.getLong(3)) == ((3L, 4L, 1L)), s"got $id")
+    assert((id.getLong(4), id.getLong(5), id.getLong(6)) == ((0L, 0L, 0L)), s"got $id")
+    assert((id.getLong(7), id.getLong(8), id.getLong(9)) == ((3L, 4L, 1L)), s"got $id")
+    assert(id.getBoolean(10), s"id max moved 3 -> 5, flag must fire: $id")
+    val s = out("s")
+    assert((s.getLong(4), s.getLong(5), s.getLong(6)) == ((1L, 1L, 0L)), s"got $s")
+    assert((s.getLong(7), s.getLong(8), s.getLong(9)) == ((2L, 2L, 0L)), s"got $s")
+    assert(!s.getBoolean(10), s"s bounds unchanged, flag must not fire: $s")
+  }
+
+  test("drift: an all-null column's null bounds compare null-safe against values") {
+    val oldDf = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    val newDf = Seq((1L, "now-present")).toDF("id", "s")
+    val s = Profile.drift(oldDf, newDf, Seq("s")).collect().head
+    assert(s.getBoolean(10),
+      s"null -> value bound change must flag (never null out the flag): $s")
+  }
 }

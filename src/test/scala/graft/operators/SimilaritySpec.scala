@@ -495,4 +495,57 @@ class SimilaritySpec extends AnyFunSuite {
       "null vectors must drop out of the params aggregate")
   }
 
+  test("outlierScores: the far vector flags, d2 matches a hand replica") {
+    // 3 near-origin vectors + one at (4, 4): mean lands near (1, 1)
+    val d = emb(0L -> Seq(0.0, 0.0), 1L -> Seq(0.1, 0.0),
+      2L -> Seq(-0.1, 0.0), 3L -> Seq(4.0, 4.0))
+    val out = Similarity.outlierScores(d, "vec_id", "embedding",
+        dim = 2, zThreshold = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    // hand replica of the exact integer pipeline
+    val vecs = Map(0L -> Seq(0.0, 0.0), 1L -> Seq(0.1, 0.0),
+      2L -> Seq(-0.1, 0.0), 3L -> Seq(4.0, 4.0))
+    val q = vecs.view.mapValues(_.map(x =>
+      math.floor((x + 8.0) * 1e6 + 0.5).toLong)).toMap
+    val mean = (0 until 2).map(i =>
+      Math.floorDiv(q.values.map(_(i)).sum, q.size.toLong))
+    val d2 = q.view.mapValues(v =>
+      v.zip(mean).map { case (a, b) => (a - b) * (a - b) }.sum).toMap
+    d2.foreach { case (id, expected) =>
+      assert(out(id)._1 == expected, s"d2 mismatch for $id: $out vs $d2")
+    }
+    assert(out(3L)._2, s"the far vector must flag: $out")
+    assert(!out(0L)._2 && !out(1L)._2 && !out(2L)._2,
+      s"near-mean vectors must not flag: $out")
+  }
+
+  test("outlierScores: result is partitioning-independent bit for bit") {
+    val rows = (0L until 40L).map(i =>
+      i -> Seq(math.sin(i.toDouble) * 0.4, math.cos(i.toDouble) * 0.4, i / 40.0))
+    def run(parts: Int) = {
+      val d = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+        .repartition(parts)
+      Similarity.outlierScores(d, "vec_id", "embedding", dim = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).sortBy(_._1).toSeq
+    }
+    assert(run(1) == run(7), "z-scores drifted across partitionings")
+  }
+
+  test("outlierScores: out-of-range elements fail loudly, ragged dims fail loudly") {
+    val tooBig = emb(0L -> Seq(9.5, 0.0), 1L -> Seq(0.0, 0.0))
+    val e1 = intercept[Exception] {
+      Similarity.outlierScores(tooBig, "vec_id", "embedding", dim = 2).collect()
+    }
+    assert(e1.getMessage.contains("(-8, 8)"), e1.getMessage)
+    val ragged = emb(0L -> Seq(1.0, 2.0), 1L -> Seq(3.0))
+    val e2 = intercept[Exception] {
+      Similarity.outlierScores(ragged, "vec_id", "embedding", dim = 2).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e2).contains("outlierScores"), chain(e2))
+  }
 }
