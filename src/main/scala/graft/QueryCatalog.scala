@@ -665,6 +665,21 @@ object QueryCatalog {
         .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
       Communities.connectedComponents(pairs, "src", "dst").orderBy("node")
     }),
+    // Deterministic DeepWalk-style walk corpus on the sparse co-supply
+    // graph: 2 walks x 3 steps per node, each transition following
+    // md5(start|walk|step|cur) mod deg over the rank-ordered
+    // adjacency — retry-stable, partitioning-independent, and the
+    // oracle replays every transition through the same md5 arithmetic.
+    "random_walks" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Paths.randomWalks(pairs, "src", "dst", walksPerNode = 2, steps = 3)
+        .orderBy("start", "walk_no", "step")
+    }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("text_hash")),
@@ -1706,6 +1721,20 @@ object QueryCatalog {
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    // Approximate kNN graph (directed top-3 among banded-LSH
+    // candidates) on the planted corpus — the semantic-neighborhood
+    // edge list graph-based curation consumes. The oracle replays the
+    // SAME md5-flavored candidate generation plus the per-node
+    // row_number top-k, so the gate pins implementation, not brute
+    // force (brute lives in the ann_topk family already).
+    "knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3,
+        nBits = 16, bands = 2, dim = Some(64),
+        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+        .select(col("id"), col("nbr"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("id", "rank")),
     // SemDeDup (Abbas et al. 2023): the THIRD near-dup family — cluster
     // pruning. Cosine is scored within coarse k-means cells only
     // (~n^2/nlist scored pairs, one by-cell shuffle). On this corpus the
@@ -2663,6 +2692,77 @@ object QueryCatalog {
        |  JOIN corpus cb ON cb.vec_id = id_b)
        |SELECT id_a, id_b, round(cos, 6) AS cosine
        |FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SQL twin of [[graft.operators.Similarity.knnGraph]] on the planted
+    * corpus: the embeddingNeardupLshSql candidate machinery (md5 plane
+    * weights, 16-bit signature, 2 bands of 8) made DIRECTED, then the
+    * per-node (cos DESC, nbr ASC) row_number top-3. */
+  private val knnGraphSql = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH $plantedCorpusCte,
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corpus c, range(0, 16) p(p)),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
+       |  FROM sig, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
+       |  FROM banded a JOIN banded bb USING (band, bucket)
+       |  WHERE a.vec_id <> bb.vec_id),
+       |scored AS (
+       |  SELECT id, nbr, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM cand
+       |  JOIN corpus ca ON ca.vec_id = id
+       |  JOIN corpus cb ON cb.vec_id = nbr),
+       |ranked AS (
+       |  SELECT id, nbr, cos,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
+       |  FROM scored)
+       |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+  }
+
+  /** Exact replica of [[graft.operators.Paths.randomWalks]] (2 walks x
+    * 3 steps) on the sparse co-supply graph: ranked adjacency, then one
+    * MATERIALIZED CTE per step replaying the md5 neighbor choice. */
+  private lazy val randomWalksSql = {
+    def pick(t: Int) =
+      "('0x' || substr(md5(s.start::VARCHAR || '|' || s.walk_no::VARCHAR" +
+        s" || '|$t|' || s.cur::VARCHAR), 1, 8))::BIGINT % adj.deg"
+    val stepCtes = (1 to 3).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT s.start, s.walk_no, adj.nbr AS cur
+         |  FROM w${t - 1} s JOIN adj ON adj.node = s.cur AND adj.idx = ${pick(t)})""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 to 3).map(t =>
+      s"SELECT start, walk_no, CAST($t AS INT) AS step, cur AS node FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 50),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM hi x JOIN hi y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+       |sym AS (SELECT a AS node, b AS nbr FROM p UNION ALL SELECT b, a FROM p),
+       |adj AS MATERIALIZED (
+       |  SELECT node, nbr,
+       |    CAST(row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS BIGINT) AS idx,
+       |    count(*) OVER (PARTITION BY node) AS deg
+       |  FROM sym),
+       |w0 AS MATERIALIZED (
+       |  SELECT node AS start, CAST(w.w AS INT) AS walk_no, node AS cur
+       |  FROM nodes, range(0, 2) w(w)),
+       |$stepCtes
+       |$selects
+       |ORDER BY start, walk_no, step""".stripMargin
   }
 
   /** SQL twin of the curation_pipeline composition: the text_stats
@@ -4251,6 +4351,8 @@ object QueryCatalog {
     "kcore" -> kcoreSql,
     "bfs_hops" -> bfsHopsSql,
     "connected_components" -> connectedComponentsSql,
+    "random_walks" -> randomWalksSql,
+    "knn_graph" -> knnGraphSql,
     // same graph: degree table + naive triangle counts -> 2T/(d(d-1))
     "clustering_coeff" ->
       """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),

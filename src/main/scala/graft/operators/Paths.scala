@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointBridge
 
@@ -88,5 +89,88 @@ object Paths {
     CheckpointBridge.release(frontier)
     CheckpointBridge.release(adj)
     visited
+  }
+
+  /** Deterministic "random" walks — the DeepWalk / node2vec corpus
+    * generator (Perozzi et al. 2014, public): `walksPerNode` walks of
+    * `steps` steps from every node of the canonical undirected graph,
+    * step t from node u following neighbor index
+    * `md5(start|walk|t|u) mod deg(u)` over the rank-ordered adjacency.
+    * The md5-derived choice replaces `rand()` deliberately (the
+    * [[graft.operators.Shuffling]] rule): a task retry recomputes the
+    * SAME walk, the result is partitioning-independent bit for bit,
+    * and a fixed-step SQL unroll replays every transition — while
+    * remaining uniform-ish over neighbors for the embedding-corpus use
+    * (any 32-bit avalanche is indistinguishable from uniform at
+    * realistic degrees).
+    *
+    * Output: `(start, walk_no, step, node)` — one row per visited
+    * position, step 0 = the start itself. Walks never dead-end:
+    * adjacency nodes have degree >= 1 by construction (isolated nodes
+    * have no edges and start no walks).
+    *
+    * Scale shape: the ranked adjacency (`idx` within node, `deg`
+    * carried on each row — both from ONE window pass over the same
+    * (node, nbr) sort) is checkpointed once, partitioned+sorted on the
+    * join key; each step is ONE equi-join of the one-row-per-walker
+    * state against it (the neighbor-index predicate prunes the fanout
+    * inside the joined task, nothing re-shuffles the adjacency). Step
+    * states stay persisted until the final union materializes —
+    * O(steps) bounded walker-id frames, released en bloc. Hub nodes
+    * cost a degree-sized window partition once at build time; cap
+    * hubs upstream (the [[LinkPrediction]] `maxDeg` argument) if the
+    * graph has super-nodes. */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int,
+      steps: Int
+  ): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode must be in [1, 64], got $walksPerNode")
+    require(steps >= 1 && steps <= 20, s"steps must be in [1, 20], got $steps")
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    // idx and deg ride the SAME sorted window partition -> one
+    // WindowExec (the winnowed-fingerprints lesson)
+    val byNode = Window.partitionBy("node").orderBy("nbr")
+    val adj = sym
+      .withColumn("idx", row_number().over(byNode) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        byNode.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .repartition(col("node"))
+      .sortWithinPartitions("node")
+      .localCheckpoint(true)
+    var state = adj.select("node").distinct()
+      .select(col("node").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk_no"))
+      .withColumn("cur", col("start"))
+      .localCheckpoint(true)
+    val states = scala.collection.mutable.ArrayBuffer(state)
+    val outs = scala.collection.mutable.ArrayBuffer(
+      state.select(col("start"), col("walk_no"),
+        lit(0).as("step"), col("cur").as("node")))
+    for (t <- 1 to steps) {
+      val pick = pmod(
+        conv(substring(md5(concat_ws("|",
+          col("start").cast("string"), col("walk_no").cast("string"),
+          lit(t).cast("string"), col("cur").cast("string"))), 1, 8), 16, 10)
+          .cast("long"),
+        col("deg"))
+      val next = state.join(adj,
+          state("cur") === adj("node") && adj("idx") === pick)
+        .select(col("start"), col("walk_no"), col("nbr").as("cur"))
+        .localCheckpoint(true)
+      states += next
+      state = next
+      outs += state.select(col("start"), col("walk_no"),
+        lit(t).as("step"), col("cur").as("node"))
+    }
+    val all = outs.reduce(_ unionByName _).localCheckpoint(true)
+    states.foreach(CheckpointBridge.release)
+    CheckpointBridge.release(adj)
+    all
   }
 }

@@ -324,6 +324,71 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Approximate kNN graph over the embedding column — each vector's
+    * top-`k` cosine neighbors AMONG its sign-LSH banded candidates, the
+    * semantic-neighborhood edge list that graph-based curation consumes
+    * (SemDeDup-style cluster audits, [[graft.operators.Communities]]
+    * label propagation over semantic neighbors, graph-diversity
+    * sampling, and DeepWalk-corpus generation via
+    * [[graft.operators.Paths]]). DIRECTED: a->b ranks b among a's
+    * candidates; kNN is not symmetric and the consumer decides whether
+    * to symmetrize.
+    *
+    * Recall contract: candidates come from the [[cosineNearDupPairs]]
+    * banding machinery (OR-of-ANDs S-curve) — a true neighbor sharing
+    * no band bucket is missed by construction, and a node whose buckets
+    * hold fewer than k candidates emits fewer than k edges. That is the
+    * standard ANN-graph trade; the oracle replays the SAME candidate
+    * generation, so the gate pins the implementation, not brute force
+    * (the brute twin exists as [[bruteForceTopK]]/[[topKForQueries]]).
+    *
+    * Scale shape: signature index computed once (checkpoint; persist
+    * bucketed-by-(band, bucket) at cluster scale), candidates from
+    * per-(band, bucket) equi-joins — never all-pairs — deduped on the
+    * directed pair, vectors re-joined by id (candidate rows carry ids
+    * only, the payload-free pair-dedup rule), and the per-node top-k is
+    * a row_number window whose partition is one node's candidate set —
+    * bounded by the S-curve's bucket volumes, the same bound the pair
+    * operator's verify stage already accepts. */
+  def knnGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 16,
+      bands: Int = 4,
+      dim: Option[Int] = None,
+      signature: (Column, Int, Option[Int]) => Column = lshSignature
+  ): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(nBits % bands == 0, "nBits must be divisible by bands")
+    val rowsPerBand = nBits / bands
+    val signed = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      signature(col(vecCol), nBits, dim).as("sig"))
+      .localCheckpoint(true)
+    val bandMask = (1L << rowsPerBand) - 1
+    val banded = signed.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("nbr"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id") =!= col("nbr"))
+      .select("id", "nbr")
+      .dropDuplicates("id", "nbr")
+    val vecs = signed.select(col("id"), col("vec"))
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr").asc)
+    candidates
+      .join(vecs, Seq("id"))
+      .join(vecs.select(col("id").as("nbr"), col("vec").as("__vb")), Seq("nbr"))
+      .withColumn("cosine", cosine(col("vec"), col("__vb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "nbr", "cosine", "rank")
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster-pruned cosine. Every embedding is assigned

@@ -53,4 +53,55 @@ class PathsSpec extends AnyFunSuite {
     val out = run(edges(1L -> 2L), seeds(1L, 1L, 1L), 1)
     assert(out == Map(1L -> 0, 2L -> 1), s"got $out")
   }
+
+  // ---- randomWalks -------------------------------------------------------
+
+  private def walks(e: org.apache.spark.sql.DataFrame, w: Int, steps: Int) =
+    Paths.randomWalks(e, "src", "dst", walksPerNode = w, steps = steps)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+
+  /** The operator's md5 neighbor choice, replicated independently. */
+  private def md5Pick(start: Long, walk: Int, step: Int, cur: Long, deg: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$start|$walk|$step|$cur".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(8), 16) % deg).toInt
+  }
+
+  test("randomWalks: every transition replays the md5 choice over sorted neighbors") {
+    val adj = Map(
+      1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    val out = walks(edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L), 2, 3)
+    // hand-walk every (start, walk_no) with the independent replica
+    val expected = adj.keys.flatMap { start =>
+      (0 until 2).flatMap { w =>
+        var cur = start
+        (start, w, 0, cur) +: (1 to 3).map { t =>
+          val ns = adj(cur)
+          cur = ns(md5Pick(start, w, t, cur, ns.length))
+          (start, w, t, cur)
+        }
+      }
+    }.toSet
+    assert(out.toSet == expected,
+      s"walks diverged from the replica:\n got ${out.sorted.toSeq}\n exp ${expected.toSeq.sorted}")
+  }
+
+  test("randomWalks: shape — walksPerNode x (steps+1) rows per node, step 0 is the start") {
+    val out = walks(edges(1L -> 2L, 2L -> 3L), 3, 2)
+    assert(out.length == 3 * 3 * 3, s"got ${out.length} rows")
+    assert(out.count(_._3 == 0) == 9, "one step-0 row per (node, walk)")
+    assert(out.filter(_._3 == 0).forall(r => r._1 == r._4), "step 0 must be the start")
+  }
+
+  test("randomWalks: partitioning-independent bit for bit") {
+    val e = (1L to 30L).flatMap(i => Seq(i -> (i % 30 + 1), i -> ((i + 7) % 30 + 1)))
+      .toDF("src", "dst")
+    val a = Paths.randomWalks(e.repartition(1), "src", "dst", 2, 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Paths.randomWalks(e.repartition(7), "src", "dst", 2, 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq, "walks drifted across partitionings")
+  }
 }

@@ -495,6 +495,42 @@ class SimilaritySpec extends AnyFunSuite {
       "null vectors must drop out of the params aggregate")
   }
 
+  test("knnGraph: single-bit bands admit all pairs, so the graph equals brute top-k") {
+    // rowsPerBand = 1 -> two vectors collide whenever ANY plane agrees
+    // in sign; on these clustered vectors that is every pair, so the
+    // LSH graph must coincide with an exhaustive per-node top-2
+    val vecs = Map(
+      1L -> Seq(1.0, 0.1), 2L -> Seq(0.9, 0.2), 3L -> Seq(0.8, 0.3),
+      4L -> Seq(0.1, 1.0), 5L -> Seq(0.2, 0.9))
+    val d = emb(vecs.toSeq: _*)
+    val out = Similarity.knnGraph(d, "vec_id", "embedding", k = 2,
+        nBits = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.keys.foreach { id =>
+      val brute = vecs.keys.filter(_ != id).toSeq
+        .sortBy(n => (-cos(vecs(id), vecs(n)), n)).take(2)
+      assert(out((id, 1)) == brute.head && out((id, 2)) == brute(1),
+        s"node $id: got ${out.filter(_._1._1 == id)}, brute $brute")
+    }
+  }
+
+  test("knnGraph: directed, at most k edges per node, ranks contiguous from 1") {
+    val d = emb((1L to 12L).map(i =>
+      i -> Seq(math.cos(i * 0.5), math.sin(i * 0.5))): _*)
+    val rows = Similarity.knnGraph(d, "vec_id", "embedding", k = 3,
+        nBits = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (id, es) =>
+      assert(es.length <= 3, s"node $id over k: $es")
+      assert(es.map(_._3).sorted.toSeq == (1 to es.length), s"ranks not contiguous: $es")
+      assert(es.forall(e => e._2 != id), s"self edge at $id")
+    }
+  }
+
   test("outlierScores: the far vector flags, d2 matches a hand replica") {
     // 3 near-origin vectors + one at (4, 4): mean lands near (1, 1)
     val d = emb(0L -> Seq(0.0, 0.0), 1L -> Seq(0.1, 0.0),
