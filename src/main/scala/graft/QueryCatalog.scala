@@ -7,9 +7,9 @@ import org.apache.spark.sql.types.StringType
 
 import graft.tree._
 import graft.operators.{AsOfJoin, Chunking, Communities, CountMin, Decontamination, Dedup,
-  FuzzyJoin, HeavyHitters, Hits, Keyphrases, KMeans, LinkPrediction, Multimodal, Packing,
-  PageRank, Paths, Profile, RangeJoin, Scoring, Sessionize, Shuffling, Similarity, SkewJoin,
-  SnapshotDiff, Tfidf, Triangles}
+  Eval, FuzzyJoin, HeavyHitters, Hits, Keyphrases, KMeans, LinkPrediction, Multimodal,
+  Packing, PageRank, Paths, Profile, RangeJoin, Scoring, Sessionize, Shuffling, Similarity,
+  SkewJoin, SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.sources.{IndexStore, ZOrder}
 
@@ -2292,7 +2292,47 @@ object QueryCatalog {
       Multimodal.decodeAudioMeta(media)
         .select(col("media_id"), col("sample_rate"), col("n_frames"), col("sample_sum"))
         .orderBy("media_id")
-    })
+    }),
+    // -- eval / data-selection family (Eval.scala) --------------------------
+    // Exact tie-handled Mann-Whitney AUC of a deterministic length-hash
+    // score against the lang=='en' label: distinct-score groups, the
+    // two-pass distributed cumneg prefix, DECIMAL 2U rollup, ONE double
+    // division. 499 score groups guarantee heavy ties, so the ½-tie
+    // term is genuinely exercised.
+    "score_auc" -> ((s, dir) => {
+      val d = documents(s, dir).select(
+        ((col("n_chars") % 499).cast("double") / 499.0).as("score"),
+        (col("lang") === "en").cast("int").as("label"))
+      Eval.aucScore(d, "score", "label")
+    }),
+    // Reliability bins of the same probability-like score vs the same
+    // label: exact integer evidence per bin + rounded rates. One
+    // 10-key groupBy, map-side combined.
+    "calibration_bins" -> ((s, dir) => {
+      val d = documents(s, dir).select(
+        ((col("n_chars") % 1000).cast("double") / 1000.0).as("score"),
+        (col("lang") === "en").cast("int").as("label"))
+      Eval.calibrationBins(d, "score", "label", bins = 10).orderBy("bin")
+    }),
+    // Greedy token-budget cut: best-score-first whole-doc selection
+    // until 20k whitespace tokens. Score-bucketed two-pass prefix sum;
+    // only buckets starting under the budget ever reach a window.
+    "budget_select" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"),
+        ((col("n_chars") % 499).cast("double") / 499.0).as("score"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      Eval.budgetSelect(d, "doc_id", "score", "n_tokens", budget = 20000L)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("n_tokens"), col("offset"))
+        .orderBy("offset")
+    }),
+    // Corpus-level pairwise source overlap: exact 3-gram Jaccard
+    // between the distinct-shingle sets of every source pair (disjoint
+    // pairs kept at 0). Per-shingle fan-out bounded by #sources, so no
+    // maxDf cap is ever needed.
+    "source_overlap" -> ((s, dir) =>
+      Eval.sourceOverlap(documents(s, dir), "source", "text", n = 3)
+        .orderBy("src_a", "src_b"))
   )
 
   /** Embedding of vec_id=0 as the constant query vector (float -> double
@@ -4551,7 +4591,82 @@ object QueryCatalog {
         |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
         |r3 AS (SELECT n.node, CAST(n.seed * 150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
         |       FROM sd n LEFT JOIN c3 USING (node))
-        |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
+        |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin,
+    // tie-handled Mann-Whitney replica: per-score (pos, neg) groups,
+    // cumulative negatives strictly below, integral 2U rollup, one
+    // double division — the exact arithmetic the Spark side commits to
+    "score_auc" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars % 499 AS DOUBLE) / 499.0 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+        |  FROM documents),
+        |g AS (SELECT s, sum(l) AS pos, count(*) - sum(l) AS neg FROM t GROUP BY s),
+        |c AS (
+        |  SELECT pos, neg,
+        |    coalesce(sum(neg) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM g)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+        |    / (2.0 * sum(pos) * sum(neg)), 6) AS auc
+        |FROM c""".stripMargin,
+    "calibration_bins" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars % 1000 AS DOUBLE) / 1000.0 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(floor(s * 10), 9) AS bin, count(*) AS n, sum(l) AS pos,
+        |    sum(CAST(floor(s * 1e6) AS BIGINT)) AS micro
+        |  FROM t GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(pos AS BIGINT) AS n_pos, CAST(micro AS BIGINT) AS sum_score_micro,
+        |  round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+        |  round(CAST(micro AS DOUBLE) / 1e6 / n, 6) AS avg_score
+        |FROM b ORDER BY bin""".stripMargin,
+    // the greedy cut is a plain ordered cumulative sum in SQL — the
+    // Spark side's bucketing is an execution strategy, not semantics
+    "budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars % 499 AS DOUBLE) / 499.0 AS score,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, score, n_tokens,
+        |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS "offset"
+        |  FROM t)
+        |SELECT doc_id, round(score, 6) AS score, n_tokens, "offset"
+        |FROM c WHERE "offset" + n_tokens <= 20000
+        |ORDER BY "offset"""".stripMargin,
+    // source-pair shingle-set Jaccard: same shingle CTEs as the doc
+    // dedup oracles, keyed by source; disjoint pairs joined back at 0
+    "source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sets AS (
+        |  SELECT source,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_distinct([array_to_string(tk[i + 1 : i + 3], ' ') FOR i IN range(0, len(tk) - 2)])
+        |      ELSE list_distinct([array_to_string(tk, ' ')]) END AS sh
+        |  FROM toks),
+        |ss AS (SELECT DISTINCT source, unnest(sh) AS shingle FROM sets),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM ss GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS src_a, sb.source AS src_b,
+        |  sa.sz AS size_a, sb.sz AS size_b,
+        |  coalesce(n_common, 0) AS n_common,
+        |  round(CAST(coalesce(n_common, 0) AS DOUBLE)
+        |    / (sa.sz + sb.sz - coalesce(n_common, 0)), 6) AS jaccard
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN inter ON inter.src_a = sa.source AND inter.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin
   )
 
   /** Twin of the 64/16 chunking: same single-space normalization, same

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EvalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Int)], buckets: Int = 32): Option[Double] = {
+    val r = Eval.aucScore(rows.toDF("s", "l"), "s", "l", buckets).collect().head
+    if (r.isNullAt(2)) None else Some(r.getDouble(2))
+  }
+
+  test("aucScore hand case with a tie: U = 1 + 0.5 + 2 = 3.5 over P*N = 4") {
+    assert(auc(Seq((0.1, 0), (0.2, 0), (0.2, 1), (0.3, 1))) == Some(0.875))
+  }
+
+  test("aucScore degenerate cases: separation 1.0, reversal 0.0, all-tied 0.5") {
+    assert(auc(Seq((0.1, 0), (0.2, 0), (0.3, 1), (0.4, 1))) == Some(1.0))
+    assert(auc(Seq((0.1, 1), (0.2, 1), (0.3, 0), (0.4, 0))) == Some(0.0))
+    assert(auc(Seq((0.7, 0), (0.7, 1), (0.7, 0), (0.7, 1))) == Some(0.5))
+  }
+
+  test("aucScore single-class and empty inputs give NULL auc") {
+    assert(auc(Seq((0.1, 1), (0.2, 1))) == None)
+    val r = Eval.aucScore(Seq.empty[(Double, Int)].toDF("s", "l"), "s", "l")
+      .collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
+  test("aucScore is bucketing- and partitioning-independent") {
+    val rows = (1 to 500).map(i => ((i * 37 % 100) / 100.0, i % 3 min 1))
+    val one = auc(rows, buckets = 1)
+    assert(auc(rows, buckets = 7) == one)
+    val df = rows.toDF("s", "l").repartition(13)
+    val r = Eval.aucScore(df, "s", "l").collect().head.getDouble(2)
+    assert(Some(r) == one)
+  }
+
+  test("calibrationBins clamps, bins, and keeps exact integer evidence") {
+    val df = Seq((-0.2, 0), (0.05, 0), (0.05, 1), (0.97, 1), (1.5, 1))
+      .toDF("s", "l")
+    val out = Eval.calibrationBins(df, "s", "l", bins = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // -0.2 clamps to 0.0 and 1.5 clamps to 1.0 (top bin with 0.97)
+    assert(out(0L) == ((3L, 1L, 100000L)), s"got $out")
+    assert(out(9L) == ((2L, 2L, 1970000L)), s"got $out")
+  }
+
+  test("budgetSelect: score-desc id-asc order, straddler dropped, offsets exact") {
+    val df = Seq(
+      (1L, 0.9, 6L), (2L, 0.9, 5L), (3L, 0.5, 3L), (4L, 0.2, 1L))
+      .toDF("id", "score", "cost")
+    val out = Eval.budgetSelect(df, "id", "score", "cost", budget = 10L)
+      .orderBy("offset").select("id", "offset").as[(Long, Long)].collect()
+    // order: id1 (off 0, fits), id2 (off 6, 6+5>10 dropped), id3 (off 11
+    // dropped), id4 (off 14 dropped) — the cut is positional, not knapsack
+    assert(out.toSeq == Seq((1L, 0L)))
+    val out2 = Eval.budgetSelect(df, "id", "score", "cost", budget = 15L)
+      .orderBy("offset").select("id", "offset").as[(Long, Long)].collect()
+    assert(out2.toSeq == Seq((1L, 0L), (2L, 6L), (3L, 11L), (4L, 14L)))
+  }
+
+  test("budgetSelect is bucketing- and partitioning-independent") {
+    val rows = (1 to 400).map(i => (i.toLong, (i * 37 % 100) / 100.0, (i % 7 + 1).toLong))
+    val df = rows.toDF("id", "score", "cost")
+    def sel(b: Int, parts: Int) =
+      Eval.budgetSelect(df.repartition(parts), "id", "score", "cost", 300L, b)
+        .select("id", "offset").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val base = sel(1, 1)
+    assert(base.nonEmpty)
+    assert(sel(8, 13) == base)
+    assert(sel(32, 3) == base)
+  }
+
+  test("budgetSelect rejects negative costs loudly") {
+    val df = Seq((1L, 0.5, 4L), (2L, 0.4, -1L)).toDF("id", "score", "cost")
+    val ex = intercept[Exception] {
+      Eval.budgetSelect(df, "id", "score", "cost", budget = 10L).collect()
+    }
+    assert(ex.getMessage.contains("negative cost") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative cost")))
+  }
+
+  test("sourceOverlap: exact pair Jaccard, disjoint pairs kept at zero") {
+    val df = Seq(
+      ("a", "x y z w"),      // shingles: "x y z", "y z w"
+      ("a", "x y z"),        // dup shingle within source collapses
+      ("b", "x y z q"),      // shares "x y z" with a
+      ("c", "p q r s"))      // disjoint from both
+      .toDF("source", "text")
+    val out = Eval.sourceOverlap(df, "source", "text", n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // a: {xyz, yzw}; b: {xyz, yzq}; c: {pqr, qrs}
+    assert(out(("a", "b")) == ((2L, 2L, 1L, 0.333333)), s"got $out")
+    assert(out(("a", "c")) == ((2L, 2L, 0L, 0.0)), s"got $out")
+    assert(out(("b", "c")) == ((2L, 2L, 0L, 0.0)), s"got $out")
+  }
+}
