@@ -2332,7 +2332,34 @@ object QueryCatalog {
     // maxDf cap is ever needed.
     "source_overlap" -> ((s, dir) =>
       Eval.sourceOverlap(documents(s, dir), "source", "text", n = 3)
-        .orderBy("src_a", "src_b"))
+        .orderBy("src_a", "src_b")),
+    // Integer-exact ECE over the same calibration frame: per-bin
+    // |pos·1e6 − Σmicro| longs rolled up, ONE double division.
+    "calibration_ece" -> ((s, dir) => {
+      val d = documents(s, dir).select(
+        ((col("n_chars") % 1000).cast("double") / 1000.0).as("score"),
+        (col("lang") === "en").cast("int").as("label"))
+      Eval.calibrationEce(d, "score", "label", bins = 10)
+    }),
+    // Stratified AUC: one tie-handled Mann-Whitney row per language —
+    // same DECIMAL 2U contract, prefix machinery partitioned by
+    // (group, bucket).
+    "score_auc_by_lang" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("lang"),
+        ((col("n_chars") % 499).cast("double") / 499.0).as("score"),
+        (col("source") === "web").cast("int").as("label"))
+      Eval.aucScoreBy(d, "lang", "score", "label").orderBy("lang")
+    }),
+    // Per-source unigram diagnostics: self-entropy, cross-entropy vs
+    // the corpus LM, KL — once-quantized floor(ln·1e9) logs, DECIMAL
+    // count-weighted sums, three closed-form doubles per source.
+    "source_entropy" -> ((s, dir) =>
+      Scoring.sourceEntropy(documents(s, dir), "source", "text")
+        .orderBy("source")),
+    // Zipf-law slope/intercept over the top-100 vocabulary: TakeOrdered
+    // cut, quantized-log regression from four DECIMAL-exact sums.
+    "zipf_fit" -> ((s, dir) =>
+      Scoring.zipfFit(documents(s, dir), "text", k = 100))
   )
 
   /** Embedding of vec_id=0 as the constant query vector (float -> double
@@ -4666,7 +4693,96 @@ object QueryCatalog {
         |    / (sa.sz + sb.sz - coalesce(n_common, 0)), 6) AS jaccard
         |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
         |LEFT JOIN inter ON inter.src_a = sa.source AND inter.src_b = sb.source
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+    // per-bin |pos·1e6 − micro| is exactly |pos_rate − avg_score|·n·1e6,
+    // so the ECE rollup is pure integers until the final division
+    "calibration_ece" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars % 1000 AS DOUBLE) / 1000.0 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(floor(s * 10), 9) AS bin, count(*) AS n, sum(l) AS pos,
+        |    sum(CAST(floor(s * 1e6) AS BIGINT)) AS micro
+        |  FROM t GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  round(CAST(sum(abs(pos * 1000000 - micro)) AS DOUBLE) / 1e6 / sum(n), 6)
+        |    AS ece
+        |FROM b""".stripMargin,
+    "score_auc_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(n_chars % 499 AS DOUBLE) / 499.0 AS s,
+        |    CASE WHEN source = 'web' THEN 1 ELSE 0 END AS l
+        |  FROM documents),
+        |g AS (SELECT lang, s, sum(l) AS pos, count(*) - sum(l) AS neg
+        |      FROM t GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, pos, neg,
+        |    coalesce(sum(neg) OVER (PARTITION BY lang ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM g)
+        |SELECT lang, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+        |    round(CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+        |      / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // once-quantized floor(ln·1e9) logs weighted by exact counts; the
+    // corpus table is a rollup of the (source, token) counts, never a
+    // second tokenize pass
+    "source_entropy" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |counts AS (
+        |  SELECT source, t, count(*) AS c FROM tok WHERE length(t) > 0 GROUP BY 1, 2),
+        |corpus AS (SELECT t, sum(c) AS ct FROM counts GROUP BY 1),
+        |totals AS (SELECT source, sum(c) AS ts, count(*) AS types FROM counts GROUP BY 1),
+        |grand AS (SELECT sum(ct) AS tg FROM corpus),
+        |scored AS (
+        |  SELECT counts.source, c, ts, types,
+        |    CAST(floor(ln(CAST(c AS DOUBLE) / ts) * 1e9) AS BIGINT) AS lp,
+        |    CAST(floor(ln(CAST(ct AS DOUBLE) / tg) * 1e9) AS BIGINT) AS lq
+        |  FROM counts JOIN corpus USING (t) JOIN totals USING (source), grand),
+        |agg AS (
+        |  SELECT source, max(ts) AS n_tokens, max(types) AS n_types,
+        |    sum(c * lp) AS sp, sum(c * lq) AS sq
+        |  FROM scored GROUP BY 1)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  round(-CAST(sp AS DOUBLE) / 1e9 / n_tokens, 6) AS self_entropy,
+        |  round(-CAST(sq AS DOUBLE) / 1e9 / n_tokens, 6) AS cross_entropy,
+        |  round(CAST(sp - sq AS DOUBLE) / 1e9 / n_tokens, 6) AS kl_vs_corpus
+        |FROM agg ORDER BY source""".stripMargin,
+    // HUGEINT moment sums of the same quantized logs; the 1e9 scale
+    // cancels in the slope ratio, one explicit 1e9 in the intercept
+    "zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, count(*) AS c FROM tok WHERE length(t) > 0 GROUP BY 1
+        |  ORDER BY c DESC, t ASC LIMIT 100),
+        |pts AS (
+        |  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, t ASC)
+        |      AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y
+        |  FROM vocab),
+        |s AS (
+        |  SELECT count(*) AS k, sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM pts),
+        |sl AS (
+        |  SELECT k, sx, sy,
+        |    CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
+        |      AS slope
+        |  FROM s)
+        |SELECT CAST(k AS BIGINT) AS k_used, round(slope, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / (k * 1e9), 6)
+        |    AS intercept
+        |FROM sl""".stripMargin
   )
 
   /** Twin of the 64/16 chunking: same single-space normalization, same

@@ -114,6 +114,80 @@ object Eval {
           .as("avg_score"))
   }
 
+  /** Expected calibration error over [[calibrationBins]]' bins, kept
+    * EXACT until the last step: per bin,
+    * |pos_rate − avg_score| · n/N = |pos·1e6 − sum_score_micro| / (1e6·N),
+    * so ECE = Σ_b |pos_b·1e6 − micro_b| / (1e6·N) — an integer-absolute
+    * rollup over <= `bins` rows and ONE double division. Returns one row
+    * `(n, ece)`; NULL on empty input. */
+  def calibrationEce(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10
+  ): DataFrame =
+    calibrationBins(df, scoreCol, labelCol, bins)
+      .agg(sum("n").as("__n"),
+        sum(abs(col("n_pos") * lit(1000000L) - col("sum_score_micro")))
+          .as("__num"))
+      .select(coalesce(col("__n"), lit(0L)).as("n"),
+        when(col("__n") > 0,
+          round(col("__num").cast("double") / 1e6 / col("__n"), 6)).as("ece"))
+
+  /** Per-group [[aucScore]]: one AUC row per value of `groupCol` — the
+    * stratified eval (per-language, per-source) that catches a scorer
+    * good on the majority slice and broken on a minority one. Same
+    * arithmetic contract as the global AUC; the prefix machinery
+    * partitions by (group, bucket) with GLOBAL score-range buckets (a
+    * skewed group only costs balance, never correctness), and the
+    * bucket-offset table is one compact (groups × buckets)-row window
+    * partitioned by group. */
+  def aucScoreBy(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String,
+      numBuckets: Int = 32
+  ): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val lbl = col(labelCol).cast("long")
+    val grouped = df
+      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol)) && lbl.isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(scoreCol).cast("double").as("__s"))
+      .agg(sum(lbl).as("__pos"), (count(lit(1)) - sum(lbl)).as("__neg"))
+    val mm = grouped.agg(min(col("__s")), max(col("__s"))).head()
+    if (mm.isNullAt(0))
+      return grouped.select(col("__g").as(groupCol), lit(0L).as("n_pos"),
+        lit(0L).as("n_neg"), lit(null).cast("double").as("auc")).limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
+    val bucketed = grouped.withColumn("__bucket",
+      least(floor((col("__s") - lit(lo)) / lit(span)), lit(numBuckets - 1L))
+        .cast("long"))
+    val wb = Window.partitionBy("__g").orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__g", "__bucket")
+      .agg(sum("__neg").as("__btotal"))
+      .withColumn("__boffset", coalesce(sum("__btotal").over(wb), lit(0L)))
+      .select("__g", "__bucket", "__boffset")
+    val wi = Window.partitionBy("__g", "__bucket").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    bucketed.join(offsets, Seq("__g", "__bucket"))
+      .withColumn("__cumneg",
+        col("__boffset") + coalesce(sum("__neg").over(wi), lit(0L)))
+      .groupBy("__g")
+      .agg(
+        sum("__pos").as("n_pos"),
+        sum("__neg").as("n_neg"),
+        sum(col("__pos").cast(dec) *
+          (col("__cumneg").cast(dec) * 2 + col("__neg").cast(dec))).as("__u2"))
+      .select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
   /** Greedy token-budget selection: walk documents in (`scoreCol`
     * DESC, `idCol` ASC) order and keep every row that fits ENTIRELY
     * inside the remaining budget of the running `costCol` prefix sum —

@@ -535,4 +535,119 @@ object Scoring {
           .otherwise(dupChars(col("__gdup")).cast("double") / docChars)
           .as(s"dup_${dupN}gram_char_frac"))
   }
+
+  /** Per-source unigram-distribution diagnostics against the whole
+    * corpus: token/type counts, Shannon self-entropy H(s), cross-entropy
+    * H(s, corpus), and their difference KL(s ‖ corpus) — the
+    * mixture-design signal for "this source's language is unlike the
+    * rest" (high KL) or "this source is degenerate boilerplate" (low
+    * self-entropy). The distributional complement of
+    * [[Eval.sourceOverlap]]'s set-level Jaccard.
+    *
+    * Exactness: every per-token log is quantized ONCE —
+    * `floor(ln(c/T)·1e9)` as a long — then summed in DECIMAL(38,0)
+    * weighted by the exact integer count, so the rollup is
+    * order-independent and the three outputs are each one closed-form
+    * double division. No smoothing is needed: p_s > 0 only on tokens
+    * the source contains, and every such token is in the corpus table
+    * by construction (KL(s ‖ corpus) is always finite).
+    *
+    * Shape: one tokenize pass, one (source, token) aggregate, one
+    * token aggregate rolled up from it (never a second scan), a
+    * token-keyed equi-join of the two (a hot token meets at most
+    * #sources rows), a broadcast S-row totals join, one source rollup.
+    *
+    * @param materialize eagerly `localCheckpoint` the (source, token)
+    *        count table: three plan branches read it (the join side,
+    *        the corpus rollup, the totals), and without materialization
+    *        each re-tokenizes the corpus.
+    */
+  def sourceEntropy(
+      df: DataFrame,
+      srcCol: String,
+      textCol: String,
+      materialize: Boolean = true
+  ): DataFrame = {
+    val norm = regexp_replace(
+      lower(trim(coalesce(col(textCol), lit("")))), "\\s+", " ")
+    val tok = df.select(col(srcCol).as("__src"), explode(split(norm, " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+    val counts0 = tok.groupBy("__src", "__t").agg(count(lit(1)).as("__c"))
+    val counts = if (materialize) counts0.localCheckpoint(true) else counts0
+    val corpus = counts.groupBy("__t").agg(sum("__c").as("__ct"))
+    val srcTotals = counts.groupBy("__src")
+      .agg(sum("__c").as("__ts"), count(lit(1)).as("__types"))
+    val grand = corpus.agg(sum("__ct").as("__tg"))
+    val dec = "decimal(38,0)"
+    // one quantized log per (source, token) row and per corpus token:
+    // floor(ln(count / total) * 1e9) — negative, |.| < 1e11, long-safe
+    val scored = counts
+      .join(corpus, Seq("__t"))
+      .join(broadcast(srcTotals), Seq("__src"))
+      .crossJoin(broadcast(grand))
+      .select(col("__src"), col("__c"), col("__ts"), col("__types"),
+        floor(log(col("__c").cast("double") / col("__ts")) * 1e9)
+          .cast("long").as("__lp"),
+        floor(log(col("__ct").cast("double") / col("__tg")) * 1e9)
+          .cast("long").as("__lq"))
+    scored.groupBy(col("__src"))
+      .agg(
+        first("__ts").as("n_tokens"),
+        first("__types").as("n_types"),
+        sum(col("__c").cast(dec) * col("__lp").cast(dec)).as("__sp"),
+        sum(col("__c").cast(dec) * col("__lq").cast(dec)).as("__sq"))
+      .select(col("__src").as(srcCol), col("n_tokens"), col("n_types"),
+        round(-col("__sp").cast("double") / 1e9 / col("n_tokens"), 6)
+          .as("self_entropy"),
+        round(-col("__sq").cast("double") / 1e9 / col("n_tokens"), 6)
+          .as("cross_entropy"),
+        round((col("__sp") - col("__sq")).cast("double") / 1e9 / col("n_tokens"), 6)
+          .as("kl_vs_corpus"))
+  }
+
+  /** Zipf-law fit over the top-`k` vocabulary: least-squares slope and
+    * intercept of ln(freq) against ln(rank) — natural text sits near
+    * slope ≈ −1; template/boilerplate corpora flatten, id-like noise
+    * steepens. One corpus token aggregate, a TakeOrdered top-k cut
+    * (count desc, token asc — deterministic under ties), then the
+    * closed-form regression from four DECIMAL-exact sums of
+    * once-quantized logs (`floor(ln(·)·1e9)`) over the k-row frame.
+    * Returns one row `(k_used, slope, intercept)`; both outputs are
+    * single double expressions over exact integer sums. `k` is required
+    * <= 10000 — the k-row window and TakeOrdered heap are driver-safe
+    * at any corpus size. */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
+    val norm = regexp_replace(
+      lower(trim(coalesce(col(textCol), lit("")))), "\\s+", " ")
+    val vocab = df.select(explode(split(norm, " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t").asc)
+      .limit(k)
+    // k rows from here on: the unpartitioned window is bounded by k
+    val w = Window.orderBy(col("__c").desc, col("__t").asc)
+    val dec = "decimal(38,0)"
+    val pts = vocab
+      .withColumn("__x", floor(log(row_number().over(w).cast("double")) * 1e9)
+        .cast("long"))
+      .withColumn("__y", floor(log(col("__c").cast("double")) * 1e9).cast("long"))
+    // the 1e9 quantization scale cancels in the slope ratio; the
+    // intercept keeps one explicit 1e9 division back to log units
+    pts.agg(
+        count(lit(1)).as("k_used"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum((col("__x").cast(dec)) * (col("__x").cast(dec))).as("__sxx"),
+        sum((col("__x").cast(dec)) * (col("__y").cast(dec))).as("__sxy"))
+      .withColumn("__slope",
+        (col("k_used").cast(dec) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") /
+          (col("k_used").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double"))
+      .select(col("k_used"), round(col("__slope"), 6).as("slope"),
+        round((col("__sy").cast("double") -
+          col("__slope") * col("__sx").cast("double")) /
+          (col("k_used") * 1e9), 6).as("intercept"))
+  }
 }

@@ -86,6 +86,37 @@ class EvalSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("negative cost")))
   }
 
+  test("calibrationEce: exact integer numerator, hand-checked") {
+    // bin0: n=2, pos=1, micro = 2*floor(0.05e6) = 100000
+    //   |1e6 - 100000| = 900000
+    // bin9: n=1, pos=0, micro = 970000 -> |0 - 970000| = 970000
+    // ece = (900000 + 970000) / 1e6 / 3 = 0.623333...
+    val df = Seq((0.05, 1), (0.05, 0), (0.97, 0)).toDF("s", "l")
+    val r = Eval.calibrationEce(df, "s", "l", bins = 10).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 0.623333)
+    val e = Eval.calibrationEce(Seq.empty[(Double, Int)].toDF("s", "l"), "s", "l")
+      .collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+  }
+
+  test("aucScoreBy matches per-group aucScore and handles single-class groups") {
+    val rows = (1 to 300).map { i =>
+      (s"g${i % 3}", (i * 37 % 100) / 100.0, (i * 53 % 100) / 50)
+    } ++ Seq(("solo", 0.5, 1), ("solo", 0.6, 1)) // single-class group
+    val df = rows.toDF("g", "s", "l")
+    val by = Eval.aucScoreBy(df, "g", "s", "l").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val sub = rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("s", "l")
+      val r = Eval.aucScore(sub, "s", "l").collect().head
+      assert(by(g) == ((r.getLong(0), r.getLong(1), Some(r.getDouble(2)))), s"group $g")
+    }
+    assert(by("solo") == ((2L, 0L, None)))
+  }
+
   test("sourceOverlap: exact pair Jaccard, disjoint pairs kept at zero") {
     val df = Seq(
       ("a", "x y z w"),      // shingles: "x y z", "y z w"

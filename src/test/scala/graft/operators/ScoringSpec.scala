@@ -284,4 +284,67 @@ class ScoringSpec extends AnyFunSuite {
     val b = Scoring.pmiCollocations(d, "doc_id", "text", k = 5, minCount = 1).collect().toSeq
     assert(a == b, "the cut must be deterministic run to run")
   }
+
+  test("sourceEntropy matches an independent quantized-log hand replica") {
+    // a: {x:2, y:1} T=3; b: {x:1, z:1} T=2; corpus: {x:3, y:1, z:1} T=5
+    val df = Seq(("a", "x x y"), ("b", "x z")).toDF("source", "text")
+    def q(v: Double) = math.floor(v * 1e9).toLong
+    def rep(cs: Map[String, Long], corpus: Map[String, Long]) = {
+      val t = cs.values.sum
+      val tg = corpus.values.sum
+      val sp = cs.map { case (k, c) => c * q(math.log(c.toDouble / t)) }.sum
+      val sq = cs.map { case (k, c) => c * q(math.log(corpus(k).toDouble / tg)) }.sum
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      (t, cs.size.toLong, r6(-sp.toDouble / 1e9 / t), r6(-sq.toDouble / 1e9 / t),
+        r6((sp - sq).toDouble / 1e9 / t))
+    }
+    val corpus = Map("x" -> 3L, "y" -> 1L, "z" -> 1L)
+    val exp = Map(
+      "a" -> rep(Map("x" -> 2L, "y" -> 1L), corpus),
+      "b" -> rep(Map("x" -> 1L, "z" -> 1L), corpus))
+    val out = Scoring.sourceEntropy(df, "source", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out == exp, s"got $out expected $exp")
+    // KL >= 0 up to quantization slack; identical-distribution source
+    // of the whole corpus would give exactly 0
+    assert(out.values.forall(_._5 >= -1e-6))
+  }
+
+  test("sourceEntropy is partitioning-independent bit for bit") {
+    val rows = (1 to 200).map(i => (s"s${i % 4}", s"tok${i % 17} tok${i % 5} tok${i % 29}"))
+    val a = Scoring.sourceEntropy(rows.toDF("source", "text"), "source", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Scoring
+      .sourceEntropy(rows.toDF("source", "text").repartition(13), "source", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("zipfFit recovers slope -1 on an exact 1/r corpus, intercept ln(C)") {
+    // counts C/r for r=1..10 with C=2520 (divisible by 1..10)
+    val C = 2520
+    val docs = (1 to 10).flatMap { r =>
+      val tok = f"t$r%02d"
+      Seq.fill(C / r)(tok)
+    }.grouped(500).map(_.mkString(" ")).map(Tuple1(_)).toSeq
+    val out = Scoring.zipfFit(docs.toDF("text"), "text", k = 10).collect().head
+    assert(out.getLong(0) == 10L)
+    assert(math.abs(out.getDouble(1) + 1.0) < 1e-5, s"slope ${out.getDouble(1)}")
+    assert(math.abs(out.getDouble(2) - math.log(C)) < 1e-4,
+      s"intercept ${out.getDouble(2)} vs ${math.log(C)}")
+  }
+
+  test("zipfFit k bounds and deterministic tie handling") {
+    intercept[IllegalArgumentException] {
+      Scoring.zipfFit(Seq(Tuple1("a b")).toDF("text"), "text", k = 1)
+    }
+    // ties in counts: any rank assignment among ties yields the same
+    // moment sums (equal y), so repeated runs agree exactly
+    val df = Seq(Tuple1("a b c d a b c d a a b b")).toDF("text")
+    val r1 = Scoring.zipfFit(df, "text", k = 4).collect().head.toString
+    val r2 = Scoring.zipfFit(df.repartition(7), "text", k = 4).collect().head.toString
+    assert(r1 == r2)
+  }
 }
