@@ -2359,7 +2359,22 @@ object QueryCatalog {
     // Zipf-law slope/intercept over the top-100 vocabulary: TakeOrdered
     // cut, quantized-log regression from four DECIMAL-exact sums.
     "zipf_fit" -> ((s, dir) =>
-      Scoring.zipfFit(documents(s, dir), "text", k = 100))
+      Scoring.zipfFit(documents(s, dir), "text", k = 100)),
+    // PSI distributional drift on n_chars between the corpus and a
+    // deterministically shifted re-delivery: old-range bins, Laplace
+    // terms quantized to floor(term*1e12) longs per bin.
+    "quality_psi" -> ((s, dir) => {
+      val old = documents(s, dir)
+      val neu = old.where(col("doc_id") % 20 >= 2)
+        .select((col("n_chars") + col("doc_id") % 200).as("n_chars"))
+      Profile.psi(old, neu, "n_chars", bins = 10).orderBy("bin")
+    }),
+    "quality_psi_total" -> ((s, dir) => {
+      val old = documents(s, dir)
+      val neu = old.where(col("doc_id") % 20 >= 2)
+        .select((col("n_chars") + col("doc_id") % 200).as("n_chars"))
+      Profile.psiTotal(old, neu, "n_chars", bins = 10)
+    })
   )
 
   /** Embedding of vec_id=0 as the constant query vector (float -> double
@@ -4782,8 +4797,60 @@ object QueryCatalog {
         |SELECT CAST(k AS BIGINT) AS k_used, round(slope, 6) AS slope,
         |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / (k * 1e9), 6)
         |    AS intercept
-        |FROM sl""".stripMargin
+        |FROM sl""".stripMargin,
+    // old-range equal-width bins, edge-clamped new values, Laplace
+    // (c+1)/(N+bins) probabilities, one quantized term per bin
+    "quality_psi" -> psiSql(total = false),
+    "quality_psi_total" -> psiSql(total = true)
   )
+
+  /** Shared PSI oracle: per-bin terms or the scalar rollup. */
+  private def psiSql(total: Boolean): String = {
+    val core =
+      """WITH oldsnap AS (SELECT n_chars FROM documents),
+        |newsnap AS (
+        |  SELECT n_chars + doc_id % 200 AS n_chars FROM documents
+        |  WHERE doc_id % 20 >= 2),
+        |mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+        |              CAST(max(n_chars) AS DOUBLE) AS hi FROM oldsnap),
+        |sp AS (SELECT lo, greatest((hi - lo) / 10.0, 2.2250738585072014e-308)
+        |         AS span FROM mm),
+        |ob AS (
+        |  SELECT least(greatest(floor((CAST(n_chars AS DOUBLE) - lo) / span), 0), 9)
+        |    AS bin, count(*) AS o FROM oldsnap, sp WHERE n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |nb AS (
+        |  SELECT least(greatest(floor((CAST(n_chars AS DOUBLE) - lo) / span), 0), 9)
+        |    AS bin, count(*) AS n FROM newsnap, sp WHERE n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |spine AS (SELECT unnest(range(10)) AS bin),
+        |j AS (
+        |  SELECT spine.bin, coalesce(o, 0) AS n_old, coalesce(n, 0) AS n_new
+        |  FROM spine LEFT JOIN ob ON ob.bin = spine.bin
+        |  LEFT JOIN nb ON nb.bin = spine.bin),
+        |t AS (SELECT sum(n_old) AS toT, sum(n_new) AS tn FROM j),
+        |terms AS (
+        |  SELECT bin, n_old, n_new,
+        |    CAST(floor(
+        |      (CAST(n_old + 1 AS DOUBLE) / (toT + 10)
+        |        - CAST(n_new + 1 AS DOUBLE) / (tn + 10))
+        |      * ln((CAST(n_old + 1 AS DOUBLE) / (toT + 10))
+        |        / (CAST(n_new + 1 AS DOUBLE) / (tn + 10))) * 1e12)
+        |      AS BIGINT) AS psi_term_micro
+        |  FROM j, t)""".stripMargin
+    if (total)
+      core +
+        """
+          |SELECT CAST(sum(n_old) AS BIGINT) AS n_old,
+          |  CAST(sum(n_new) AS BIGINT) AS n_new,
+          |  round(CAST(sum(psi_term_micro) AS DOUBLE) / 1e12, 6) AS psi
+          |FROM terms""".stripMargin
+    else
+      core +
+        """
+          |SELECT CAST(bin AS BIGINT) AS bin, n_old, n_new, psi_term_micro
+          |FROM terms ORDER BY bin""".stripMargin
+  }
 
   /** Twin of the 64/16 chunking: same single-space normalization, same
     * 1-based inclusive token slice, same max(1, ceil((n-overlap)/stride))

@@ -95,4 +95,83 @@ object Profile {
           not(col("old_max_value") <=> col("new_max_value"))).as("bounds_changed"))
       .orderBy("column_name")
   }
+
+  /** Population stability index between two snapshots of a numeric
+    * column — the DISTRIBUTIONAL drift gate [[drift]]'s exact-bounds
+    * flags can't express (a column whose min/max/nulls hold steady can
+    * still migrate mass between the middle bins). One row per bin:
+    * `(bin, n_old, n_new, psi_term_micro)`; Σ psi_term_micro / 1e12 is
+    * the PSI (industry rule of thumb: > 0.1 investigate, > 0.25 act) —
+    * [[psiTotal]] does that rollup.
+    *
+    * Binning: `bins` equal-width buckets over the OLD snapshot's
+    * [min, max] (two driver scalars — the reference frame stays fixed
+    * so the number means the same thing release over release); new
+    * values outside the old range clamp into the edge bins, which is
+    * exactly where a range excursion should register. Every bin 0..
+    * bins-1 is emitted (a bin both snapshots miss still carries the
+    * Laplace-smoothing term).
+    *
+    * Exactness: per-bin Laplace probabilities p = (c_old+1)/(N_old+bins),
+    * q = (c_new+1)/(N_new+bins); the term (p−q)·ln(p/q) is ONE
+    * closed-form double per bin over exact integer counts, quantized
+    * once to `floor(term·1e12)` — so the total is an exact integer sum,
+    * order-independent and engine-replayable (each term is >= 0, so
+    * quantization under-counts by < bins/1e12). NULLs are excluded from
+    * both counts (they are [[drift]]'s `null_delta` signal, not a bin).
+    *
+    * Scale shape: two scan-speed single-pass bin aggregates (<= bins
+    * keys, map-side combined), a bins-row outer join against a
+    * `spark.range(bins)` spine, zero corpus-sized shuffles. */
+  def psi(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      valueCol: String,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val mm = oldDf.agg(min(col(valueCol).cast("double")),
+      max(col(valueCol).cast("double"))).head()
+    require(!mm.isNullAt(0),
+      s"Profile.psi: old snapshot has no non-null $valueCol rows")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = math.max((hi - lo) / bins, java.lang.Double.MIN_NORMAL)
+    def binned(df: DataFrame, cnt: String): DataFrame = df
+      .where(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .groupBy(least(greatest(
+          floor((col(valueCol).cast("double") - lit(lo)) / lit(span)), lit(0L)),
+        lit(bins - 1L)).cast("long").as("bin"))
+      .agg(count(lit(1)).as(cnt))
+    val spine = oldDf.sparkSession.range(bins).select(col("id").as("bin"))
+    // bins rows, eagerly materialized: the totals rollup and the term
+    // projection both read it, and recomputing would re-scan both
+    // snapshots
+    val joined = spine
+      .join(binned(oldDf, "__o"), Seq("bin"), "left")
+      .join(binned(newDf, "__n"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__o"), lit(0L)).as("n_old"),
+        coalesce(col("__n"), lit(0L)).as("n_new"))
+      .localCheckpoint(true)
+    val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val p = (col("n_old") + 1).cast("double") / (col("__to") + bins)
+    val q = (col("n_new") + 1).cast("double") / (col("__tn") + bins)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        floor((p - q) * log(p / q) * 1e12).cast("long").as("psi_term_micro"))
+  }
+
+  /** Scalar rollup of [[psi]]: `(n_old, n_new, psi)` — exact integer
+    * term sum, ONE double division. */
+  def psiTotal(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      valueCol: String,
+      bins: Int = 10
+  ): DataFrame =
+    psi(oldDf, newDf, valueCol, bins)
+      .agg(sum("n_old").as("n_old"), sum("n_new").as("n_new"),
+        sum("psi_term_micro").as("__t"))
+      .select(col("n_old"), col("n_new"),
+        round(col("__t").cast("double") / 1e12, 6).as("psi"))
 }

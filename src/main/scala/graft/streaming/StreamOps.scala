@@ -785,4 +785,24 @@ object StreamOps {
       .join(broadcast(thresholds), Seq(strataCol))
       .where(col("quality") > col("__thr"))
       .drop("__thr")
+
+  /** Streaming calibration monitor: the batch
+    * [[graft.operators.Eval.calibrationBins]] VERBATIM on a stream of
+    * (score, label) rows — the whole aggregate keys on <= `bins` values
+    * with three exact integer counters each, so complete-mode state is
+    * bounded at `bins` rows BY CONSTRUCTION (the [[cmsSketch]]
+    * argument), and at every micro-batch point the table equals the
+    * batch operator on the concatenation (identity-tested). This is
+    * the live "is the quality scorer drifting" dashboard feed; the AUC
+    * twin deliberately does NOT exist — [[graft.operators.Eval.aucScore]]
+    * takes a driver action for its score-range buckets and its
+    * distinct-score state is corpus-sized, so run it batch, on a
+    * snapshot. */
+  def calibrationBins(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10
+  ): DataFrame =
+    graft.operators.Eval.calibrationBins(scored, scoreCol, labelCol, bins)
 }

@@ -3,9 +3,9 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Communities, Dedup, FuzzyJoin, HeavyHitters, Hits,
-  Keyphrases, LinkPrediction, Multimodal, Packing, PageRank, Profile, Scoring,
-  Sessionize, Similarity, SnapshotDiff, Tfidf, Triangles}
+import graft.operators.{Communities, Dedup, Eval, FuzzyJoin, HeavyHitters, Hits,
+  Keyphrases, LinkPrediction, Multimodal, Packing, PageRank, Paths, Profile,
+  Scoring, Sessionize, Similarity, SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -429,6 +429,78 @@ object ScalingProbe {
       ("link_prediction_uncapped", Seq(1, 10), nx =>
         LinkPrediction.scores(edgesDf(nx), "src", "dst", minCommon = 2L)
           .write.format("noop").mode("overwrite").save()),
+      // r14 second half: multi-source BFS (64 fixed seeds, 4 hops) —
+      // per round one frontier-keyed join against the pre-laid-out
+      // adjacency; only the frontier shuffles, so the curve should
+      // track the edge count
+      ("bfs_hops", Seq(1, 10, 100), nx => {
+        val seeds = edgesDf(nx).select(col("src").as("node"))
+          .where(col("src") % 100 === 0).distinct()
+        Paths.bfsDistances(edgesDf(nx), "src", "dst", seeds, "node", maxHops = 4)
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // large-star/small-star contraction: O(log n) rounds, each two
+      // edge-keyed aggregates — the general-graph cluster primitive
+      ("connected_components", Seq(1, 10, 100), nx =>
+        Communities.connectedComponents(edgesDf(nx), "src", "dst")
+          .write.format("noop").mode("overwrite").save()),
+      // deterministic DeepWalk corpus: one walker-state equi-join per
+      // step against the once-built ranked adjacency; walkers = 2 x
+      // nodes, so the curve tracks nodes, not edges^2
+      ("random_walks", Seq(1, 10, 100), nx =>
+        Paths.randomWalks(edgesDf(nx), "src", "dst", walksPerNode = 2, steps = 3)
+          .write.format("noop").mode("overwrite").save()),
+      // approximate kNN graph over embeddings: banded sign-LSH
+      // candidates + per-node top-k window. The signature WIDTH is the
+      // scale knob (the SemDeDup nlist analogue): bits-per-band grows
+      // a bit FASTER than log2(n) (320 -> 200 -> 31 vectors/bucket)
+      // because the verify join ships two 64-dim vectors per candidate
+      // pair — the real scale bound is candidate VOLUME x payload, not
+      // bucket count. At the catalog default (16 bits) a 510k corpus
+      // puts 32k vectors in each of 16 buckets and the candidate join
+      // goes quadratic (measured: filled the disk); at 48 bits the
+      // pair count is fine but 2.5e8 pairs x 1 KB of vector payload
+      // still spills ~250 GB (measured) — 56 bits holds the verify
+      // volume at the 10x decade's level. At cluster scale, verify
+      // against SQ8/PQ codes instead of raw vectors to cut the payload
+      // 8-64x (the Similarity PQ stack exists for exactly this).
+      ("knn_graph", Seq(1, 10, 100), nx => {
+        val nBits = if (nx >= 100) 56 else if (nx >= 10) 32 else 16
+        Similarity.knnGraph(embs(nx), "vec_id", "embedding", k = 5,
+            nBits = nBits, bands = 4)
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // r14 eval family. source_entropy: one (source, token) aggregate
+      // + a token-keyed equi-join whose per-key fan-out is bounded by
+      // #sources; the curve should track distinct (source, token)
+      ("source_entropy", Seq(1, 10, 100), nx =>
+        Scoring.sourceEntropy(docs(nx), "source", "text")
+          .write.format("noop").mode("overwrite").save()),
+      // source_overlap: ONE corpus-sized distinct, then joins bounded
+      // at C(S,2) per shingle — must stay distinct-bound
+      ("source_overlap", Seq(1, 10, 100), nx =>
+        Eval.sourceOverlap(docs(nx), "source", "text", n = 3)
+          .write.format("noop").mode("overwrite").save()),
+      // score_auc: the corpus-sized shuffle is the per-score groupBy;
+      // the prefix machinery above it is bucket-bounded
+      ("score_auc", Seq(1, 10, 100), nx => {
+        val d = docs(nx).select(
+          ((col("n_chars") % 499).cast("double") / 499.0).as("score"),
+          (col("lang") === "en").cast("int").as("label"))
+        Eval.aucScore(d, "score", "label")
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // budget_select with a budget pinned at ~1% of the 1x corpus
+      // tokens: the bucket prune should keep the window work CONSTANT
+      // while the scan grows — the flattest curve in the family
+      ("budget_select", Seq(1, 10, 100), nx => {
+        val d = docs(nx).select(col("doc_id"),
+          ((col("n_chars") % 499).cast("double") / 499.0).as("score"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        Eval.budgetSelect(d, "doc_id", "score", "n_tokens",
+            budget = 200000L, numBuckets = 64)
+          .write.format("noop").mode("overwrite").save()
+      }),
       ("fit_depth4_entropy_scalable", Seq(1, 10), nx => {
         val df = fitDf(nx)
         val model = DecisionTreeClassifier(maxDepth = Some(4),
@@ -469,7 +541,10 @@ object ScalingProbe {
           else if (name.startsWith("multimodal")) mediaRows
           else if (name.startsWith("pagerank") || name.startsWith("triangle") ||
             name.startsWith("kcore") || name.startsWith("label_propagation") ||
-            name.startsWith("link_prediction") || name.startsWith("hits")) edgeRows
+            name.startsWith("link_prediction") || name.startsWith("hits") ||
+            name.startsWith("bfs_hops") || name.startsWith("connected_components") ||
+            name.startsWith("random_walks")) edgeRows
+          else if (name.startsWith("knn_graph")) embRows
           else if (name.startsWith("event_ewma"))
             Seq(1, 10, 100).map(nx => nx -> 500000L * nx).toMap
           else docRows

@@ -36,6 +36,58 @@ class ProfileSpec extends AnyFunSuite {
     assert(out.isNullAt(4) && out.isNullAt(5))
   }
 
+  test("psi: identical snapshots give exactly zero on every bin") {
+    val df = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
+    val bins = Profile.psi(df, df, "v", bins = 5).collect()
+    assert(bins.length == 5)
+    assert(bins.forall(_.getLong(3) == 0L), "p == q => term exactly 0")
+    val tot = Profile.psiTotal(df, df, "v", bins = 5).collect().head
+    assert(tot.getLong(0) == 100L && tot.getLong(1) == 100L)
+    assert(tot.getDouble(2) == 0.0)
+  }
+
+  test("psi: shifted distribution is positive; matches a hand replica") {
+    val old = (1 to 100).map(i => Tuple1(i.toLong)).toDF("v")
+    val neu = (1 to 100).map(i => Tuple1(i.toLong + 40)).toDF("v")
+    val out = Profile.psi(old, neu, "v", bins = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // old range [1,100], span 24.75; old: 25/bin. new 41..140: values
+    // past 100 clamp into bin 3.
+    val span = 99.0 / 4
+    val expOld = (0 until 4).map { b =>
+      (1L to 100L).count { v =>
+        val bin = math.min(math.max(math.floor((v - 1.0) / span), 0), 3)
+        bin == b
+      }.toLong
+    }
+    val expNew = (0 until 4).map { b =>
+      (41L to 140L).count { v =>
+        val bin = math.min(math.max(math.floor((v - 1.0) / span), 0), 3)
+        bin == b
+      }.toLong
+    }
+    for (b <- 0 until 4) {
+      assert(out(b.toLong)._1 == expOld(b), s"bin $b old")
+      assert(out(b.toLong)._2 == expNew(b), s"bin $b new")
+      val p = (expOld(b) + 1).toDouble / (100 + 4)
+      val q = (expNew(b) + 1).toDouble / (100 + 4)
+      assert(out(b.toLong)._3 == math.floor((p - q) * math.log(p / q) * 1e12).toLong,
+        s"bin $b term")
+    }
+    val tot = Profile.psiTotal(old, neu, "v", bins = 4).collect().head
+    assert(tot.getDouble(2) > 0.1, s"a 40% shift must trip the PSI alarm, got $tot")
+  }
+
+  test("psi: nulls excluded, empty old snapshot rejected loudly") {
+    val old = Seq(Some(1L), Some(2L), None, Some(3L)).toDF("v")
+    val neu = Seq(Some(1L), None).toDF("v")
+    val tot = Profile.psiTotal(old, neu, "v", bins = 2).collect().head
+    assert(tot.getLong(0) == 3L && tot.getLong(1) == 1L)
+    intercept[IllegalArgumentException] {
+      Profile.psi(Seq.empty[Option[Long]].toDF("v"), neu, "v")
+    }
+  }
+
   test("output is ordered by column name; unknown columns are rejected") {
     assert(Profile.columns(frame, Seq("v", "id", "s")).collect().map(_.getString(0)).toSeq
       == Seq("id", "s", "v"))

@@ -616,6 +616,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming calibration bins (complete mode) equal the batch bins at every point") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Double, Int)]
+    val q = StreamOps.calibrationBins(input.toDF().toDF("s", "l"), "s", "l", bins = 10)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("calib_stream").start()
+    def snapshot: Set[String] =
+      spark.table("calib_stream").collect().map(_.toString).toSet
+    def batch(data: Seq[(Double, Int)]): Set[String] =
+      graft.operators.Eval.calibrationBins(data.toDF("s", "l"), "s", "l", 10)
+        .collect().map(_.toString).toSet
+    try {
+      val b1 = Seq((0.05, 1), (0.12, 0), (0.05, 0))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(snapshot == batch(b1))
+      val b2 = Seq((0.97, 1), (1.5, 1), (-0.2, 0), (0.12, 1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(snapshot == batch(b1 ++ b2))
+      assert(snapshot.size <= 10, "state bounded at bins rows")
+    } finally q.stop()
+  }
+
   test("streaming fuzzy match per micro-batch: union == batch pairs on the concatenation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
