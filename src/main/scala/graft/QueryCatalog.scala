@@ -2374,8 +2374,42 @@ object QueryCatalog {
       val neu = old.where(col("doc_id") % 20 >= 2)
         .select((col("n_chars") + col("doc_id") % 200).as("n_chars"))
       Profile.psiTotal(old, neu, "n_chars", bins = 10)
+    }),
+    // Full PR curve over a noisy-but-correlated label (high scores are
+    // ~10/11 positive): exact suffix confusion counts per distinct
+    // threshold from the shared AUC prefix frame.
+    "pr_curve" -> ((s, dir) =>
+      Eval.prCurve(prLabeled(s, dir), "score", "label").orderBy("threshold")),
+    // Deployment argmin: smallest threshold whose precision meets 0.9;
+    // integer-micro gate, min(struct) winner.
+    "threshold_for_precision" -> ((s, dir) =>
+      Eval.thresholdForPrecision(prLabeled(s, dir), "score", "label",
+        targetPrecision = 0.9)),
+    // Power-law exponent of the co-supply graph's degree sequence —
+    // zipfFitCounts on the multi-edge degree table (hub detection at a
+    // glance: slopes far from the text corpus's -1 flag hub-and-spoke
+    // topology before any quadratic operator trips on it).
+    "degree_zipf" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val deg = pairs.select(col("src").as("node"))
+        .unionAll(pairs.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      Scoring.zipfFitCounts(deg, "node", "deg", k = 50)
     })
   )
+
+  /** Shared fixture for the PR-family entries: length-hash score and a
+    * label that agrees with (score > 0.5) except on every 11th doc. */
+  private def prLabeled(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      ((col("n_chars") % 499).cast("double") / 499.0).as("score"),
+      ((col("n_chars") % 499 > 249) =!= (col("doc_id") % 11 === 0))
+        .cast("int").as("label"))
 
   /** Embedding of vec_id=0 as the constant query vector (float -> double
     * widening is exact). One tiny driver collect, not part of the scored
@@ -4772,37 +4806,104 @@ object QueryCatalog {
     // HUGEINT moment sums of the same quantized logs; the 1e9 scale
     // cancels in the slope ratio, one explicit 1e9 in the intercept
     "zipf_fit" ->
-      """WITH tok AS (
+      ("""WITH tok AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
         |  FROM documents),
-        |vocab AS (
+        |top AS (
         |  SELECT t, count(*) AS c FROM tok WHERE length(t) > 0 GROUP BY 1
-        |  ORDER BY c DESC, t ASC LIMIT 100),
-        |pts AS (
-        |  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, t ASC)
-        |      AS DOUBLE)) * 1e9) AS BIGINT) AS x,
-        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y
-        |  FROM vocab),
-        |s AS (
-        |  SELECT count(*) AS k, sum(CAST(x AS HUGEINT)) AS sx,
-        |    sum(CAST(y AS HUGEINT)) AS sy,
-        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
-        |    sum(CAST(x AS HUGEINT) * y) AS sxy
-        |  FROM pts),
-        |sl AS (
-        |  SELECT k, sx, sy,
-        |    CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
-        |      AS slope
-        |  FROM s)
-        |SELECT CAST(k AS BIGINT) AS k_used, round(slope, 6) AS slope,
-        |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / (k * 1e9), 6)
-        |    AS intercept
-        |FROM sl""".stripMargin,
+        |  ORDER BY c DESC, t ASC LIMIT 100)""".stripMargin + zipfTailSql("t")),
+    // same regression tail over the co-supply multi-edge degree table
+    "degree_zipf" ->
+      ("""WITH li AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 50),
+        |e AS (
+        |  SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |deg AS (
+        |  SELECT node, count(*) AS c FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY 1),
+        |top AS (SELECT node, c FROM deg ORDER BY c DESC, node ASC LIMIT 50)"""
+        .stripMargin + zipfTailSql("node")),
     // old-range equal-width bins, edge-clamped new values, Laplace
     // (c+1)/(N+bins) probabilities, one quantized term per bin
     "quality_psi" -> psiSql(total = false),
-    "quality_psi_total" -> psiSql(total = true)
+    "quality_psi_total" -> psiSql(total = true),
+    // suffix confusion counts per distinct score (totals minus
+    // strictly-below cumulatives); "precision" quoted — DOUBLE
+    // PRECISION makes it a keyword
+    "pr_curve" ->
+      (prCumSql +
+        """
+          |SELECT s AS threshold, CAST(P - cumpos AS BIGINT) AS tp,
+          |  CAST(N - cumneg AS BIGINT) AS fp,
+          |  round(CAST(P - cumpos AS DOUBLE)
+          |    / (P - cumpos + (N - cumneg)), 6) AS "precision",
+          |  CASE WHEN P > 0
+          |    THEN round(CAST(P - cumpos AS DOUBLE) / P, 6) END AS recall,
+          |  CASE WHEN P > 0 THEN round(2.0 * (P - cumpos)
+          |    / (P - cumpos + (N - cumneg) + P), 6) END AS f1
+          |FROM c, tot ORDER BY threshold""".stripMargin),
+    // integer-micro precision gate + arg_min winner; empty filter set
+    // aggregates to the same all-NULL single row as the Spark side
+    "threshold_for_precision" ->
+      (prCumSql +
+        """,
+          |f AS (
+          |  SELECT s, P - cumpos AS tp, P - cumpos + (N - cumneg) AS sel
+          |  FROM c, tot
+          |  WHERE (P - cumpos) * 1000000 >= (P - cumpos + (N - cumneg)) * 900000)
+          |SELECT min(s) AS threshold, CAST(arg_min(tp, s) AS BIGINT) AS tp,
+          |  CAST(arg_min(sel, s) AS BIGINT) AS selected,
+          |  round(CAST(arg_min(tp, s) AS DOUBLE) / arg_min(sel, s), 6)
+          |    AS "precision"
+          |FROM f""".stripMargin)
   )
+
+  /** Shared regression tail for the zipf-family oracles: expects a
+    * `top` CTE with `(item, c)`; `item` is the tie-break column. */
+  private def zipfTailSql(item: String): String =
+    s""",
+       |pts AS (
+       |  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, $item ASC)
+       |      AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y
+       |  FROM top),
+       |s AS (
+       |  SELECT count(*) AS k, sum(CAST(x AS HUGEINT)) AS sx,
+       |    sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM pts),
+       |sl AS (
+       |  SELECT k, sx, sy,
+       |    CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)
+       |      AS slope
+       |  FROM s)
+       |SELECT CAST(k AS BIGINT) AS k_used, round(slope, 6) AS slope,
+       |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / (k * 1e9), 6)
+       |    AS intercept
+       |FROM sl""".stripMargin
+
+  /** Shared CTEs for the PR-family oracles: per-score (pos, neg)
+    * groups, strictly-below cumulatives, and class totals over the
+    * [[prLabeled]] fixture. */
+  private lazy val prCumSql =
+    """WITH t AS (
+      |  SELECT CAST(n_chars % 499 AS DOUBLE) / 499.0 AS s,
+      |    CASE WHEN (n_chars % 499 > 249) != (doc_id % 11 = 0)
+      |      THEN 1 ELSE 0 END AS l
+      |  FROM documents),
+      |g AS (SELECT s, sum(l) AS pos, count(*) - sum(l) AS neg FROM t GROUP BY s),
+      |tot AS (SELECT sum(pos) AS P, sum(neg) AS N FROM g),
+      |c AS (
+      |  SELECT s,
+      |    coalesce(sum(pos) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpos,
+      |    coalesce(sum(neg) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      |  FROM g)""".stripMargin
 
   /** Shared PSI oracle: per-bin terms or the scalar rollup. */
   private def psiSql(total: Boolean): String = {

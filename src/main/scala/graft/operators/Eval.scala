@@ -46,35 +46,13 @@ object Eval {
       labelCol: String,
       numBuckets: Int = 32
   ): DataFrame = {
-    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
-    val lbl = col(labelCol).cast("long")
-    val grouped = df
-      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol)) && lbl.isNotNull)
-      .groupBy(col(scoreCol).cast("double").as("__s"))
-      .agg(sum(lbl).as("__pos"), (count(lit(1)) - sum(lbl)).as("__neg"))
-    val mm = grouped.agg(min(col("__s")), max(col("__s"))).head()
-    val empty = grouped.sparkSession.range(1).select(
-      lit(0L).as("n_pos"), lit(0L).as("n_neg"),
-      lit(null).cast("double").as("auc"))
-    if (mm.isNullAt(0)) return empty
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    // span > 0 even when all scores coincide; bucket id clamps into range
-    val span = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
-    val bucketed = grouped.withColumn("__bucket",
-      least(floor((col("__s") - lit(lo)) / lit(span)), lit(numBuckets - 1L))
-        .cast("long"))
-    val wb = Window.orderBy("__bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__bucket")
-      .agg(sum("__neg").as("__btotal"))
-      .withColumn("__boffset", coalesce(sum("__btotal").over(wb), lit(0L)))
-      .select("__bucket", "__boffset")
-    val wi = Window.partitionBy("__bucket").orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = scoreCumulatives(df, scoreCol, labelCol, numBuckets)
+    if (cum.isEmpty)
+      return df.sparkSession.range(1).select(
+        lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+        lit(null).cast("double").as("auc"))
     val dec = "decimal(38,0)"
-    bucketed.join(broadcast(offsets), Seq("__bucket"))
-      .withColumn("__cumneg",
-        col("__boffset") + coalesce(sum("__neg").over(wi), lit(0L)))
+    cum.get
       .agg(
         sum("__pos").as("n_pos"),
         sum("__neg").as("n_neg"),
@@ -84,6 +62,49 @@ object Eval {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round(col("__u2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /** Shared prefix frame for the threshold-sweep family ([[aucScore]],
+    * [[prCurve]], [[thresholdForPrecision]]): one row per distinct
+    * score with `(__s, __pos, __neg, __cumpos, __cumneg)` where the
+    * cumulatives count rows STRICTLY BELOW the score. None on empty
+    * input. The distributed two-pass design documented on
+    * [[aucScore]]; both cumulatives ride the same windows. */
+  private def scoreCumulatives(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      numBuckets: Int
+  ): Option[DataFrame] = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val lbl = col(labelCol).cast("long")
+    val grouped = df
+      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol)) && lbl.isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(sum(lbl).as("__pos"), (count(lit(1)) - sum(lbl)).as("__neg"))
+    val mm = grouped.agg(min(col("__s")), max(col("__s"))).head()
+    if (mm.isNullAt(0)) return None
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    // span > 0 even when all scores coincide; bucket id clamps into range
+    val span = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
+    val bucketed = grouped.withColumn("__bucket",
+      least(floor((col("__s") - lit(lo)) / lit(span)), lit(numBuckets - 1L))
+        .cast("long"))
+    val wb = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__bucket")
+      .agg(sum("__pos").as("__ptotal"), sum("__neg").as("__ntotal"))
+      .withColumn("__poffset", coalesce(sum("__ptotal").over(wb), lit(0L)))
+      .withColumn("__noffset", coalesce(sum("__ntotal").over(wb), lit(0L)))
+      .select("__bucket", "__poffset", "__noffset")
+    val wi = Window.partitionBy("__bucket").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Some(bucketed.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("__cumpos",
+        col("__poffset") + coalesce(sum("__pos").over(wi), lit(0L)))
+      .withColumn("__cumneg",
+        col("__noffset") + coalesce(sum("__neg").over(wi), lit(0L)))
+      .select("__s", "__pos", "__neg", "__cumpos", "__cumneg"))
   }
 
   /** Reliability-diagram bins for a probability-like `scoreCol` in
@@ -112,6 +133,75 @@ object Eval {
         round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
         round(col("sum_score_micro").cast("double") / 1e6 / col("n"), 6)
           .as("avg_score"))
+  }
+
+  /** Precision/recall curve: one row per distinct score value t with
+    * the exact confusion counts of the classifier "predict positive
+    * when score >= t" — `(threshold, tp, fp, precision, recall, f1)`,
+    * threshold-ascending. Built on the same [[scoreCumulatives]] frame
+    * as [[aucScore]] (suffix counts = totals − strictly-below
+    * cumulatives, so no second pass); the three ratios are each one
+    * closed-form double over exact longs. `recall`/`f1` are NULL when
+    * there are no positives. Row count = distinct scores — for a
+    * continuous score at corpus scale, quantize the score first (the
+    * calibration-bin move) to bound the curve. */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      numBuckets: Int = 32
+  ): DataFrame = {
+    val cum = scoreCumulatives(df, scoreCol, labelCol, numBuckets)
+      .getOrElse(return df.sparkSession.range(0).select(
+        lit(0.0).as("threshold"), lit(0L).as("tp"), lit(0L).as("fp"),
+        lit(0.0).as("precision"), lit(0.0).as("recall"), lit(0.0).as("f1")))
+    val totals = cum.agg(sum("__pos").as("__P"), sum("__neg").as("__N"))
+    val tp = col("__P") - col("__cumpos")
+    val fp = col("__N") - col("__cumneg")
+    cum.crossJoin(broadcast(totals))
+      .select(col("__s").as("threshold"), tp.as("tp"), fp.as("fp"),
+        round(tp.cast("double") / (tp + fp), 6).as("precision"),
+        when(col("__P") > 0, round(tp.cast("double") / col("__P"), 6)).as("recall"),
+        when(col("__P") > 0,
+          round(lit(2.0) * tp / (tp + fp + col("__P")), 6)).as("f1"))
+  }
+
+  /** Deployment-threshold picker: the SMALLEST score threshold whose
+    * "predict positive when score >= t" precision meets
+    * `targetPrecision` — smallest because precision is not monotone
+    * and the smallest satisfying t keeps the most recall. The compare
+    * is exact integer arithmetic (tp·1e6 >= round(target·1e6)·selected
+    * in DECIMAL — no float comparison decides the gate), the argmin is
+    * a map-side-combined `min(struct)`. Returns ONE row `(threshold,
+    * tp, selected, precision)`, all NULL when no threshold attains the
+    * target. */
+  def thresholdForPrecision(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      targetPrecision: Double,
+      numBuckets: Int = 32
+  ): DataFrame = {
+    require(targetPrecision >= 0.0 && targetPrecision <= 1.0,
+      s"targetPrecision must be in [0, 1], got $targetPrecision")
+    val tMicro = math.round(targetPrecision * 1e6)
+    val empty = df.sparkSession.range(1).select(
+      lit(null).cast("double").as("threshold"), lit(null).cast("long").as("tp"),
+      lit(null).cast("long").as("selected"),
+      lit(null).cast("double").as("precision"))
+    val cum = scoreCumulatives(df, scoreCol, labelCol, numBuckets)
+      .getOrElse(return empty)
+    val totals = cum.agg(sum("__pos").as("__P"), sum("__neg").as("__N"))
+    val dec = "decimal(38,0)"
+    val tp = col("__P") - col("__cumpos")
+    val sel = tp + (col("__N") - col("__cumneg"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__s"), tp.as("__tp"), sel.as("__sel"))
+      .where(col("__tp").cast(dec) * 1000000 >= col("__sel").cast(dec) * tMicro)
+      .agg(min(struct(col("__s"), col("__tp"), col("__sel"))).as("__w"))
+      .select(col("__w.__s").as("threshold"), col("__w.__tp").as("tp"),
+        col("__w.__sel").as("selected"),
+        round(col("__w.__tp").cast("double") / col("__w.__sel"), 6).as("precision"))
   }
 
   /** Expected calibration error over [[calibrationBins]]' bins, kept

@@ -617,18 +617,34 @@ object Scoring {
     * <= 10000 — the k-row window and TakeOrdered heap are driver-safe
     * at any corpus size. */
   def zipfFit(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
-    require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
     val norm = regexp_replace(
       lower(trim(coalesce(col(textCol), lit("")))), "\\s+", " ")
     val vocab = df.select(explode(split(norm, " ")).as("__t"))
       .where(length(col("__t")) > 0)
       .groupBy("__t").agg(count(lit(1)).as("__c"))
+    zipfFitCounts(vocab, "__t", "__c", k)
+  }
+
+  /** [[zipfFit]] on a PRE-COUNTED frequency table — the same
+    * quantized-log regression over any rankable count column: node
+    * degrees (power-law exponent of a graph's degree sequence), shingle
+    * document frequencies, cluster sizes. `itemCol` breaks count ties
+    * deterministically; counts must be >= 1 (ln). */
+  def zipfFitCounts(
+      df: DataFrame,
+      itemCol: String,
+      countCol: String,
+      k: Int = 100
+  ): DataFrame = {
+    require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
+    val top = df
+      .select(col(itemCol).as("__t"), col(countCol).cast("long").as("__c"))
       .orderBy(col("__c").desc, col("__t").asc)
       .limit(k)
     // k rows from here on: the unpartitioned window is bounded by k
     val w = Window.orderBy(col("__c").desc, col("__t").asc)
     val dec = "decimal(38,0)"
-    val pts = vocab
+    val pts = top
       .withColumn("__x", floor(log(row_number().over(w).cast("double")) * 1e9)
         .cast("long"))
       .withColumn("__y", floor(log(col("__c").cast("double")) * 1e9).cast("long"))

@@ -86,6 +86,33 @@ class EvalSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("negative cost")))
   }
 
+  test("prCurve: hand-checked confusion counts per threshold") {
+    val df = Seq((0.1, 0), (0.2, 1), (0.3, 1), (0.3, 0), (0.4, 1)).toDF("s", "l")
+    val out = Eval.prCurve(df, "s", "l").collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(0.1) == ((3L, 2L, 0.6, 1.0, 0.75)), s"got $out")
+    assert(out(0.2) == ((3L, 1L, 0.75, 1.0, 0.857143)), s"got $out")
+    assert(out(0.3) == ((2L, 1L, 0.666667, 0.666667, 0.666667)), s"got $out")
+    assert(out(0.4) == ((1L, 0L, 1.0, 0.333333, 0.5)), s"got $out")
+  }
+
+  test("thresholdForPrecision: smallest satisfying threshold across a dip") {
+    val df = Seq((0.1, 0), (0.2, 1), (0.3, 1), (0.3, 0), (0.4, 1)).toDF("s", "l")
+    // precision by threshold: 0.6, 0.75, 0.667 (the dip), 1.0
+    def pick(t: Double) =
+      Eval.thresholdForPrecision(df, "s", "l", t).collect().head
+    val r75 = pick(0.75)
+    assert((r75.getDouble(0), r75.getLong(1), r75.getLong(2), r75.getDouble(3)) ==
+      ((0.2, 3L, 4L, 0.75)))
+    val r90 = pick(0.9)
+    assert((r90.getDouble(0), r90.getLong(1), r90.getLong(2), r90.getDouble(3)) ==
+      ((0.4, 1L, 1L, 1.0)))
+    val none = Eval.thresholdForPrecision(
+      Seq((0.1, 1), (0.2, 0)).toDF("s", "l"), "s", "l", 0.9).collect().head
+    assert((0 to 3).forall(none.isNullAt), s"unattainable target must be all-NULL")
+  }
+
   test("calibrationEce: exact integer numerator, hand-checked") {
     // bin0: n=2, pos=1, micro = 2*floor(0.05e6) = 100000
     //   |1e6 - 100000| = 900000

@@ -336,6 +336,25 @@ class ScoringSpec extends AnyFunSuite {
       s"intercept ${out.getDouble(2)} vs ${math.log(C)}")
   }
 
+  test("zipfFitCounts matches a BigInt replica on a pre-counted table") {
+    val df = Seq(("a", 8L), ("b", 4L), ("c", 2L), ("d", 1L)).toDF("item", "c")
+    def q(v: Double) = math.floor(v * 1e9).toLong
+    val xs = (1 to 4).map(r => BigInt(q(math.log(r.toDouble))))
+    val ys = Seq(8L, 4L, 2L, 1L).map(c => BigInt(q(math.log(c.toDouble))))
+    val k = BigInt(4)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Scoring.zipfFitCounts(df, "item", "c", k = 4).collect().head
+    assert(out.getLong(0) == 4L)
+    assert(out.getDouble(1) == r6(slope), s"slope ${out.getDouble(1)} vs $slope")
+    assert(out.getDouble(2) ==
+      r6((sy.toDouble - slope * sx.toDouble) / (4 * 1e9)))
+  }
+
   test("zipfFit k bounds and deterministic tie handling") {
     intercept[IllegalArgumentException] {
       Scoring.zipfFit(Seq(Tuple1("a b")).toDF("text"), "text", k = 1)
