@@ -78,8 +78,11 @@ object Eval {
   ): Option[DataFrame] = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val lbl = col(labelCol).cast("long")
+    // non-finite scores would floor to a NULL/saturated bucket id and
+    // silently drop out of the offset join — exclude them like NaN
     val grouped = df
-      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol)) && lbl.isNotNull)
+      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol)) && lbl.isNotNull &&
+        abs(col(scoreCol).cast("double")) < lit(Double.PositiveInfinity))
       .groupBy(col(scoreCol).cast("double").as("__s"))
       .agg(sum(lbl).as("__pos"), (count(lit(1)) - sum(lbl)).as("__neg"))
     val mm = grouped.agg(min(col("__s")), max(col("__s"))).head()
@@ -242,7 +245,8 @@ object Eval {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val lbl = col(labelCol).cast("long")
     val grouped = df
-      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol)) && lbl.isNotNull)
+      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol)) && lbl.isNotNull &&
+        abs(col(scoreCol).cast("double")) < lit(Double.PositiveInfinity))
       .groupBy(col(groupCol).as("__g"), col(scoreCol).cast("double").as("__s"))
       .agg(sum(lbl).as("__pos"), (count(lit(1)) - sum(lbl)).as("__neg"))
     val mm = grouped.agg(min(col("__s")), max(col("__s"))).head()
@@ -303,7 +307,8 @@ object Eval {
   ): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
-    val base = df.where(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+    val base = df.where(col(scoreCol).isNotNull && !isnan(col(scoreCol)) &&
+      abs(col(scoreCol).cast("double")) < lit(Double.PositiveInfinity))
     val mm = base.agg(
       min(col(scoreCol).cast("double")), max(col(scoreCol).cast("double"))).head()
     if (mm.isNullAt(0)) return base.withColumn("offset", lit(0L)).limit(0)

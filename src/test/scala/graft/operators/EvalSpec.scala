@@ -31,6 +31,17 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.isNullAt(2))
   }
 
+  test("non-finite scores are excluded, not silently dropped mid-plan") {
+    val rows = Seq((0.1, 0), (0.2, 1), (Double.PositiveInfinity, 1),
+      (Double.NegativeInfinity, 0), (Double.NaN, 1))
+    val r = Eval.aucScore(rows.toDF("s", "l"), "s", "l").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((1L, 1L, 1.0)))
+    val sel = Eval.budgetSelect(
+      Seq((1L, 0.5, 2L), (2L, Double.PositiveInfinity, 2L)).toDF("id", "s", "c"),
+      "id", "s", "c", budget = 10L).select("id").as[Long].collect()
+    assert(sel.toSeq == Seq(1L))
+  }
+
   test("aucScore is bucketing- and partitioning-independent") {
     val rows = (1 to 500).map(i => ((i * 37 % 100) / 100.0, i % 3 min 1))
     val one = auc(rows, buckets = 1)
