@@ -2385,6 +2385,11 @@ object QueryCatalog {
     "threshold_for_precision" -> ((s, dir) =>
       Eval.thresholdForPrecision(prLabeled(s, dir), "score", "label",
         targetPrecision = 0.9)),
+    // Step-wise average precision (AUPRC) over the same PR fixture:
+    // per-group pos*tp/sel terms quantized to floor(term*1e9) longs,
+    // one division by P*1e9.
+    "average_precision" -> ((s, dir) =>
+      Eval.averagePrecision(prLabeled(s, dir), "score", "label")),
     // Power-law exponent of the co-supply graph's degree sequence —
     // zipfFitCounts on the multi-edge degree table (hub detection at a
     // glance: slopes far from the text corpus's -1 flag hub-and-spoke
@@ -4845,6 +4850,17 @@ object QueryCatalog {
           |  CASE WHEN P > 0 THEN round(2.0 * (P - cumpos)
           |    / (P - cumpos + (N - cumneg) + P), 6) END AS f1
           |FROM c, tot ORDER BY threshold""".stripMargin),
+    // per-group quantized AP terms over the shared cumulative frame
+    "average_precision" ->
+      (prCumSql +
+        """
+          |SELECT CAST(sum(g.pos) AS BIGINT) AS n_pos,
+          |  CAST(sum(g.neg) AS BIGINT) AS n_neg,
+          |  round(CAST(sum(CAST(floor(
+          |      g.pos * CAST(P - cumpos AS DOUBLE)
+          |        / (P - cumpos + (N - cumneg)) * 1e9) AS BIGINT)) AS DOUBLE)
+          |    / 1e9 / sum(g.pos), 6) AS average_precision
+          |FROM g JOIN c USING (s), tot""".stripMargin),
     // integer-micro precision gate + arg_min winner; empty filter set
     // aggregates to the same all-NULL single row as the Spark side
     "threshold_for_precision" ->

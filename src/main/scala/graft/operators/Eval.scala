@@ -169,6 +169,47 @@ object Eval {
           round(lit(2.0) * tp / (tp + fp + col("__P")), 6)).as("f1"))
   }
 
+  /** Average precision (the area under the PR curve, step-wise /
+    * sklearn-style): AP = Σ_t (R_t − R_prev) · P_t over thresholds in
+    * descending-score order, which over tie groups is exactly
+    *
+    *   AP = (1/P) · Σ_g pos_g · tp_g / sel_g
+    *
+    * with tp/sel the suffix confusion counts at group g — every factor
+    * an exact long off the shared [[scoreCumulatives]] frame. Each
+    * group's double term is quantized once (`floor(term·1e9)`) so the
+    * rollup is an order-independent integer sum, then ONE division by
+    * P·1e9. Returns `(n_pos, n_neg, average_precision)`; NULL when
+    * there are no positives. The single-number ranking-quality summary
+    * to [[prCurve]]'s full table — AUC's class-imbalance-robust
+    * sibling. */
+  def averagePrecision(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      numBuckets: Int = 32
+  ): DataFrame = {
+    val empty = df.sparkSession.range(1).select(
+      lit(0L).as("n_pos"), lit(0L).as("n_neg"),
+      lit(null).cast("double").as("average_precision"))
+    val cum = scoreCumulatives(df, scoreCol, labelCol, numBuckets)
+      .getOrElse(return empty)
+    val totals = cum.agg(sum("__pos").as("__P"), sum("__neg").as("__N"))
+    val tp = col("__P") - col("__cumpos")
+    val sel = tp + (col("__N") - col("__cumneg"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__P"), col("__N"),
+        floor(col("__pos") * tp.cast("double") / sel * 1e9).cast("long")
+          .as("__term"))
+      .groupBy()
+      .agg(first("__P").as("n_pos"), first("__N").as("n_neg"),
+        sum("__term").as("__ap"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          round(col("__ap").cast("double") / 1e9 / col("n_pos"), 6))
+          .as("average_precision"))
+  }
+
   /** Deployment-threshold picker: the SMALLEST score threshold whose
     * "predict positive when score >= t" precision meets
     * `targetPrecision` — smallest because precision is not monotone

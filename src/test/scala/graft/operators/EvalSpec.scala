@@ -108,6 +108,21 @@ class EvalSpec extends AnyFunSuite {
     assert(out(0.4) == ((1L, 0L, 1.0, 0.333333, 0.5)), s"got $out")
   }
 
+  test("averagePrecision: step-wise AP with tie groups, hand-checked") {
+    val df = Seq((0.1, 0), (0.2, 1), (0.3, 1), (0.3, 0), (0.4, 1)).toDF("s", "l")
+    // groups desc: 0.4 -> 1*1/1, 0.3 -> 1*2/3, 0.2 -> 1*3/4, 0.1 -> 0
+    // quantized: (1e9 + 666666666 + 750000000) / 1e9 / 3 = 0.805556
+    val r = Eval.averagePrecision(df, "s", "l").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((3L, 2L, 0.805556)))
+    // perfect ranking -> AP 1.0; no positives -> NULL
+    val perfect = Eval.averagePrecision(
+      Seq((0.1, 0), (0.2, 0), (0.3, 1)).toDF("s", "l"), "s", "l").collect().head
+    assert(perfect.getDouble(2) == 1.0)
+    val none = Eval.averagePrecision(
+      Seq((0.1, 0), (0.2, 0)).toDF("s", "l"), "s", "l").collect().head
+    assert(none.isNullAt(2))
+  }
+
   test("thresholdForPrecision: smallest satisfying threshold across a dip") {
     val df = Seq((0.1, 0), (0.2, 1), (0.3, 1), (0.3, 0), (0.4, 1)).toDF("s", "l")
     // precision by threshold: 0.6, 0.75, 0.667 (the dip), 1.0
