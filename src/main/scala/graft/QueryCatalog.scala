@@ -3464,8 +3464,10 @@ object QueryCatalog {
          |FROM po JOIN pn USING (column_name) ORDER BY column_name""".stripMargin
     },
     // quantize -> per-dim integer mean (floor division on shifted-
-    // positive values) -> exact-long d2 -> DECIMAL sums -> one
-    // closed-form double z, identical IEEE op order to the Spark side
+    // positive values) -> exact-long d2 -> CENTERED DECIMAL variance
+    // sum around the floor-div quantized mean (never E[x2]-E[x]2) ->
+    // one closed-form double z, identical IEEE op order to the Spark
+    // side; zero spread keeps every row with z NULL / is_outlier false
     "embedding_outliers" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
@@ -3476,17 +3478,22 @@ object QueryCatalog {
         |d AS (SELECT q.vec_id, CAST(sum((q.xq - m.mq) * (q.xq - m.mq)) AS BIGINT) AS d2
         |      FROM q JOIN m USING (pos) GROUP BY 1),
         |st AS (SELECT count(*) AS cn,
-        |         CAST(sum(CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
-        |         CAST(sum(CAST(d2 AS DECIMAL(38,0)) * CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        |         CAST(sum(CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1
         |       FROM d),
+        |mq2 AS (SELECT CAST(s1 // cn AS BIGINT) AS mq FROM st),
+        |vs AS (SELECT CAST(sum(CAST(d2 - mq2.mq AS DECIMAL(38,0))
+        |                     * CAST(d2 - mq2.mq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vs
+        |       FROM d, mq2),
         |stz AS (SELECT cn, CAST(s1 AS DOUBLE) / cn AS mu,
-        |         CAST(s2 AS DOUBLE) / cn
-        |           - (CAST(s1 AS DOUBLE) / cn) * (CAST(s1 AS DOUBLE) / cn) AS varr
-        |       FROM st)
+        |         CAST(vs.vs AS DOUBLE) / cn AS varr, vs.vs AS vsum
+        |       FROM st, vs)
         |SELECT d.vec_id, d.d2,
-        |  round((CAST(d.d2 AS DOUBLE) - mu) / sqrt(varr), 6) AS z,
-        |  ((CAST(d.d2 AS DOUBLE) - mu) / sqrt(varr)) >= 2.0 AS is_outlier
-        |FROM d, stz WHERE varr > 0 ORDER BY vec_id""".stripMargin,
+        |  CASE WHEN vsum > 0
+        |    THEN round((CAST(d.d2 AS DOUBLE) - mu) / sqrt(varr), 6) END AS z,
+        |  CASE WHEN vsum > 0
+        |    THEN ((CAST(d.d2 AS DOUBLE) - mu) / sqrt(varr)) >= 2.0
+        |    ELSE FALSE END AS is_outlier
+        |FROM d, stz ORDER BY vec_id""".stripMargin,
     // exact RAKE replica: same stopword list, running-delimiter-count
     // phrase ids, (degree * 1e6) // freq word micros, integer phrase
     // sums, row_number top-3

@@ -308,7 +308,7 @@ object Eval {
     val wi = Window.partitionBy("__g", "__bucket").orderBy("__s")
       .rowsBetween(Window.unboundedPreceding, -1)
     val dec = "decimal(38,0)"
-    bucketed.join(offsets, Seq("__g", "__bucket"))
+    bucketed.join(broadcast(offsets), Seq("__g", "__bucket"))
       .withColumn("__cumneg",
         col("__boffset") + coalesce(sum("__neg").over(wi), lit(0L)))
       .groupBy("__g")
@@ -356,8 +356,12 @@ object Eval {
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val span = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
     // the bucket prune below is only sound for non-negative costs —
-    // fail loudly instead of silently under-selecting
-    val cost = when(col(costCol) < 0,
+    // fail loudly instead of silently under-selecting; a NULL cost is
+    // the same contract violation (it would silently vanish from the
+    // prefix sums and the fit test), so it raises too
+    val cost = when(col(costCol).isNull,
+      raise_error(lit(s"Eval.budgetSelect: null $costCol"))
+    ).when(col(costCol) < 0,
       raise_error(lit(s"Eval.budgetSelect: negative $costCol"))
     ).otherwise(col(costCol)).cast("long")
     // bucket 0 = best scores, so bucket order IS selection order
@@ -369,9 +373,12 @@ object Eval {
     val offsets = bucketed.groupBy("__bucket")
       .agg(sum(cost).as("__btotal"))
       .withColumn("__boffset", coalesce(sum("__btotal").over(wb), lit(0L)))
-      // the prune: a bucket starting at/past the budget cannot
-      // contribute a fitting row (costs are checked non-negative)
-      .where(col("__boffset") < budget)
+      // the prune: a bucket starting PAST the budget cannot contribute a
+      // fitting row (costs are checked non-negative). `<=` not `<`: a
+      // zero-cost row whose exclusive offset equals the budget exactly
+      // still satisfies `offset + cost <= budget` and must be kept —
+      // the documented (and oracle) semantics.
+      .where(col("__boffset") <= budget)
       .select("__bucket", "__boffset")
     val wi = Window.partitionBy("__bucket")
       .orderBy(col(scoreCol).desc, col(idCol))

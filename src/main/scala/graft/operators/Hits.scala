@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointBridge
 
@@ -27,8 +27,9 @@ import org.apache.spark.sql.graft.CheckpointBridge
   * in-degree x 1e12 — safe in a signed long up to ~9.2e6 in-edges per
   * node. Beyond that (mega-hubs on a 100 TB crawl), pre-cap the degree
   * with the [[LinkPrediction]] `maxDeg` discipline or drop the scale
-  * factor a decade; the `require` below makes the budget explicit
-  * rather than silently wrapping.
+  * factor a decade; the per-row `raise_error` guard on the scale step
+  * makes the budget explicit rather than silently wrapping — a raw
+  * round score past Long.MaxValue/1e6 fails the job loudly.
   *
   * Scale shape, per iteration: TWO shuffles — the dst-keyed authority
   * aggregate and the src-keyed hub aggregate, both map-side combined —
@@ -67,6 +68,19 @@ object Hits {
     var state = nodes
       .select(col("__node"), lit(1000000L).as("__h"), lit(1000000L).as("__a"))
       .localCheckpoint(true)
+    // the documented overflow budget, enforced: the scale step multiplies
+    // the raw in/out-neighbor sum by 1e6, so any raw past Long.MaxValue/1e6
+    // (~9.2e12, i.e. ~9.2e6 max-score in-edges on one node) would wrap
+    // silently — fail the round loudly instead and point at the remedy.
+    def guarded(raw: Column): Column = {
+      val r = coalesce(raw, lit(0L))
+      when(r > lit(Long.MaxValue / 1000000L),
+        raise_error(concat(
+          lit("Hits.scores: raw score exceeds the long overflow budget at node "),
+          col("__node").cast("string"),
+          lit(" — pre-cap degree (LinkPrediction maxDeg) or lower the scale"))))
+        .otherwise(r)
+    }
     for (_ <- 1 to iterations) {
       // authorities from current hubs: raw in-neighbor hub sum, then
       // L-inf normalize against the round max (1-row broadcast)
@@ -80,7 +94,9 @@ object Hits {
       val a = nodes.join(araw, col("__node") === col("__n"), "left")
         .crossJoin(broadcast(amax))
         .select(col("__node"),
-          expr("(coalesce(__raw, 0L) * 1000000L) div __max").as("__a"))
+          guarded(col("__raw")).as("__safe"), col("__max"))
+        .select(col("__node"),
+          expr("(__safe * 1000000L) div __max").as("__a"))
         .localCheckpoint(true)
       // hubs from the NEW authorities (standard HITS ordering)
       val hraw = e.join(a.select(col("__node").as("__an"), col("__a")),
@@ -91,7 +107,9 @@ object Hits {
       val next = nodes.join(hraw, col("__node") === col("__n"), "left")
         .crossJoin(broadcast(hmax))
         .select(col("__node"),
-          expr("(coalesce(__raw, 0L) * 1000000L) div __max").as("__h"))
+          guarded(col("__raw")).as("__safe"), col("__max"))
+        .select(col("__node"),
+          expr("(__safe * 1000000L) div __max").as("__h"))
         .join(a, Seq("__node"))
         .localCheckpoint(true)
       CheckpointBridge.release(state)

@@ -130,10 +130,20 @@ object Profile {
       bins: Int = 10
   ): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val mm = oldDf.agg(min(col(valueCol).cast("double")),
-      max(col(valueCol).cast("double"))).head()
+    // the reference frame must come from FINITE old values only: one NaN
+    // reaching max() poisons the span (NaN sorts above every double in
+    // Spark aggregates) and every bin expression degenerates — the drift
+    // gate would silently report ~zero drift on exactly the dirty input
+    // it exists to catch. Infinities are excluded for the same reason
+    // (an infinite span maps all finite mass to bin 0); they still
+    // register downstream, clamped into the edge bins like any other
+    // out-of-range excursion.
+    val vd = col(valueCol).cast("double")
+    val mm = oldDf
+      .where(vd.isNotNull && !isnan(vd) && abs(vd) < lit(Double.PositiveInfinity))
+      .agg(min(vd), max(vd)).head()
     require(!mm.isNullAt(0),
-      s"Profile.psi: old snapshot has no non-null $valueCol rows")
+      s"Profile.psi: old snapshot has no finite $valueCol rows")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val span = math.max((hi - lo) / bins, java.lang.Double.MIN_NORMAL)
     def binned(df: DataFrame, cnt: String): DataFrame = df

@@ -637,8 +637,16 @@ object Scoring {
       k: Int = 100
   ): DataFrame = {
     require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
+    // the ">= 1 (ln)" contract above, ENFORCED: a zero/negative/null
+    // count would make log() NULL and silently null out the whole
+    // regression — fail loudly instead (the budgetSelect convention)
+    val checked = when(col(countCol).isNull || col(countCol) < 1,
+      raise_error(concat(
+        lit(s"Scoring.zipfFitCounts: $countCol must be >= 1, got "),
+        coalesce(col(countCol).cast("string"), lit("null"))))
+    ).otherwise(col(countCol))
     val top = df
-      .select(col(itemCol).as("__t"), col(countCol).cast("long").as("__c"))
+      .select(col(itemCol).as("__t"), checked.cast("long").as("__c"))
       .orderBy(col("__c").desc, col("__t").asc)
       .limit(k)
     // k rows from here on: the unpartitioned window is bounded by k

@@ -1640,20 +1640,26 @@ object Similarity {
     * truncates toward zero, `//` floors; they only agree above zero,
     * and the shift cancels in the differences). d2 is an exact long
     * (bounded by dim * (16e6)^2 ~ 1.6e16 at dim 64); its corpus sums
-    * are DECIMAL(38,0) (sum of squares overflows a long by design
-    * headroom, and a genuine 38-digit overflow fails loudly under ANSI
-    * instead of wrapping). The z expression is one closed-form double
-    * per row over those exact integers — identical IEEE op order in
-    * any engine, so the hash gate pins it (rounded to 6dp for output).
+    * are DECIMAL(38,0) (the centered squared sum overflows a long by
+    * design headroom, and a genuine 38-digit overflow fails loudly
+    * under ANSI instead of wrapping). Variance comes from CENTERED
+    * integer sums — Σ(d2−mq)² around the floor-div quantized mean —
+    * never the cancellation-prone E[x²]−E[x]² form, so zero spread is
+    * an exact integer fact (rows then carry z NULL / is_outlier false
+    * rather than vanishing). The z expression is one closed-form
+    * double per row over those exact integers — identical IEEE op
+    * order in any engine, so the hash gate pins it (rounded to 6dp).
     *
     * Scale shape: two corpus passes, both unavoidable for an exact
     * mean — (1) one posexplode + 64-key map-side-combined aggregate
     * (shuffle volume: tasks x dim rows) whose dim-row result is a
     * BOUNDED driver artifact (the centroid-collect precedent); (2) one
     * scan-speed projection computing d2 against the mean as a plan
-    * literal, a 1-row stats aggregate broadcast back, and the final
-    * z projection. No corpus-sized shuffle anywhere; ragged vectors
-    * raise_error, null vectors are dropped (the sq8Params contract). */
+    * literal, checkpointed at 2 longs/row so the two 1-row stat
+    * aggregates (count+sum, then the centered squared sum) and the
+    * final z projection scan the small checkpoint, not the vectors.
+    * No corpus-sized shuffle anywhere; ragged vectors raise_error,
+    * null vectors are dropped (the sq8Params contract). */
   def outlierScores(
       df: DataFrame,
       idCol: String,
@@ -1690,7 +1696,16 @@ object Similarity {
     val n = perDim.head.getAs[Long]("__n")
     val meanQ: Seq[Long] =
       perDim.map(r => Math.floorDiv(r.getAs[Long]("__s"), n)).toSeq
-    // pass 2: d2 against the literal mean, 1-row stats broadcast, z
+    // pass 2: d2 against the literal mean (computed ONCE —
+    // localCheckpoint holds the 2-long rows so the three stat/output
+    // scans below never re-run the zip_with fold), then variance from
+    // CENTERED sums: Σ(d2 − mq)² with mq = s1 div cn the floor-div
+    // quantized mean. The earlier E[x²]−E[x]² form cancels
+    // catastrophically when the spread is tiny relative to mean d2 and
+    // can go non-positive in doubles; the centered sum is an exact
+    // non-negative integer that is zero IFF every d2 equals mq — so
+    // "no spread" is detected exactly, not by a float sign test.
+    val dec = "decimal(38,0)"
     val quantized = rows.select(col(idCol),
       transform(col("__v"),
         x => floor((x + lit(8.0)) * lit(1e6) + lit(0.5)).cast("long")).as("__vq"))
@@ -1698,17 +1713,25 @@ object Similarity {
       aggregate(
         zip_with(col("__vq"), typedLit(meanQ), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, e) => acc + e).as("d2"))
-    val stats = scored.agg(
-      count(lit(1)).as("__cn"),
-      sum(col("d2").cast("decimal(38,0)")).as("__s1"),
-      sum(col("d2").cast("decimal(38,0)") * col("d2").cast("decimal(38,0)"))
-        .as("__s2"))
+      .localCheckpoint(true)
+    val stats1 = scored.agg(
+      count(lit(1)).as("__cn"), sum(col("d2").cast(dec)).as("__s1"))
+    // (d2 − mq) fits a long by construction (both bounded by dim·(16e6)²);
+    // the squared sum goes DECIMAL for the same 38-digit headroom as before
+    val ctr = col("d2") - expr("__s1 div __cn")
+    val stats2 = scored.crossJoin(broadcast(stats1))
+      .agg(sum(ctr.cast(dec) * ctr.cast(dec)).as("__vs"))
     val mu = col("__s1").cast("double") / col("__cn")
-    val varr = col("__s2").cast("double") / col("__cn") - mu * mu
-    val z = (col("d2").cast("double") - mu) / sqrt(varr)
-    scored.crossJoin(broadcast(stats))
-      .where(varr > lit(0.0))
-      .select(col(idCol), col("d2"), round(z, 6).as("z"),
-        (z >= lit(zThreshold)).as("is_outlier"))
+    val z = (col("d2").cast("double") - mu) /
+      sqrt(col("__vs").cast("double") / col("__cn"))
+    // degenerate spread (__vs = 0: all-identical vectors, n = 1) emits
+    // every row with z NULL / is_outlier false — "no rows" is never a
+    // silent synonym for "no outliers"
+    val out = scored.crossJoin(broadcast(stats1)).crossJoin(broadcast(stats2))
+      .select(col(idCol), col("d2"),
+        when(col("__vs") > 0, round(z, 6)).as("z"),
+        when(col("__vs") > 0, z >= lit(zThreshold))
+          .otherwise(lit(false)).as("is_outlier"))
+    out
   }
 }

@@ -97,6 +97,32 @@ class EvalSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("negative cost")))
   }
 
+  test("budgetSelect rejects NULL costs loudly") {
+    val df = Seq((1L, 0.5, Some(4L)), (2L, 0.4, None))
+      .toDF("id", "score", "cost")
+    val ex = intercept[Exception] {
+      Eval.budgetSelect(df, "id", "score", "cost", budget = 10L).collect()
+    }
+    assert(ex.getMessage.contains("null cost") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null cost")))
+  }
+
+  test("budgetSelect keeps a zero-cost row whose offset equals the budget exactly") {
+    // offset of id3 is exactly 10 = budget; cost 0 satisfies
+    // offset + cost <= budget, so it must be KEPT — with numBuckets
+    // high enough that id3's bucket starts at the budget, the bucket
+    // prune (not the row filter) is what used to drop it.
+    val df = Seq((1L, 0.9, 6L), (2L, 0.8, 4L), (3L, 0.2, 0L))
+      .toDF("id", "score", "cost")
+    for (buckets <- Seq(1, 32)) {
+      val out = Eval.budgetSelect(df, "id", "score", "cost",
+          budget = 10L, numBuckets = buckets)
+        .orderBy("offset").select("id", "offset").as[(Long, Long)].collect()
+      assert(out.toSeq == Seq((1L, 0L), (2L, 6L), (3L, 10L)),
+        s"numBuckets=$buckets: ${out.toSeq}")
+    }
+  }
+
   test("prCurve: hand-checked confusion counts per threshold") {
     val df = Seq((0.1, 0), (0.2, 1), (0.3, 1), (0.3, 0), (0.4, 1)).toDF("s", "l")
     val out = Eval.prCurve(df, "s", "l").collect()

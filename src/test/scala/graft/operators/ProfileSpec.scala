@@ -88,6 +88,38 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("psi: NaN/Inf in the old snapshot cannot poison the reference frame") {
+    // one NaN (or Inf) reaching the min/max pass used to make the span
+    // NaN and collapse every bin — the drift gate silently read ~zero
+    // drift on exactly the dirty input it exists to catch. The frame
+    // must come from the FINITE old values only.
+    val old = ((1 to 100).map(_.toDouble) ++ Seq(Double.NaN, Double.PositiveInfinity))
+      .map(Tuple1(_)).toDF("v")
+    val neu = (41 to 140).map(i => Tuple1(i.toDouble)).toDF("v")
+    val clean = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val dirty = Profile.psi(old, neu, "v", bins = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ref = Profile.psi(clean, neu, "v", bins = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // NaN rows are excluded from the counts (binned already filtered
+    // them); the Inf row clamps into the top bin like any excursion —
+    // so old counts differ from `ref` by exactly that one top-bin row,
+    // and the BINNING (the part NaN used to destroy) is identical.
+    assert(dirty(0L)._1 == ref(0L)._1 && dirty(1L)._1 == ref(1L)._1 &&
+      dirty(2L)._1 == ref(2L)._1, s"low bins must match the clean frame: $dirty vs $ref")
+    assert(dirty(3L)._1 == ref(3L)._1 + 1, "the Inf row clamps into the top bin")
+    assert(dirty.values.map(_._2).toSeq.sorted == ref.values.map(_._2).toSeq.sorted,
+      "new-side counts must be unaffected")
+    val tot = Profile.psiTotal(old, neu, "v", bins = 4).collect().head
+    assert(tot.getDouble(2) > 0.1,
+      s"the 40% shift must still trip the alarm with a NaN present, got $tot")
+    // an old snapshot with ONLY non-finite values has no frame: loud
+    intercept[IllegalArgumentException] {
+      Profile.psi(Seq(Double.NaN, Double.PositiveInfinity).map(Tuple1(_)).toDF("v"),
+        neu, "v")
+    }
+  }
+
   test("output is ordered by column name; unknown columns are rejected") {
     assert(Profile.columns(frame, Seq("v", "id", "s")).collect().map(_.getString(0)).toSeq
       == Seq("id", "s", "v"))

@@ -366,4 +366,24 @@ class ScoringSpec extends AnyFunSuite {
     val r2 = Scoring.zipfFit(df.repartition(7), "text", k = 4).collect().head.toString
     assert(r1 == r2)
   }
+
+  test("zipfFitCounts rejects zero/negative/null counts loudly") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // a count < 1 would make log() NULL and silently null out the whole
+    // regression — the contract is enforced, not advisory
+    for (bad <- Seq(0L, -3L)) {
+      val df = Seq(("a", 5L), ("b", bad)).toDF("item", "c")
+      val ex = intercept[Exception] {
+        Scoring.zipfFitCounts(df, "item", "c", k = 2).collect()
+      }
+      assert(chain(ex).contains("must be >= 1"), s"count=$bad: ${chain(ex)}")
+    }
+    val withNull = Seq(("a", Some(5L)), ("b", None)).toDF("item", "c")
+    val ex = intercept[Exception] {
+      Scoring.zipfFitCounts(withNull, "item", "c", k = 2).collect()
+    }
+    assert(chain(ex).contains("must be >= 1"), chain(ex))
+  }
 }

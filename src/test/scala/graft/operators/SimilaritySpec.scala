@@ -569,6 +569,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(1) == run(7), "z-scores drifted across partitionings")
   }
 
+  test("outlierScores: zero spread keeps every row with z NULL, never an empty frame") {
+    // all-identical vectors (and the n=1 corpus): the centered variance
+    // sum is exactly 0 — rows must survive with z NULL / is_outlier
+    // false, so callers can't misread "no rows" as "no outliers"
+    val same = emb(0L -> Seq(0.5, -0.25), 1L -> Seq(0.5, -0.25),
+      2L -> Seq(0.5, -0.25))
+    val out = Similarity.outlierScores(same, "vec_id", "embedding", dim = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 3, s"expected all rows back, got ${out.length}")
+    assert(out.forall(_.isNullAt(2)), "z must be NULL at zero spread")
+    assert(out.forall(!_.getBoolean(3)), "is_outlier must be false at zero spread")
+    val single = emb(7L -> Seq(1.0, 2.0))
+    val one = Similarity.outlierScores(single, "vec_id", "embedding", dim = 2)
+      .collect()
+    assert(one.length == 1 && one(0).isNullAt(2) && !one(0).getBoolean(3),
+      s"n=1 must emit its row with z NULL: ${one.toSeq}")
+  }
+
   test("outlierScores: out-of-range elements fail loudly, ragged dims fail loudly") {
     val tooBig = emb(0L -> Seq(9.5, 0.0), 1L -> Seq(0.0, 0.0))
     val e1 = intercept[Exception] {
