@@ -1735,6 +1735,20 @@ object QueryCatalog {
         .select(col("id"), col("nbr"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("id", "rank")),
+    // The 100-TB form of knn_graph: same banded candidates, but the
+    // verify joins ship 1-byte SQ8 codes (8x payload cut), the
+    // approximate cosine picks per-node top-(k*4) survivors, and only
+    // those rejoin the raw vectors for the EXACT-cosine top-3. The
+    // oracle replays candidates + sq8 encode/dequant + both rankings,
+    // so the hash gate pins the full quantized pipeline.
+    "knn_graph_quantized" -> ((s, dir) =>
+      Similarity.knnGraphQuantized(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
+        nBits = 16, bands = 2, rerankFactor = 4,
+        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+        .select(col("id"), col("nbr"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("id", "rank")),
     // SemDeDup (Abbas et al. 2023): the THIRD near-dup family — cluster
     // pruning. Cosine is scored within coarse k-means cells only
     // (~n^2/nlist scored pairs, one by-cell shuffle). On this corpus the
@@ -2841,6 +2855,65 @@ object QueryCatalog {
        |scored AS (
        |  SELECT id, nbr, ${cosSql("ca.v", "cb.v")} AS cos
        |  FROM cand
+       |  JOIN corpus ca ON ca.vec_id = id
+       |  JOIN corpus cb ON cb.vec_id = nbr),
+       |ranked AS (
+       |  SELECT id, nbr, cos,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
+       |  FROM scored)
+       |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+  }
+
+  /** SQL twin of [[graft.operators.Similarity.knnGraphQuantized]] on the
+    * planted corpus: the knnGraphSql candidate machinery, then SQ8
+    * params/encode/dequant (the sq8Ctes arithmetic, planted-corpus
+    * flavor), approximate-cosine top-(3*4) survivors per node, and the
+    * exact-cosine top-3 re-rank over the survivors. */
+  private val knnGraphQuantizedSql = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH $plantedCorpusCte,
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corpus c, range(0, 16) p(p)),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
+       |  FROM sig, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
+       |  FROM banded a JOIN banded bb USING (band, bucket)
+       |  WHERE a.vec_id <> bb.vec_id),
+       |prm AS (
+       |  SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS wd
+       |  FROM corpus CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY i),
+       |pm AS (SELECT list(mn ORDER BY i) AS mins, list(wd ORDER BY i) AS wds FROM prm),
+       |dq AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65), i ->
+       |      mins[i] + CAST(CASE WHEN wds[i] = 0 THEN 0 ELSE
+       |          least(255.0, greatest(0.0,
+       |            floor((v[i] - mins[i]) / wds[i] * 255.0 + 0.5)))
+       |        END AS DOUBLE) * wds[i] / 255.0) AS cv
+       |  FROM corpus CROSS JOIN pm),
+       |qs AS (
+       |  SELECT cand.id, cand.nbr, ${cosSql("da.cv", "db.cv")} AS qcos
+       |  FROM cand
+       |  JOIN dq da ON da.vec_id = cand.id
+       |  JOIN dq db ON db.vec_id = cand.nbr),
+       |sv AS (
+       |  SELECT id, nbr FROM (
+       |    SELECT id, nbr,
+       |      row_number() OVER (PARTITION BY id ORDER BY qcos DESC, nbr) AS qr
+       |    FROM qs) WHERE qr <= 12),
+       |scored AS (
+       |  SELECT id, nbr, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM sv
        |  JOIN corpus ca ON ca.vec_id = id
        |  JOIN corpus cb ON cb.vec_id = nbr),
        |ranked AS (
@@ -4481,6 +4554,7 @@ object QueryCatalog {
     "connected_components" -> connectedComponentsSql,
     "random_walks" -> randomWalksSql,
     "knn_graph" -> knnGraphSql,
+    "knn_graph_quantized" -> knnGraphQuantizedSql,
     // same graph: degree table + naive triangle counts -> 2T/(d(d-1))
     "clustering_coeff" ->
       """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),

@@ -349,7 +349,14 @@ object Similarity {
     * only, the payload-free pair-dedup rule), and the per-node top-k is
     * a row_number window whose partition is one node's candidate set —
     * bounded by the S-curve's bucket volumes, the same bound the pair
-    * operator's verify stage already accepts. */
+    * operator's verify stage already accepts.
+    *
+    * AT SCALE prefer [[knnGraphQuantized]]: this variant's verify joins
+    * ship the raw 8·dim-byte vectors per candidate row, which is the
+    * measured spill bound a decade up; the quantized twin ships 1-byte
+    * SQ8 codes and exact-re-ranks only the per-node survivors. And size
+    * `nBits` with [[suggestedNBits]] — a fixed width goes quadratic
+    * once the corpus outgrows its per-band bucket space. */
   def knnGraph(
       df: DataFrame,
       idCol: String,
@@ -381,6 +388,127 @@ object Similarity {
     val vecs = signed.select(col("id"), col("vec"))
     val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr").asc)
     candidates
+      .join(vecs, Seq("id"))
+      .join(vecs.select(col("id").as("nbr"), col("vec").as("__vb")), Seq("nbr"))
+      .withColumn("cosine", cosine(col("vec"), col("__vb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "nbr", "cosine", "rank")
+  }
+
+  /** Band-width guidance for [[knnGraph]]/[[knnGraphQuantized]]/
+    * [[cosineNearDupPairs]]: the smallest bands-divisible `nBits` whose
+    * per-band bucket space keeps the EXPECTED bucket occupancy at or
+    * under `targetBucketSize` rows, i.e. `rowsPerBand >=
+    * ceil(log2(n / targetBucketSize))`. The per-(band, bucket)
+    * candidate join is quadratic in bucket occupancy, so a FIXED nBits
+    * (the old 16-bit catalog default) silently goes quadratic as the
+    * corpus grows — occupancy doubles every time n does. Growing
+    * rowsPerBand with log2(n) pins occupancy (and with it per-bucket
+    * join cost) to a constant, at the usual banding recall trade
+    * (each extra bit per band multiplies the per-band miss odds for a
+    * given cosine by the S-curve factor; add a band to compensate).
+    * Floors at 4 bits/band (below that buckets are degenerate at any
+    * n) and caps at 62 (the bucket-mask shift budget of the long
+    * signature). */
+  def suggestedNBits(n: Long, bands: Int, targetBucketSize: Int = 16): Int = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(targetBucketSize >= 1,
+      s"targetBucketSize must be >= 1, got $targetBucketSize")
+    val needed = math.ceil(
+      math.log(math.max(n.toDouble / targetBucketSize, 1.0)) / math.log(2.0)).toInt
+    bands * math.min(62, math.max(4, needed))
+  }
+
+  /** [[knnGraph]] with a QUANTIZED verify stage — the 100-TB form. The
+    * plain variant's verify joins ship the raw double vectors twice per
+    * candidate row (8·dim bytes a side); at banded-candidate volumes a
+    * decade up that payload — not the pair count — is what crosses into
+    * disk spill. Here the candidate joins ship SQ8 codes packed as
+    * 1-byte array elements (8x smaller), the approximate cosine is
+    * scored on broadcast-dequantized codes, only the per-node
+    * top-(k·rerankFactor) SURVIVORS rejoin the raw vectors, and the
+    * final top-k is EXACT cosine over those survivors. Output schema
+    * matches [[knnGraph]]: `(id, nbr, cosine, rank)` with exact cosine.
+    *
+    * Semantics contract (what the oracle replays): exact-cosine top-k
+    * among the SQ8-top-(k·rerankFactor) of the banded candidates. A
+    * true neighbor can be missed by the banding (the [[knnGraph]]
+    * recall trade) or — much more rarely — ranked past k·rerankFactor
+    * by SQ8 score despite an exact-cosine top-k placement; raising
+    * `rerankFactor` trades verify payload for re-rank recall. Ties
+    * break (score desc, nbr asc) at both stages, so every row is
+    * deterministic and the hash gate pins the full pipeline.
+    *
+    * Scale shape: params are ONE broadcast row ([[sq8Params]]); the
+    * code table is dim bytes/row in-plan (tinyint elements) and ~dim
+    * bytes persisted; candidate exchanges and the survivor window carry
+    * codes/scores only (the payload-free pair rule); the raw vectors
+    * are touched by exactly n + n·k·rerankFactor join rows, linear in
+    * corpus size. Pick `nBits` with [[suggestedNBits]] — a fixed width
+    * goes quadratic when the corpus outgrows its bucket space. */
+  def knnGraphQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 16,
+      bands: Int = 4,
+      rerankFactor: Int = 4,
+      signature: (Column, Int, Option[Int]) => Column = lshSignature
+  ): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(rerankFactor >= 1 && rerankFactor <= 64,
+      s"rerankFactor must be in [1, 64], got $rerankFactor")
+    require(nBits % bands == 0, "nBits must be divisible by bands")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val rowsPerBand = nBits / bands
+    val params = sq8Params(df.select(col(vecCol)), vecCol, dim)
+    val signed = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      signature(col(vecCol), nBits, Some(dim)).as("sig"))
+      .localCheckpoint(true)
+    // 1-byte code elements: sq8 codes are 0..255, shifted to tinyint
+    // range so the array packs at 1 byte/element in Tungsten rows —
+    // the 8x payload cut the verify joins exist to exploit
+    val codes = sq8Encode(signed.select(col("id"), col("vec")), "id", "vec", params)
+      .select(col("id"),
+        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes8"))
+      .localCheckpoint(true)
+    val bandMask = (1L << rowsPerBand) - 1
+    val banded = signed.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("nbr"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id") =!= col("nbr"))
+      .select("id", "nbr")
+      .dropDuplicates("id", "nbr")
+    // quantized verify: dequantize against the broadcast param row and
+    // score — the projection to (id, nbr, qcos) collapses the payload
+    // BEFORE the survivor window's exchange
+    def dequant(c: Column): Column = transform(c, (x, i) =>
+      element_at(col("mins"), i + 1) +
+        (x.cast("int") + lit(128)).cast("double") *
+          element_at(col("widths"), i + 1) / lit(255.0))
+    val qcos = candidates
+      .join(codes, Seq("id"))
+      .join(codes.select(col("id").as("nbr"), col("codes8").as("__cb")), Seq("nbr"))
+      .crossJoin(broadcast(params))
+      .select(col("id"), col("nbr"),
+        cosine(dequant(col("codes8")), dequant(col("__cb"))).as("qcos"))
+    val wq = Window.partitionBy("id").orderBy(col("qcos").desc, col("nbr").asc)
+    val survivors = qcos.withColumn("__qrank", row_number().over(wq))
+      .where(col("__qrank") <= k * rerankFactor)
+      .select("id", "nbr")
+    // exact re-rank: only n·k·rerankFactor rows ever touch raw vectors
+    val vecs = signed.select(col("id"), col("vec"))
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr").asc)
+    survivors
       .join(vecs, Seq("id"))
       .join(vecs.select(col("id").as("nbr"), col("vec").as("__vb")), Seq("nbr"))
       .withColumn("cosine", cosine(col("vec"), col("__vb")))

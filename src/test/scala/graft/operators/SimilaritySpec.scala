@@ -531,6 +531,59 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraphQuantized: exact cosines on the output, agrees with knnGraph on a clean corpus") {
+    // well-separated clusters: SQ8 at 256 levels per dimension ranks
+    // them exactly like full precision, so with all-pairs candidates
+    // (rowsPerBand = 1) the quantized graph's EDGES equal the plain
+    // graph's, and the emitted cosines are the EXACT re-ranked ones —
+    // bitwise equal to knnGraph's, not the quantized approximations
+    val vecs = (1L to 12L).map(i =>
+      i -> Seq(math.cos(i * 0.7), math.sin(i * 0.7), (i % 3) * 0.2))
+    val d = emb(vecs: _*)
+    val plain = Similarity.knnGraph(d, "vec_id", "embedding", k = 3,
+        nBits = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val quant = Similarity.knnGraphQuantized(d, "vec_id", "embedding", k = 3,
+        dim = 3, nBits = 8, bands = 8, rerankFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(quant == plain,
+      s"quantized graph must match the plain graph here:\n$quant\nvs\n$plain")
+  }
+
+  test("knnGraphQuantized: survivor cut is bounded by k*rerankFactor, ranks contiguous") {
+    val d = emb((1L to 20L).map(i =>
+      i -> Seq(math.cos(i * 0.3), math.sin(i * 0.3))): _*)
+    val rows = Similarity.knnGraphQuantized(d, "vec_id", "embedding", k = 2,
+        dim = 2, nBits = 8, bands = 4, rerankFactor = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (id, es) =>
+      assert(es.length <= 2, s"node $id over k: ${es.toSeq}")
+      assert(es.map(_._3).sorted.toSeq == (1 to es.length),
+        s"ranks not contiguous: ${es.toSeq}")
+      assert(es.forall(e => e._2 != id), s"self edge at $id")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphQuantized(d, "vec_id", "embedding", k = 2,
+        dim = 2, rerankFactor = 0)
+    }
+  }
+
+  test("suggestedNBits: occupancy-pinned width grows with log2(n), floors and caps") {
+    // 16 rows/bucket target: n = 2^20 needs 16 bits/band
+    assert(Similarity.suggestedNBits(1L << 20, bands = 2) == 2 * 16)
+    assert(Similarity.suggestedNBits(1L << 20, bands = 4) == 4 * 16)
+    // doubling n adds one bit per band — the anti-quadratic property
+    assert(Similarity.suggestedNBits(1L << 21, bands = 2) == 2 * 17)
+    // small corpora floor at 4 bits/band; the shift budget caps at 62
+    assert(Similarity.suggestedNBits(10L, bands = 4) == 4 * 4)
+    assert(Similarity.suggestedNBits(Long.MaxValue, bands = 2,
+      targetBucketSize = 1) == 2 * 62)
+    intercept[IllegalArgumentException] { Similarity.suggestedNBits(0L, 2) }
+    intercept[IllegalArgumentException] { Similarity.suggestedNBits(10L, 0) }
+  }
+
   test("outlierScores: the far vector flags, d2 matches a hand replica") {
     // 3 near-origin vectors + one at (4, 4): mean lands near (1, 1)
     val d = emb(0L -> Seq(0.0, 0.0), 1L -> Seq(0.1, 0.0),
