@@ -1749,6 +1749,21 @@ object QueryCatalog {
         .select(col("id"), col("nbr"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("id", "rank")),
+    // The semantic-graph flagship — the graph analogue of
+    // curation_pipeline: embeddings -> quantized kNN edges ->
+    // label-propagation communities over semantic neighbors -> the
+    // per-community quota rollup a diversity-sampling stage consumes.
+    // Every stage is the already-oracled machinery, composed; the SQL
+    // twin replays edge generation AND the 4 LPA vote rounds CTE for
+    // CTE, so the hash gate prices the COMPOSITION, not just the parts.
+    "semantic_communities" -> ((s, dir) => {
+      val edges = Similarity.knnGraphQuantized(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
+        nBits = 16, bands = 2, rerankFactor = 4,
+        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+      val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
+      Communities.communitySizes(labels).orderBy("label")
+    }),
     // SemDeDup (Abbas et al. 2023): the THIRD near-dup family — cluster
     // pruning. Cosine is scored within coarse k-means cells only
     // (~n^2/nlist scored pairs, one by-cell shuffle). On this corpus the
@@ -2870,10 +2885,10 @@ object QueryCatalog {
     * params/encode/dequant (the sq8Ctes arithmetic, planted-corpus
     * flavor), approximate-cosine top-(3*4) survivors per node, and the
     * exact-cosine top-3 re-rank over the survivors. */
-  private val knnGraphQuantizedSql = {
+  private val knnGraphQuantizedCtes = {
     val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
       | / 576460752303423488.0 - 1.0)""".stripMargin
-    s"""WITH $plantedCorpusCte,
+    s"""$plantedCorpusCte,
        |proj AS (
        |  SELECT c.vec_id, p.p,
        |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
@@ -2919,10 +2934,33 @@ object QueryCatalog {
        |ranked AS (
        |  SELECT id, nbr, cos,
        |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private val knnGraphQuantizedSql =
+    s"""WITH $knnGraphQuantizedCtes
        |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
        |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
-  }
+
+  /** SQL twin of the semantic_communities composition — the graph
+    * analogue of curation_pipeline: the knnGraphQuantized edge CTEs,
+    * canonicalized undirected (least/greatest, distinct, self-loops
+    * out), then the 4 exact-integer LPA vote rounds and the
+    * per-community size rollup, all replayed CTE for CTE. */
+  private lazy val semanticCommunitiesSql =
+    s"""WITH $knnGraphQuantizedCtes,
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT least(id, nbr) AS a, greatest(id, nbr) AS b
+       |  FROM ranked WHERE rank <= 3 AND id <> nbr),
+       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
+       |  UNION ALL SELECT b, a FROM p
+       |  UNION ALL SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |${lpaRoundCtes(4)}
+       |SELECT lbl AS label, count(*) AS n_members,
+       |  min(node) AS min_member, max(node) AS max_member
+       |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
 
   /** Exact replica of [[graft.operators.Paths.randomWalks]] (2 walks x
     * 3 steps) on the sparse co-supply graph: ranked adjacency, then one
@@ -3002,16 +3040,22 @@ object QueryCatalog {
     * 4 synchronous vote rounds on the sparse co-supply graph — one
     * (votes, argmax) CTE pair per round, MATERIALIZED so DuckDB does
     * not re-inline the round chain exponentially (the kcoreSql rule). */
+  /** The LPA vote rounds (one CTE pair per round: per-label vote counts,
+    * then the most-votes/smallest-label winner) over whatever `adj` and
+    * `l0` the surrounding WITH defines — shared by the co-supply LPA
+    * oracles and the semantic_communities composition. */
+  private def lpaRoundCtes(n: Int): String = (1 to n).map { i =>
+    s"""v$i AS MATERIALIZED (
+       |  SELECT adj.node, l.lbl, count(*) AS c
+       |  FROM adj JOIN l${i - 1} l ON l.node = adj.nbr GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (SELECT node, lbl FROM (
+       |  SELECT node, lbl,
+       |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |  FROM v$i) WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
   private lazy val lpaCtes = {
-    val rounds = (1 to 4).map { i =>
-      s"""v$i AS MATERIALIZED (
-         |  SELECT adj.node, l.lbl, count(*) AS c
-         |  FROM adj JOIN l${i - 1} l ON l.node = adj.nbr GROUP BY 1, 2),
-         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
-         |  SELECT node, lbl,
-         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-         |  FROM v$i) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+    val rounds = lpaRoundCtes(4)
     s"""hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
        |p AS MATERIALIZED (
        |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
@@ -4555,6 +4599,7 @@ object QueryCatalog {
     "random_walks" -> randomWalksSql,
     "knn_graph" -> knnGraphSql,
     "knn_graph_quantized" -> knnGraphQuantizedSql,
+    "semantic_communities" -> semanticCommunitiesSql,
     // same graph: degree table + naive triangle counts -> 2T/(d(d-1))
     "clustering_coeff" ->
       """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
