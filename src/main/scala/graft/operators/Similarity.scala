@@ -488,19 +488,24 @@ object Similarity {
       .where(col("id") =!= col("nbr"))
       .select("id", "nbr")
       .dropDuplicates("id", "nbr")
-    // quantized verify: dequantize against the broadcast param row and
-    // score — the projection to (id, nbr, qcos) collapses the payload
-    // BEFORE the survivor window's exchange
-    def dequant(c: Column): Column = transform(c, (x, i) =>
-      element_at(col("mins"), i + 1) +
-        (x.cast("int") + lit(128)).cast("double") *
-          element_at(col("widths"), i + 1) / lit(255.0))
+    // quantized verify: the native fused ADC cosine (dequantize + three
+    // inner products in ONE codegen'd allocation-free loop — a
+    // dequantizing `transform` HOF here runs interpreted per element
+    // and costs ~4x wall, measured) against the broadcast param row;
+    // the projection to (id, nbr, qcos) collapses the payload BEFORE
+    // the survivor window's exchange
+    def adcCosine(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.functions.Sq8AdcCosine(
+        ColumnBridge.expression(a), ColumnBridge.expression(b),
+        ColumnBridge.expression(col("mins")), ColumnBridge.expression(col("widths"))))
+    }
     val qcos = candidates
       .join(codes, Seq("id"))
       .join(codes.select(col("id").as("nbr"), col("codes8").as("__cb")), Seq("nbr"))
       .crossJoin(broadcast(params))
       .select(col("id"), col("nbr"),
-        cosine(dequant(col("codes8")), dequant(col("__cb"))).as("qcos"))
+        adcCosine(col("codes8"), col("__cb")).as("qcos"))
     val wq = Window.partitionBy("id").orderBy(col("qcos").desc, col("nbr").asc)
     val survivors = qcos.withColumn("__qrank", row_number().over(wq))
       .where(col("__qrank") <= k * rerankFactor)

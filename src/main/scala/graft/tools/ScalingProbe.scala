@@ -470,6 +470,29 @@ object ScalingProbe {
             nBits = nBits, bands = 4)
           .write.format("noop").mode("overwrite").save()
       }),
+      // r15: the quantized-verify twin at the SAME signature ladder, so
+      // the delta vs knn_graph is pure verify payload — candidates ship
+      // 1-byte SQ8 codes instead of two 512-byte raw vectors, and only
+      // the per-node top-(k*4) survivors rejoin raw doubles. The r14
+      // row's 8.23 first-decade step was the raw payload crossing from
+      // RAM into spill; this row is the cure, measured.
+      ("knn_graph_quantized", Seq(1, 10, 100), nx => {
+        val nBits = if (nx >= 100) 56 else if (nx >= 10) 32 else 16
+        Similarity.knnGraphQuantized(embs(nx), "vec_id", "embedding", k = 5,
+            dim = 64, nBits = nBits, bands = 4, rerankFactor = 4)
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // r15 composed flagship: quantized kNN edges -> 4 LPA vote rounds
+      // -> community rollup. The per-operator curves don't price the
+      // composition (the dedup lesson) — this row does.
+      ("semantic_communities", Seq(1, 10, 100), nx => {
+        val nBits = if (nx >= 100) 56 else if (nx >= 10) 32 else 16
+        val edges = Similarity.knnGraphQuantized(embs(nx), "vec_id", "embedding",
+          k = 5, dim = 64, nBits = nBits, bands = 4, rerankFactor = 4)
+        val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
+        Communities.communitySizes(labels)
+          .write.format("noop").mode("overwrite").save()
+      }),
       // r14 eval family. source_entropy: one (source, token) aggregate
       // + a token-keyed equi-join whose per-key fan-out is bounded by
       // #sources; the curve should track distinct (source, token)
@@ -752,6 +775,47 @@ object ScalingProbe {
           .fit(df, "l_returnflag")
         graft.tree.Predict.predictMany(model, df)
           .write.format("noop").mode("overwrite").save()
+      }
+      // r15 (verdict #7): a GRAPH flagship under the same protocol —
+      // PageRank at the 10x edge table (2M edges / 200k nodes), the
+      // iterative-checkpoint memory shape the fit/curation rows don't
+      // exercise (per-round released label frames, not level-wise jobs)
+      measure("pagerank_iter3", edgeRows(10)) {
+        PageRank.ranks(edgesDf(10), "src", "dst", iterations = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // ---- random-walk max-params heap drill (r15, verdict r14 #8) ------
+    // randomWalks holds all O(steps) checkpointed walker frames until
+    // the output union materializes — that is INHERENT to returning the
+    // full walk corpus as one frame (the output IS ~steps frames of
+    // rows; each out view shares its step's checkpoint blocks, so
+    // per-step release would kill rows the result still needs). The
+    // en-bloc live set is therefore ~2x the output volume (frames +
+    // the union copy) by design; this drill runs the API maximum
+    // (walksPerNode=64, steps=20 -> 21 live frames of nodes x 64 rows)
+    // on the 1x and 10x edge graphs and records wall + sampled peaks,
+    // so "holds heap at max params" is a measured number, not policy.
+    if (opFilter.forall("walk_stress".contains)) {
+      val heap = new graft.PeakHeapSampler(100)
+      def measureW(label: String, rows: Long)(body: => Unit): Unit = {
+        time(body) // discarded warmup
+        val samples = Seq.fill(2) {
+          heap.reset()
+          val t = time(body)
+          (t, heap.drainLive() / 1e9, heap.drain() / 1e9)
+        }
+        val best = samples.minBy(_._1)
+        println(f"[scaling] walk_stress/$label%-28s rows=$rows%9d " +
+          f"${best._1}%7.2fs  peak_live=${best._2}%5.2f GB  peak_heap=${best._3}%5.2f GB")
+      }
+      for (nx <- Seq(1, 10)) {
+        measureW(s"random_walks_64x20_${nx}x", edgeRows(nx)) {
+          Paths.randomWalks(edgesDf(nx), "src", "dst",
+              walksPerNode = 64, steps = 20)
+            .write.format("noop").mode("overwrite").save()
+        }
       }
     }
     spark.stop()
