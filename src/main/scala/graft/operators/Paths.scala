@@ -116,7 +116,16 @@ object Paths {
     * state against it (the neighbor-index predicate prunes the fanout
     * inside the joined task, nothing re-shuffles the adjacency). Step
     * states stay persisted until the final union materializes —
-    * O(steps) bounded walker-id frames, released en bloc. Hub nodes
+    * O(steps) bounded walker-id frames, released en bloc. The en-bloc
+    * hold is INHERENT to returning the full corpus as one frame (each
+    * step's output view shares its step's checkpoint blocks; an
+    * earlier release would kill rows the result still needs), so the
+    * live set is ~2x the output volume — measured at the API maximum
+    * (walksPerNode=64, steps=20, 200k-node graph) to COMPLETE at the
+    * 8 GB harness heap with the overflow riding the MEMORY_AND_DISK
+    * checkpoint spill (SCALING.md r15 walk_stress). If even the
+    * output won't fit one materialization, write each step to a
+    * partitioned sink instead of consuming the union. Hub nodes
     * cost a degree-sized window partition once at build time; cap
     * hubs upstream (the [[LinkPrediction]] `maxDeg` argument) if the
     * graph has super-nodes. */
