@@ -1764,6 +1764,42 @@ object QueryCatalog {
       val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
       Communities.communitySizes(labels).orderBy("label")
     }),
+    // k-occurrence hubness over the quantized kNN graph (Radovanovic
+    // et al. 2010): how many other vectors list each vector among
+    // their top-k — the curse-of-dimensionality diagnostic. Anti-hubs
+    // (k_occurrence 0) are kept via the corpus spine left-join; the
+    // oracle replays the edge CTEs + the rollup + the spine.
+    "knn_hubness" -> ((s, dir) => {
+      val corpus = plantedEmbeddings(s, dir)
+      val edges = Similarity.knnGraphQuantized(
+        corpus, "vec_id", "embedding", k = 3, dim = 64,
+        nBits = 16, bands = 2, rerankFactor = 4,
+        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+      Similarity.hubness(edges, corpus, "vec_id").orderBy("node")
+    }),
+    // Embedding snapshot drift — the encoder-regression gate: the new
+    // snapshot is a deterministic mutation (+0.05 on even dimensions,
+    // the replayable stand-in for a re-embedding with a changed
+    // model), and the operator reports exact per-dimension micro-unit
+    // mean shifts. Everything integer until the output.
+    "embedding_drift" -> ((s, dir) => {
+      val old = embeddings(s, dir)
+      val neu = old.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i % 2 === 0, x.cast("double") + lit(0.05))
+            .otherwise(x.cast("double"))).as("embedding"))
+      Similarity.embeddingDrift(old, neu, "embedding", dim = 64)
+    }),
+    // 1-row rollup: centroid cosine of the exact micro-unit mean
+    // vectors (DECIMAL moment sums, three double ops) + worst shift.
+    "embedding_drift_summary" -> ((s, dir) => {
+      val old = embeddings(s, dir)
+      val neu = old.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i % 2 === 0, x.cast("double") + lit(0.05))
+            .otherwise(x.cast("double"))).as("embedding"))
+      Similarity.embeddingDriftSummary(old, neu, "embedding", dim = 64)
+    }),
     // SemDeDup (Abbas et al. 2023): the THIRD near-dup family — cluster
     // pruning. Cosine is scored within coarse k-means cells only
     // (~n^2/nlist scored pairs, one by-cell shuffle). On this corpus the
@@ -2961,6 +2997,60 @@ object QueryCatalog {
        |SELECT lbl AS label, count(*) AS n_members,
        |  min(node) AS min_member, max(node) AS max_member
        |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** SQL twin of [[graft.operators.Similarity.hubness]] over the
+    * quantized kNN edges: the edge CTEs + a nbr-keyed count + the
+    * corpus spine left-join (anti-hubs kept at 0). */
+  private lazy val knnHubnessSql =
+    s"""WITH $knnGraphQuantizedCtes,
+       |occ AS (
+       |  SELECT nbr AS node, count(*) AS k_occurrence
+       |  FROM ranked WHERE rank <= 3 GROUP BY 1)
+       |SELECT c.vec_id AS node,
+       |  CAST(COALESCE(occ.k_occurrence, 0) AS BIGINT) AS k_occurrence
+       |FROM corpus c LEFT JOIN occ ON occ.node = c.vec_id
+       |ORDER BY node""".stripMargin
+
+  /** Shared CTEs for the embedding_drift twins: quantized per-dim
+    * integer means (shift-positive floor division, shift subtracted
+    * back) for the raw snapshot and its deterministic +0.05-on-even-
+    * dims mutation. */
+  private val embeddingDriftCtes =
+    """e AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |o AS (SELECT unnest(range(0, 64)) AS pos,
+      |        CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 8.0) * 1e6 + 0.5) AS BIGINT) AS xq
+      |      FROM e),
+      |om AS (SELECT pos, CAST(sum(xq) AS BIGINT) // count(*) - 8000000 AS mo
+      |       FROM o GROUP BY 1),
+      |ne AS (SELECT vec_id,
+      |         [CASE WHEN i % 2 = 0 THEN CAST(embedding[i + 1] AS DOUBLE) + 0.05
+      |               ELSE CAST(embedding[i + 1] AS DOUBLE) END
+      |          FOR i IN range(0, 64)] AS v
+      |       FROM e),
+      |n AS (SELECT unnest(range(0, 64)) AS pos,
+      |        CAST(floor((unnest(v) + 8.0) * 1e6 + 0.5) AS BIGINT) AS xq
+      |      FROM ne),
+      |nm AS (SELECT pos, CAST(sum(xq) AS BIGINT) // count(*) - 8000000 AS mn
+      |       FROM n GROUP BY 1)""".stripMargin
+
+  private lazy val embeddingDriftSql =
+    s"""WITH $embeddingDriftCtes
+       |SELECT CAST(om.pos AS INT) AS pos, om.mo AS mean_old_micro,
+       |  nm.mn AS mean_new_micro, nm.mn - om.mo AS delta_micro
+       |FROM om JOIN nm USING (pos) ORDER BY pos""".stripMargin
+
+  private lazy val embeddingDriftSummarySql =
+    s"""WITH $embeddingDriftCtes,
+       |j AS (SELECT om.mo, nm.mn, nm.mn - om.mo AS d
+       |      FROM om JOIN nm USING (pos))
+       |SELECT count(*) AS n_dims,
+       |  round(CAST(sum(CAST(mo AS DECIMAL(38,0)) * CAST(mn AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (sqrt(CAST(sum(CAST(mo AS DECIMAL(38,0)) * CAST(mo AS DECIMAL(38,0))) AS DOUBLE))
+       |       * sqrt(CAST(sum(CAST(mn AS DECIMAL(38,0)) * CAST(mn AS DECIMAL(38,0))) AS DOUBLE))), 6)
+       |    AS centroid_cosine,
+       |  max(abs(d)) AS max_abs_delta_micro
+       |FROM j""".stripMargin
 
   /** Exact replica of [[graft.operators.Paths.randomWalks]] (2 walks x
     * 3 steps) on the sparse co-supply graph: ranked adjacency, then one
@@ -4600,6 +4690,9 @@ object QueryCatalog {
     "knn_graph" -> knnGraphSql,
     "knn_graph_quantized" -> knnGraphQuantizedSql,
     "semantic_communities" -> semanticCommunitiesSql,
+    "knn_hubness" -> knnHubnessSql,
+    "embedding_drift" -> embeddingDriftSql,
+    "embedding_drift_summary" -> embeddingDriftSummarySql,
     // same graph: degree table + naive triangle counts -> 2T/(d(d-1))
     "clustering_coeff" ->
       """WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),

@@ -1867,4 +1867,119 @@ object Similarity {
           .otherwise(lit(false)).as("is_outlier"))
     out
   }
+
+  /** k-occurrence hubness over a kNN edge list (Radovanovic et al.
+    * 2010, "Hubs in Space", public): for every node, how many OTHER
+    * nodes list it among their top-k — the standard
+    * curse-of-dimensionality diagnostic over an embedding column. A
+    * healthy space has k-occurrence concentrated near k; a hubby one
+    * grows a long tail of super-hubs (nodes in thousands of kNN
+    * lists) plus a mass of anti-hubs (k-occurrence 0) — and hubs
+    * distort every downstream consumer (SemDeDup clusters collapse
+    * into hubs, LPA communities over-merge, diversity sampling
+    * over-picks them). Anti-hubs are kept via the `nodes` spine
+    * left-join — a rollup over edges alone silently drops exactly the
+    * rows that diagnose the pathology.
+    *
+    * Scale shape: one map-side-combined count over the edge list
+    * (n·k rows) + one broadcast-free equi-join against the node
+    * spine; nothing touches vectors. Compose with [[knnGraph]] /
+    * [[knnGraphQuantized]] output (`id`/`nbr` columns). */
+  def hubness(edges: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+    val occ = edges.groupBy(col("nbr").as("__n"))
+      .agg(count(lit(1)).as("k_occurrence"))
+    nodes.select(col(idCol).as("node"))
+      .join(occ, col("node") === col("__n"), "left")
+      .select(col("node"),
+        coalesce(col("k_occurrence"), lit(0L)).as("k_occurrence"))
+  }
+
+  /** Per-dimension embedding drift between two snapshots — the
+    * encoder-regression gate: re-embedding a corpus with a changed
+    * model (or a broken preprocessing step) shifts per-dimension
+    * means long before any downstream metric notices, and comparing
+    * means is scan-cheap where comparing neighbor structures is not.
+    * One row per dimension: `(pos, mean_old_micro, mean_new_micro,
+    * delta_micro)` in the [[outlierScores]] quantization contract —
+    * elements must lie in (-8, 8) (ENFORCED per element, raise_error),
+    * `floor((x+8)·1e6 + 0.5)` quantization, per-dimension integer
+    * mean as floor division (positive by the shift, so `div` and `//`
+    * agree), the 8e6 shift subtracted back out so the emitted means
+    * are TRUE micro-unit means — every value an exact integer, so the
+    * hash oracle replays it and a real drift is never noise. Ragged vectors raise; null
+    * vectors drop (the [[sq8Params]] contract).
+    *
+    * Scale shape: two posexplode scans (one per snapshot), each a
+    * dim-key map-side-combined aggregate — shuffle volume tasks×dim
+    * rows — joined on the dim-row spine. Nothing corpus-sized ever
+    * shuffles. [[embeddingDriftSummary]] rolls the dim rows into the
+    * 1-row verdict (centroid cosine + worst shift). */
+  def embeddingDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      vecCol: String,
+      dim: Int
+  ): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    def meansOf(df: DataFrame, out: String): DataFrame = {
+      val checked = when(col(vecCol).isNull, lit(null).cast("array<double>"))
+        .when(size(col(vecCol)) === dim, transform(col(vecCol), x => {
+          val d = x.cast("double")
+          when(abs(d) < lit(8.0), d).otherwise(raise_error(concat(
+            lit("embeddingDrift: elements must lie in (-8, 8), got "),
+            d.cast("string"))))
+        }))
+        .otherwise(raise_error(concat(
+          lit(s"embeddingDrift: expected dim=$dim vectors, got size="),
+          size(col(vecCol)).cast("string"))))
+      // the +8 shift keeps every quantized value positive so the
+      // integer mean floors identically in any engine — and is
+      // subtracted back out, so the emitted means are TRUE means in
+      // micro units (a constant shift would otherwise dominate the
+      // centroid cosine and blind the summary)
+      df.select(posexplode(checked).as(Seq("pos", "__x")))
+        .select(col("pos"),
+          floor((col("__x") + lit(8.0)) * lit(1e6) + lit(0.5))
+            .cast("long").as("__xq"))
+        .groupBy("pos")
+        .agg(sum("__xq").as("__s"), count(lit(1)).as("__n"))
+        .select(col("pos"),
+          (expr("__s div __n") - lit(8000000L)).as(out))
+    }
+    meansOf(oldDf, "mean_old_micro")
+      .join(meansOf(newDf, "mean_new_micro"), Seq("pos"))
+      .select(col("pos"), col("mean_old_micro"), col("mean_new_micro"),
+        (col("mean_new_micro") - col("mean_old_micro")).as("delta_micro"))
+      .orderBy("pos")
+  }
+
+  /** 1-row rollup of [[embeddingDrift]]: `(n_dims, centroid_cosine,
+    * max_abs_delta_micro)` — the cosine between the two quantized mean
+    * vectors (DECIMAL-exact moment sums, THREE double ops at the end
+    * in the [[cosine]] association) plus the worst per-dimension
+    * shift. centroid_cosine ~ 1 and a small max shift = same encoder;
+    * either moving is the drift alarm. */
+  def embeddingDriftSummary(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      vecCol: String,
+      dim: Int
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    embeddingDrift(oldDf, newDf, vecCol, dim)
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("mean_old_micro").cast(dec) * col("mean_new_micro").cast(dec))
+          .as("__dot"),
+        sum(col("mean_old_micro").cast(dec) * col("mean_old_micro").cast(dec))
+          .as("__no"),
+        sum(col("mean_new_micro").cast(dec) * col("mean_new_micro").cast(dec))
+          .as("__nn"),
+        max(abs(col("delta_micro"))).as("max_abs_delta_micro"))
+      .select(col("n_dims"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__no").cast("double")) * sqrt(col("__nn").cast("double"))), 6)
+          .as("centroid_cosine"),
+        col("max_abs_delta_micro"))
+  }
 }

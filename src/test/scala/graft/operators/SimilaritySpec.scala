@@ -584,6 +584,57 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Similarity.suggestedNBits(10L, 0) }
   }
 
+  test("hubness: k-occurrence counts with anti-hubs kept at zero") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L))
+      .toDF("id", "nbr")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val out = Similarity.hubness(edges, nodes, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 0L),
+      s"hand counts mismatch: $out")
+  }
+
+  test("embeddingDrift: exact micro-unit means and deltas match a hand replica") {
+    val old = emb(0L -> Seq(0.1, -0.2), 1L -> Seq(0.3, 0.4), 2L -> Seq(0.5, 0.6))
+    val neu = emb(0L -> Seq(0.6, -0.2), 1L -> Seq(0.8, 0.4), 2L -> Seq(1.0, 0.6))
+    val out = Similarity.embeddingDrift(old, neu, "embedding", dim = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def meanQ(vals: Seq[Double]): Long =
+      Math.floorDiv(vals.map(x => math.floor((x + 8.0) * 1e6 + 0.5).toLong).sum,
+        vals.size.toLong) - 8000000L
+    val mo0 = meanQ(Seq(0.1, 0.3, 0.5)); val mn0 = meanQ(Seq(0.6, 0.8, 1.0))
+    val mo1 = meanQ(Seq(-0.2, 0.4, 0.6))
+    assert(out(0) == ((mo0, mn0, mn0 - mo0)), s"dim0: $out")
+    assert(out(1) == ((mo1, mo1, 0L)), s"dim1 must not drift: $out")
+    // identical snapshots: zero deltas, centroid cosine exactly 1
+    val same = Similarity.embeddingDriftSummary(old, old, "embedding", dim = 2)
+      .collect().head
+    assert(same.getLong(0) == 2L && same.getDouble(1) == 1.0 &&
+      same.getLong(2) == 0L, s"self-drift must be null: $same")
+    val drift = Similarity.embeddingDriftSummary(old, neu, "embedding", dim = 2)
+      .collect().head
+    assert(drift.getLong(2) == mn0 - mo0, s"worst shift: $drift")
+  }
+
+  test("embeddingDrift: out-of-range and ragged vectors fail loudly") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val ok = emb(0L -> Seq(0.1, 0.2))
+    val big = emb(0L -> Seq(8.5, 0.0))
+    val e1 = intercept[Exception] {
+      Similarity.embeddingDrift(ok, big, "embedding", dim = 2).collect()
+    }
+    assert(chain(e1).contains("(-8, 8)"), chain(e1))
+    val ragged = emb(0L -> Seq(1.0))
+    val e2 = intercept[Exception] {
+      Similarity.embeddingDrift(ragged, ok, "embedding", dim = 2).collect()
+    }
+    assert(chain(e2).contains("embeddingDrift"), chain(e2))
+  }
+
   test("outlierScores: the far vector flags, d2 matches a hand replica") {
     // 3 near-origin vectors + one at (4, 4): mean lands near (1, 1)
     val d = emb(0L -> Seq(0.0, 0.0), 1L -> Seq(0.1, 0.0),
