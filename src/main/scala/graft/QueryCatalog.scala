@@ -1764,6 +1764,37 @@ object QueryCatalog {
       val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
       Communities.communitySizes(labels).orderBy("label")
     }),
+    // INCREMENTAL flavor of the quantized kNN graph (the IVF-append /
+    // jaccardPairsAgainstIndex pattern): the standing corpus persists
+    // as a bkey-bucketed banding table + an (id, codes8, vec) payload
+    // + the frozen 1-row SQ8 params; the new batch computes its own
+    // signatures/codes (frozen ranges, clamp rule) and gets its
+    // exact-cosine top-3 corpus neighbors without re-scanning the
+    // standing side beyond its banded candidates. Timing honestly
+    // includes the index build + writes.
+    "knn_graph_incremental" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val standing = e.where(col("vec_id") >= 100)
+      val batch = e.where(col("vec_id") < 100)
+      val md5Sig = (c: Column, n: Int, d: Option[Int]) =>
+        Similarity.lshSignatureMd5(c, n, d.get)
+      val (banded, payload, params) = Similarity.knnGraphIndex(
+        standing, "vec_id", "embedding", dim = 64, nBits = 16, bands = 2,
+        signature = md5Sig)
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.writeBucketed(banded, "graft_knn_banding_" + suffix, "bkey", 8)
+      IndexStore.writeTable(payload, "graft_knn_payload_" + suffix)
+      IndexStore.writeTable(params, "graft_knn_params_" + suffix)
+      Similarity.knnGraphAgainstIndex(
+          IndexStore.read(s, "graft_knn_banding_" + suffix),
+          IndexStore.read(s, "graft_knn_payload_" + suffix),
+          IndexStore.read(s, "graft_knn_params_" + suffix),
+          batch, "vec_id", "embedding", k = 3, dim = 64,
+          nBits = 16, bands = 2, rerankFactor = 4, signature = md5Sig)
+        .select(col("id"), col("nbr"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("id", "rank")
+    }),
     // k-occurrence hubness over the quantized kNN graph (Radovanovic
     // et al. 2010): how many other vectors list each vector among
     // their top-k — the curse-of-dimensionality diagnostic. Anti-hubs
@@ -2997,6 +3028,68 @@ object QueryCatalog {
        |SELECT lbl AS label, count(*) AS n_members,
        |  min(node) AS min_member, max(node) AS max_member
        |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** SQL twin of [[graft.operators.Similarity.knnGraphAgainstIndex]]
+    * on the standing (vec_id >= 100) vs batch (< 100) split: md5
+    * signatures for both populations, bkey = band·256 + bucket,
+    * batch-vs-standing candidates, SQ8 params FROZEN on the standing
+    * side, ADC top-(3·4) survivors, exact-cosine top-3. */
+  private lazy val knnGraphIncrementalSql = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH st AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 100),
+       |bt AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100),
+       |allp AS (SELECT * FROM st UNION ALL SELECT * FROM bt),
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM allp c, range(0, 16) p(p)),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id),
+       |bk AS (
+       |  SELECT vec_id, b.b * 256 + ((sig >> (b.b * 8)) & 255) AS bkey
+       |  FROM sig, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS id, s.vec_id AS nbr
+       |  FROM (SELECT bk.* FROM bk JOIN bt ON bt.vec_id = bk.vec_id) q
+       |  JOIN (SELECT bk.* FROM bk JOIN st ON st.vec_id = bk.vec_id) s USING (bkey)
+       |  WHERE q.vec_id <> s.vec_id),
+       |prm AS (
+       |  SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS wd
+       |  FROM st CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY i),
+       |pm AS (SELECT list(mn ORDER BY i) AS mins, list(wd ORDER BY i) AS wds FROM prm),
+       |dq AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65), i ->
+       |      mins[i] + CAST(CASE WHEN wds[i] = 0 THEN 0 ELSE
+       |          least(255.0, greatest(0.0,
+       |            floor((v[i] - mins[i]) / wds[i] * 255.0 + 0.5)))
+       |        END AS DOUBLE) * wds[i] / 255.0) AS cv
+       |  FROM allp CROSS JOIN pm),
+       |qs AS (
+       |  SELECT cand.id, cand.nbr, ${cosSql("da.cv", "db.cv")} AS qcos
+       |  FROM cand
+       |  JOIN dq da ON da.vec_id = cand.id
+       |  JOIN dq db ON db.vec_id = cand.nbr),
+       |sv AS (
+       |  SELECT id, nbr FROM (
+       |    SELECT id, nbr,
+       |      row_number() OVER (PARTITION BY id ORDER BY qcos DESC, nbr) AS qr
+       |    FROM qs) WHERE qr <= 12),
+       |scored AS (
+       |  SELECT id, nbr, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM sv JOIN bt ca ON ca.vec_id = id JOIN st cb ON cb.vec_id = nbr),
+       |ranked AS (
+       |  SELECT id, nbr, cos,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
+       |  FROM scored)
+       |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+  }
 
   /** SQL twin of [[graft.operators.Similarity.hubness]] over the
     * quantized kNN edges: the edge CTEs + a nbr-keyed count + the
@@ -4690,6 +4783,7 @@ object QueryCatalog {
     "knn_graph" -> knnGraphSql,
     "knn_graph_quantized" -> knnGraphQuantizedSql,
     "semantic_communities" -> semanticCommunitiesSql,
+    "knn_graph_incremental" -> knnGraphIncrementalSql,
     "knn_hubness" -> knnHubnessSql,
     "embedding_drift" -> embeddingDriftSql,
     "embedding_drift_summary" -> embeddingDriftSummarySql,

@@ -522,6 +522,140 @@ object Similarity {
       .select("id", "nbr", "cosine", "rank")
   }
 
+  /** Persisted quantized kNN-graph index — the three frames the
+    * incremental edge probe ([[knnGraphAgainstIndex]]) consumes,
+    * completing the ingestion story for the semantic-neighborhood
+    * graph (the [[graft.operators.Dedup]] `jaccardPairsAgainstIndex` /
+    * IVF-append pattern, kNN-graph flavor):
+    *
+    *   - banding `(bkey, id)`: one row per (band, bucket) membership,
+    *     `bkey = band * 2^rowsPerBand + bucket` — ONE join column so
+    *     the table bucket-persists on its probe key
+    *     ([[graft.sources.IndexStore.writeBucketed]]; the probe join
+    *     then needs no index-side exchange and single-bucket lookups
+    *     prune files);
+    *   - payload `(id, codes8, vec)`: 1-byte SQ8 codes for the
+    *     quantized verify plus the raw vector for the exact re-rank,
+    *     stored ONCE per id (never per band);
+    *   - params: the 1-row SQ8 range table
+    *     ([[graft.sources.IndexStore.writeTable]] sidecar, broadcast
+    *     at probe time).
+    *
+    * The SQ8 ranges FREEZE at build time (the IVF frozen-centroid
+    * rule): appended or probed vectors outside the trained range clamp
+    * into the edge codes — [[sq8Encode]]'s documented behavior — so an
+    * append never silently re-encodes the standing corpus. */
+  def knnGraphIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nBits: Int = 16,
+      bands: Int = 4,
+      signature: (Column, Int, Option[Int]) => Column = lshSignature
+  ): (DataFrame, DataFrame, DataFrame) = {
+    require(nBits % bands == 0, "nBits must be divisible by bands")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val rowsPerBand = nBits / bands
+    val params = sq8Params(df.select(col(vecCol)), vecCol, dim)
+    val signed = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      signature(col(vecCol), nBits, Some(dim)).as("sig"))
+      .localCheckpoint(true)
+    val bandMask = (1L << rowsPerBand) - 1
+    val banded = signed.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
+        .as(Seq("band", "bucket")))
+      .select((col("band") * lit(1L << rowsPerBand) + col("bucket")).as("bkey"),
+        col("id"))
+    val payload = sq8Encode(signed.select(col("id"), col("vec")), "id", "vec", params)
+      .select(col("id"),
+        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes8"))
+      .join(signed.select(col("id"), col("vec")), Seq("id"))
+    (banded, payload, params)
+  }
+
+  /** Incremental kNN-graph edges for a NEW batch against a persisted
+    * [[knnGraphIndex]]: each batch vector's exact-cosine top-`k` among
+    * its SQ8-top-(k·rerankFactor) banded candidates FROM THE STANDING
+    * CORPUS — "give the new documents semantic neighbors without
+    * touching the old ones", the per-ingest cost a live corpus pays.
+    * Output `(id, nbr, cosine, rank)` where `id` is a batch node and
+    * `nbr` a corpus node; cosine is exact (re-ranked), the
+    * [[knnGraphQuantized]] contract.
+    *
+    * Scale shape: the batch side computes its own signatures and codes
+    * (frozen params broadcast — out-of-range batch values clamp, the
+    * documented SQ8 rule); the candidate equi-join on `bkey` needs no
+    * index-side exchange when `banding` is the bucketed read-back;
+    * verify ships 1-byte codes; raw vectors are touched only by the
+    * batch rows and the <= batch·k·rerankFactor survivor joins. The
+    * standing corpus is never re-scanned beyond its banded candidates. */
+  def knnGraphAgainstIndex(
+      banding: DataFrame,
+      payload: DataFrame,
+      params: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 16,
+      bands: Int = 4,
+      rerankFactor: Int = 4,
+      signature: (Column, Int, Option[Int]) => Column = lshSignature
+  ): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(rerankFactor >= 1 && rerankFactor <= 64,
+      s"rerankFactor must be in [1, 64], got $rerankFactor")
+    require(nBits % bands == 0, "nBits must be divisible by bands")
+    val rowsPerBand = nBits / bands
+    val bandMask = (1L << rowsPerBand) - 1
+    val qsigned = batch.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      signature(col(vecCol), nBits, Some(dim)).as("sig"))
+      .localCheckpoint(true)
+    val qband = qsigned.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
+        .as(Seq("band", "bucket")))
+      .select((col("band") * lit(1L << rowsPerBand) + col("bucket")).as("bkey"),
+        col("id"))
+    val qcodes = sq8Encode(qsigned.select(col("id"), col("vec")), "id", "vec", params)
+      .select(col("id"),
+        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes8"))
+    val candidates = qband
+      .join(banding.select(col("bkey"), col("id").as("nbr")), Seq("bkey"))
+      .where(col("id") =!= col("nbr"))
+      .select("id", "nbr")
+      .dropDuplicates("id", "nbr")
+    def adcCosine(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.functions.Sq8AdcCosine(
+        ColumnBridge.expression(a), ColumnBridge.expression(b),
+        ColumnBridge.expression(col("mins")), ColumnBridge.expression(col("widths"))))
+    }
+    val qcos = candidates
+      .join(qcodes, Seq("id"))
+      .join(payload.select(col("id").as("nbr"), col("codes8").as("__cb")), Seq("nbr"))
+      .crossJoin(broadcast(params))
+      .select(col("id"), col("nbr"),
+        adcCosine(col("codes8"), col("__cb")).as("qcos"))
+    val wq = Window.partitionBy("id").orderBy(col("qcos").desc, col("nbr").asc)
+    val survivors = qcos.withColumn("__qrank", row_number().over(wq))
+      .where(col("__qrank") <= k * rerankFactor)
+      .select("id", "nbr")
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr").asc)
+    survivors
+      .join(qsigned.select(col("id"), col("vec")), Seq("id"))
+      .join(payload.select(col("id").as("nbr"), col("vec").as("__vb")), Seq("nbr"))
+      .withColumn("cosine", cosine(col("vec"), col("__vb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "nbr", "cosine", "rank")
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster-pruned cosine. Every embedding is assigned

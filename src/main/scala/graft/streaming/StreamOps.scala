@@ -805,4 +805,61 @@ object StreamOps {
       bins: Int = 10
   ): DataFrame =
     graft.operators.Eval.calibrationBins(scored, scoreCol, labelCol, bins)
+
+  /** Streaming drift evidence against a STATIC reference snapshot: per
+    * event-time tumbling window, the exact bin counts of `valueCol`
+    * over the OLD snapshot's [min, max] equal-width frame — the live
+    * feed of [[graft.operators.Profile.psi]]'s new-side aggregate,
+    * windowed. Output: `(window_start, window_end, bin, n_new)`,
+    * append mode on window close.
+    *
+    * The reference frame derives from the static snapshot ONCE at
+    * plan-build time from its FINITE values only (the Profile.psi
+    * rule — one NaN reaching max() would blind the monitor; a
+    * bounded 1-row driver artifact), and the binning expression is
+    * Profile.psi's own — `least(greatest(floor((v-lo)/span), 0),
+    * bins-1)`, non-finite stream values excluded, out-of-range
+    * excursions clamped into the edge bins where they should
+    * register. Identity: a window's rows equal `Profile.psi(old,
+    * windowRows).n_new` bin for bin (spec-gated).
+    *
+    * The PSI scalar is deliberately NOT computed in-stream: the term
+    * needs per-window totals OVER the bin counts — a second
+    * aggregation Structured Streaming forbids in one query (the
+    * calibrationBins/ECE evidence-vs-rollup split, drift flavor).
+    * Roll closed windows up in batch: join the sink to the old bin
+    * counts and apply the psi term, or re-run `Profile.psiTotal` on
+    * the window's raw rows.
+    *
+    * Scale shape: ONE (window, bin)-keyed map-side-combined count —
+    * state is bins rows per open window, constant in stream volume. */
+  def driftBins(
+      stream: DataFrame,
+      oldDf: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      bins: Int = 10,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val vd = col(valueCol).cast("double")
+    val finite = vd.isNotNull && !isnan(vd) &&
+      abs(vd) < lit(Double.PositiveInfinity)
+    val mm = oldDf.where(finite).agg(min(vd), max(vd)).head()
+    require(!mm.isNullAt(0),
+      s"StreamOps.driftBins: reference snapshot has no finite $valueCol rows")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = math.max((hi - lo) / bins, java.lang.Double.MIN_NORMAL)
+    stream
+      .withWatermark(tsCol, watermark)
+      .where(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .groupBy(window(col(tsCol), windowDuration),
+        least(greatest(
+            floor((col(valueCol).cast("double") - lit(lo)) / lit(span)), lit(0L)),
+          lit(bins - 1L)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("bin"), col("n_new"))
+  }
 }

@@ -584,6 +584,39 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Similarity.suggestedNBits(10L, 0) }
   }
 
+  test("knnGraphAgainstIndex: batch edges equal brute top-k vs the standing corpus") {
+    // single-bit bands admit all pairs (the knnGraph differential
+    // pattern), so the incremental probe must equal an exhaustive
+    // per-batch-node top-2 against the STANDING side — and emit only
+    // batch -> standing edges, exact cosines
+    val standing = (10L to 19L).map(i =>
+      i -> Seq(math.cos(i * 0.4), math.sin(i * 0.4), (i % 4) * 0.1))
+    val batch = (1L to 3L).map(i =>
+      i -> Seq(math.cos(i * 1.1), math.sin(i * 1.1), 0.15))
+    val sd = emb(standing: _*)
+    val bd = emb(batch: _*)
+    val (banded, payload, params) = Similarity.knnGraphIndex(
+      sd, "vec_id", "embedding", dim = 3, nBits = 8, bands = 8)
+    val out = Similarity.knnGraphAgainstIndex(banded, payload, params,
+        bd, "vec_id", "embedding", k = 2, dim = 3, nBits = 8, bands = 8,
+        rerankFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val sm = standing.toMap
+    batch.foreach { case (id, v) =>
+      val brute = sm.keys.toSeq.sortBy(n => (-cos(v, sm(n)), n)).take(2)
+      assert(out((id, 1)) == brute.head && out((id, 2)) == brute(1),
+        s"batch node $id: got ${out.filter(_._1._1 == id)}, brute $brute")
+    }
+    assert(out.values.forall(n => n >= 10L && n <= 19L),
+      s"edges must point INTO the standing corpus only: $out")
+    assert(out.keys.map(_._1).forall(id => id >= 1L && id <= 3L),
+      s"edges must start at batch nodes only: $out")
+  }
+
   test("hubness: k-occurrence counts with anti-hubs kept at zero") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L))

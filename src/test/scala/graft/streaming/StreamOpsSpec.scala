@@ -767,4 +767,42 @@ class StreamOpsSpec extends AnyFunSuite {
         assert(java.lang.Double.compare(y, exp2(k)._2) == 0, s"user $k drifted") }
     } finally q.stop()
   }
+
+  test("streaming driftBins: per-window bin counts match Profile.psi's new side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static reference: 1..100 plus a NaN that must NOT poison the frame
+    val old = ((1 to 100).map(_.toDouble) :+ Double.NaN).map(Tuple1(_)).toDF("v")
+    val input = MemoryStream[(Timestamp, Double)]
+    val binsOut = StreamOps.driftBins(
+      input.toDF().toDF("ts", "v"), old, "ts", "v",
+      bins = 4, windowDuration = "10 minutes", watermark = "10 minutes")
+    val q = binsOut.writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one 10-min window of shifted values 41..140 (the psi fixture) +
+      // a NaN row the stream filter must drop
+      val windowVals = (41 to 140).map(_.toDouble)
+      input.addData(windowVals.map(v => (ts(1), v)): _*)
+      input.addData((ts(2), Double.NaN))
+      q.processAllAvailable()
+      input.addData((ts(1000), 50.0)) // advance watermark, close the window
+      q.processAllAvailable()
+      def bucketUs(t: Timestamp): Long = t.getTime / 600000L * 600000L * 1000L
+      val got = spark.table("drift_out").collect()
+        .filter(_.getTimestamp(0).getTime * 1000L == bucketUs(ts(1)))
+        .map(r => r.getLong(2) -> r.getLong(3)).toMap
+      // identity against the batch operator's new side on the same rows
+      val exp = graft.operators.Profile
+        .psi(old, windowVals.map(Tuple1(_)).toDF("v"), "v", bins = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+        .filter(_._2 > 0L).toMap
+      assert(got == exp, s"streamed bins $got != batch psi new side $exp")
+      // only-non-finite reference fails loudly at plan-build time
+      intercept[IllegalArgumentException] {
+        StreamOps.driftBins(input.toDF().toDF("ts", "v"),
+          Seq(Double.NaN).map(Tuple1(_)).toDF("v"), "ts", "v")
+      }
+    } finally q.stop()
+  }
 }
