@@ -617,6 +617,43 @@ object ScalingProbe {
       }
     }
 
+    // ---- incremental ingest kNN graph: FIXED batch, growing corpus ----
+    // The knn_graph analogue of incremental_dedup: what does giving ONE
+    // 500-vector ingest batch its exact-cosine top-5 corpus neighbors
+    // cost as the standing corpus grows 100x? Index width follows
+    // suggestedNBits (the occupancy-pinned guidance), build+write is
+    // reported separately from the per-batch probe — the build is paid
+    // once, the probe is the recurring ingest cost.
+    if (opFilter.forall("incremental_knn".contains)) {
+      val batch = embs(1).where(col("vec_id") < 500)
+        .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
+      for (nx <- Seq(1, 10, 100)) {
+        val corpus = embs(nx)
+        val nBits = Similarity.suggestedNBits(embRows(nx), bands = 4)
+        val pre = s"graft_scaling_knn_${nx}x"
+        // t0 BEFORE knnGraphIndex: its signature checkpoint is eager, so
+        // the expensive signing pass belongs to the build window
+        val t0 = System.nanoTime()
+        val (banded, payload, params) = Similarity.knnGraphIndex(
+          corpus, "vec_id", "embedding", dim = 64, nBits = nBits, bands = 4)
+        graft.sources.IndexStore.writeBucketed(banded, pre + "_banding", "bkey", 8)
+        graft.sources.IndexStore.writeTable(payload, pre + "_payload")
+        graft.sources.IndexStore.writeTable(params, pre + "_params")
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        def probe(): Unit = Similarity.knnGraphAgainstIndex(
+            graft.sources.IndexStore.read(spark, pre + "_banding"),
+            graft.sources.IndexStore.read(spark, pre + "_payload"),
+            graft.sources.IndexStore.read(spark, pre + "_params"),
+            batch, "vec_id", "embedding", k = 5, dim = 64,
+            nBits = nBits, bands = 4)
+          .write.format("noop").mode("overwrite").save()
+        time(probe()) // warmup
+        val t = math.min(time(probe()), time(probe()))
+        println(f"[scaling] incremental_knn corpus ${nx}%3dx nBits=$nBits%2d " +
+          f"build+write=$tBuild%7.2fs probe=$t%7.2fs")
+      }
+    }
+
     // ---- skew drill: one pathological shingle in 20% of docs ----------
     // A real crawl has boilerplate n-grams shared by a large corpus
     // fraction; uncapped, ONE such inverted-index key generates
