@@ -1764,6 +1764,21 @@ object QueryCatalog {
       val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
       Communities.communitySizes(labels).orderBy("label")
     }),
+    // The semantic-graph pipeline's final curation stage: per-community
+    // QUOTA SAMPLE — embeddings -> quantized kNN edges -> LPA
+    // communities -> deterministic 2-per-community sample
+    // (sampleNPerStratum's seeded hash order), i.e. "take a capped,
+    // reproducible slice of every semantic neighborhood" — the
+    // diversity-sampling output the knnGraph scaladoc names.
+    "semantic_quota_sample" -> ((s, dir) => {
+      val edges = Similarity.knnGraphQuantized(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
+        nBits = 16, bands = 2, rerankFactor = 4,
+        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+      val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
+      Shuffling.sampleNPerStratum(labels, "node", "label", n = 2, seed = 7L)
+        .orderBy("label", "node")
+    }),
     // INCREMENTAL flavor of the quantized kNN graph (the IVF-append /
     // jaccardPairsAgainstIndex pattern): the standing corpus persists
     // as a bkey-bucketed banding table + an (id, codes8, vec) payload
@@ -3144,6 +3159,27 @@ object QueryCatalog {
        |    AS centroid_cosine,
        |  max(abs(d)) AS max_abs_delta_micro
        |FROM j""".stripMargin
+
+  /** SQL twin of the semantic_quota_sample composition: the
+    * semanticCommunities CTEs through l4, then sampleNPerStratum's
+    * seeded md5 hash order (the sample_n_per_stratum twin) with
+    * label as the stratum. */
+  private lazy val semanticQuotaSampleSql =
+    s"""WITH $knnGraphQuantizedCtes,
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT least(id, nbr) AS a, greatest(id, nbr) AS b
+       |  FROM ranked WHERE rank <= 3 AND id <> nbr),
+       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
+       |  UNION ALL SELECT b, a FROM p
+       |  UNION ALL SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |${lpaRoundCtes(4)}
+       |SELECT node, label FROM (
+       |  SELECT node, lbl AS label, row_number() OVER (
+       |    PARTITION BY lbl
+       |    ORDER BY md5(CAST(node AS VARCHAR) || ':7'), node) AS rn
+       |  FROM l4) WHERE rn <= 2 ORDER BY label, node""".stripMargin
 
   /** Exact replica of [[graft.operators.Paths.randomWalks]] (2 walks x
     * 3 steps) on the sparse co-supply graph: ranked adjacency, then one
@@ -4783,6 +4819,7 @@ object QueryCatalog {
     "knn_graph" -> knnGraphSql,
     "knn_graph_quantized" -> knnGraphQuantizedSql,
     "semantic_communities" -> semanticCommunitiesSql,
+    "semantic_quota_sample" -> semanticQuotaSampleSql,
     "knn_graph_incremental" -> knnGraphIncrementalSql,
     "knn_hubness" -> knnHubnessSql,
     "embedding_drift" -> embeddingDriftSql,
