@@ -1717,7 +1717,7 @@ object QueryCatalog {
     "embedding_neardup_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
         plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.9,
-        nBits = 16, bands = 2, dim = Some(64),
+        nBits = 0, bands = 2, dim = Some(64),
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
@@ -1730,7 +1730,7 @@ object QueryCatalog {
     "knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(
         plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3,
-        nBits = 16, bands = 2, dim = Some(64),
+        nBits = 0, bands = 2, dim = Some(64),
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
         .select(col("id"), col("nbr"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
@@ -1744,7 +1744,7 @@ object QueryCatalog {
     "knn_graph_quantized" -> ((s, dir) =>
       Similarity.knnGraphQuantized(
         plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
-        nBits = 16, bands = 2, rerankFactor = 4,
+        nBits = 0, bands = 2, rerankFactor = 4,
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
         .select(col("id"), col("nbr"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
@@ -1759,7 +1759,7 @@ object QueryCatalog {
     "semantic_communities" -> ((s, dir) => {
       val edges = Similarity.knnGraphQuantized(
         plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
-        nBits = 16, bands = 2, rerankFactor = 4,
+        nBits = 0, bands = 2, rerankFactor = 4,
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
       val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
       Communities.communitySizes(labels).orderBy("label")
@@ -1773,7 +1773,7 @@ object QueryCatalog {
     "semantic_quota_sample" -> ((s, dir) => {
       val edges = Similarity.knnGraphQuantized(
         plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
-        nBits = 16, bands = 2, rerankFactor = 4,
+        nBits = 0, bands = 2, rerankFactor = 4,
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
       val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
       Shuffling.sampleNPerStratum(labels, "node", "label", n = 2, seed = 7L)
@@ -1793,8 +1793,12 @@ object QueryCatalog {
       val batch = e.where(col("vec_id") < 100)
       val md5Sig = (c: Column, n: Int, d: Option[Int]) =>
         Similarity.lshSignatureMd5(c, n, d.get)
+      // the build-time width freezes with the index (the probe MUST
+      // band at it); auto-sized from the standing count, recorded here
+      // the way a real builder would persist it next to the frames
+      val nb = Similarity.autoNBits(standing.count(), bands = 2)
       val (banded, payload, params) = Similarity.knnGraphIndex(
-        standing, "vec_id", "embedding", dim = 64, nBits = 16, bands = 2,
+        standing, "vec_id", "embedding", dim = 64, nBits = nb, bands = 2,
         signature = md5Sig)
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
       IndexStore.writeBucketed(banded, "graft_knn_banding_" + suffix, "bkey", 8)
@@ -1805,7 +1809,7 @@ object QueryCatalog {
           IndexStore.read(s, "graft_knn_payload_" + suffix),
           IndexStore.read(s, "graft_knn_params_" + suffix),
           batch, "vec_id", "embedding", k = 3, dim = 64,
-          nBits = 16, bands = 2, rerankFactor = 4, signature = md5Sig)
+          nBits = nb, bands = 2, rerankFactor = 4, signature = md5Sig)
         .select(col("id"), col("nbr"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("id", "rank")
@@ -1819,7 +1823,7 @@ object QueryCatalog {
       val corpus = plantedEmbeddings(s, dir)
       val edges = Similarity.knnGraphQuantized(
         corpus, "vec_id", "embedding", k = 3, dim = 64,
-        nBits = 16, bands = 2, rerankFactor = 4,
+        nBits = 0, bands = 2, rerankFactor = 4,
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
       Similarity.hubness(edges, corpus, "vec_id").orderBy("node")
     }),
@@ -2893,26 +2897,41 @@ object QueryCatalog {
       |      AS REAL) AS DOUBLE) FOR i IN range(0, len(embedding))] AS v
       |  FROM embeddings WHERE vec_id < 100)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Similarity.autoNBits]] for
+    * bands = 2 — the width the kNN family auto-sizes to when `nBits = 0`:
+    * one row `rpb` (bits per band) = `greatest(8, least(31, needed))`
+    * where `needed` is the smallest b with `16 * 2^b >= count(src)`.
+    * Integer-exact (`16::BIGINT << b`, no floating log), so the twin
+    * steps at exactly the corpus sizes the Scala side steps at. */
+  private def autoRpbCte(src: String): String =
+    s"""w AS (SELECT greatest(8, least(31,
+       |    (SELECT min(b.b) FROM range(0, 48) b(b)
+       |     WHERE (16::BIGINT << b.b) >= (SELECT count(*) FROM $src)))) AS rpb)""".stripMargin
+
   /** SQL twin of the md5-flavored banded LSH near-dup pipeline
     * ([[graft.operators.Similarity.lshSignatureMd5]] + banding + exact
     * cosine verify): plane weight = first 60 bits of md5("p_i") mapped to
     * [-1,1), projection summed in list order, sign bit per plane, 2 bands
-    * of 8 bits, candidate pairs on band-bucket equality, cosine >= 0.9. */
+    * of AUTO-sized width (the autoRpbCte occupancy-pinned rule — 8 bits
+    * per band until the corpus outgrows 16·2^8 rows, then growing with
+    * log2(n)), candidate pairs on band-bucket equality, cosine >= 0.9. */
   private val embeddingNeardupLshSql = {
     val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
       | / 576460752303423488.0 - 1.0)""".stripMargin
     s"""WITH $plantedCorpusCte,
+       |${autoRpbCte("corpus")},
        |proj AS (
        |  SELECT c.vec_id, p.p,
        |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
-       |  FROM corpus c, range(0, 16) p(p)),
+       |  FROM corpus c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
        |sig AS (
        |  SELECT vec_id,
        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
        |  FROM proj GROUP BY vec_id),
        |banded AS (
-       |  SELECT vec_id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
-       |  FROM sig, range(0, 2) b(b)),
+       |  SELECT vec_id, b.b AS band,
+       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
+       |  FROM sig, w, range(0, 2) b(b)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
        |  FROM banded a JOIN banded bb USING (band, bucket)
@@ -2928,23 +2947,25 @@ object QueryCatalog {
 
   /** SQL twin of [[graft.operators.Similarity.knnGraph]] on the planted
     * corpus: the embeddingNeardupLshSql candidate machinery (md5 plane
-    * weights, 16-bit signature, 2 bands of 8) made DIRECTED, then the
+    * weights, auto-sized signature via autoRpbCte, 2 bands) made DIRECTED, then the
     * per-node (cos DESC, nbr ASC) row_number top-3. */
   private val knnGraphSql = {
     val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
       | / 576460752303423488.0 - 1.0)""".stripMargin
     s"""WITH $plantedCorpusCte,
+       |${autoRpbCte("corpus")},
        |proj AS (
        |  SELECT c.vec_id, p.p,
        |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
-       |  FROM corpus c, range(0, 16) p(p)),
+       |  FROM corpus c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
        |sig AS (
        |  SELECT vec_id,
        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
        |  FROM proj GROUP BY vec_id),
        |banded AS (
-       |  SELECT vec_id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
-       |  FROM sig, range(0, 2) b(b)),
+       |  SELECT vec_id, b.b AS band,
+       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
+       |  FROM sig, w, range(0, 2) b(b)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
        |  FROM banded a JOIN banded bb USING (band, bucket)
@@ -2971,17 +2992,19 @@ object QueryCatalog {
     val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
       | / 576460752303423488.0 - 1.0)""".stripMargin
     s"""$plantedCorpusCte,
+       |${autoRpbCte("corpus")},
        |proj AS (
        |  SELECT c.vec_id, p.p,
        |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
-       |  FROM corpus c, range(0, 16) p(p)),
+       |  FROM corpus c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
        |sig AS (
        |  SELECT vec_id,
        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
        |  FROM proj GROUP BY vec_id),
        |banded AS (
-       |  SELECT vec_id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
-       |  FROM sig, range(0, 2) b(b)),
+       |  SELECT vec_id, b.b AS band,
+       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
+       |  FROM sig, w, range(0, 2) b(b)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
        |  FROM banded a JOIN banded bb USING (band, bucket)
@@ -3046,9 +3069,12 @@ object QueryCatalog {
 
   /** SQL twin of [[graft.operators.Similarity.knnGraphAgainstIndex]]
     * on the standing (vec_id >= 100) vs batch (< 100) split: md5
-    * signatures for both populations, bkey = band·256 + bucket,
-    * batch-vs-standing candidates, SQ8 params FROZEN on the standing
-    * side, ADC top-(3·4) survivors, exact-cosine top-3. */
+    * signatures for both populations at the width the INDEX BUILD
+    * auto-sized to (autoRpbCte over the STANDING count — the frozen-
+    * width rule; the batch bands at the build width, never its own),
+    * bkey = band·2^rpb + bucket, batch-vs-standing candidates, SQ8
+    * params FROZEN on the standing side, ADC top-(3·4) survivors,
+    * exact-cosine top-3. */
   private lazy val knnGraphIncrementalSql = {
     val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
       | / 576460752303423488.0 - 1.0)""".stripMargin
@@ -3057,17 +3083,19 @@ object QueryCatalog {
        |bt AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100),
        |allp AS (SELECT * FROM st UNION ALL SELECT * FROM bt),
+       |${autoRpbCte("st")},
        |proj AS (
        |  SELECT c.vec_id, p.p,
        |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
-       |  FROM allp c, range(0, 16) p(p)),
+       |  FROM allp c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
        |sig AS (
        |  SELECT vec_id,
        |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
        |  FROM proj GROUP BY vec_id),
        |bk AS (
-       |  SELECT vec_id, b.b * 256 + ((sig >> (b.b * 8)) & 255) AS bkey
-       |  FROM sig, range(0, 2) b(b)),
+       |  SELECT vec_id,
+       |    b.b * (1::BIGINT << w.rpb) + ((sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1)) AS bkey
+       |  FROM sig, w, range(0, 2) b(b)),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS id, s.vec_id AS nbr
        |  FROM (SELECT bk.* FROM bk JOIN bt ON bt.vec_id = bk.vec_id) q

@@ -166,6 +166,21 @@ object Similarity {
     h.toDouble / Long.MaxValue.toDouble
   }
 
+  /** Single-long signature shift budget: bit p lands at `1L << p` and
+    * band masks shift by `band * rowsPerBand`, and JVM long shifts wrap
+    * their distance mod 64 — a width past this budget would silently
+    * alias high bands onto low bits (duplicated buckets, occupancy no
+    * longer pinned). Every signature builder and banded consumer
+    * fail-louds against it. 62 (not 64) keeps `(1L << nBits) - 1`
+    * positive and leaves the sign bit out of bucket arithmetic. */
+  val MaxSignatureBits = 62
+
+  private def requireSignatureWidth(nBits: Int, label: String): Unit =
+    require(nBits >= 1 && nBits <= MaxSignatureBits,
+      s"$label: nBits must be in [1, $MaxSignatureBits] (single-long " +
+        s"signature shift budget; long shifts wrap mod 64 and would " +
+        s"silently alias bits), got $nBits")
+
   /** Shared literal-weights signature builder: bit p = [dot(vec, w_p) >= 0]
     * with driver-precomputed per-plane weight arrays, a loud dim-hint
     * check, and caller-chosen degenerate-input semantics (NULL vector ->
@@ -178,6 +193,7 @@ object Similarity {
       emptySig: Long,
       label: String
   ): Column = {
+    requireSignatureWidth(nBits, label)
     val v = transform(vecCol, x => x.cast("double"))
     val bits = (0 until nBits).map { p =>
       // typedlit -> one ArrayType literal (array(lit...) would rebuild
@@ -213,6 +229,7 @@ object Similarity {
       signatureFromWeights(vecCol, nBits, d, planeComponentLocal,
         emptySig = (1L << nBits) - 1, label = "lshSignature")
     case None =>
+      requireSignatureWidth(nBits, "lshSignature")
       val v = transform(vecCol, x => x.cast("double"))
       val bits = (0 until nBits).map { p =>
         val proj = aggregate(
@@ -276,7 +293,11 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs at scale: banded
-    * sign-random-projection LSH. The nBits signature splits into `bands`;
+    * sign-random-projection LSH. The signature (`nBits` wide; 0 = the
+    * default = auto-sized from a one-job corpus count via
+    * [[autoNBits]], so the width tracks corpus growth and the per-band
+    * bucket occupancy — and with it the candidate-join cost — stays
+    * pinned instead of silently going quadratic) splits into `bands`;
     * vectors sharing ANY band bucket become candidates (recall follows the
     * OR-of-ANDs S-curve: for cosine >= 0.95 with 16 bits in 4 bands,
     * ~0.99), then exact cosine confirms. Shuffles are the band-bucket
@@ -293,16 +314,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nBits: Int = 16,
+      nBits: Int = 0,
       bands: Int = 4,
       dim: Option[Int] = None,
       signature: (Column, Int, Option[Int]) => Column = lshSignature
   ): DataFrame = {
-    require(nBits % bands == 0, "nBits must be divisible by bands")
-    val rowsPerBand = nBits / bands
+    val nb = resolveNBits(df, nBits, bands, "cosineNearDupPairs")
+    val rowsPerBand = nb / bands
     val signed = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),
-      signature(col(vecCol), nBits, dim).as("sig"))
+      signature(col(vecCol), nb, dim).as("sig"))
       .localCheckpoint(true) // signature index computed once for both sides
     val bandMask = (1L << rowsPerBand) - 1
     val banded = signed.select(col("id"),
@@ -354,25 +375,27 @@ object Similarity {
     * AT SCALE prefer [[knnGraphQuantized]]: this variant's verify joins
     * ship the raw 8·dim-byte vectors per candidate row, which is the
     * measured spill bound a decade up; the quantized twin ships 1-byte
-    * SQ8 codes and exact-re-ranks only the per-node survivors. And size
-    * `nBits` with [[suggestedNBits]] — a fixed width goes quadratic
-    * once the corpus outgrows its per-band bucket space. */
+    * SQ8 codes and exact-re-ranks only the per-node survivors. `nBits`
+    * defaults to 0 = auto ([[autoNBits]] over a one-job corpus count),
+    * so the width grows with log2(n) and bucket occupancy stays pinned
+    * — a FIXED width goes quadratic once the corpus outgrows its
+    * per-band bucket space. */
   def knnGraph(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nBits: Int = 16,
+      nBits: Int = 0,
       bands: Int = 4,
       dim: Option[Int] = None,
       signature: (Column, Int, Option[Int]) => Column = lshSignature
   ): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
-    require(nBits % bands == 0, "nBits must be divisible by bands")
-    val rowsPerBand = nBits / bands
+    val nb = resolveNBits(df, nBits, bands, "knnGraph")
+    val rowsPerBand = nb / bands
     val signed = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),
-      signature(col(vecCol), nBits, dim).as("sig"))
+      signature(col(vecCol), nb, dim).as("sig"))
       .localCheckpoint(true)
     val bandMask = (1L << rowsPerBand) - 1
     val banded = signed.select(col("id"),
@@ -409,16 +432,60 @@ object Similarity {
     * (each extra bit per band multiplies the per-band miss odds for a
     * given cosine by the S-curve factor; add a band to compensate).
     * Floors at 4 bits/band (below that buckets are degenerate at any
-    * n) and caps at 62 (the bucket-mask shift budget of the long
-    * signature). */
+    * n) and caps the TOTAL width at [[MaxSignatureBits]] bits — `62 /
+    * bands` per band — because the single-long signature is the shift
+    * budget: a per-band-only cap returned widths > 64 whose high bands
+    * silently aliased low bits (JVM long shifts wrap mod 64), exactly
+    * the silent-quadratic failure this function exists to prevent.
+    * Past the cap (n around targetBucketSize * 2^(62/bands)) move to a
+    * multi-long or binary signature. `needed` is integer-exact — the
+    * smallest b with `targetBucketSize * 2^b >= n` — so a SQL oracle
+    * replays it without floating-log edge cases. */
   def suggestedNBits(n: Long, bands: Int, targetBucketSize: Int = 16): Int = {
     require(n >= 1, s"n must be >= 1, got $n")
-    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(bands >= 1 && bands <= MaxSignatureBits / 4,
+      s"bands must be in [1, ${MaxSignatureBits / 4}] (the " +
+        s"$MaxSignatureBits-bit signature budget at >= 4 bits/band), got $bands")
     require(targetBucketSize >= 1,
       s"targetBucketSize must be >= 1, got $targetBucketSize")
-    val needed = math.ceil(
-      math.log(math.max(n.toDouble / targetBucketSize, 1.0)) / math.log(2.0)).toInt
-    bands * math.min(62, math.max(4, needed))
+    var needed = 0
+    var cap = targetBucketSize.toLong
+    while (cap < n && needed < MaxSignatureBits) {
+      needed += 1
+      cap = if (cap > (Long.MaxValue >> 1)) Long.MaxValue else cap << 1
+    }
+    bands * math.min(MaxSignatureBits / bands, math.max(4, needed))
+  }
+
+  /** The width the kNN-graph family uses when the caller passes
+    * `nBits = 0` (the auto default): [[suggestedNBits]] floored at 16
+    * TOTAL bits — tiny corpora would otherwise get sub-16-bit
+    * signatures whose buckets are coarser than the long-standing
+    * 16-bit demo default for no benefit. Public so an index builder
+    * can record the width it auto-chose and hand it to
+    * [[knnGraphAgainstIndex]] (which must probe with the BUILD width
+    * and therefore has no default). */
+  def autoNBits(n: Long, bands: Int, targetBucketSize: Int = 16): Int = {
+    val floor16 = bands * math.min(MaxSignatureBits / bands,
+      math.max(4, (16 + bands - 1) / bands))
+    math.max(suggestedNBits(n, bands, targetBucketSize), floor16)
+  }
+
+  /** Resolve the family's `nBits = 0` auto sentinel: one count job over
+    * the corpus (documented cost; pass an explicit width to skip it),
+    * then [[autoNBits]]. Explicit widths pass through untouched but are
+    * validated against the shift budget either way. */
+  private def resolveNBits(df: DataFrame, nBits: Int, bands: Int,
+      label: String): Int = {
+    require(bands >= 1, s"$label: bands must be >= 1, got $bands")
+    val nb = if (nBits == 0) autoNBits(math.max(df.count(), 1L), bands) else nBits
+    require(nb >= bands && nb <= MaxSignatureBits,
+      s"$label: nBits must be in [bands, $MaxSignatureBits] (single-long " +
+        s"signature shift budget — widths past it silently alias band " +
+        s"buckets), got $nb with bands=$bands")
+    require(nb % bands == 0, s"$label: nBits must be divisible by bands, " +
+      s"got nBits=$nb bands=$bands")
+    nb
   }
 
   /** [[knnGraph]] with a QUANTIZED verify stage — the 100-TB form. The
@@ -446,15 +513,16 @@ object Similarity {
     * bytes persisted; candidate exchanges and the survivor window carry
     * codes/scores only (the payload-free pair rule); the raw vectors
     * are touched by exactly n + n·k·rerankFactor join rows, linear in
-    * corpus size. Pick `nBits` with [[suggestedNBits]] — a fixed width
-    * goes quadratic when the corpus outgrows its bucket space. */
+    * corpus size. `nBits` defaults to 0 = auto ([[autoNBits]] over a
+    * one-job corpus count) — a fixed width goes quadratic when the
+    * corpus outgrows its bucket space. */
   def knnGraphQuantized(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
       dim: Int,
-      nBits: Int = 16,
+      nBits: Int = 0,
       bands: Int = 4,
       rerankFactor: Int = 4,
       signature: (Column, Int, Option[Int]) => Column = lshSignature
@@ -462,13 +530,13 @@ object Similarity {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     require(rerankFactor >= 1 && rerankFactor <= 64,
       s"rerankFactor must be in [1, 64], got $rerankFactor")
-    require(nBits % bands == 0, "nBits must be divisible by bands")
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val rowsPerBand = nBits / bands
+    val nb = resolveNBits(df, nBits, bands, "knnGraphQuantized")
+    val rowsPerBand = nb / bands
     val params = sq8Params(df.select(col(vecCol)), vecCol, dim)
     val signed = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),
-      signature(col(vecCol), nBits, Some(dim)).as("sig"))
+      signature(col(vecCol), nb, Some(dim)).as("sig"))
       .localCheckpoint(true)
     // 1-byte code elements: sq8 codes are 0..255, shifted to tinyint
     // range so the array packs at 1 byte/element in Tungsten rows —
@@ -544,23 +612,28 @@ object Similarity {
     * The SQ8 ranges FREEZE at build time (the IVF frozen-centroid
     * rule): appended or probed vectors outside the trained range clamp
     * into the edge codes — [[sq8Encode]]'s documented behavior — so an
-    * append never silently re-encodes the standing corpus. */
+    * append never silently re-encodes the standing corpus.
+    *
+    * The band WIDTH freezes at build time too: with the auto default
+    * (`nBits = 0`) it is [[autoNBits]] of the build-time corpus count —
+    * record that number next to the persisted frames (the probe's
+    * `nBits` has no default for exactly this reason). */
   def knnGraphIndex(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
-      nBits: Int = 16,
+      nBits: Int = 0,
       bands: Int = 4,
       signature: (Column, Int, Option[Int]) => Column = lshSignature
   ): (DataFrame, DataFrame, DataFrame) = {
-    require(nBits % bands == 0, "nBits must be divisible by bands")
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val rowsPerBand = nBits / bands
+    val nb = resolveNBits(df, nBits, bands, "knnGraphIndex")
+    val rowsPerBand = nb / bands
     val params = sq8Params(df.select(col(vecCol)), vecCol, dim)
     val signed = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),
-      signature(col(vecCol), nBits, Some(dim)).as("sig"))
+      signature(col(vecCol), nb, Some(dim)).as("sig"))
       .localCheckpoint(true)
     val bandMask = (1L << rowsPerBand) - 1
     val banded = signed.select(col("id"),
@@ -591,7 +664,12 @@ object Similarity {
     * index-side exchange when `banding` is the bucketed read-back;
     * verify ships 1-byte codes; raw vectors are touched only by the
     * batch rows and the <= batch·k·rerankFactor survivor joins. The
-    * standing corpus is never re-scanned beyond its banded candidates. */
+    * standing corpus is never re-scanned beyond its banded candidates.
+    *
+    * `nBits`/`bands` have NO defaults here: the probe MUST band with
+    * the width the index was built at (a mismatch probes the wrong
+    * buckets), so the builder records it — explicit, or [[autoNBits]]
+    * of the standing count when the build auto-sized. */
   def knnGraphAgainstIndex(
       banding: DataFrame,
       payload: DataFrame,
@@ -601,16 +679,19 @@ object Similarity {
       vecCol: String,
       k: Int,
       dim: Int,
-      nBits: Int = 16,
-      bands: Int = 4,
+      nBits: Int,
+      bands: Int,
       rerankFactor: Int = 4,
       signature: (Column, Int, Option[Int]) => Column = lshSignature
   ): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     require(rerankFactor >= 1 && rerankFactor <= 64,
       s"rerankFactor must be in [1, 64], got $rerankFactor")
-    require(nBits % bands == 0, "nBits must be divisible by bands")
-    val rowsPerBand = nBits / bands
+    require(nBits >= 1, s"knnGraphAgainstIndex: nBits must be the BUILD " +
+      s"width (no auto here — a mismatched probe bands into the wrong " +
+      s"buckets), got $nBits")
+    val nbChecked = resolveNBits(batch, nBits, bands, "knnGraphAgainstIndex")
+    val rowsPerBand = nbChecked / bands
     val bandMask = (1L << rowsPerBand) - 1
     val qsigned = batch.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),

@@ -573,15 +573,80 @@ class SimilaritySpec extends AnyFunSuite {
   test("suggestedNBits: occupancy-pinned width grows with log2(n), floors and caps") {
     // 16 rows/bucket target: n = 2^20 needs 16 bits/band
     assert(Similarity.suggestedNBits(1L << 20, bands = 2) == 2 * 16)
-    assert(Similarity.suggestedNBits(1L << 20, bands = 4) == 4 * 16)
+    // at bands=4 the same corpus wants 16 bits/band but the 62-bit
+    // TOTAL budget caps it at 15 (the old per-band-only cap returned 64
+    // here — one band fully aliased)
+    assert(Similarity.suggestedNBits(1L << 20, bands = 4) == 4 * 15)
     // doubling n adds one bit per band — the anti-quadratic property
     assert(Similarity.suggestedNBits(1L << 21, bands = 2) == 2 * 17)
-    // small corpora floor at 4 bits/band; the shift budget caps at 62
+    // small corpora floor at 4 bits/band; the 62-bit single-long shift
+    // budget caps the TOTAL (not per band — a per-band cap used to
+    // return widths > 64 whose high bands alias low bits mod 64)
     assert(Similarity.suggestedNBits(10L, bands = 4) == 4 * 4)
     assert(Similarity.suggestedNBits(Long.MaxValue, bands = 2,
-      targetBucketSize = 1) == 2 * 62)
+      targetBucketSize = 1) == 62)
+    assert(Similarity.suggestedNBits(Long.MaxValue, bands = 4,
+      targetBucketSize = 1) == 60)
+    (1 to 15).foreach { b =>
+      assert(Similarity.suggestedNBits(Long.MaxValue, bands = b) <= 62,
+        s"total width must respect the shift budget at bands=$b")
+    }
+    // integer-exact boundary: needed bits step exactly when 16*2^b < n
+    assert(Similarity.suggestedNBits(32L * 16, bands = 2) == 2 * 5)
+    assert(Similarity.suggestedNBits(32L * 16 + 1, bands = 2) == 2 * 6)
     intercept[IllegalArgumentException] { Similarity.suggestedNBits(0L, 2) }
     intercept[IllegalArgumentException] { Similarity.suggestedNBits(10L, 0) }
+    intercept[IllegalArgumentException] { Similarity.suggestedNBits(10L, 16) }
+  }
+
+  test("autoNBits: floors at 16 total bits, tracks corpus growth, caps at the shift budget") {
+    // tiny corpora keep the 16-bit floor...
+    assert(Similarity.autoNBits(100L, bands = 2) == 16)
+    assert(Similarity.autoNBits(100L, bands = 4) == 16)
+    // ...and the width GROWS with the corpus — one bit per band per
+    // doubling once past the floor (the anti-quadratic contract the
+    // fixed-16 default silently broke)
+    assert(Similarity.autoNBits(1L << 20, bands = 2) == 2 * 16)
+    assert(Similarity.autoNBits(1L << 21, bands = 2) == 2 * 17)
+    assert(Similarity.autoNBits(1L << 30, bands = 2) == 2 * 26)
+    val decades = Seq(1L << 10, 1L << 12, 1L << 14, 1L << 16, 1L << 18, 1L << 40)
+    val widths = decades.map(n => Similarity.autoNBits(n, bands = 4))
+    assert(widths == widths.sorted && widths.distinct.size >= 5,
+      s"auto width must track corpus growth, got $widths")
+    assert(widths.forall(w => w % 4 == 0 && w <= 62))
+    // past the budget the width saturates (move to a wider signature)
+    assert(widths.last == 60)
+    assert(Similarity.autoNBits(Long.MaxValue, bands = 2) == 62)
+  }
+
+  test("knnGraph family: nBits=0 auto-sizes; oversized explicit widths fail loudly") {
+    val d = emb((1L to 10L).map(i =>
+      i -> Seq(math.cos(i * 0.5), math.sin(i * 0.5))): _*)
+    // 10 vectors -> autoNBits floor 16 binds, so auto == explicit 16
+    val auto = Similarity.knnGraph(d, "vec_id", "embedding", k = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3)).toSeq
+    val explicit = Similarity.knnGraph(d, "vec_id", "embedding", k = 2,
+        nBits = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(t => (t._1, t._3)).toSeq
+    assert(auto == explicit, "auto width must equal its floor on a tiny corpus")
+    // widths past the 62-bit single-long budget fail loudly instead of
+    // silently aliasing band buckets (shift distances wrap mod 64)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(d, "vec_id", "embedding", k = 2, nBits = 124, bands = 2)
+    }
+    assert(e.getMessage.contains("62"), s"want the budget named, got: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphQuantized(d, "vec_id", "embedding", k = 2, dim = 2,
+        nBits = 68, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(d, "vec_id", "embedding", threshold = 0.9,
+        nBits = 64, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphIndex(d, "vec_id", "embedding", dim = 2,
+        nBits = 66, bands = 2)
+    }
   }
 
   test("knnGraphAgainstIndex: batch edges equal brute top-k vs the standing corpus") {
