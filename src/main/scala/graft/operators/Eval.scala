@@ -275,7 +275,14 @@ object Eval {
     * partitions by (group, bucket) with GLOBAL score-range buckets (a
     * skewed group only costs balance, never correctness), and the
     * bucket-offset table is one compact (groups × buckets)-row window
-    * partitioned by group. */
+    * partitioned by group. The offsets join is broadcast-hinted ONLY
+    * when the group cardinality is measured small (an
+    * approx_count_distinct rides the existing min/max job, so the
+    * check is free): group cardinality is caller-controlled and
+    * unbounded — per-source grouping can reach millions — and a forced
+    * broadcast there would blow the driver where the plain shuffle
+    * join degrades gracefully (and AQE may still pick broadcast at
+    * runtime from actual sizes). */
   def aucScoreBy(
       df: DataFrame,
       groupCol: String,
@@ -290,11 +297,13 @@ object Eval {
         abs(col(scoreCol).cast("double")) < lit(Double.PositiveInfinity))
       .groupBy(col(groupCol).as("__g"), col(scoreCol).cast("double").as("__s"))
       .agg(sum(lbl).as("__pos"), (count(lit(1)) - sum(lbl)).as("__neg"))
-    val mm = grouped.agg(min(col("__s")), max(col("__s"))).head()
+    val mm = grouped.agg(min(col("__s")), max(col("__s")),
+      approx_count_distinct(col("__g")).as("__ng")).head()
     if (mm.isNullAt(0))
       return grouped.select(col("__g").as(groupCol), lit(0L).as("n_pos"),
         lit(0L).as("n_neg"), lit(null).cast("double").as("auc")).limit(0)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val nGroupsApprox = mm.getLong(2)
     val span = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
     val bucketed = grouped.withColumn("__bucket",
       least(floor((col("__s") - lit(lo)) / lit(span)), lit(numBuckets - 1L))
@@ -308,7 +317,14 @@ object Eval {
     val wi = Window.partitionBy("__g", "__bucket").orderBy("__s")
       .rowsBetween(Window.unboundedPreceding, -1)
     val dec = "decimal(38,0)"
-    bucketed.join(broadcast(offsets), Seq("__g", "__bucket"))
+    // broadcast ONLY when the offsets table is measured small (~1M
+    // (group, bucket, long) rows ≈ tens of MB): group cardinality is
+    // unbounded, and forcing broadcast at millions of groups blows the
+    // driver where a shuffle join (or AQE's own runtime broadcast
+    // decision) degrades gracefully
+    val offsetsHinted =
+      if (nGroupsApprox * numBuckets <= (1L << 20)) broadcast(offsets) else offsets
+    bucketed.join(offsetsHinted, Seq("__g", "__bucket"))
       .withColumn("__cumneg",
         col("__boffset") + coalesce(sum("__neg").over(wi), lit(0L)))
       .groupBy("__g")

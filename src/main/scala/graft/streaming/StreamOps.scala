@@ -402,22 +402,33 @@ object StreamOps {
     * is still a full code-table scan per micro-batch, so this is the
     * SMALL-TABLE variant (rerank of a pre-filtered candidate set, a
     * per-tenant shard): the static side is counted once at plan-build
-    * time and must fit `maxCodes`, or the call refuses to plan. At
-    * corpus scale use [[ivfPqProbe]], which prunes to nprobe cells
-    * before scoring instead of scanning every code each batch.
-    * Stateless per micro-batch aggregation — update/complete mode.
+    * time and must fit `maxCodes`, or the call refuses to plan.
+    *
+    * DEPRECATED — [[ivfPqProbe]] supersedes this for every corpus-scale
+    * use: it prunes to nprobe cells before scoring instead of
+    * re-scanning every code each micro-batch, at identical ADC
+    * arithmetic (both stream==batch identities are spec-gated). This
+    * variant remains ONLY for genuinely tiny, un-celled code tables
+    * where building the coarse quantizer isn't worth it; the default
+    * `maxCodes` is sized for that niche and the guard names the
+    * replacement. Stateless per micro-batch aggregation —
+    * update/complete mode.
     *
     * @param maxCodes guard on the per-micro-batch scan: plan-build fails
-    *        when `codes` has more rows (default 2^20 ≈ 8 MB of codes at
-    *        m=8). The count is one job over the static side — pass a
-    *        persisted table, as the join itself already requires. */
+    *        when `codes` has more rows (default 2^16 — a per-tenant-
+    *        shard / pre-filtered-candidate size, ~0.5 MB of codes at
+    *        m=8; raising it re-buys a linear per-batch scan that
+    *        [[ivfPqProbe]] exists to avoid). The count is one job over
+    *        the static side — pass a persisted table, as the join
+    *        itself already requires. */
+  @deprecated("whole-code-table scan per micro-batch; use ivfPqProbe", "r16")
   def pqProbe(
       queries: DataFrame,
       codes: DataFrame,
       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
       queryIdCol: String = "query_id",
       vecCol: String = "embedding",
-      maxCodes: Long = 1L << 20
+      maxCodes: Long = 1L << 16
   ): DataFrame = {
     val nCodes = codes.count()
     require(nCodes <= maxCodes,
@@ -818,9 +829,11 @@ object StreamOps {
     * rule — one NaN reaching max() would blind the monitor; a
     * bounded 1-row driver artifact), and the binning expression is
     * Profile.psi's own — `least(greatest(floor((v-lo)/span), 0),
-    * bins-1)`, non-finite stream values excluded, out-of-range
-    * excursions clamped into the edge bins where they should
-    * register. Identity: a window's rows equal `Profile.psi(old,
+    * bins-1)`, NULL/NaN stream values excluded, every other
+    * out-of-range excursion INCLUDING ±Infinity clamped into the edge
+    * bins where it should register (exactly Profile.psi's new-side
+    * rule — an Inf-emitting scorer is drift evidence, not a skip).
+    * Identity: a window's rows equal `Profile.psi(old,
     * windowRows).n_new` bin for bin (spec-gated).
     *
     * The PSI scalar is deliberately NOT computed in-stream: the term

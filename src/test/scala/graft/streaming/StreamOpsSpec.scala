@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import scala.annotation.nowarn
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -373,6 +374,9 @@ class StreamOpsSpec extends AnyFunSuite {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
       .as[(Long, Seq[Double])].collect().toSeq
     val input = MemoryStream[(Long, Seq[Double])]
+    // the deprecated small-table probe stays spec-pinned on purpose:
+    // the stream==batch identity is its remaining contract
+    @nowarn("cat=deprecation")
     val q = StreamOps.pqProbe(
         input.toDF().toDF("query_id", "embedding"), codes, books)
       .writeStream.outputMode(OutputMode.Complete())
@@ -400,6 +404,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
     val n = codes.count()
     val input = MemoryStream[(Long, Seq[Double])]
+    @nowarn("cat=deprecation")
     val e = intercept[IllegalArgumentException] {
       StreamOps.pqProbe(input.toDF().toDF("query_id", "embedding"),
         codes, books, maxCodes = n - 1)
