@@ -680,6 +680,27 @@ object QueryCatalog {
       Paths.randomWalks(pairs, "src", "dst", walksPerNode = 2, steps = 3)
         .orderBy("start", "walk_no", "step")
     }),
+    // Per-step partitioned-SINK delivery of the same walk corpus: each
+    // step writes parquet partition step=t the moment it exists and the
+    // prior walker state releases, so the live set is bounded
+    // independent of steps (the escape from union-mode's en-bloc
+    // checkpoint hold at max params — SCALING.md walk_stress). Rows are
+    // identical to random_walks; the oracle is the same md5-transition
+    // replay, so the gate pins write -> partition -> read-back fidelity.
+    "random_walks_sink" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val sink = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_walk_sink_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Paths.randomWalksToSink(pairs, "src", "dst", walksPerNode = 2,
+          steps = 3, path = sink)
+        .orderBy("start", "walk_no", "step")
+    }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("text_hash")),
@@ -1826,6 +1847,36 @@ object QueryCatalog {
         nBits = 0, bands = 2, rerankFactor = 4,
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
       Similarity.hubness(edges, corpus, "vec_id").orderBy("node")
+    }),
+    // The hubness diagnostic's CONSUMER (Radovanovic 2010's remedy,
+    // wired into the graph it diagnoses): quantized kNN edges ->
+    // in-degree cap at maxOcc=3 (each neighbor keeps its 3 highest-
+    // cosine listers, ties id-asc) -> 4 LPA vote rounds -> community
+    // sizes. On the planted corpus the twins make their originals
+    // hubs, so the cap measurably binds (pruned-edge count is pinned
+    // in the spec; here the oracle replays cap AND rounds CTE for CTE
+    // so the gate prices the remedy's effect on the communities).
+    "semantic_communities_hubcapped" -> ((s, dir) => {
+      val edges = Similarity.knnGraphQuantized(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
+        nBits = 0, bands = 2, rerankFactor = 4,
+        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+      val capped = Similarity.capHubEdges(edges, maxOcc = 3)
+      val labels = Communities.labelPropagation(capped, "id", "nbr", iterations = 4)
+      Communities.communitySizes(labels).orderBy("label")
+    }),
+    // Mutual-kNN filter — the stricter hubness remedy: an edge
+    // survives only if reciprocated, which a hub (listed by far more
+    // nodes than its k can return) cannot do for its spurious listers.
+    "knn_graph_mutual" -> ((s, dir) => {
+      val edges = Similarity.knnGraphQuantized(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
+        nBits = 0, bands = 2, rerankFactor = 4,
+        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+      Similarity.mutualKnnEdges(edges)
+        .select(col("id"), col("nbr"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("id", "rank")
     }),
     // Embedding snapshot drift — the encoder-regression gate: the new
     // snapshot is a deterministic mutation (+0.05 on even dimensions,
@@ -3146,6 +3197,40 @@ object QueryCatalog {
        |  CAST(COALESCE(occ.k_occurrence, 0) AS BIGINT) AS k_occurrence
        |FROM corpus c LEFT JOIN occ ON occ.node = c.vec_id
        |ORDER BY node""".stripMargin
+
+  /** SQL twin of the semantic_communities_hubcapped composition: the
+    * quantized edge CTEs, the capHubEdges in-degree window (per-nbr
+    * row_number over cos DESC, id ASC, keep <= 3), then the canonical
+    * undirected LPA machinery and the size rollup — the hubness
+    * remedy's effect on the communities, replayed CTE for CTE. */
+  private lazy val semanticCommunitiesHubcappedSql =
+    s"""WITH $knnGraphQuantizedCtes,
+       |capped AS (
+       |  SELECT id, nbr FROM (
+       |    SELECT id, nbr,
+       |      row_number() OVER (PARTITION BY nbr ORDER BY cos DESC, id) AS occ
+       |    FROM ranked WHERE rank <= 3) WHERE occ <= 3),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT least(id, nbr) AS a, greatest(id, nbr) AS b
+       |  FROM capped WHERE id <> nbr),
+       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
+       |  UNION ALL SELECT b, a FROM p
+       |  UNION ALL SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |${lpaRoundCtes(4)}
+       |SELECT lbl AS label, count(*) AS n_members,
+       |  min(node) AS min_member, max(node) AS max_member
+       |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** SQL twin of knn_graph_mutual: an edge survives only when the
+    * reversed (nbr, id) pair is also a surviving edge. */
+  private lazy val knnGraphMutualSql =
+    s"""WITH $knnGraphQuantizedCtes
+       |SELECT r.id, r.nbr, round(r.cos, 6) AS cosine, r.rank
+       |FROM ranked r
+       |JOIN ranked s ON s.id = r.nbr AND s.nbr = r.id AND s.rank <= 3
+       |WHERE r.rank <= 3 ORDER BY r.id, r.rank""".stripMargin
 
   /** Shared CTEs for the embedding_drift twins: quantized per-dim
     * integer means (shift-positive floor division, shift subtracted
@@ -4844,12 +4929,16 @@ object QueryCatalog {
     "bfs_hops" -> bfsHopsSql,
     "connected_components" -> connectedComponentsSql,
     "random_walks" -> randomWalksSql,
+    // identical rows by contract: sink mode only changes the delivery
+    "random_walks_sink" -> randomWalksSql,
     "knn_graph" -> knnGraphSql,
     "knn_graph_quantized" -> knnGraphQuantizedSql,
     "semantic_communities" -> semanticCommunitiesSql,
     "semantic_quota_sample" -> semanticQuotaSampleSql,
     "knn_graph_incremental" -> knnGraphIncrementalSql,
     "knn_hubness" -> knnHubnessSql,
+    "semantic_communities_hubcapped" -> semanticCommunitiesHubcappedSql,
+    "knn_graph_mutual" -> knnGraphMutualSql,
     "embedding_drift" -> embeddingDriftSql,
     "embedding_drift_summary" -> embeddingDriftSummarySql,
     // same graph: degree table + naive triangle counts -> 2T/(d(d-1))

@@ -182,4 +182,84 @@ object Paths {
     CheckpointBridge.release(adj)
     all
   }
+
+  /** [[randomWalks]] with a per-step PARTITIONED SINK — the escape
+    * hatch for walk corpora that cannot materialize as one frame. The
+    * one-frame contract forces an en-bloc hold of every step's
+    * checkpoint until the final union lands (~2x the output volume
+    * live, measured riding ~21 GB of MEMORY_AND_DISK spill at the API
+    * maximum — SCALING.md r15 walk_stress); here each step's rows are
+    * WRITTEN to `path` as parquet partition `step=t` the moment they
+    * exist, after which only the one-row-per-walker CURRENT state
+    * survives to drive step t+1 — the previous step's checkpoint is
+    * released immediately (the [[bfsDistances]] O(1)-persisted-copies
+    * discipline). Live set: the ranked adjacency + two walker-state
+    * frames, INDEPENDENT of `steps`; the corpus accumulates on disk,
+    * partition-pruned for the downstream per-step readers (a skip-gram
+    * window generator reads `step IN [t-w, t+w]`, never the full
+    * corpus).
+    *
+    * Rows are IDENTICAL to [[randomWalks]]'s (same md5 transitions,
+    * same `(start, walk_no, step, node)` schema — spec-gated); only
+    * the delivery changes. Each step is one append job writing one
+    * `step=t` directory, so a resume-after-failure can truncate to the
+    * last complete partition. Returns the read-back DataFrame (schema
+    * normalized: partition-column `step` cast back to int, column
+    * order restored). */
+  def randomWalksToSink(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int,
+      steps: Int,
+      path: String
+  ): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode must be in [1, 64], got $walksPerNode")
+    require(steps >= 1 && steps <= 20, s"steps must be in [1, 20], got $steps")
+    val spark = edges.sparkSession
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    val byNode = Window.partitionBy("node").orderBy("nbr")
+    val adj = sym
+      .withColumn("idx", row_number().over(byNode) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        byNode.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .repartition(col("node"))
+      .sortWithinPartitions("node")
+      .localCheckpoint(true)
+    var state = adj.select("node").distinct()
+      .select(col("node").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk_no"))
+      .withColumn("cur", col("start"))
+      .localCheckpoint(true)
+    def emit(s: DataFrame, t: Int, mode: String): Unit =
+      s.select(col("start"), col("walk_no"), col("cur").as("node"),
+          lit(t).as("step"))
+        .write.partitionBy("step").mode(mode).parquet(path)
+    emit(state, 0, "overwrite")
+    for (t <- 1 to steps) {
+      val pick = pmod(
+        conv(substring(md5(concat_ws("|",
+          col("start").cast("string"), col("walk_no").cast("string"),
+          lit(t).cast("string"), col("cur").cast("string"))), 1, 8), 16, 10)
+          .cast("long"),
+        col("deg"))
+      val next = state.join(adj,
+          state("cur") === adj("node") && adj("idx") === pick)
+        .select(col("start"), col("walk_no"), col("nbr").as("cur"))
+        .localCheckpoint(true)
+      // step t is durable on disk before the only other live copy of
+      // its lineage goes away — nothing downstream re-reads state t-1
+      emit(next, t, "append")
+      CheckpointBridge.release(state)
+      state = next
+    }
+    CheckpointBridge.release(state)
+    CheckpointBridge.release(adj)
+    spark.read.parquet(path)
+      .select(col("start"), col("walk_no"), col("step").cast("int").as("step"),
+        col("node"))
+  }
 }

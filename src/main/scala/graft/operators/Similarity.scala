@@ -2109,6 +2109,43 @@ object Similarity {
         coalesce(col("k_occurrence"), lit(0L)).as("k_occurrence"))
   }
 
+  /** Hub-capped kNN edges — the remedy for what [[hubness]] diagnoses
+    * (Radovanovic et al. 2010: hubs distort every neighborhood-based
+    * downstream — here, a hub node glues unrelated semantic
+    * communities into one LPA blob): keep at most `maxOcc` INCOMING
+    * edges per neighbor, the highest-cosine ones (ties id asc, so the
+    * cut is deterministic and hash-replayable). Nodes under the cap
+    * are untouched; k_occurrence after capping is <= maxOcc by
+    * construction. Input/output schema is the [[knnGraph]] edge list
+    * `(id, nbr, cosine, rank)` — rank keeps ITS meaning (position in
+    * id's top-k), so a capped list is still "each node's top-k, minus
+    * the edges its over-subscribed neighbors rejected".
+    *
+    * Scale shape: one `nbr`-keyed row_number window — the same
+    * exchange the [[hubness]] rollup takes, with the window partition
+    * bounded by the worst k-occurrence (itself <= n·k/1). No joins, no
+    * vector payloads. */
+  def capHubEdges(edges: DataFrame, maxOcc: Int): DataFrame = {
+    require(maxOcc >= 1, s"maxOcc must be >= 1, got $maxOcc")
+    val w = Window.partitionBy("nbr")
+      .orderBy(col("cosine").desc, col("id").asc)
+    edges.withColumn("__occ", row_number().over(w))
+      .where(col("__occ") <= maxOcc)
+      .drop("__occ")
+  }
+
+  /** Mutual-kNN edges — the stricter hubness remedy: keep (id, nbr)
+    * only when nbr also lists id (a hub is, by definition, listed by
+    * far more nodes than its own k can reciprocate, so its spurious
+    * edges drop out). Output keeps id's row `(id, nbr, cosine, rank)`
+    * for every surviving directed edge; the surviving set is symmetric
+    * as a NODE-PAIR set by construction. One self-equi-join on the
+    * reversed key pair, ids only (left_semi — no payload doubling). */
+  def mutualKnnEdges(edges: DataFrame): DataFrame = {
+    val rev = edges.select(col("nbr").as("id"), col("id").as("nbr"))
+    edges.join(rev, Seq("id", "nbr"), "left_semi")
+  }
+
   /** Per-dimension embedding drift between two snapshots — the
     * encoder-regression gate: re-embedding a corpus with a changed
     * model (or a broken preprocessing step) shifts per-dimension

@@ -854,6 +854,16 @@ object ScalingProbe {
             .write.format("noop").mode("overwrite").save()
         }
       }
+      // sink mode at the same max params: each step lands as a parquet
+      // partition and the prior state releases immediately, so the
+      // live set must stay BOUNDED (no ~21 GB one-frame spill ride —
+      // the r15 walk_stress number sink mode exists to escape)
+      for (nx <- Seq(1, 10)) {
+        measureW(s"random_walks_sink_64x20_${nx}x", edgeRows(nx)) {
+          Paths.randomWalksToSink(edgesDf(nx), "src", "dst",
+            walksPerNode = 64, steps = 20, path = s"$Dir/walk_sink_$nx")
+        }
+      }
     }
     spark.stop()
   }

@@ -104,4 +104,26 @@ class PathsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq, "walks drifted across partitionings")
   }
+
+  test("randomWalksToSink: rows identical to union-mode, step-partitioned on disk") {
+    val e = (1L to 25L).flatMap(i => Seq(i -> (i % 25 + 1), i -> ((i + 5) % 25 + 1)))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("walks_sink").toString
+    val sink = Paths.randomWalksToSink(e, "src", "dst",
+        walksPerNode = 2, steps = 3, path = dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val union = walks(e, 2, 3).sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(sink == union, "sink-mode rows must equal union-mode rows")
+    // the delivery contract: one parquet partition per step, so a
+    // downstream window reader prunes to its step range
+    val stepDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("step=")).map(_.getName).sorted.toSeq
+    assert(stepDirs == Seq("step=0", "step=1", "step=2", "step=3"),
+      s"got partitions $stepDirs")
+    // partition pruning is real: a single-step read back returns
+    // exactly that step's rows
+    val s2 = spark.read.parquet(dir).where($"step" === 2).count()
+    assert(s2 == union.count(_._3 == 2), "per-step read-back mismatch")
+  }
 }

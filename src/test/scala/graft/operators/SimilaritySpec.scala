@@ -693,6 +693,56 @@ class SimilaritySpec extends AnyFunSuite {
       s"hand counts mismatch: $out")
   }
 
+  test("capHubEdges: planted hub prunes to maxOcc highest-cosine in-edges, others untouched") {
+    import spark.implicits._
+    // node 100 is the planted hub: five nodes list it; nodes 2/3 have
+    // normal in-degrees. Cosines chosen so the cap's keep-set is
+    // unambiguous (.95/.90 survive at maxOcc=2) plus a TIE at .85
+    // between ids 4 and 5 to pin the id-asc break.
+    val edges = Seq(
+      (1L, 100L, 0.95, 1), (2L, 100L, 0.90, 1), (3L, 100L, 0.85, 1),
+      (4L, 100L, 0.85, 2), (5L, 100L, 0.80, 1),
+      (1L, 2L, 0.70, 2), (3L, 2L, 0.60, 2), (100L, 3L, 0.50, 1))
+      .toDF("id", "nbr", "cosine", "rank")
+    val out = Similarity.capHubEdges(edges, maxOcc = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hub keeps exactly its top-2 by (cosine desc, id asc)
+    assert(out.count(_._2 == 100L) == 2, s"hub not capped: $out")
+    assert(out.contains((1L, 100L)) && out.contains((2L, 100L)),
+      s"cap must keep the highest-cosine in-edges: $out")
+    // under-cap neighbors are untouched
+    assert(out.contains((1L, 2L)) && out.contains((3L, 2L)) &&
+      out.contains((100L, 3L)), s"non-hub edges must survive: $out")
+    assert(out.size == 5, s"got $out")
+    // tie-break determinism: at maxOcc=3 the .85 tie admits id 3, not 4
+    val out3 = Similarity.capHubEdges(edges, maxOcc = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out3.contains((3L, 100L)) && !out3.contains((4L, 100L)),
+      s"tie must break id-asc: $out3")
+    // the diagnostic-consumer contract: post-cap k_occurrence <= maxOcc
+    val occ = Similarity.hubness(Similarity.capHubEdges(edges, 2),
+        Seq(1L, 2L, 3L, 4L, 5L, 100L).toDF("vec_id"), "vec_id")
+      .collect().map(r => r.getLong(1))
+    assert(occ.forall(_ <= 2), s"capped occurrence must be <= maxOcc: ${occ.toSeq}")
+    intercept[IllegalArgumentException] { Similarity.capHubEdges(edges, 0) }
+  }
+
+  test("mutualKnnEdges: only reciprocated pairs survive, rows otherwise intact") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, 0.9, 1), (2L, 1L, 0.9, 1),   // mutual pair
+      (3L, 1L, 0.8, 1),                       // 1 does not list 3 back
+      (2L, 3L, 0.7, 2), (3L, 2L, 0.7, 2))     // mutual pair
+      .toDF("id", "nbr", "cosine", "rank")
+    val out = Similarity.mutualKnnEdges(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(out == Set((1L, 2L, 0.9, 1), (2L, 1L, 0.9, 1),
+      (2L, 3L, 0.7, 2), (3L, 2L, 0.7, 2)), s"got $out")
+    // symmetric as a node-pair set by construction
+    assert(out.forall(e => out.exists(o => o._1 == e._2 && o._2 == e._1)))
+  }
+
   test("embeddingDrift: exact micro-unit means and deltas match a hand replica") {
     val old = emb(0L -> Seq(0.1, -0.2), 1L -> Seq(0.3, 0.4), 2L -> Seq(0.5, 0.6))
     val neu = emb(0L -> Seq(0.6, -0.2), 1L -> Seq(0.8, 0.4), 2L -> Seq(1.0, 0.6))
