@@ -1835,6 +1835,35 @@ object QueryCatalog {
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("id", "rank")
     }),
+    // Incremental semantic-graph maintenance END-TO-END — the LPA
+    // refresh the persisted-index story implies: the standing corpus
+    // keeps its own quantized edges (built once, at the frozen index
+    // width/ranges), an ingest batch gets its edges from
+    // knnGraphAgainstIndex WITHOUT re-scanning the standing side, and
+    // label propagation refreshes over standing + new edges together —
+    // the per-ingest community update a live corpus pays. Oracle
+    // replays both edge sets and the 4 vote rounds CTE for CTE.
+    "semantic_communities_incremental" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val standing = e.where(col("vec_id") >= 100)
+      val batch = e.where(col("vec_id") < 100)
+      val md5Sig = (c: Column, n: Int, d: Option[Int]) =>
+        Similarity.lshSignatureMd5(c, n, d.get)
+      val nb = Similarity.autoNBits(standing.count(), bands = 2)
+      val standingEdges = Similarity.knnGraphQuantized(
+        standing, "vec_id", "embedding", k = 3, dim = 64,
+        nBits = nb, bands = 2, rerankFactor = 4, signature = md5Sig)
+      val (banded, payload, params) = Similarity.knnGraphIndex(
+        standing, "vec_id", "embedding", dim = 64, nBits = nb, bands = 2,
+        signature = md5Sig)
+      val batchEdges = Similarity.knnGraphAgainstIndex(
+        banded, payload, params, batch, "vec_id", "embedding",
+        k = 3, dim = 64, nBits = nb, bands = 2, rerankFactor = 4,
+        signature = md5Sig)
+      val labels = Communities.labelPropagation(
+        standingEdges.unionByName(batchEdges), "id", "nbr", iterations = 4)
+      Communities.communitySizes(labels).orderBy("label")
+    }),
     // k-occurrence hubness over the quantized kNN graph (Radovanovic
     // et al. 2010): how many other vectors list each vector among
     // their top-k — the curse-of-dimensionality diagnostic. Anti-hubs
@@ -3126,10 +3155,10 @@ object QueryCatalog {
     * bkey = band·2^rpb + bucket, batch-vs-standing candidates, SQ8
     * params FROZEN on the standing side, ADC top-(3·4) survivors,
     * exact-cosine top-3. */
-  private lazy val knnGraphIncrementalSql = {
+  private lazy val knnGraphIncrementalCtes = {
     val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
       | / 576460752303423488.0 - 1.0)""".stripMargin
-    s"""WITH st AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    s"""st AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 100),
        |bt AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100),
@@ -3180,10 +3209,59 @@ object QueryCatalog {
        |ranked AS (
        |  SELECT id, nbr, cos,
        |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private lazy val knnGraphIncrementalSql =
+    s"""WITH $knnGraphIncrementalCtes
        |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
        |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
-  }
+
+  /** SQL twin of the semantic_communities_incremental composition —
+    * the ingestion consumer the persisted-index story implies: the
+    * incremental batch-edge CTEs, PLUS the standing corpus's own
+    * quantized edges (same frozen width and SQ8 ranges: candS is the
+    * within-standing banded self-join, scored through the shared dq),
+    * unioned and fed to the canonical LPA refresh. */
+  private lazy val semanticCommunitiesIncrementalSql =
+    s"""WITH $knnGraphIncrementalCtes,
+       |candS AS (
+       |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nbr
+       |  FROM (SELECT bk.* FROM bk JOIN st ON st.vec_id = bk.vec_id) a
+       |  JOIN (SELECT bk.* FROM bk JOIN st ON st.vec_id = bk.vec_id) b USING (bkey)
+       |  WHERE a.vec_id <> b.vec_id),
+       |qsS AS (
+       |  SELECT candS.id, candS.nbr, ${cosSql("da.cv", "db.cv")} AS qcos
+       |  FROM candS
+       |  JOIN dq da ON da.vec_id = candS.id
+       |  JOIN dq db ON db.vec_id = candS.nbr),
+       |svS AS (
+       |  SELECT id, nbr FROM (
+       |    SELECT id, nbr,
+       |      row_number() OVER (PARTITION BY id ORDER BY qcos DESC, nbr) AS qr
+       |    FROM qsS) WHERE qr <= 12),
+       |scoredS AS (
+       |  SELECT id, nbr, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM svS JOIN st ca ON ca.vec_id = id JOIN st cb ON cb.vec_id = nbr),
+       |rankedS AS (
+       |  SELECT id, nbr, cos,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
+       |  FROM scoredS),
+       |alle AS (
+       |  SELECT id, nbr FROM rankedS WHERE rank <= 3
+       |  UNION ALL SELECT id, nbr FROM ranked WHERE rank <= 3),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT least(id, nbr) AS a, greatest(id, nbr) AS b
+       |  FROM alle WHERE id <> nbr),
+       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
+       |  UNION ALL SELECT b, a FROM p
+       |  UNION ALL SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |${lpaRoundCtes(4)}
+       |SELECT lbl AS label, count(*) AS n_members,
+       |  min(node) AS min_member, max(node) AS max_member
+       |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
 
   /** SQL twin of [[graft.operators.Similarity.hubness]] over the
     * quantized kNN edges: the edge CTEs + a nbr-keyed count + the
@@ -4936,6 +5014,7 @@ object QueryCatalog {
     "semantic_communities" -> semanticCommunitiesSql,
     "semantic_quota_sample" -> semanticQuotaSampleSql,
     "knn_graph_incremental" -> knnGraphIncrementalSql,
+    "semantic_communities_incremental" -> semanticCommunitiesIncrementalSql,
     "knn_hubness" -> knnHubnessSql,
     "semantic_communities_hubcapped" -> semanticCommunitiesHubcappedSql,
     "knn_graph_mutual" -> knnGraphMutualSql,

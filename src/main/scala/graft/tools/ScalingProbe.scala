@@ -654,6 +654,57 @@ object ScalingProbe {
       }
     }
 
+    // ---- incremental community refresh: FIXED batch, growing corpus --
+    // The END-TO-END ingest consumer (semantic_communities_incremental's
+    // scale shape): the standing corpus's quantized edges are built ONCE
+    // and persisted with the index (the build window); each ingest batch
+    // pays (a) its banded probe against the standing index and (b) an
+    // LPA label refresh over standing + new edges. (b) is inherently
+    // corpus-sized (4 vote rounds over ALL edges — refreshing labels IS
+    // touching the graph), so the honest per-batch row splits the two:
+    // the probe must stay flat, the refresh must stay ~linear in edges,
+    // and neither may go super-linear.
+    if (opFilter.forall("incremental_lpa".contains)) {
+      val batch = embs(1).where(col("vec_id") < 500)
+        .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
+      for (nx <- Seq(1, 10, 100)) {
+        val corpus = embs(nx)
+        val nBits = Similarity.suggestedNBits(embRows(nx), bands = 4)
+        val pre = s"graft_scaling_lpa_${nx}x"
+        val t0 = System.nanoTime()
+        val (banded, payload, params) = Similarity.knnGraphIndex(
+          corpus, "vec_id", "embedding", dim = 64, nBits = nBits, bands = 4)
+        graft.sources.IndexStore.writeBucketed(banded, pre + "_banding", "bkey", 8)
+        graft.sources.IndexStore.writeTable(payload, pre + "_payload")
+        graft.sources.IndexStore.writeTable(params, pre + "_params")
+        graft.sources.IndexStore.writeTable(
+          Similarity.knnGraphQuantized(corpus, "vec_id", "embedding", k = 5,
+            dim = 64, nBits = nBits, bands = 4),
+          pre + "_edges")
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        def probeEdges(): DataFrame = Similarity.knnGraphAgainstIndex(
+          graft.sources.IndexStore.read(spark, pre + "_banding"),
+          graft.sources.IndexStore.read(spark, pre + "_payload"),
+          graft.sources.IndexStore.read(spark, pre + "_params"),
+          batch, "vec_id", "embedding", k = 5, dim = 64,
+          nBits = nBits, bands = 4)
+        def probeOnly(): Unit =
+          probeEdges().write.format("noop").mode("overwrite").save()
+        def refresh(): Unit = {
+          val all = graft.sources.IndexStore.read(spark, pre + "_edges")
+            .unionByName(probeEdges())
+          Communities.communitySizes(
+              Communities.labelPropagation(all, "id", "nbr", iterations = 4))
+            .write.format("noop").mode("overwrite").save()
+        }
+        probeOnly(); refresh() // warmups
+        val tp = math.min(time(probeOnly()), time(probeOnly()))
+        val tr = math.min(time(refresh()), time(refresh()))
+        println(f"[scaling] incremental_lpa corpus ${nx}%3dx nBits=$nBits%2d " +
+          f"build+write=$tBuild%7.2fs probe=$tp%7.2fs probe+refresh=$tr%7.2fs")
+      }
+    }
+
     // ---- skew drill: one pathological shingle in 20% of docs ----------
     // A real crawl has boilerplate n-grams shared by a large corpus
     // fraction; uncapped, ONE such inverted-index key generates
