@@ -40,6 +40,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // state in a churn-free JVM — tools/WideHeapProbe). Headroom makes the
   // bench's min-of-interleaved-sweeps measure warm capability again.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+  // Tiered compilation pinned EXPLICITLY to the JDK 17 default (on, all
+  // levels) so the bench JVM's compilation mode is recorded, not
+  // inherited: the wide190 fit swings ~2x between full runs and the
+  // r11 root cause was JIT state (code-cache flush); Bench now also
+  // reports per-CodeHeap peak occupancy in its JSON so reserve vs use
+  // is a per-round number.
+  "-XX:+TieredCompilation",
   // JDK 17 G1 can throw a spurious OOM ("Retried waiting for GCLocker
   // too often") when allocation lands while a JNI critical region
   // (parquet/compression codecs) holds the GC lock — seen on the 100x

@@ -285,9 +285,25 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val peakGb = math.max(globalPeak, heap.peakBytes) / 1e9
     val liveGb = math.max(globalLive, heap.livePeakBytes) / 1e9
+    // Code-cache occupancy diagnostics (the wide190 bimodality lead):
+    // ~200 entries x whole-stage codegen compile thousands of classes
+    // in this one JVM; if the CodeHeap pools run at their reserve the
+    // JIT flushes hot methods and later sweeps re-JIT what the warmup
+    // compiled (the r10 spread, fixed by ReservedCodeCacheSize=512m).
+    // Recording peak usage per pool turns "is the reserve enough at
+    // the CURRENT entry count" from a guess into a per-round number.
+    import scala.jdk.CollectionConverters._
+    val codePools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map { p =>
+        val peakMb = p.getPeakUsage.getUsed / 1e6
+        val maxMb = p.getUsage.getMax / 1e6
+        "\"" + p.getName.replace("'", "") + "\":" +
+          f"""{"peak_mb":$peakMb%.0f,"max_mb":$maxMb%.0f}"""
+      }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""peak_heap_gb":$peakGb%.2f,"peak_live_gb":$liveGb%.2f,"peaks_gb":$pk,""" +
-      f""""peaks_live_gb":$lv,"sf":"$sfDir"}"""
+      f""""peaks_live_gb":$lv,"code_cache":$codePools,"sf":"$sfDir"}"""
     // The driver's stdout capture keeps only a ~2 KB tail: the full
     // ~150-entry line was truncated mid-JSON every round since r8
     // ("parsed": null in BENCH_r*.json). Stdout therefore carries a

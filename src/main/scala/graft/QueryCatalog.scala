@@ -1770,6 +1770,21 @@ object QueryCatalog {
         .select(col("id"), col("nbr"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("id", "rank")),
+    // The wide (multi-long) twin of knn_graph_quantized: per-band
+    // buckets computed directly from each band's plane range, so the
+    // total width is unbounded past the packed signature's 62-bit
+    // budget (where the packed family saturates and silently returns
+    // to quadratic occupancy growth — bands=4 saturates at ~524k
+    // vectors, the probe's own third decade). At this corpus size the
+    // auto width matches the packed family's, so the oracle ALSO
+    // pins the families' documented equivalence.
+    "knn_graph_quantized_wide" -> ((s, dir) =>
+      Similarity.knnGraphQuantizedWide(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
+        rowsPerBand = 0, bands = 2, rerankFactor = 4)
+        .select(col("id"), col("nbr"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("id", "rank")),
     // The semantic-graph flagship — the graph analogue of
     // curation_pipeline: embeddings -> quantized kNN edges ->
     // label-propagation communities over semantic neighbors -> the
@@ -3068,28 +3083,12 @@ object QueryCatalog {
     * params/encode/dequant (the sq8Ctes arithmetic, planted-corpus
     * flavor), approximate-cosine top-(3*4) survivors per node, and the
     * exact-cosine top-3 re-rank over the survivors. */
-  private val knnGraphQuantizedCtes = {
-    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
-      | / 576460752303423488.0 - 1.0)""".stripMargin
-    s"""$plantedCorpusCte,
-       |${autoRpbCte("corpus")},
-       |proj AS (
-       |  SELECT c.vec_id, p.p,
-       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
-       |  FROM corpus c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
-       |sig AS (
-       |  SELECT vec_id,
-       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
-       |  FROM proj GROUP BY vec_id),
-       |banded AS (
-       |  SELECT vec_id, b.b AS band,
-       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
-       |  FROM sig, w, range(0, 2) b(b)),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
-       |  FROM banded a JOIN banded bb USING (band, bucket)
-       |  WHERE a.vec_id <> bb.vec_id),
-       |prm AS (
+  /** Shared SQ8 verify tail (twin of Similarity.quantizedVerifyTopK on
+    * the planted corpus): params, dequantized vectors, ADC scores over
+    * `cand`, top-12 survivors, exact-cosine re-rank. Prefixed by any
+    * CTE set that defines `corpus` and `cand`. */
+  private val quantizedVerifyCtes =
+    s"""prm AS (
        |  SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS wd
        |  FROM corpus CROSS JOIN generate_series(1, 64) AS t(i) GROUP BY i),
        |pm AS (SELECT list(mn ORDER BY i) AS mins, list(wd ORDER BY i) AS wds FROM prm),
@@ -3120,6 +3119,61 @@ object QueryCatalog {
        |  SELECT id, nbr, cos,
        |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
        |  FROM scored)""".stripMargin
+
+  private val knnGraphQuantizedCtes = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""$plantedCorpusCte,
+       |${autoRpbCte("corpus")},
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corpus c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b.b AS band,
+       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
+       |  FROM sig, w, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
+       |  FROM banded a JOIN banded bb USING (band, bucket)
+       |  WHERE a.vec_id <> bb.vec_id),
+       |$quantizedVerifyCtes""".stripMargin
+  }
+
+  /** SQL twin of [[graft.operators.Similarity.knnGraphQuantizedWide]]
+    * on the planted corpus (bands = 2): per-band buckets computed
+    * DIRECTLY from each band's plane range (bit at p % rpb), width
+    * auto-sized WITHOUT the packed family's 31-bit/band cap, then the
+    * shared SQ8 verify tail. At corpus sizes both families express,
+    * the buckets — and therefore the whole result — equal the packed
+    * twin's. */
+  private lazy val knnGraphQuantizedWideSql = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH $plantedCorpusCte,
+       |wv AS (SELECT greatest(8,
+       |    (SELECT min(b.b) FROM range(0, 48) b(b)
+       |     WHERE (16::BIGINT << b.b) >= (SELECT count(*) FROM corpus))) AS rpb),
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corpus c, wv, range(0, 124) p(p) WHERE p.p < 2 * wv.rpb),
+       |banded AS (
+       |  SELECT vec_id, CAST(p // wv.rpb AS INT) AS band,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (p % wv.rpb))
+       |      ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM proj, wv GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
+       |  FROM banded a JOIN banded bb USING (band, bucket)
+       |  WHERE a.vec_id <> bb.vec_id),
+       |$quantizedVerifyCtes
+       |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
   }
 
   private val knnGraphQuantizedSql =
@@ -5011,6 +5065,7 @@ object QueryCatalog {
     "random_walks_sink" -> randomWalksSql,
     "knn_graph" -> knnGraphSql,
     "knn_graph_quantized" -> knnGraphQuantizedSql,
+    "knn_graph_quantized_wide" -> knnGraphQuantizedWideSql,
     "semantic_communities" -> semanticCommunitiesSql,
     "semantic_quota_sample" -> semanticQuotaSampleSql,
     "knn_graph_incremental" -> knnGraphIncrementalSql,

@@ -191,11 +191,12 @@ object Similarity {
       dim: Int,
       component: (Int, Int) => Double,
       emptySig: Long,
-      label: String
+      label: String,
+      planeOffset: Int = 0
   ): Column = {
     requireSignatureWidth(nBits, label)
     val v = transform(vecCol, x => x.cast("double"))
-    val bits = (0 until nBits).map { p =>
+    val bits = (0 until nBits).map(j => planeOffset + j).zipWithIndex.map { case (p, j) =>
       // typedlit -> one ArrayType literal (array(lit...) would rebuild
       // a CreateArray of d children for every row)
       val weights = typedLit((0 until dim).map(i => component(p, i)))
@@ -205,7 +206,11 @@ object Similarity {
       val checked = when(proj.isNotNull, proj).otherwise(raise_error(concat(
         lit(s"$label: dim hint $dim does not match vector length "),
         size(v).cast("string"))).cast("double"))
-      when(checked >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      // bit lands at its LOCAL position j; plane p (offset + j) only
+      // picks the weights — so a banded consumer reading planes
+      // [b·rpb, (b+1)·rpb) gets bit-identical buckets to the packed
+      // signature's (sig >> b·rpb) & mask extraction
+      when(checked >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     // degenerate inputs resolve BEFORE the projection math so the
     // dim-hint raise_error never fires on them
@@ -272,6 +277,23 @@ object Similarity {
   def lshSignatureMd5(vecCol: Column, nBits: Int, dim: Int): Column =
     signatureFromWeights(vecCol, nBits, dim, md5Component,
       emptySig = 0L, label = "lshSignatureMd5")
+
+  /** Band `b`'s bucket computed DIRECTLY from its own plane range
+    * [b·rowsPerBand, (b+1)·rowsPerBand) — the multi-long escape from
+    * the packed signature's [[MaxSignatureBits]] budget: each band is
+    * its own long (≤ 62 bits), so the TOTAL width bands·rowsPerBand is
+    * unbounded. For widths that fit the packed signature the buckets
+    * are BIT-IDENTICAL to `(lshSignatureMd5(...) >> b·rowsPerBand) &
+    * mask` (same md5 plane weights, same fold, bit j at local position
+    * j — spec-gated equivalence), so the wide family is a strict
+    * extension, not a fork. md5-flavored on purpose: the width only
+    * matters at corpus scales where the oracle must replay the exact
+    * weights. */
+  def bandBucketMd5(vecCol: Column, band: Int, rowsPerBand: Int, dim: Int): Column = {
+    require(band >= 0, s"band must be >= 0, got $band")
+    signatureFromWeights(vecCol, rowsPerBand, dim, md5Component,
+      emptySig = 0L, label = "bandBucketMd5", planeOffset = band * rowsPerBand)
+  }
 
   /** Embedding-cosine near-duplicate pairs, brute force: every id_a < id_b
     * pair scored. O(n^2) work via a broadcast nested-loop — ONLY for small
@@ -441,6 +463,19 @@ object Similarity {
     * multi-long or binary signature. `needed` is integer-exact — the
     * smallest b with `targetBucketSize * 2^b >= n` — so a SQL oracle
     * replays it without floating-log edge cases. */
+  /** Smallest b with `targetBucketSize * 2^b >= n`, capped at
+    * [[MaxSignatureBits]] — integer-exact (a SQL oracle replays it as
+    * `min(b) WHERE (tbs << b) >= n`, no floating-log edge cases). */
+  private def neededBits(n: Long, targetBucketSize: Int): Int = {
+    var needed = 0
+    var cap = targetBucketSize.toLong
+    while (cap < n && needed < MaxSignatureBits) {
+      needed += 1
+      cap = if (cap > (Long.MaxValue >> 1)) Long.MaxValue else cap << 1
+    }
+    needed
+  }
+
   def suggestedNBits(n: Long, bands: Int, targetBucketSize: Int = 16): Int = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(bands >= 1 && bands <= MaxSignatureBits / 4,
@@ -448,13 +483,21 @@ object Similarity {
         s"$MaxSignatureBits-bit signature budget at >= 4 bits/band), got $bands")
     require(targetBucketSize >= 1,
       s"targetBucketSize must be >= 1, got $targetBucketSize")
-    var needed = 0
-    var cap = targetBucketSize.toLong
-    while (cap < n && needed < MaxSignatureBits) {
-      needed += 1
-      cap = if (cap > (Long.MaxValue >> 1)) Long.MaxValue else cap << 1
-    }
-    bands * math.min(MaxSignatureBits / bands, math.max(4, needed))
+    bands * math.min(MaxSignatureBits / bands,
+      math.max(4, neededBits(n, targetBucketSize)))
+  }
+
+  /** [[suggestedNBits]]'s per-band guidance for the WIDE (multi-long)
+    * family, where each band is its own ≤62-bit long and the total
+    * width is unbounded: bits per band = `max(4, ceil-log2(n/target))`,
+    * capped only by the per-long budget — past the packed family's
+    * saturation point this keeps growing one bit per corpus doubling,
+    * which is the whole reason the wide family exists. */
+  def suggestedRowsPerBandWide(n: Long, targetBucketSize: Int = 16): Int = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(targetBucketSize >= 1,
+      s"targetBucketSize must be >= 1, got $targetBucketSize")
+    math.max(4, neededBits(n, targetBucketSize))
   }
 
   /** The width the kNN-graph family uses when the caller passes
@@ -556,12 +599,28 @@ object Similarity {
       .where(col("id") =!= col("nbr"))
       .select("id", "nbr")
       .dropDuplicates("id", "nbr")
-    // quantized verify: the native fused ADC cosine (dequantize + three
-    // inner products in ONE codegen'd allocation-free loop — a
-    // dequantizing `transform` HOF here runs interpreted per element
-    // and costs ~4x wall, measured) against the broadcast param row;
-    // the projection to (id, nbr, qcos) collapses the payload BEFORE
-    // the survivor window's exchange
+    quantizedVerifyTopK(candidates, codes, params,
+      signed.select(col("id"), col("vec")), k, rerankFactor)
+  }
+
+  /** Shared SQ8-verify tail of the quantized kNN family: ADC-score the
+    * candidate pairs on 1-byte codes, window to the per-node
+    * top-(k·rerankFactor) survivors, exact-cosine re-rank only those.
+    * The quantized verify uses the native fused [[graft.functions
+    * .Sq8AdcCosine]] (dequantize + three inner products in ONE
+    * codegen'd allocation-free loop — a dequantizing `transform` HOF
+    * here runs interpreted per element and costs ~4x wall, measured)
+    * against the broadcast param row; the projection to (id, nbr,
+    * qcos) collapses the payload BEFORE the survivor window's
+    * exchange, and only n·k·rerankFactor rows ever touch raw vectors. */
+  private def quantizedVerifyTopK(
+      candidates: DataFrame,
+      codes: DataFrame,
+      params: DataFrame,
+      vecs: DataFrame,
+      k: Int,
+      rerankFactor: Int
+  ): DataFrame = {
     def adcCosine(a: Column, b: Column): Column = {
       import org.apache.spark.sql.graft.ColumnBridge
       ColumnBridge.column(graft.functions.Sq8AdcCosine(
@@ -578,8 +637,6 @@ object Similarity {
     val survivors = qcos.withColumn("__qrank", row_number().over(wq))
       .where(col("__qrank") <= k * rerankFactor)
       .select("id", "nbr")
-    // exact re-rank: only n·k·rerankFactor rows ever touch raw vectors
-    val vecs = signed.select(col("id"), col("vec"))
     val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr").asc)
     survivors
       .join(vecs, Seq("id"))
@@ -588,6 +645,70 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("id", "nbr", "cosine", "rank")
+  }
+
+  /** [[knnGraphQuantized]] past the packed signature's 62-bit budget —
+    * the multi-long wide family: each band's bucket is computed
+    * DIRECTLY from its own plane range as its own long
+    * ([[bandBucketMd5]]), so the total width `bands · rowsPerBand` is
+    * unbounded while every band keeps the ≤62-bit per-long budget.
+    * With bands=4 the PACKED family saturates at 15 bits/band — i.e.
+    * at `16·2^15 ≈ 524k` vectors, exactly the probe corpus's measured
+    * third decade — after which its bucket occupancy (and the
+    * per-bucket candidate join) doubles with every corpus doubling.
+    * This variant keeps growing one bit per band per doubling
+    * (`rowsPerBand = 0` auto-sizes via [[suggestedRowsPerBandWide]]
+    * over a one-job count, floored so tiny corpora match the packed
+    * family's 16-bit-total floor), so occupancy stays pinned at any n.
+    *
+    * Buckets are bit-identical to the packed md5 path at widths both
+    * families can express (spec-gated), and the verify tail is the
+    * SAME code ([[quantizedVerifyTopK]]) — identical output contract:
+    * exact-cosine top-k among the SQ8-top-(k·rerankFactor) banded
+    * candidates, `(id, nbr, cosine, rank)`, fully oracle-replayable
+    * (md5 weights by construction). */
+  def knnGraphQuantizedWide(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      rowsPerBand: Int = 0,
+      bands: Int = 4,
+      rerankFactor: Int = 4
+  ): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(rerankFactor >= 1 && rerankFactor <= 64,
+      s"rerankFactor must be in [1, 64], got $rerankFactor")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
+    val rpb =
+      if (rowsPerBand == 0)
+        math.max(suggestedRowsPerBandWide(math.max(df.count(), 1L)),
+          (16 + bands - 1) / bands)
+      else rowsPerBand
+    require(rpb >= 1 && rpb <= MaxSignatureBits,
+      s"rowsPerBand must be in [1, $MaxSignatureBits] (per-long budget), got $rpb")
+    val params = sq8Params(df.select(col(vecCol)), vecCol, dim)
+    val signed = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      array((0 until bands).map(b =>
+        bandBucketMd5(col(vecCol), b, rpb, dim)): _*).as("buckets"))
+      .localCheckpoint(true)
+    val codes = sq8Encode(signed.select(col("id"), col("vec")), "id", "vec", params)
+      .select(col("id"),
+        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes8"))
+      .localCheckpoint(true)
+    val banded = signed.select(col("id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("nbr"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id") =!= col("nbr"))
+      .select("id", "nbr")
+      .dropDuplicates("id", "nbr")
+    quantizedVerifyTopK(candidates, codes, params,
+      signed.select(col("id"), col("vec")), k, rerankFactor)
   }
 
   /** Persisted quantized kNN-graph index — the three frames the

@@ -705,6 +705,55 @@ object ScalingProbe {
       }
     }
 
+    // ---- width ladder: packed saturation vs the wide family's pin -----
+    // The packed signature caps TOTAL width at 62 bits, so at bands=8
+    // it saturates at 7 bits/band — i.e. at 16*2^7 = 2048 vectors —
+    // after which per-band bucket occupancy (and the quadratic
+    // candidate volume) doubles with every corpus doubling. The wide
+    // (multi-long) family keeps growing bits per band. This drill
+    // measures BOTH the candidate volume (sum over (band, bucket) of
+    // c*(c-1), the exact pre-dedup join row count) and the edge-build
+    // wall at each width on the same corpus.
+    if (opFilter.forall("width_ladder".contains)) {
+      for (nx <- Seq(10, 100)) {
+        val n = embRows(nx)
+        val corpus = embs(nx)
+        val bands = 8
+        val packedBits = Similarity.suggestedNBits(n, bands)   // saturates at 56
+        val wideRpb = Similarity.suggestedRowsPerBandWide(n)   // keeps growing
+        def candVolume(banded: DataFrame): Long =
+          banded.groupBy("band", "bucket").count()
+            .agg(sum(col("count") * (col("count") - 1))).head().getLong(0)
+        val packedRpb = packedBits / bands
+        val packedBanded = corpus.select(
+            Similarity.lshSignatureMd5(col("embedding"), packedBits, 64).as("sig"))
+          .select(posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * packedRpb)
+              .bitwiseAND(lit((1L << packedRpb) - 1))): _*)).as(Seq("band", "bucket")))
+        val wideBanded = corpus.select(posexplode(array((0 until bands).map(b =>
+            Similarity.bandBucketMd5(col("embedding"), b, wideRpb, 64)): _*))
+          .as(Seq("band", "bucket")))
+        val cp = candVolume(packedBanded)
+        val cw = candVolume(wideBanded)
+        println(f"[scaling] width_ladder corpus ${nx}%3dx n=$n%7d bands=$bands " +
+          f"packed(rpb=$packedRpb%2d)=${cp}%12d cand-rows  " +
+          f"wide(rpb=$wideRpb%2d)=${cw}%12d cand-rows  ratio=${cp.toDouble / cw}%6.1f")
+        def buildPacked(): Unit = Similarity.knnGraphQuantized(corpus, "vec_id",
+            "embedding", k = 5, dim = 64, nBits = packedBits, bands = bands,
+            signature = (c, nb, d) => Similarity.lshSignatureMd5(c, nb, d.get))
+          .write.format("noop").mode("overwrite").save()
+        def buildWide(): Unit = Similarity.knnGraphQuantizedWide(corpus, "vec_id",
+            "embedding", k = 5, dim = 64, rowsPerBand = wideRpb, bands = bands)
+          .write.format("noop").mode("overwrite").save()
+        buildWide() // warmup (wide first: smaller)
+        val tw = math.min(time(buildWide()), time(buildWide()))
+        buildPacked()
+        val tp = math.min(time(buildPacked()), time(buildPacked()))
+        println(f"[scaling] width_ladder corpus ${nx}%3dx edge-build " +
+          f"packed=${tp}%7.2fs wide=${tw}%7.2fs speedup=${tp / tw}%5.2fx")
+      }
+    }
+
     // ---- skew drill: one pathological shingle in 20% of docs ----------
     // A real crawl has boilerplate n-grams shared by a large corpus
     // fraction; uncapped, ONE such inverted-index key generates

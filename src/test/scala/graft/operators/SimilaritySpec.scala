@@ -693,6 +693,68 @@ class SimilaritySpec extends AnyFunSuite {
       s"hand counts mismatch: $out")
   }
 
+  test("bandBucketMd5: bit-identical to the packed signature's band extraction") {
+    import org.apache.spark.sql.functions._
+    val d = emb((1L to 8L).map(i =>
+      i -> Seq(math.cos(i * 0.9), math.sin(i * 0.9), (i % 3) * 0.4)): _*)
+    val rpb = 5; val bands = 3 // 15 bits total, both families express it
+    val packed = d.select(col("vec_id"),
+        Similarity.lshSignatureMd5(col("embedding"), rpb * bands, 3).as("sig"))
+      .select(col("vec_id"), array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rpb).bitwiseAND(lit((1L << rpb) - 1))): _*).as("pb"))
+    val wide = d.select(col("vec_id"), array((0 until bands).map(b =>
+        Similarity.bandBucketMd5(col("embedding"), b, rpb, 3)): _*).as("wb"))
+    val joined = packed.join(wide, "vec_id")
+      .collect().map(r => (r.getSeq[Long](1), r.getSeq[Long](2)))
+    joined.foreach { case (p, w) =>
+      assert(p == w, s"band buckets diverged: packed $p vs wide $w")
+    }
+  }
+
+  test("knnGraphQuantizedWide: equals the packed family at expressible widths; works past 62 bits") {
+    import org.apache.spark.sql.{Column}
+    val vecs = (1L to 14L).map(i =>
+      i -> Seq(math.cos(i * 0.6), math.sin(i * 0.6), (i % 4) * 0.25))
+    val d = emb(vecs: _*)
+    val md5Sig = (c: Column, n: Int, dim: Option[Int]) =>
+      Similarity.lshSignatureMd5(c, n, dim.get)
+    val packed = Similarity.knnGraphQuantized(d, "vec_id", "embedding", k = 3,
+        dim = 3, nBits = 12, bands = 4, rerankFactor = 4, signature = md5Sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val wide = Similarity.knnGraphQuantizedWide(d, "vec_id", "embedding", k = 3,
+        dim = 3, rowsPerBand = 3, bands = 4, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(wide == packed,
+      s"wide family must equal packed at a shared width:\n$wide\nvs\n$packed")
+    // a width the packed family REJECTS (4 x 20 = 80 bits > 62)...
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphQuantized(d, "vec_id", "embedding", k = 2, dim = 3,
+        nBits = 80, bands = 4, signature = md5Sig)
+    }
+    // ...the wide family accepts, and near-identical planted twins
+    // still pair up (cosine ~1 -> per-plane agreement stays high at
+    // ANY width; what 80 bits starves is the unrelated-pair noise)
+    val twins = emb((vecs :+ (100L -> Seq(math.cos(0.6) * 1.0001,
+      math.sin(0.6) * 1.0001, 0.25 * 1.0001))): _*)
+    val out = Similarity.knnGraphQuantizedWide(twins, "vec_id", "embedding",
+        k = 2, dim = 3, rowsPerBand = 20, bands = 4, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((100L, 1L)),
+      s"planted twin must find its original at 80 bits: ${out.toSeq}")
+    // auto width floors at the packed family's 16-bit-total equivalent
+    val auto = Similarity.knnGraphQuantizedWide(d, "vec_id", "embedding",
+        k = 3, dim = 3, bands = 4, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val explicit = Similarity.knnGraphQuantizedWide(d, "vec_id", "embedding",
+        k = 3, dim = 3, rowsPerBand = 4, bands = 4, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(auto == explicit, "auto rowsPerBand must equal its floor on a tiny corpus")
+  }
+
   test("capHubEdges: planted hub prunes to maxOcc highest-cosine in-edges, others untouched") {
     import spark.implicits._
     // node 100 is the planted hub: five nodes list it; nodes 2/3 have
