@@ -1850,6 +1850,28 @@ object QueryCatalog {
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("id", "rank")
     }),
+    // The WIDE (multi-long) twin of knn_graph_incremental: the same
+    // standing/batch ingest split, but the index bands at the uncapped
+    // wide width (knnGraphIndexWide's direct per-band buckets packed
+    // into bkey) — the ingest path stays occupancy-pinned past the
+    // packed signature's 62-bit saturation point. At this corpus size
+    // the auto widths coincide, so the oracle also pins the families'
+    // documented equivalence on the probe path.
+    "knn_graph_incremental_wide" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val standing = e.where(col("vec_id") >= 100)
+      val batch = e.where(col("vec_id") < 100)
+      val rpb = math.max(
+        Similarity.suggestedRowsPerBandWide(standing.count()), 8)
+      val (banded, payload, params) = Similarity.knnGraphIndexWide(
+        standing, "vec_id", "embedding", dim = 64, rowsPerBand = rpb, bands = 2)
+      Similarity.knnGraphAgainstIndexWide(banded, payload, params,
+          batch, "vec_id", "embedding", k = 3, dim = 64,
+          rowsPerBand = rpb, bands = 2, rerankFactor = 4)
+        .select(col("id"), col("nbr"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("id", "rank")
+    }),
     // Incremental semantic-graph maintenance END-TO-END — the LPA
     // refresh the persisted-index story implies: the standing corpus
     // keeps its own quantized edges (built once, at the frozen index
@@ -3209,7 +3231,11 @@ object QueryCatalog {
     * bkey = band·2^rpb + bucket, batch-vs-standing candidates, SQ8
     * params FROZEN on the standing side, ADC top-(3·4) survivors,
     * exact-cosine top-3. */
-  private lazy val knnGraphIncrementalCtes = {
+  /** Incremental split + banding header, PACKED flavor: standing/batch
+    * frames, the capped auto width on the STANDING count, one packed
+    * signature per vector, bkey = band·2^rpb + bucket. Produces `bk`
+    * for [[knnGraphIncrementalTailCtes]]. */
+  private lazy val knnGraphIncrementalHeaderCtes = {
     val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
       | / 576460752303423488.0 - 1.0)""".stripMargin
     s"""st AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -3229,8 +3255,41 @@ object QueryCatalog {
        |bk AS (
        |  SELECT vec_id,
        |    b.b * (1::BIGINT << w.rpb) + ((sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1)) AS bkey
-       |  FROM sig, w, range(0, 2) b(b)),
-       |cand AS (
+       |  FROM sig, w, range(0, 2) b(b))""".stripMargin
+  }
+
+  /** Same header at the WIDE (multi-long) width: rpb auto-sized on the
+    * standing count WITHOUT the packed 31-bit cap, per-band buckets
+    * summed directly from each band's plane range (twin of
+    * Similarity.bandBucketMd5 through knnGraphIndexWide's bkey). */
+  private lazy val knnGraphIncrementalWideHeaderCtes = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""st AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 100),
+       |bt AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100),
+       |allp AS (SELECT * FROM st UNION ALL SELECT * FROM bt),
+       |wv AS (SELECT greatest(8,
+       |    (SELECT min(b.b) FROM range(0, 48) b(b)
+       |     WHERE (16::BIGINT << b.b) >= (SELECT count(*) FROM st))) AS rpb),
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM allp c, wv, range(0, 124) p(p) WHERE p.p < 2 * wv.rpb),
+       |bk AS (
+       |  SELECT vec_id,
+       |    CAST(p // wv.rpb AS BIGINT) * (1::BIGINT << wv.rpb) +
+       |      CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (p % wv.rpb))
+       |        ELSE 0::BIGINT END) AS BIGINT) AS bkey
+       |  FROM proj, wv GROUP BY vec_id, p // wv.rpb, wv.rpb)""".stripMargin
+  }
+
+  /** Shared incremental tail over any `bk` header: batch-vs-standing
+    * candidates, SQ8 frozen on the standing side, ADC survivors,
+    * exact-cosine top-3. */
+  private lazy val knnGraphIncrementalTailCtes =
+    s"""cand AS (
        |  SELECT DISTINCT q.vec_id AS id, s.vec_id AS nbr
        |  FROM (SELECT bk.* FROM bk JOIN bt ON bt.vec_id = bk.vec_id) q
        |  JOIN (SELECT bk.* FROM bk JOIN st ON st.vec_id = bk.vec_id) s USING (bkey)
@@ -3264,10 +3323,22 @@ object QueryCatalog {
        |  SELECT id, nbr, cos,
        |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
        |  FROM scored)""".stripMargin
-  }
+
+  private lazy val knnGraphIncrementalCtes =
+    knnGraphIncrementalHeaderCtes + ",\n" + knnGraphIncrementalTailCtes
 
   private lazy val knnGraphIncrementalSql =
     s"""WITH $knnGraphIncrementalCtes
+       |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+
+  /** SQL twin of knn_graph_incremental_wide: the WIDE header (uncapped
+    * standing-count width, direct per-band buckets) through the same
+    * shared tail — at this corpus size the widths coincide, so the
+    * twin ALSO pins the families' equivalence on the ingest path. */
+  private lazy val knnGraphIncrementalWideSql =
+    s"""WITH $knnGraphIncrementalWideHeaderCtes,
+       |$knnGraphIncrementalTailCtes
        |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
        |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
 
@@ -5069,6 +5140,7 @@ object QueryCatalog {
     "semantic_communities" -> semanticCommunitiesSql,
     "semantic_quota_sample" -> semanticQuotaSampleSql,
     "knn_graph_incremental" -> knnGraphIncrementalSql,
+    "knn_graph_incremental_wide" -> knnGraphIncrementalWideSql,
     "semantic_communities_incremental" -> semanticCommunitiesIncrementalSql,
     "knn_hubness" -> knnHubnessSql,
     "semantic_communities_hubcapped" -> semanticCommunitiesHubcappedSql,

@@ -500,6 +500,31 @@ object Similarity {
     math.max(4, neededBits(n, targetBucketSize))
   }
 
+  /** Resolve the wide family's `rowsPerBand = 0` auto sentinel: one
+    * count job, [[suggestedRowsPerBandWide]], floored so tiny corpora
+    * match the packed family's 16-bit-total floor. */
+  private def resolveRpbWide(df: DataFrame, rowsPerBand: Int, bands: Int,
+      label: String): Int = {
+    require(bands >= 1 && bands <= 64, s"$label: bands must be in [1, 64], got $bands")
+    val rpb =
+      if (rowsPerBand == 0)
+        math.max(suggestedRowsPerBandWide(math.max(df.count(), 1L)),
+          (16 + bands - 1) / bands)
+      else rowsPerBand
+    require(rpb >= 1 && rpb <= MaxSignatureBits,
+      s"$label: rowsPerBand must be in [1, $MaxSignatureBits] (per-long " +
+        s"budget), got $rpb")
+    rpb
+  }
+
+  /** Bits the band index occupies above `rowsPerBand` in a packed
+    * `bkey = band·2^rpb + bucket` long — the wide INDEX variants pack
+    * (band, bucket) into one probe column for bucket-persistence, so
+    * rpb + these bits must fit the shift budget (a non-binding bound in
+    * practice: bands=16 still leaves 2^58 bucket space per band). */
+  private def bandIndexBits(bands: Int): Int =
+    if (bands <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros((bands - 1).toLong)
+
   /** The width the kNN-graph family uses when the caller passes
     * `nBits = 0` (the auto default): [[suggestedNBits]] floored at 16
     * TOTAL bits — tiny corpora would otherwise get sub-16-bit
@@ -620,6 +645,22 @@ object Similarity {
       vecs: DataFrame,
       k: Int,
       rerankFactor: Int
+  ): DataFrame =
+    quantizedVerifyTopK2(candidates, codes, codes, params, vecs, vecs,
+      k, rerankFactor)
+
+  /** Two-sided form of the verify tail (the incremental probe's shape:
+    * the `id` side is the batch, the `nbr` side the standing corpus —
+    * codes and vectors come from different frames). */
+  private def quantizedVerifyTopK2(
+      candidates: DataFrame,
+      idCodes: DataFrame,
+      nbrCodes: DataFrame,
+      params: DataFrame,
+      idVecs: DataFrame,
+      nbrVecs: DataFrame,
+      k: Int,
+      rerankFactor: Int
   ): DataFrame = {
     def adcCosine(a: Column, b: Column): Column = {
       import org.apache.spark.sql.graft.ColumnBridge
@@ -628,8 +669,8 @@ object Similarity {
         ColumnBridge.expression(col("mins")), ColumnBridge.expression(col("widths"))))
     }
     val qcos = candidates
-      .join(codes, Seq("id"))
-      .join(codes.select(col("id").as("nbr"), col("codes8").as("__cb")), Seq("nbr"))
+      .join(idCodes, Seq("id"))
+      .join(nbrCodes.select(col("id").as("nbr"), col("codes8").as("__cb")), Seq("nbr"))
       .crossJoin(broadcast(params))
       .select(col("id"), col("nbr"),
         adcCosine(col("codes8"), col("__cb")).as("qcos"))
@@ -639,8 +680,8 @@ object Similarity {
       .select("id", "nbr")
     val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr").asc)
     survivors
-      .join(vecs, Seq("id"))
-      .join(vecs.select(col("id").as("nbr"), col("vec").as("__vb")), Seq("nbr"))
+      .join(idVecs, Seq("id"))
+      .join(nbrVecs.select(col("id").as("nbr"), col("vec").as("__vb")), Seq("nbr"))
       .withColumn("cosine", cosine(col("vec"), col("__vb")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -681,14 +722,7 @@ object Similarity {
     require(rerankFactor >= 1 && rerankFactor <= 64,
       s"rerankFactor must be in [1, 64], got $rerankFactor")
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
-    val rpb =
-      if (rowsPerBand == 0)
-        math.max(suggestedRowsPerBandWide(math.max(df.count(), 1L)),
-          (16 + bands - 1) / bands)
-      else rowsPerBand
-    require(rpb >= 1 && rpb <= MaxSignatureBits,
-      s"rowsPerBand must be in [1, $MaxSignatureBits] (per-long budget), got $rpb")
+    val rpb = resolveRpbWide(df, rowsPerBand, bands, "knnGraphQuantizedWide")
     val params = sq8Params(df.select(col(vecCol)), vecCol, dim)
     val signed = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),
@@ -832,30 +866,103 @@ object Similarity {
       .where(col("id") =!= col("nbr"))
       .select("id", "nbr")
       .dropDuplicates("id", "nbr")
-    def adcCosine(a: Column, b: Column): Column = {
-      import org.apache.spark.sql.graft.ColumnBridge
-      ColumnBridge.column(graft.functions.Sq8AdcCosine(
-        ColumnBridge.expression(a), ColumnBridge.expression(b),
-        ColumnBridge.expression(col("mins")), ColumnBridge.expression(col("widths"))))
-    }
-    val qcos = candidates
-      .join(qcodes, Seq("id"))
-      .join(payload.select(col("id").as("nbr"), col("codes8").as("__cb")), Seq("nbr"))
-      .crossJoin(broadcast(params))
-      .select(col("id"), col("nbr"),
-        adcCosine(col("codes8"), col("__cb")).as("qcos"))
-    val wq = Window.partitionBy("id").orderBy(col("qcos").desc, col("nbr").asc)
-    val survivors = qcos.withColumn("__qrank", row_number().over(wq))
-      .where(col("__qrank") <= k * rerankFactor)
+    quantizedVerifyTopK2(candidates,
+      qcodes, payload.select(col("id"), col("codes8")), params,
+      qsigned.select(col("id"), col("vec")),
+      payload.select(col("id"), col("vec")),
+      k, rerankFactor)
+  }
+
+  /** [[knnGraphIndex]] at the wide (multi-long) width — the persisted
+    * ingest frames for corpora past the packed signature's 62-bit
+    * budget: banding `(bkey, id)` with `bkey = band·2^rowsPerBand +
+    * bucket` (the band index occupies [[bandIndexBits]] above the
+    * bucket, so rowsPerBand + those bits must fit the long — a
+    * non-binding bound: bands=16 still leaves 2^58 buckets per band),
+    * per-band buckets from [[bandBucketMd5]], payload and frozen SQ8
+    * params exactly the packed index's. Record the resolved
+    * rowsPerBand next to the frames — [[knnGraphAgainstIndexWide]]
+    * must probe at the BUILD width. */
+  def knnGraphIndexWide(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      rowsPerBand: Int = 0,
+      bands: Int = 4
+  ): (DataFrame, DataFrame, DataFrame) = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val rpb = resolveRpbWide(df, rowsPerBand, bands, "knnGraphIndexWide")
+    require(rpb + bandIndexBits(bands) <= MaxSignatureBits,
+      s"knnGraphIndexWide: band index needs ${bandIndexBits(bands)} bits above " +
+        s"rowsPerBand=$rpb in the packed bkey — lower one of them")
+    val params = sq8Params(df.select(col(vecCol)), vecCol, dim)
+    val signed = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      array((0 until bands).map(b =>
+        bandBucketMd5(col(vecCol), b, rpb, dim)): _*).as("buckets"))
+      .localCheckpoint(true)
+    val banded = signed.select(col("id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .select((col("band").cast("long") * lit(1L << rpb) + col("bucket")).as("bkey"),
+        col("id"))
+    val payload = sq8Encode(signed.select(col("id"), col("vec")), "id", "vec", params)
+      .select(col("id"),
+        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes8"))
+      .join(signed.select(col("id"), col("vec")), Seq("id"))
+    (banded, payload, params)
+  }
+
+  /** [[knnGraphAgainstIndex]] for a [[knnGraphIndexWide]] index: the
+    * batch bands at the BUILD's wide width (no auto — a mismatched
+    * probe bands into the wrong buckets) and codes against the frozen
+    * params (clamp rule), then the shared two-sided verify tail.
+    * Output contract identical to the packed probe. */
+  def knnGraphAgainstIndexWide(
+      banding: DataFrame,
+      payload: DataFrame,
+      params: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      rowsPerBand: Int,
+      bands: Int,
+      rerankFactor: Int = 4
+  ): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(rerankFactor >= 1 && rerankFactor <= 64,
+      s"rerankFactor must be in [1, 64], got $rerankFactor")
+    require(rowsPerBand >= 1 && rowsPerBand <= MaxSignatureBits,
+      s"knnGraphAgainstIndexWide: rowsPerBand must be the BUILD width, " +
+        s"got $rowsPerBand")
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
+    require(rowsPerBand + bandIndexBits(bands) <= MaxSignatureBits,
+      s"knnGraphAgainstIndexWide: band index needs ${bandIndexBits(bands)} " +
+        s"bits above rowsPerBand=$rowsPerBand in the packed bkey")
+    val qsigned = batch.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      array((0 until bands).map(b =>
+        bandBucketMd5(col(vecCol), b, rowsPerBand, dim)): _*).as("buckets"))
+      .localCheckpoint(true)
+    val qband = qsigned.select(col("id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .select((col("band").cast("long") * lit(1L << rowsPerBand) + col("bucket"))
+        .as("bkey"), col("id"))
+    val qcodes = sq8Encode(qsigned.select(col("id"), col("vec")), "id", "vec", params)
+      .select(col("id"),
+        transform(col("codes"), c => (c - lit(128)).cast("tinyint")).as("codes8"))
+    val candidates = qband
+      .join(banding.select(col("bkey"), col("id").as("nbr")), Seq("bkey"))
+      .where(col("id") =!= col("nbr"))
       .select("id", "nbr")
-    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr").asc)
-    survivors
-      .join(qsigned.select(col("id"), col("vec")), Seq("id"))
-      .join(payload.select(col("id").as("nbr"), col("vec").as("__vb")), Seq("nbr"))
-      .withColumn("cosine", cosine(col("vec"), col("__vb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("id", "nbr", "cosine", "rank")
+      .dropDuplicates("id", "nbr")
+    quantizedVerifyTopK2(candidates,
+      qcodes, payload.select(col("id"), col("codes8")), params,
+      qsigned.select(col("id"), col("vec")),
+      payload.select(col("id"), col("vec")),
+      k, rerankFactor)
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,

@@ -755,6 +755,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(auto == explicit, "auto rowsPerBand must equal its floor on a tiny corpus")
   }
 
+  test("knnGraphIndexWide/AgainstIndexWide: equals brute vs standing and the packed probe") {
+    // single-bit bands admit all pairs -> the wide incremental probe
+    // must equal exhaustive per-batch-node top-2 against the STANDING
+    // side (the packed AgainstIndex differential, wide flavor)
+    val standing = (10L to 19L).map(i =>
+      i -> Seq(math.cos(i * 0.4), math.sin(i * 0.4), (i % 4) * 0.1))
+    val batch = (1L to 3L).map(i =>
+      i -> Seq(math.cos(i * 1.1), math.sin(i * 1.1), 0.15))
+    val sd = emb(standing: _*)
+    val bd = emb(batch: _*)
+    val (banded, payload, params) = Similarity.knnGraphIndexWide(
+      sd, "vec_id", "embedding", dim = 3, rowsPerBand = 1, bands = 8)
+    val out = Similarity.knnGraphAgainstIndexWide(banded, payload, params,
+        bd, "vec_id", "embedding", k = 2, dim = 3, rowsPerBand = 1, bands = 8,
+        rerankFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val sm = standing.toMap
+    batch.foreach { case (id, v) =>
+      val brute = sm.keys.toSeq.sortBy(n => (-cos(v, sm(n)), n)).take(2)
+      assert(out((id, 1)) == brute.head && out((id, 2)) == brute(1),
+        s"batch node $id: got ${out.filter(_._1._1 == id)}, brute $brute")
+    }
+    // at a width BOTH families express, the wide probe's rows equal
+    // the packed md5 probe's bit for bit (same buckets, same verify)
+    val md5Sig = (c: org.apache.spark.sql.Column, n: Int, d: Option[Int]) =>
+      Similarity.lshSignatureMd5(c, n, d.get)
+    val (pb, pp, ppar) = Similarity.knnGraphIndex(
+      sd, "vec_id", "embedding", dim = 3, nBits = 12, bands = 4,
+      signature = md5Sig)
+    val packed = Similarity.knnGraphAgainstIndex(pb, pp, ppar, bd,
+        "vec_id", "embedding", k = 2, dim = 3, nBits = 12, bands = 4,
+        signature = md5Sig)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val (wb, wp, wpar) = Similarity.knnGraphIndexWide(
+      sd, "vec_id", "embedding", dim = 3, rowsPerBand = 3, bands = 4)
+    val wide = Similarity.knnGraphAgainstIndexWide(wb, wp, wpar, bd,
+        "vec_id", "embedding", k = 2, dim = 3, rowsPerBand = 3, bands = 4)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(wide == packed, s"wide probe must equal packed at a shared width")
+    // bkey budget is fail-loud, not silent aliasing
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphIndexWide(sd, "vec_id", "embedding", dim = 3,
+        rowsPerBand = 61, bands = 8)
+    }
+  }
+
   test("capHubEdges: planted hub prunes to maxOcc highest-cosine in-edges, others untouched") {
     import spark.implicits._
     // node 100 is the planted hub: five nodes list it; nodes 2/3 have
