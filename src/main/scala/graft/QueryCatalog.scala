@@ -1742,6 +1742,16 @@ object QueryCatalog {
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    // Wide (multi-long) twin of embedding_neardup_lsh: per-band md5
+    // buckets at the uncapped auto width — the near-dup pair operator
+    // stays occupancy-pinned past the packed signature's 62-bit
+    // budget. Widths coincide at gate scale, pinning the equivalence.
+    "embedding_neardup_lsh_wide" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsWide(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.9,
+        dim = 64, rowsPerBand = 0, bands = 2)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
     // Approximate kNN graph (directed top-3 among banded-LSH
     // candidates) on the planted corpus — the semantic-neighborhood
     // edge list graph-based curation consumes. The oracle replays the
@@ -3049,6 +3059,38 @@ object QueryCatalog {
        |  SELECT vec_id, b.b AS band,
        |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
        |  FROM sig, w, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM banded a JOIN banded bb USING (band, bucket)
+       |  WHERE a.vec_id < bb.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM cand
+       |  JOIN corpus ca ON ca.vec_id = id_a
+       |  JOIN corpus cb ON cb.vec_id = id_b)
+       |SELECT id_a, id_b, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SQL twin of embedding_neardup_lsh_wide: the wide per-band bucket
+    * CTE (grouped bit-sum at the UNCAPPED auto width) + the same
+    * undirected candidate/cosine machinery. */
+  private lazy val embeddingNeardupLshWideSql = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH $plantedCorpusCte,
+       |wv AS (SELECT greatest(8,
+       |    (SELECT min(b.b) FROM range(0, 48) b(b)
+       |     WHERE (16::BIGINT << b.b) >= (SELECT count(*) FROM corpus))) AS rpb),
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corpus c, wv, range(0, 124) p(p) WHERE p.p < 2 * wv.rpb),
+       |banded AS (
+       |  SELECT vec_id, CAST(p // wv.rpb AS INT) AS band,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (p % wv.rpb))
+       |      ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM proj, wv GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
        |  FROM banded a JOIN banded bb USING (band, bucket)
@@ -4746,6 +4788,7 @@ object QueryCatalog {
          |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
          |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
+    "embedding_neardup_lsh_wide" -> embeddingNeardupLshWideSql,
     // semantic_dedup*: recall is exact on the planted corpus (see the
     // catalog comment), so the cell pruning is invisible to the oracle
     // and brute force is the exact twin.

@@ -367,6 +367,49 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[cosineNearDupPairs]] at the wide (multi-long) width — the
+    * near-dup pair operator past the packed signature's 62-bit budget:
+    * per-band buckets from [[bandBucketMd5]] (md5 weights, so the
+    * width the operator NEEDS at these corpus sizes stays
+    * oracle-replayable), candidates from per-(band, bucket)
+    * equi-joins carrying ids only, exact cosine confirms.
+    * `rowsPerBand = 0` auto-sizes via [[suggestedRowsPerBandWide]]
+    * (floored to the packed family's 16-bit-total equivalent) —
+    * bucket occupancy stays pinned at ANY corpus size, where the
+    * packed auto width saturates (bands=4: at ~524k vectors). */
+  def cosineNearDupPairsWide(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      rowsPerBand: Int = 0,
+      bands: Int = 4
+  ): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val rpb = resolveRpbWide(df, rowsPerBand, bands, "cosineNearDupPairsWide")
+    val signed = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      array((0 until bands).map(b =>
+        bandBucketMd5(col(vecCol), b, rpb, dim)): _*).as("buckets"))
+      .localCheckpoint(true)
+    val banded = signed.select(col("id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val vecs = signed.select(col("id"), col("vec"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .where(col("cosine") >= lit(threshold))
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Approximate kNN graph over the embedding column — each vector's
     * top-`k` cosine neighbors AMONG its sign-LSH banded candidates, the
     * semantic-neighborhood edge list that graph-based curation consumes

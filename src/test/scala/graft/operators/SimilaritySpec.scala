@@ -755,6 +755,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(auto == explicit, "auto rowsPerBand must equal its floor on a tiny corpus")
   }
 
+  test("cosineNearDupPairsWide: equals the packed md5 pairs at a shared width") {
+    val d = emb((1L to 20L).map(i =>
+      i -> Seq(math.cos(i * 0.3), math.sin(i * 0.3), (i % 5) * 0.1)): _*)
+    val packed = Similarity.cosineNearDupPairs(d, "vec_id", "embedding",
+        threshold = 0.8, nBits = 12, bands = 4, dim = Some(3),
+        signature = (c, n, dm) => Similarity.lshSignatureMd5(c, n, dm.get))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val wide = Similarity.cosineNearDupPairsWide(d, "vec_id", "embedding",
+        threshold = 0.8, dim = 3, rowsPerBand = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(wide == packed, s"wide pairs must equal packed:\n$wide\nvs\n$packed")
+    assert(wide.nonEmpty, "fixture must produce pairs")
+  }
+
   test("knnGraphIndexWide/AgainstIndexWide: equals brute vs standing and the packed probe") {
     // single-bit bands admit all pairs -> the wide incremental probe
     // must equal exhaustive per-batch-node top-2 against the STANDING
