@@ -124,8 +124,9 @@ object Paths {
     * (walksPerNode=64, steps=20, 200k-node graph) to COMPLETE at the
     * 8 GB harness heap with the overflow riding the MEMORY_AND_DISK
     * checkpoint spill (SCALING.md r15 walk_stress). If even the
-    * output won't fit one materialization, write each step to a
-    * partitioned sink instead of consuming the union. Hub nodes
+    * output won't fit one materialization, use [[randomWalksToSink]] —
+    * identical rows, per-step parquet partitions, live set bounded
+    * independent of `steps` (measured ~4x under union mode). Hub nodes
     * cost a degree-sized window partition once at build time; cap
     * hubs upstream (the [[LinkPrediction]] `maxDeg` argument) if the
     * graph has super-nodes. */

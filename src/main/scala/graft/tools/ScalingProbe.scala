@@ -954,10 +954,26 @@ object ScalingProbe {
             .write.format("noop").mode("overwrite").save()
         }
       }
-      // sink mode at the same max params: each step lands as a parquet
-      // partition and the prior state releases immediately, so the
-      // live set must stay BOUNDED (no ~21 GB one-frame spill ride —
-      // the r15 walk_stress number sink mode exists to escape)
+    }
+
+    // sink mode at the same max params (own filter key so it can run
+    // without repeating the union-mode drill): each step lands as a
+    // parquet partition and the prior state releases immediately, so
+    // the live set must stay BOUNDED (no ~21 GB one-frame spill ride —
+    // the r15 walk_stress number sink mode exists to escape)
+    if (opFilter.forall("walk_stress_sink".contains)) {
+      val heap = new graft.PeakHeapSampler(100)
+      def measureW(label: String, rows: Long)(body: => Unit): Unit = {
+        time(body) // discarded warmup
+        val samples = Seq.fill(2) {
+          heap.reset()
+          val t = time(body)
+          (t, heap.drainLive() / 1e9, heap.drain() / 1e9)
+        }
+        val best = samples.minBy(_._1)
+        println(f"[scaling] walk_stress/$label%-28s rows=$rows%9d " +
+          f"${best._1}%7.2fs  peak_live=${best._2}%5.2f GB  peak_heap=${best._3}%5.2f GB")
+      }
       for (nx <- Seq(1, 10)) {
         measureW(s"random_walks_sink_64x20_${nx}x", edgeRows(nx)) {
           Paths.randomWalksToSink(edgesDf(nx), "src", "dst",
