@@ -747,10 +747,19 @@ object ScalingProbe {
           .write.format("noop").mode("overwrite").save()
         buildWide() // warmup (wide first: smaller)
         val tw = math.min(time(buildWide()), time(buildWide()))
-        buildPacked()
-        val tp = math.min(time(buildPacked()), time(buildPacked()))
-        println(f"[scaling] width_ladder corpus ${nx}%3dx edge-build " +
-          f"packed=${tp}%7.2fs wide=${tw}%7.2fs speedup=${tp / tw}%5.2fx")
+        // the packed build IS the quadratic trap past saturation: at
+        // 100x its candidate volume is ~18.8e9 rows (hours of ADC) —
+        // the count above already prices it, so the wall is measured
+        // only while the volume is tractable
+        if (cp <= (1L << 28)) {
+          buildPacked()
+          val tp = math.min(time(buildPacked()), time(buildPacked()))
+          println(f"[scaling] width_ladder corpus ${nx}%3dx edge-build " +
+            f"packed=${tp}%7.2fs wide=${tw}%7.2fs speedup=${tp / tw}%5.2fx")
+        } else {
+          println(f"[scaling] width_ladder corpus ${nx}%3dx edge-build " +
+            f"packed=SKIPPED(cand-volume $cp%d > 2^28) wide=${tw}%7.2fs")
+        }
       }
     }
 
