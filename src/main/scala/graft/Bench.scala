@@ -297,9 +297,14 @@ object Bench {
       .filter(_.getName.startsWith("CodeHeap"))
       .map { p =>
         val peakMb = p.getPeakUsage.getUsed / 1e6
-        val maxMb = p.getUsage.getMax / 1e6
+        // JMX allows getMax = -1 (undefined reserve); rendering that as
+        // "-0" MB reads like a zero reserve in the gate artifact — emit
+        // null instead so undefined stays visibly undefined
+        val maxBytes = p.getUsage.getMax
+        val maxJson =
+          if (maxBytes < 0) "null" else f"${maxBytes / 1e6}%.0f"
         "\"" + p.getName.replace("'", "") + "\":" +
-          f"""{"peak_mb":$peakMb%.0f,"max_mb":$maxMb%.0f}"""
+          f"""{"peak_mb":$peakMb%.0f,"max_mb":$maxJson}"""
       }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""peak_heap_gb":$peakGb%.2f,"peak_live_gb":$liveGb%.2f,"peaks_gb":$pk,""" +

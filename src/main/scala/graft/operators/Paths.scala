@@ -239,6 +239,15 @@ object Paths {
       s.select(col("start"), col("walk_no"), col("cur").as("node"),
           lit(t).as("step"))
         .write.partitionBy("step").mode(mode).parquet(path)
+    // The step-0 overwrite clears the whole sink only under STATIC
+    // partition-overwrite semantics; if the session runs
+    // partitionOverwriteMode=dynamic it would clear only step=0, and
+    // stale step>=1 partitions from a prior run at this path would
+    // survive into the appends — the read-back would silently mix old
+    // and new rows. Clear the sink explicitly, independent of config.
+    val sinkPath = new org.apache.hadoop.fs.Path(path)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sinkPath)) fs.delete(sinkPath, true)
     emit(state, 0, "overwrite")
     for (t <- 1 to steps) {
       val pick = pmod(

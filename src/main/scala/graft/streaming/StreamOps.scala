@@ -387,81 +387,23 @@ object StreamOps {
           lit(0.0), (acc, x) => acc + x.getField("__s")).as("score"))
   }
 
-  /** Streaming PQ probe: a stream of query vectors scores a STATIC
-    * compressed code table ([[Similarity.pqEncode]] output, persisted at
-    * scale) by ADC and keeps each query's best match — the
-    * memory-compressed twin of [[annProbe]]. Because a stream cannot
-    * collect, the per-query lookup table is not driver-built: the whole
-    * codebook ships as ONE plan literal (m x k x subDim doubles — ~8 KB
-    * at 8x16x8) and each (query, code-row) pair computes its ADC
-    * in-plan with exactly [[Similarity.pqTopK]]'s arithmetic (r9-rounded
-    * subdistances, ordered subspace fold, 6-dp result), so stream ==
-    * batch is an identity, not an approximation (StreamOpsSpec). The
-    * static side is the CODES, not the vectors: m ints per corpus row is
-    * what makes a full stream-static scoring join viable at all — but it
-    * is still a full code-table scan per micro-batch, so this is the
-    * SMALL-TABLE variant (rerank of a pre-filtered candidate set, a
-    * per-tenant shard): the static side is counted once at plan-build
-    * time and must fit `maxCodes`, or the call refuses to plan.
-    *
-    * DEPRECATED — [[ivfPqProbe]] supersedes this for every corpus-scale
-    * use: it prunes to nprobe cells before scoring instead of
-    * re-scanning every code each micro-batch, at identical ADC
-    * arithmetic (both stream==batch identities are spec-gated). This
-    * variant remains ONLY for genuinely tiny, un-celled code tables
-    * where building the coarse quantizer isn't worth it; the default
-    * `maxCodes` is sized for that niche and the guard names the
-    * replacement. Stateless per micro-batch aggregation —
-    * update/complete mode.
-    *
-    * @param maxCodes guard on the per-micro-batch scan: plan-build fails
-    *        when `codes` has more rows (default 2^16 — a per-tenant-
-    *        shard / pre-filtered-candidate size, ~0.5 MB of codes at
-    *        m=8; raising it re-buys a linear per-batch scan that
-    *        [[ivfPqProbe]] exists to avoid). The count is one job over
-    *        the static side — pass a persisted table, as the join
-    *        itself already requires. */
-  @deprecated("whole-code-table scan per micro-batch; use ivfPqProbe", "r16")
-  def pqProbe(
-      queries: DataFrame,
-      codes: DataFrame,
-      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-      queryIdCol: String = "query_id",
-      vecCol: String = "embedding",
-      maxCodes: Long = 1L << 16
-  ): DataFrame = {
-    val nCodes = codes.count()
-    require(nCodes <= maxCodes,
-      s"pqProbe scans the whole code table every micro-batch and is bounded to " +
-        s"maxCodes=$maxCodes rows (got $nCodes); at corpus scale use ivfPqProbe, " +
-        s"which prunes to nprobe cells before scoring")
-    val m = codebooks.length
-    val subDim = codebooks.head.head.length
-    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    def r9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
-    val qv = transform(col(vecCol), x => x.cast("double"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) => {
-      val cen = element_at(element_at(cbLit, s + 1), element_at(col("codes"), s + 1) + 1)
-      acc + r9(aggregate(sequence(lit(1), lit(subDim)), lit(0.0d), (a, j) => {
-        val t = element_at(col("qv"), s * lit(subDim) + j) - element_at(cen, j)
-        a + t * t
-      }))
-    })
-    queries
-      .select(col(queryIdCol).as("query_id"), qv.as("qv"))
-      .crossJoin(codes.select(col("id"), col("codes")))
-      .select(col("query_id"), col("id"), round(adc, 6).as("adc"))
-      .groupBy("query_id")
-      .agg(min(struct(col("adc"), col("id"))).as("best"))
-      .select(col("query_id"), col("best.id").as("corpus_id"), col("best.adc").as("adc"))
-  }
-
-  /** IVF-pruned streaming PQ probe: [[pqProbe]] with the batch side's
-    * coarse-quantizer pruning composed in — per micro-batch the query
-    * stream touches only its `nprobe` nearest cells' codes instead of
-    * crossJoining the WHOLE code table (the r7-flagged scale wart: at
-    * corpus scale the unpruned probe re-scans every code per batch;
-    * this one reads nprobe/nlist of a cell-bucketed table).
+  /** IVF-pruned streaming PQ probe: a stream of query vectors scores a
+    * STATIC compressed code table ([[Similarity.pqEncode]] output,
+    * cell-bucketed and persisted at scale) by ADC and keeps each
+    * query's best match — the memory-compressed twin of [[annProbe]],
+    * with the batch side's coarse-quantizer pruning composed in. Per
+    * micro-batch the query stream touches only its `nprobe` nearest
+    * cells' codes, never the whole code table (an unpruned
+    * stream-static scoring join re-scans every code per batch — the
+    * r7-flagged scale wart whose deprecated `pqProbe` carrier was
+    * removed in r17; this reads nprobe/nlist of a cell-bucketed table).
+    * Because a stream cannot collect, the per-query lookup table is not
+    * driver-built: the whole codebook ships as ONE plan literal
+    * (m x k x subDim doubles — ~8 KB at 8x16x8) and each candidate
+    * (query, code-row) pair computes its ADC in-plan with exactly
+    * [[Similarity.pqTopK]]'s arithmetic (r9-rounded subdistances,
+    * ordered subspace fold, 6-dp result), so stream == batch is an
+    * identity, not an approximation (StreamOpsSpec).
     *
     * Cell ranking happens IN-PLAN (a stream cannot collect): the
     * centroid TABLE — the [[Similarity.centroidTable]] persisted-sidecar
@@ -472,9 +414,9 @@ object StreamOps {
     * arithmetic (full squared distance, element-order fold, lower-cell
     * ties), and the top-nprobe cells explode into a stream-static
     * EQUI-join against the cell-bucketed code table. ADC scoring and the
-    * per-query best-match aggregate are verbatim [[pqProbe]], so
-    * stream == batch [[Similarity.ivfPqTopKOnCelledCodes]] top-1 is an
-    * identity (StreamOpsSpec), not an approximation.
+    * per-query best-match aggregate use the batch arithmetic verbatim,
+    * so stream == batch [[Similarity.ivfPqTopKOnCelledCodes]] top-1 is
+    * an identity (StreamOpsSpec), not an approximation.
     *
     * @param celledCodes static (id, codes, cell) table — the
     *        [[Similarity.ivfPqTopKOnCelledCodes]] layout, bucketed by
@@ -519,8 +461,8 @@ object StreamOps {
     val probed = ranked
       .select(col("query_id"), col("qv"), explode(col("__probes")).as("__p"))
       .select(col("query_id"), col("qv"), col("__p.cell").as("cell"))
-    // stream-static EQUI-join on cell (bucket-prunable), then verbatim
-    // pqProbe ADC arithmetic and the single best-match aggregation
+    // stream-static EQUI-join on cell (bucket-prunable), then the batch
+    // probe's ADC arithmetic and the single best-match aggregation
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     def r9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
     val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) => {
@@ -605,7 +547,7 @@ object StreamOps {
     * log-weight against a PRE-TRAINED DSIR model
     * ([[graft.operators.Scoring.dsirRatioTable]] — the bounded batch
     * artifact, exactly `nBuckets` rows). The ratio table folds into ONE
-    * plan-literal map (the [[pqProbe]] codebook-literal move: a stream
+    * plan-literal map (the [[ivfPqProbe]] codebook-literal move: a stream
     * cannot collect, and nBuckets=10^4 doubles is LUT-sized), so scoring
     * is a pure stateless in-row projection — tokenize, hash grams to
     * buckets, fold the per-gram log-ratios — no join, no state store,

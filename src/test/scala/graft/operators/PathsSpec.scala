@@ -126,4 +126,33 @@ class PathsSpec extends AnyFunSuite {
     val s2 = spark.read.parquet(dir).where($"step" === 2).count()
     assert(s2 == union.count(_._3 == 2), "per-step read-back mismatch")
   }
+
+  test("randomWalksToSink: stale partitions from a prior run never survive, " +
+      "even under dynamic partition-overwrite semantics") {
+    val e = edges(1L -> 2L, 2L -> 3L)
+    val dir = java.nio.file.Files.createTempDirectory("walks_sink_stale").toString
+    // a prior run's corpse at the same path: steps the new run won't
+    // write (step=9) plus a poisoned row inside a step it will (step=1)
+    Seq((99L, 0, 99L, 9), (99L, 0, 99L, 1))
+      .toDF("start", "walk_no", "node", "step")
+      .write.partitionBy("step").mode("overwrite").parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val got = Paths.randomWalksToSink(e, "src", "dst",
+          walksPerNode = 1, steps = 2, path = dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      val union = walks(e, 1, 2).sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(got == union,
+        s"stale sink rows leaked into the read-back:\n got $got\n exp $union")
+      val stepDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("step=")).map(_.getName).sorted.toSeq
+      assert(stepDirs == Seq("step=0", "step=1", "step=2"),
+        s"prior-run partitions must be gone, got $stepDirs")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import scala.annotation.nowarn
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -360,57 +359,6 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(flagged.toSet == Set((10L, 1L), (12L, 2L)),
         s"and both must be the true near-dup pairs, got $flagged")
     } finally q.stop()
-  }
-
-  test("streaming PQ probe equals the batch ADC best-match per query") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.{col, transform}
-    implicit val sqlCtx = spark.sqlContext
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val books = Similarity.pqSeedCodebooks(emb, "vec_id", "embedding", 8, 16)
-    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
-      .localCheckpoint(true) // static side pinned across micro-batches
-    val queryRows = emb.where(col("vec_id").isin(2L, 31L, 77L))
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
-      .as[(Long, Seq[Double])].collect().toSeq
-    val input = MemoryStream[(Long, Seq[Double])]
-    // the deprecated small-table probe stays spec-pinned on purpose:
-    // the stream==batch identity is its remaining contract
-    @nowarn("cat=deprecation")
-    val q = StreamOps.pqProbe(
-        input.toDF().toDF("query_id", "embedding"), codes, books)
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName("pq_probe_out")
-      .start()
-    try {
-      input.addData(queryRows: _*)
-      q.processAllAvailable()
-      val stream = spark.table("pq_probe_out")
-        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-      val batch = Similarity.pqTopKForQueries(codes, books,
-          emb.where(col("vec_id").isin(2L, 31L, 77L)), "vec_id", "embedding", k = 1)
-        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-      assert(stream == batch,
-        s"stream best-match must equal batch ADC: $stream vs $batch")
-    } finally q.stop()
-  }
-
-  test("pqProbe refuses a code table over the maxCodes scan bound at plan-build time") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    implicit val sqlCtx = spark.sqlContext
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val books = Similarity.pqSeedCodebooks(emb, "vec_id", "embedding", 8, 16)
-    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
-    val n = codes.count()
-    val input = MemoryStream[(Long, Seq[Double])]
-    @nowarn("cat=deprecation")
-    val e = intercept[IllegalArgumentException] {
-      StreamOps.pqProbe(input.toDF().toDF("query_id", "embedding"),
-        codes, books, maxCodes = n - 1)
-    }
-    assert(e.getMessage.contains("ivfPqProbe"),
-      "the guard must point callers at the pruned probe")
   }
 
   test("IVF-pruned streaming PQ probe equals the batch celled-codes ADC best match") {
