@@ -701,6 +701,57 @@ object QueryCatalog {
           steps = 3, path = sink)
         .orderBy("start", "walk_no", "step")
     }),
+    // The walk sink's CONSUMER (r16 verdict #2 — the reader the
+    // per-step partitioning exists for): skip-gram training pairs from
+    // walk windows, reading only `step BETWEEN lo-w AND hi+w` (the scan
+    // carries PartitionFilters — machine-gated in PlanAuditSpec). Full
+    // center range here, so the oracle replays every same-walk pair.
+    "walk_skipgram_pairs" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val sink = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_walk_sg_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Paths.randomWalksToSink(pairs, "src", "dst", walksPerNode = 2,
+        steps = 3, path = sink)
+      Paths.walkSkipgramPairs(s, sink, window = 2, centerLo = 0, centerHi = 3)
+        .orderBy("center", "context")
+    }),
+    // Biased (node2vec, Grover & Leskovec 2016) walks with integer
+    // return/common/out weights 4/2/1 (p=0.5, q=2 scaled by 4): the
+    // 2nd-order interval pick over cumulative weights, md5-deterministic
+    // like the uniform walks, replayed draw for draw by the oracle.
+    "random_walks_biased" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      Paths.randomWalksBiased(pairs, "src", "dst", walksPerNode = 2,
+          steps = 3, wReturn = 4, wCommon = 2, wOut = 1)
+        .orderBy("start", "walk_no", "step")
+    }),
+    // Sink delivery of the same biased corpus (rows identical —
+    // spec-gated — so the shared oracle also pins the write/read-back).
+    "random_walks_biased_sink" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val sink = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_walk_biased_sink_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Paths.randomWalksBiasedToSink(pairs, "src", "dst", walksPerNode = 2,
+          steps = 3, wReturn = 4, wCommon = 2, wOut = 1, path = sink)
+        .orderBy("start", "walk_no", "step")
+    }),
     // -- LLM-pipeline operators --------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(documents(s, dir), "doc_id", "text").orderBy("text_hash")),
@@ -1909,6 +1960,41 @@ object QueryCatalog {
         signature = md5Sig)
       val labels = Communities.labelPropagation(
         standingEdges.unionByName(batchEdges), "id", "nbr", iterations = 4)
+      Communities.communitySizes(labels).orderBy("label")
+    }),
+    // The LOCALIZED twin of the full refresh above — the flat-per-batch
+    // ingest answer (r16 verdict #1): the standing corpus's labels are
+    // the persisted community state (built once with the index), and
+    // each ingest batch re-votes ONLY the 4-hop blast radius around its
+    // new edges' endpoints, everything outside frozen at its seed.
+    // Per-batch vote cost is proportional to the blast radius's edge
+    // volume, not the standing corpus (ScalingProbe incremental_lpa
+    // local rows). Oracle replays the standing LPA seeds, the frontier
+    // expansion, and the restricted rounds CTE for CTE.
+    "semantic_communities_incremental_local" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val standing = e.where(col("vec_id") >= 100)
+      val batch = e.where(col("vec_id") < 100)
+      val md5Sig = (c: Column, n: Int, d: Option[Int]) =>
+        Similarity.lshSignatureMd5(c, n, d.get)
+      val nb = Similarity.autoNBits(standing.count(), bands = 2)
+      val standingEdges = Similarity.knnGraphQuantized(
+        standing, "vec_id", "embedding", k = 3, dim = 64,
+        nBits = nb, bands = 2, rerankFactor = 4, signature = md5Sig)
+      val (banded, payload, params) = Similarity.knnGraphIndex(
+        standing, "vec_id", "embedding", dim = 64, nBits = nb, bands = 2,
+        signature = md5Sig)
+      val batchEdges = Similarity.knnGraphAgainstIndex(
+        banded, payload, params, batch, "vec_id", "embedding",
+        k = 3, dim = 64, nBits = nb, bands = 2, rerankFactor = 4,
+        signature = md5Sig)
+      val seeds = Communities.labelPropagation(
+        standingEdges, "id", "nbr", iterations = 4)
+      val dirty = batchEdges.select(col("id").as("node"))
+        .union(batchEdges.select(col("nbr").as("node"))).distinct()
+      val labels = Communities.labelPropagationLocal(
+        standingEdges.unionByName(batchEdges), "id", "nbr",
+        seeds, dirty, hops = 4, iterations = 4)
       Communities.communitySizes(labels).orderBy("label")
     }),
     // k-occurrence hubness over the quantized kNN graph (Radovanovic
@@ -3390,9 +3476,12 @@ object QueryCatalog {
     * quantized edges (same frozen width and SQ8 ranges: candS is the
     * within-standing banded self-join, scored through the shared dq),
     * unioned and fed to the canonical LPA refresh. */
-  private lazy val semanticCommunitiesIncrementalSql =
-    s"""WITH $knnGraphIncrementalCtes,
-       |candS AS (
+  /** The standing corpus's own quantized edges at the frozen index
+    * width/ranges (candS is the within-standing banded self-join,
+    * scored through the shared dq) — shared by the full-refresh and
+    * localized-refresh incremental community twins. */
+  private lazy val standingEdgeCtes =
+    s"""candS AS (
        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nbr
        |  FROM (SELECT bk.* FROM bk JOIN st ON st.vec_id = bk.vec_id) a
        |  JOIN (SELECT bk.* FROM bk JOIN st ON st.vec_id = bk.vec_id) b USING (bkey)
@@ -3413,7 +3502,11 @@ object QueryCatalog {
        |rankedS AS (
        |  SELECT id, nbr, cos,
        |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
-       |  FROM scoredS),
+       |  FROM scoredS)""".stripMargin
+
+  private lazy val semanticCommunitiesIncrementalSql =
+    s"""WITH $knnGraphIncrementalCtes,
+       |$standingEdgeCtes,
        |alle AS (
        |  SELECT id, nbr FROM rankedS WHERE rank <= 3
        |  UNION ALL SELECT id, nbr FROM ranked WHERE rank <= 3),
@@ -3426,6 +3519,53 @@ object QueryCatalog {
        |  UNION ALL SELECT node, node FROM nodes),
        |l0 AS (SELECT node, node AS lbl FROM nodes),
        |${lpaRoundCtes(4)}
+       |SELECT lbl AS label, count(*) AS n_members,
+       |  min(node) AS min_member, max(node) AS max_member
+       |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** SQL twin of the semantic_communities_incremental_local composition
+    * — the LOCALIZED refresh: the standing labels are the persisted
+    * community state (4 LPA rounds over the standing edges only, the
+    * s-prefixed rounds), the batch gets its edges from the incremental
+    * probe, the frontier is the 4-hop ball around the batch edges'
+    * endpoints over the union adjacency, and 4 vote rounds run
+    * restricted to frontier nodes with everything outside frozen at its
+    * seed — [[graft.operators.Communities.labelPropagationLocal]]
+    * replayed CTE for CTE, frontier expansion included. */
+  private lazy val semanticCommunitiesIncrementalLocalSql =
+    s"""WITH $knnGraphIncrementalCtes,
+       |$standingEdgeCtes,
+       |pS AS MATERIALIZED (
+       |  SELECT DISTINCT least(id, nbr) AS a, greatest(id, nbr) AS b
+       |  FROM rankedS WHERE rank <= 3 AND id <> nbr),
+       |nodesS AS (SELECT a AS node FROM pS UNION SELECT b FROM pS),
+       |adjS AS MATERIALIZED (SELECT a AS node, b AS nbr FROM pS
+       |  UNION ALL SELECT b, a FROM pS
+       |  UNION ALL SELECT node, node FROM nodesS),
+       |sl0 AS (SELECT node, node AS lbl FROM nodesS),
+       |${lpaRoundCtes(4, adj = "adjS", pfx = "s")},
+       |alle AS (
+       |  SELECT id, nbr FROM rankedS WHERE rank <= 3
+       |  UNION ALL SELECT id, nbr FROM ranked WHERE rank <= 3),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT least(id, nbr) AS a, greatest(id, nbr) AS b
+       |  FROM alle WHERE id <> nbr),
+       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM p
+       |  UNION ALL SELECT b, a FROM p
+       |  UNION ALL SELECT node, node FROM nodes),
+       |dirty AS (SELECT id AS node FROM ranked WHERE rank <= 3
+       |  UNION SELECT nbr FROM ranked WHERE rank <= 3),
+       |f0 AS (SELECT node FROM nodes WHERE node IN (SELECT node FROM dirty)),
+       |${frontierCtes(4)},
+       |fr AS MATERIALIZED (SELECT node FROM f4),
+       |l0 AS MATERIALIZED (
+       |  SELECT n.node, coalesce(s.lbl, n.node) AS lbl
+       |  FROM nodes n LEFT JOIN sl4 s ON s.node = n.node),
+       |adjf AS MATERIALIZED (
+       |  SELECT adj.node, adj.nbr FROM adj
+       |  WHERE adj.node IN (SELECT node FROM fr)),
+       |${lpaLocalRoundCtes(4)}
        |SELECT lbl AS label, count(*) AS n_members,
        |  min(node) AS min_member, max(node) AS max_member
        |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
@@ -3542,7 +3682,26 @@ object QueryCatalog {
   /** Exact replica of [[graft.operators.Paths.randomWalks]] (2 walks x
     * 3 steps) on the sparse co-supply graph: ranked adjacency, then one
     * MATERIALIZED CTE per step replaying the md5 neighbor choice. */
-  private lazy val randomWalksSql = {
+  /** The co-supply graph + rank-ordered adjacency the walk twins share:
+    * `p` (canonical pairs), `nodes`, `adj` (node, nbr, idx, deg). */
+  private lazy val walkGraphCtes =
+    """hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 50),
+      |p AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      |  FROM hi x JOIN hi y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+      |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
+      |sym AS (SELECT a AS node, b AS nbr FROM p UNION ALL SELECT b, a FROM p),
+      |adj AS MATERIALIZED (
+      |  SELECT node, nbr,
+      |    CAST(row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS BIGINT) AS idx,
+      |    count(*) OVER (PARTITION BY node) AS deg
+      |  FROM sym)""".stripMargin
+
+  /** The uniform md5-transition walk corpus (2 walks x 3 steps) as a
+    * `wlk(start, walk_no, step, node)` CTE — shared by the walk oracles
+    * and the skip-gram pair rollup. */
+  private lazy val randomWalkCtes = {
     def pick(t: Int) =
       "('0x' || substr(md5(s.start::VARCHAR || '|' || s.walk_no::VARCHAR" +
         s" || '|$t|' || s.cur::VARCHAR), 1, 8))::BIGINT % adj.deg"
@@ -3553,22 +3712,74 @@ object QueryCatalog {
     }.mkString(",\n")
     val selects = (0 to 3).map(t =>
       s"SELECT start, walk_no, CAST($t AS INT) AS step, cur AS node FROM w$t")
-      .mkString("\nUNION ALL ")
-    s"""WITH hi AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 50),
-       |p AS MATERIALIZED (
-       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-       |  FROM hi x JOIN hi y
-       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
-       |nodes AS (SELECT a AS node FROM p UNION SELECT b FROM p),
-       |sym AS (SELECT a AS node, b AS nbr FROM p UNION ALL SELECT b, a FROM p),
-       |adj AS MATERIALIZED (
-       |  SELECT node, nbr,
-       |    CAST(row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS BIGINT) AS idx,
-       |    count(*) OVER (PARTITION BY node) AS deg
-       |  FROM sym),
+      .mkString("\n  UNION ALL ")
+    s"""$walkGraphCtes,
        |w0 AS MATERIALIZED (
        |  SELECT node AS start, CAST(w.w AS INT) AS walk_no, node AS cur
        |  FROM nodes, range(0, 2) w(w)),
+       |$stepCtes,
+       |wlk AS MATERIALIZED (
+       |  $selects)""".stripMargin
+  }
+
+  private lazy val randomWalksSql =
+    s"""WITH $randomWalkCtes
+       |SELECT start, walk_no, step, node FROM wlk
+       |ORDER BY start, walk_no, step""".stripMargin
+
+  /** SQL twin of [[graft.operators.Paths.walkSkipgramPairs]] over the
+    * full center range: every same-walk position pair within the
+    * window, rolled up to counts — the walk CTEs plus one
+    * step-distance self-join. */
+  private lazy val walkSkipgramPairsSql =
+    s"""WITH $randomWalkCtes
+       |SELECT c.node AS center, x.node AS context, count(*) AS n_pairs
+       |FROM wlk c JOIN wlk x
+       |  ON c.start = x.start AND c.walk_no = x.walk_no
+       |  AND x.step <> c.step AND abs(x.step - c.step) <= 2
+       |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+
+  /** SQL twin of [[graft.operators.Paths.randomWalksBiased]] (2 walks x
+    * 3 steps, wReturn=4, wCommon=2, wOut=1): step 1 is the uniform
+    * index pick; each later step classifies every neighbor of `cur`
+    * against `prev` (return / common-with-prev via the canonical pair
+    * table / out), folds cumulative weights over the rank order, and
+    * picks the neighbor whose interval contains the md5 draw mod the
+    * walker's total weight — exact integer arithmetic end to end. */
+  private lazy val randomWalksBiasedSql = {
+    def draw(t: Int, src: String) =
+      s"('0x' || substr(md5($src.start::VARCHAR || '|' || $src.walk_no::VARCHAR" +
+        s" || '|$t|' || $src.cur::VARCHAR), 1, 8))::BIGINT"
+    val stepCtes = (2 to 3).map { t =>
+      s"""cand$t AS (
+         |  SELECT s.start, s.walk_no, s.cur, adj.nbr, adj.idx,
+         |    CASE WHEN adj.nbr = s.prev THEN 4
+         |         WHEN e.a IS NOT NULL THEN 2 ELSE 1 END AS wt
+         |  FROM b${t - 1} s
+         |  JOIN adj ON adj.node = s.cur
+         |  LEFT JOIN p e ON e.a = least(s.prev, adj.nbr)
+         |    AND e.b = greatest(s.prev, adj.nbr)),
+         |cum$t AS (
+         |  SELECT start, walk_no, cur, nbr, wt,
+         |    sum(wt) OVER (PARTITION BY start, walk_no ORDER BY idx) AS cw,
+         |    sum(wt) OVER (PARTITION BY start, walk_no) AS tw
+         |  FROM cand$t),
+         |b$t AS MATERIALIZED (
+         |  SELECT start, walk_no, cur AS prev, nbr AS cur FROM cum$t c
+         |  WHERE c.cw - c.wt <= ${draw(t, "c")} % c.tw
+         |    AND ${draw(t, "c")} % c.tw < c.cw)""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 to 3).map(t =>
+      s"SELECT start, walk_no, CAST($t AS INT) AS step, cur AS node FROM b$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $walkGraphCtes,
+       |b0 AS MATERIALIZED (
+       |  SELECT node AS start, CAST(w.w AS INT) AS walk_no, node AS prev, node AS cur
+       |  FROM nodes, range(0, 2) w(w)),
+       |b1 AS MATERIALIZED (
+       |  SELECT s.start, s.walk_no, s.cur AS prev, adj.nbr AS cur
+       |  FROM b0 s JOIN adj ON adj.node = s.cur
+       |    AND adj.idx = ${draw(1, "s")} % adj.deg),
        |$stepCtes
        |$selects
        |ORDER BY start, walk_no, step""".stripMargin
@@ -3621,14 +3832,44 @@ object QueryCatalog {
     * then the most-votes/smallest-label winner) over whatever `adj` and
     * `l0` the surrounding WITH defines — shared by the co-supply LPA
     * oracles and the semantic_communities composition. */
-  private def lpaRoundCtes(n: Int): String = (1 to n).map { i =>
+  private def lpaRoundCtes(n: Int, adj: String = "adj", pfx: String = ""): String =
+    (1 to n).map { i =>
+      s"""${pfx}v$i AS MATERIALIZED (
+         |  SELECT $adj.node, l.lbl, count(*) AS c
+         |  FROM $adj JOIN ${pfx}l${i - 1} l ON l.node = $adj.nbr GROUP BY 1, 2),
+         |${pfx}l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |  FROM ${pfx}v$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** The LOCALIZED LPA vote rounds: identical vote/argmax arithmetic,
+    * but votes are counted only FOR frontier nodes (`adjf` = union
+    * adjacency restricted to node ∈ fr) and each round's labeling is
+    * the frontier winners UNIONed with the untouched labels of
+    * everything outside `fr` — the frozen-outside-the-blast-radius
+    * semantic of [[graft.operators.Communities.labelPropagationLocal]]. */
+  private def lpaLocalRoundCtes(n: Int): String = (1 to n).map { i =>
     s"""v$i AS MATERIALIZED (
-       |  SELECT adj.node, l.lbl, count(*) AS c
-       |  FROM adj JOIN l${i - 1} l ON l.node = adj.nbr GROUP BY 1, 2),
-       |l$i AS MATERIALIZED (SELECT node, lbl FROM (
-       |  SELECT node, lbl,
-       |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-       |  FROM v$i) WHERE rn = 1)""".stripMargin
+       |  SELECT adjf.node, l.lbl, count(*) AS c
+       |  FROM adjf JOIN l${i - 1} l ON l.node = adjf.nbr GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (
+       |  SELECT node, lbl FROM (
+       |    SELECT node, lbl,
+       |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |    FROM v$i) WHERE rn = 1
+       |  UNION ALL
+       |  SELECT node, lbl FROM l${i - 1}
+       |  WHERE node NOT IN (SELECT node FROM fr))""".stripMargin
+  }.mkString(",\n")
+
+  /** `hops` rounds of frontier expansion over the union `adj` (which
+    * carries self-loop rows, so each round is a superset of the last
+    * and f`hops` IS the ball). */
+  private def frontierCtes(hops: Int): String = (1 to hops).map { i =>
+    s"""f$i AS MATERIALIZED (
+       |  SELECT DISTINCT adj.node
+       |  FROM adj JOIN f${i - 1} f ON f.node = adj.nbr)""".stripMargin
   }.mkString(",\n")
 
   private lazy val lpaCtes = {
@@ -5177,6 +5418,9 @@ object QueryCatalog {
     "random_walks" -> randomWalksSql,
     // identical rows by contract: sink mode only changes the delivery
     "random_walks_sink" -> randomWalksSql,
+    "walk_skipgram_pairs" -> walkSkipgramPairsSql,
+    "random_walks_biased" -> randomWalksBiasedSql,
+    "random_walks_biased_sink" -> randomWalksBiasedSql,
     "knn_graph" -> knnGraphSql,
     "knn_graph_quantized" -> knnGraphQuantizedSql,
     "knn_graph_quantized_wide" -> knnGraphQuantizedWideSql,
@@ -5185,6 +5429,7 @@ object QueryCatalog {
     "knn_graph_incremental" -> knnGraphIncrementalSql,
     "knn_graph_incremental_wide" -> knnGraphIncrementalWideSql,
     "semantic_communities_incremental" -> semanticCommunitiesIncrementalSql,
+    "semantic_communities_incremental_local" -> semanticCommunitiesIncrementalLocalSql,
     "knn_hubness" -> knnHubnessSql,
     "semantic_communities_hubcapped" -> semanticCommunitiesHubcappedSql,
     "knn_graph_mutual" -> knnGraphMutualSql,

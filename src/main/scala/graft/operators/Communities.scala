@@ -34,6 +34,13 @@ import org.apache.spark.sql.graft.CheckpointBridge
   */
 object Communities {
 
+  /** Frontier size above which [[labelPropagationLocal]] stops
+    * broadcasting the frontier set into its restriction joins (2M ids ≈
+    * 16 MB of longs — comfortably under executor broadcast budgets; a
+    * blast radius bigger than this is effectively a global refresh and
+    * the shuffle path is the right plan for it). */
+  private val BroadcastFrontierMaxRows = 1L << 21
+
   /** `(node, label)` after `iterations` synchronous vote rounds over the
     * canonical undirected graph (direction, duplicates, and self-loops
     * in the input are normalized away; the self-VOTE is separate and
@@ -94,6 +101,193 @@ object Communities {
     }
     val out = labels.select(col("node"), col("lbl").as("label"))
     CheckpointBridge.release(adj)
+    out
+  }
+
+  /** [[labelPropagation]] CONTINUED from a prior labeling — the refresh
+    * half of the persisted-community story: `seeds` is a `(node, label)`
+    * frame (typically a previous [[labelPropagation]] output persisted
+    * next to the graph), nodes of the current graph absent from it
+    * (fresh ingest) start at their own id, and the same synchronous
+    * vote rounds run from there. With own-id seeds this IS
+    * [[labelPropagation]] (spec-gated differential — including against
+    * that function's round-1 closed form, which is unavailable here
+    * because seed labels need not be distinct).
+    *
+    * Same determinism contract and per-round scale shape as
+    * [[labelPropagation]]; seed rows for nodes outside the current
+    * graph are ignored (their members contribute no edges). */
+  def labelPropagationFrom(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iterations: Int = 4
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      .union(nodes.select(col("node"), col("node").as("nbr")))
+      .repartition(col("nbr"))
+      .sortWithinPartitions("nbr")
+      .localCheckpoint(true)
+    var labels = nodes
+      .join(seeds.select(col("node"), col("label").as("__seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), col("node")).as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val votes = adj
+        .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      val next = votes
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("lbl"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(labels)
+      labels = next
+    }
+    val out = labels.select(col("node"), col("lbl").as("label"))
+    CheckpointBridge.release(adj)
+    out
+  }
+
+  /** LOCALIZED incremental refresh — the flat-per-batch community
+    * update: instead of re-running vote rounds over every standing node
+    * (the [[labelPropagationFrom]] full refresh, whose cost grows with
+    * the standing corpus even when the ingest batch is fixed — the r16
+    * 4.2→15.5 s/batch term), only nodes inside the BLAST RADIUS of the
+    * change re-vote. The frontier is the `hops`-hop ball around `dirty`
+    * (typically the endpoints of the batch's new edges); every node
+    * outside it keeps its seed label BY DEFINITION, and the vote rounds
+    * run restricted to frontier nodes, with frozen neighbors
+    * contributing their (static) seed labels as votes.
+    *
+    * Exactness, not approximation, in the cases that matter:
+    *   - when the frontier covers the whole graph the restriction is
+    *     vacuous and the result EQUALS [[labelPropagationFrom]]
+    *     (spec-gated);
+    *   - when `seeds` is a synchronous fixed point of the vote rule on
+    *     the pre-batch graph, `dirty` covers the new edges' endpoints,
+    *     and `hops >= iterations`, the result equals the full
+    *     [[labelPropagationFrom]] refresh on the union graph EXACTLY:
+    *     a change can propagate at most one hop per synchronous round,
+    *     so after round i only nodes within i hops of a dirty node can
+    *     differ from their seed (induction on rounds; spec-gated on a
+    *     converged two-clique graph bridged by an ingest edge). When
+    *     seeds are NOT converged, far-from-dirty nodes keep seed labels
+    *     a full re-run might have moved — that is the operator's
+    *     semantic (refresh the blast radius, leave settled communities
+    *     settled), and the oracle replays it exactly.
+    *
+    * Scale shape, per batch: frontier expansion is `hops` equi-joins of
+    * the (one-row-per-reached-node) frontier against the checkpointed
+    * adjacency, then `iterations` vote rounds over ONLY frontier-
+    * incident adjacency rows — cost proportional to the blast radius's
+    * edge volume, not the standing corpus. The remaining corpus-
+    * proportional terms are the one-pass canonicalization/adjacency
+    * build and the frontier semi-join scans (no shuffle of the big
+    * side; a persisted pre-canonicalized adjacency would remove the
+    * build term — noted, not shipped). Everything superseded releases
+    * through [[CheckpointBridge]] (O(1) persisted copies).
+    *
+    * @param seeds `(node, label)` prior labeling; absent nodes seed at
+    *        their own id
+    * @param dirty one column of node ids whose neighborhoods changed;
+    *        ids outside the graph are ignored
+    * @param hops frontier radius; `hops >= iterations` makes the
+    *        restriction exact against converged seeds (see above) */
+  def labelPropagationLocal(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      dirty: DataFrame,
+      hops: Int = 4,
+      iterations: Int = 4
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    require(hops >= 1 && hops <= 20, s"hops must be in [1, 20], got $hops")
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      .union(nodes.select(col("node"), col("node").as("nbr")))
+      .repartition(col("nbr"))
+      .sortWithinPartitions("nbr")
+      .localCheckpoint(true)
+    // frontier = ball(dirty ∩ graph, hops); the self-loop rows make
+    // each expansion round superset-of-previous, so the final round IS
+    // the ball (no union-accumulate needed)
+    var frontier = nodes
+      .join(dirty.select(col(dirty.columns.head).as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val next = adj
+        .join(frontier.select(col("node").as("nbr")), Seq("nbr"))
+        .select("node").distinct()
+        .localCheckpoint(true)
+      CheckpointBridge.release(frontier)
+      frontier = next
+    }
+    val l0 = nodes
+      .join(seeds.select(col("node"), col("label").as("__seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), col("node")).as("lbl"))
+      .localCheckpoint(true)
+    // The frontier restriction must not cost corpus-sized shuffles —
+    // that would hand back what the restriction saves (measured: a
+    // sort-merge semi-join here re-shuffled the whole adjacency twice
+    // and made the local refresh SLOWER than the full one). A typical
+    // blast radius is batch-proportional, so broadcast it and every
+    // restriction join below becomes a scan that preserves the stored
+    // (nbr) layout; past the gate (a ball that big means the refresh
+    // is effectively global) fall back to shuffle joins.
+    val small = frontier.count() <= BroadcastFrontierMaxRows
+    val frontierKeyed = if (small) broadcast(frontier) else frontier
+    // frozen labels never change; only the slice of them adjacent to
+    // the frontier is ever consulted again
+    val frozen = l0.join(frontierKeyed, Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    // broadcast path: the semi-join is a scan that inherits adj's
+    // stored (nbr) partitioning AND ordering, so every vote round's
+    // sort-merge join reuses the layout with zero big-side exchanges
+    val adjF0 = adj.join(frontierKeyed, Seq("node"), "left_semi")
+    val adjF = (if (small) adjF0
+      else adjF0.repartition(col("nbr")).sortWithinPartitions("nbr"))
+      .localCheckpoint(true)
+    val nbrSet = adjF.select(col("nbr").as("node")).distinct()
+    val frozenNbr = frozen
+      .join(if (small) broadcast(nbrSet) else nbrSet, Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    var cur = l0.join(frontierKeyed, Seq("node"), "left_semi").localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val lab = cur.unionByName(frozenNbr)
+      val votes = adjF
+        .join(lab.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      val next = votes
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("lbl"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(cur)
+      cur = next
+    }
+    val out = cur.unionByName(frozen).select(col("node"), col("lbl").as("label"))
+      .localCheckpoint(true)
+    Seq(cur, frozen, frozenNbr, adjF, l0, frontier, adj)
+      .foreach(CheckpointBridge.release)
     out
   }
 

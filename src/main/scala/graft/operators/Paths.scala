@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointBridge
@@ -196,8 +196,8 @@ object Paths {
     * released immediately (the [[bfsDistances]] O(1)-persisted-copies
     * discipline). Live set: the ranked adjacency + two walker-state
     * frames, INDEPENDENT of `steps`; the corpus accumulates on disk,
-    * partition-pruned for the downstream per-step readers (a skip-gram
-    * window generator reads `step IN [t-w, t+w]`, never the full
+    * partition-pruned for the downstream per-step readers
+    * ([[walkSkipgramPairs]] reads `step IN [t-w, t+w]`, never the full
     * corpus).
     *
     * Rows are IDENTICAL to [[randomWalks]]'s (same md5 transitions,
@@ -271,5 +271,229 @@ object Paths {
     spark.read.parquet(path)
       .select(col("start"), col("walk_no"), col("step").cast("int").as("step"),
         col("node"))
+  }
+
+  /** Skip-gram pair generation over a [[randomWalksToSink]] corpus —
+    * the consumer that sink's per-step partitioning exists for
+    * (word2vec-style training pairs from walk windows, Perozzi et al.
+    * 2014 §4.2; Mikolov et al. 2013, both public): for every walk
+    * position with `step` in `[centerLo, centerHi]`, one pair per
+    * other position of the SAME walk within `window` steps, rolled up
+    * to `(center, context, n_pairs)` counts.
+    *
+    * Delivery contract: reads ONLY parquet partitions
+    * `step BETWEEN centerLo - window AND centerHi + window` — the scan
+    * carries a PartitionFilters entry (machine-gated, PlanAuditSpec),
+    * so a consumer pairing one freshly-written step `t` of a live walk
+    * corpus touches `2·window + 1` step directories, never the full
+    * corpus. Pass the full step range to pair everything.
+    *
+    * Scale shape: one read of the pruned slice, one equi-join keyed by
+    * walker `(start, walk_no)` with the step-distance predicate inside
+    * the joined task (per-walker groups are ≤ steps+1 rows a side — no
+    * skew possible), then a map-side-combined count rollup keyed by the
+    * pair. Nothing is ever keyed by node alone, so hub nodes cost
+    * their pair multiplicity in the final aggregate only. */
+  def walkSkipgramPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      window: Int,
+      centerLo: Int,
+      centerHi: Int
+  ): DataFrame = {
+    require(window >= 1 && window <= 10, s"window must be in [1, 10], got $window")
+    require(centerLo >= 0 && centerHi >= centerLo,
+      s"need 0 <= centerLo <= centerHi, got [$centerLo, $centerHi]")
+    val slice = spark.read.parquet(path)
+      .where(col("step").between(centerLo - window, centerHi + window))
+      .select(col("start"), col("walk_no"),
+        col("step").cast("int").as("step"), col("node"))
+    val centers = slice.where(col("step").between(centerLo, centerHi))
+      .select(col("start"), col("walk_no"),
+        col("step").as("cstep"), col("node").as("center"))
+    val contexts = slice.select(col("start"), col("walk_no"),
+      col("step").as("xstep"), col("node").as("context"))
+    centers.join(contexts, Seq("start", "walk_no"))
+      .where(col("xstep") =!= col("cstep") &&
+        abs(col("xstep") - col("cstep")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** BIASED (node2vec) walks — [[randomWalks]] with the Grover &
+    * Leskovec 2016 (public) 2nd-order transition: from `cur` with
+    * previous node `prev`, each neighbor `x` of `cur` weighs
+    *   - `wReturn`  when `x = prev`              (the paper's 1/p),
+    *   - `wCommon`  when `x` is adjacent to `prev` (the paper's 1),
+    *   - `wOut`     otherwise                     (the paper's 1/q),
+    * and the walker picks the neighbor whose cumulative-weight interval
+    * (over the rank-ordered adjacency) contains
+    * `md5(start|walk|t|cur) mod totalWeight`. INTEGER weights replace
+    * the paper's 1/p, 1, 1/q on purpose: scale all three by a common
+    * denominator (p=0.5, q=2 → wReturn=4, wCommon=2, wOut=1) and the
+    * pick is exact integer arithmetic a DuckDB twin replays bit for
+    * bit — same determinism contract as [[randomWalks]] (retry-stable,
+    * partitioning-independent; with wReturn=wCommon=wOut the interval
+    * pick degenerates to the uniform walk's index pick over a
+    * constant-width grid, though the md5 draw is taken mod
+    * `w·deg` rather than `deg`, so the two functions' corpora are not
+    * row-identical — by design, each is its own replayable contract).
+    * Step 1 has no `prev` and is uniform over neighbors, exactly
+    * [[randomWalks]]'s pick (the paper's convention).
+    *
+    * Scale shape: the second-order pick NEEDS the candidate fan-out
+    * (deg(cur) rows per walker per step — inherent to node2vec; the
+    * uniform walk's index-predicate join cannot express
+    * prev-dependent weights), plus one broadcast-free equi-join of the
+    * candidates against the canonical edge set to classify
+    * `x adjacent to prev` (keyed by the canonical pair, never by
+    * node), and one per-walker window pass for the cumulative
+    * interval. Per-step cost is O(sum of deg over walker positions) —
+    * cap super-node degree upstream (the [[LinkPrediction]] `maxDeg`
+    * pattern) if the graph has hubs. State and adjacency checkpoints
+    * follow [[randomWalks]]'s O(steps)-bounded union-mode discipline;
+    * use [[randomWalksBiasedToSink]] for corpora that cannot
+    * materialize as one frame. */
+  def randomWalksBiased(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int,
+      steps: Int,
+      wReturn: Int,
+      wCommon: Int,
+      wOut: Int
+  ): DataFrame = {
+    val outs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val last = biasedWalkCore(edges, srcCol, dstCol, walksPerNode, steps,
+      wReturn, wCommon, wOut) { (stepDf, t) =>
+      outs += stepDf.select(col("start"), col("walk_no"),
+        lit(t).as("step"), col("cur").as("node"))
+    }
+    val all = outs.reduce(_ unionByName _).localCheckpoint(true)
+    last.foreach(CheckpointBridge.release)
+    all
+  }
+
+  /** [[randomWalksBiased]] with the [[randomWalksToSink]] per-step
+    * partitioned-sink delivery: identical rows (same md5 interval
+    * picks), live set bounded independent of `steps`, stale sink
+    * contents cleared up front, read-back returned with the partition
+    * column normalized. [[walkSkipgramPairs]] consumes the result the
+    * same way. */
+  def randomWalksBiasedToSink(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int,
+      steps: Int,
+      wReturn: Int,
+      wCommon: Int,
+      wOut: Int,
+      path: String
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    val sinkPath = new org.apache.hadoop.fs.Path(path)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sinkPath)) fs.delete(sinkPath, true)
+    var prevState: Option[DataFrame] = None
+    val last = biasedWalkCore(edges, srcCol, dstCol, walksPerNode, steps,
+      wReturn, wCommon, wOut) { (stepDf, t) =>
+      stepDf.select(col("start"), col("walk_no"), col("cur").as("node"),
+          lit(t).as("step"))
+        .write.partitionBy("step")
+        .mode(if (t == 0) "overwrite" else "append").parquet(path)
+      // step t is durable before its predecessor's only live copy goes
+      prevState.foreach(CheckpointBridge.release)
+      prevState = Some(stepDf)
+    }
+    // every step state was already released as it was superseded (the
+    // bounded-live-set contract); re-releasing is a no-op, so one sweep
+    // frees the final state plus the adjacency/edge checkpoints
+    last.foreach(CheckpointBridge.release)
+    spark.read.parquet(path)
+      .select(col("start"), col("walk_no"), col("step").cast("int").as("step"),
+        col("node"))
+  }
+
+  /** Shared biased-walk engine: runs the step loop, hands each step's
+    * walker state `(start, walk_no, prev, cur)` to `emit` the moment it
+    * is checkpointed, and returns the frames still persisted (adjacency,
+    * canonical edges, and — in union mode — every step's state; the
+    * caller releases them once its delivery materialized). */
+  private def biasedWalkCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int,
+      steps: Int,
+      wReturn: Int,
+      wCommon: Int,
+      wOut: Int
+  )(emit: (DataFrame, Int) => Unit): Seq[DataFrame] = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode must be in [1, 64], got $walksPerNode")
+    require(steps >= 1 && steps <= 20, s"steps must be in [1, 20], got $steps")
+    Seq("wReturn" -> wReturn, "wCommon" -> wCommon, "wOut" -> wOut).foreach {
+      case (n, w) => require(w >= 1 && w <= 1000,
+        s"$n must be in [1, 1000] (integer weights; 0 would dead-end " +
+          s"single-neighbor walkers), got $w")
+    }
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+      .localCheckpoint(true)
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    val byNode = Window.partitionBy("node").orderBy("nbr")
+    val adj = sym
+      .withColumn("idx", row_number().over(byNode) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        byNode.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .repartition(col("node"))
+      .sortWithinPartitions("node")
+      .localCheckpoint(true)
+    def draw(t: Int): Column = conv(substring(md5(concat_ws("|",
+      col("start").cast("string"), col("walk_no").cast("string"),
+      lit(t).cast("string"), col("cur").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    var state = adj.select("node").distinct()
+      .select(col("node").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk_no"))
+      .withColumn("prev", col("start")) // placeholder; step 1 ignores it
+      .withColumn("cur", col("start"))
+      .localCheckpoint(true)
+    val live = scala.collection.mutable.ArrayBuffer(state)
+    emit(state, 0)
+    for (t <- 1 to steps) {
+      val next = (if (t == 1) {
+        // no prev yet: uniform over neighbors, the randomWalks pick
+        state.join(adj,
+            state("cur") === adj("node") && adj("idx") === pmod(draw(1), col("deg")))
+          .select(col("start"), col("walk_no"),
+            col("cur").as("prev"), col("nbr").as("cur"))
+      } else {
+        val cand = state.join(adj, state("cur") === adj("node"))
+          .join(und.select(col("a").as("__ea"), col("b").as("__eb")),
+            least(col("prev"), col("nbr")) === col("__ea") &&
+              greatest(col("prev"), col("nbr")) === col("__eb"), "left")
+          .select(col("start"), col("walk_no"), col("prev"), col("cur"),
+            col("nbr"), col("idx"),
+            when(col("nbr") === col("prev"), lit(wReturn.toLong))
+              .when(col("__ea").isNotNull, lit(wCommon.toLong))
+              .otherwise(lit(wOut.toLong)).as("wt"))
+        val byWalker = Window.partitionBy("start", "walk_no")
+        val cum = cand
+          .withColumn("cw", sum("wt").over(byWalker.orderBy("idx")))
+          .withColumn("tw", max(col("cw")).over(byWalker.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        val r = pmod(draw(t), col("tw"))
+        cum.where(col("cw") - col("wt") <= r && r < col("cw"))
+          .select(col("start"), col("walk_no"),
+            col("cur").as("prev"), col("nbr").as("cur"))
+      }).localCheckpoint(true)
+      live += next
+      state = next
+      emit(state, t)
+    }
+    live.toSeq :+ adj :+ und
   }
 }

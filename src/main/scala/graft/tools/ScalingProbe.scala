@@ -681,6 +681,14 @@ object ScalingProbe {
           Similarity.knnGraphQuantized(corpus, "vec_id", "embedding", k = 5,
             dim = 64, nBits = nBits, bands = 4),
           pre + "_edges")
+        // the persisted community state the LOCALIZED refresh seeds
+        // from — built once with the index, like the labels table a
+        // real ingest pipeline would keep next to the edge store
+        graft.sources.IndexStore.writeTable(
+          Communities.labelPropagation(
+            graft.sources.IndexStore.read(spark, pre + "_edges"),
+            "id", "nbr", iterations = 4),
+          pre + "_labels")
         val tBuild = (System.nanoTime() - t0) / 1e9
         def probeEdges(): DataFrame = Similarity.knnGraphAgainstIndex(
           graft.sources.IndexStore.read(spark, pre + "_banding"),
@@ -697,11 +705,45 @@ object ScalingProbe {
               Communities.labelPropagation(all, "id", "nbr", iterations = 4))
             .write.format("noop").mode("overwrite").save()
         }
-        probeOnly(); refresh() // warmups
+        // LOCALIZED refresh (r17): seed from the persisted labels,
+        // re-vote only the 4-hop blast radius around the batch's new
+        // edges — the full-refresh vote rounds over ALL standing edges
+        // (the r16 4.2->15.5 s/batch growth term) drop to frontier-
+        // proportional work; what remains corpus-sized is one
+        // canonicalization pass and the frontier semi-join scans
+        def localRefresh(): Unit = {
+          val batchEdges = probeEdges()
+          val all = graft.sources.IndexStore.read(spark, pre + "_edges")
+            .unionByName(batchEdges)
+          val dirty = batchEdges.select(col("id").as("node"))
+            .union(batchEdges.select(col("nbr").as("node"))).distinct()
+          Communities.communitySizes(
+              Communities.labelPropagationLocal(all, "id", "nbr",
+                graft.sources.IndexStore.read(spark, pre + "_labels"),
+                dirty, hops = 4, iterations = 4))
+            .write.format("noop").mode("overwrite").save()
+        }
+        probeOnly(); refresh(); localRefresh() // warmups
         val tp = math.min(time(probeOnly()), time(probeOnly()))
         val tr = math.min(time(refresh()), time(refresh()))
+        val tl = math.min(time(localRefresh()), time(localRefresh()))
+        // untimed diagnostic: what fraction of the graph the 4-hop
+        // blast radius actually reaches — the local refresh can only
+        // beat the full one when this is well under 1.0 (kNN graphs
+        // are small-diameter; a ball that covers the graph makes the
+        // restriction pure overhead, worth knowing per decade)
+        val batchEdges = probeEdges()
+        val all = graft.sources.IndexStore.read(spark, pre + "_edges")
+          .unionByName(batchEdges)
+        val dirty = batchEdges.select(col("id").as("node"))
+          .union(batchEdges.select(col("nbr").as("node"))).distinct()
+        val nNodes = all.select(col("id").as("n")).union(all.select(col("nbr").as("n")))
+          .distinct().count()
+        val nBall = graft.operators.Paths.bfsDistances(
+          all, "id", "nbr", dirty, "node", maxHops = 4).count()
         println(f"[scaling] incremental_lpa corpus ${nx}%3dx nBits=$nBits%2d " +
-          f"build+write=$tBuild%7.2fs probe=$tp%7.2fs probe+refresh=$tr%7.2fs")
+          f"build+write=$tBuild%7.2fs probe=$tp%7.2fs probe+refresh=$tr%7.2fs " +
+          f"probe+local_refresh=$tl%7.2fs ball=${nBall}%d/${nNodes}%d")
       }
     }
 

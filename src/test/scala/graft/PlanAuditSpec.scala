@@ -141,4 +141,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(dedupAgg.findFirstIn(p).isDefined,
       s"candidate dedup must group (id_a, id_b) with no carried payload:\n$p")
   }
+
+  test("walk skip-gram reader prunes the sink's step partitions") {
+    // the delivery contract of randomWalksToSink: a window consumer
+    // reads step IN [lo-w, hi+w] as a PARTITION filter (directory
+    // pruning), never as a post-scan filter over the full corpus
+    import spark.implicits._
+    val e = (1L to 10L).map(i => i -> (i % 10 + 1)).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("plan_walk_sg").toString
+    graft.operators.Paths.randomWalksToSink(e, "src", "dst",
+      walksPerNode = 1, steps = 4, path = dir)
+    val p = plan(graft.operators.Paths.walkSkipgramPairs(
+      spark, dir, window = 1, centerLo = 2, centerHi = 2))
+    val pf = "PartitionFilters: \\[[^\\]]*step[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined && !pf.get.contains("PartitionFilters: []"),
+      s"the sink scan must carry a step partition filter:\n$p")
+  }
 }

@@ -127,4 +127,112 @@ class CommunitiesSpec extends AnyFunSuite {
     val out = components(edges(2L -> 1L, 1L -> 2L, 1L -> 1L, 3L -> 2L))
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $out")
   }
+
+  // ---- labelPropagationFrom / labelPropagationLocal ----------------------
+
+  private def seedsDf(pairs: (Long, Long)*) = pairs.toDF("node", "label")
+  private def nodesDf(ns: Long*) = ns.toDF("node")
+
+  private def runFrom(e: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.DataFrame, iters: Int = 4) =
+    Communities.labelPropagationFrom(e, "src", "dst", s, iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def runLocal(e: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame,
+      hops: Int = 4, iters: Int = 4) =
+    Communities.labelPropagationLocal(e, "src", "dst", s, d,
+        hops = hops, iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagationFrom with own-id seeds equals labelPropagation " +
+      "(including its round-1 closed form)") {
+    val rnd = new scala.util.Random(23)
+    val es = (1 to 250).map(_ => (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges(es: _*)
+    val ns = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val ownIds = seedsDf(ns.map(n => n -> n): _*)
+    assert(runFrom(e, ownIds) == run(e),
+      "continuing from own-id seeds must be the cold-start result")
+  }
+
+  test("labelPropagationFrom: missing seed rows default to own id, " +
+      "extra seed rows for absent nodes are ignored") {
+    // only node 9 carries a seed; 9's label pulls its clique
+    val e = edges(7L -> 8L, 8L -> 9L, 9L -> 7L)
+    val out = runFrom(e, seedsDf(9L -> 1L, 999L -> 5L), iters = 4)
+    assert(out.keySet == Set(7L, 8L, 9L), s"got $out")
+    // votes: round 1 at node 7: labels {7, 8, 1(from 9)} -> tie, min = 1
+    assert(out.values.toSet == Set(1L), s"the planted seed must win: $out")
+  }
+
+  test("labelPropagationLocal equals labelPropagationFrom when the frontier " +
+      "covers the whole graph") {
+    val rnd = new scala.util.Random(41)
+    val es = (1 to 250).map(_ => (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges(es: _*)
+    val ns = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+    // arbitrary non-converged seeds: label = node % 5
+    val seeds = seedsDf(ns.map(n => n -> (n % 5)): _*)
+    val full = runFrom(e, seeds, iters = 3)
+    val local = runLocal(e, seeds, nodesDf(ns: _*), hops = 1, iters = 3)
+    assert(local == full,
+      s"dirty=all-nodes must reduce to the full refresh:\n $local\n vs $full")
+  }
+
+  test("labelPropagationLocal with converged seeds equals the full refresh " +
+      "on the union graph (hops >= iterations)") {
+    // standing graph: two triangles, fully converged by LPA
+    val standing = edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      14L -> 15L, 15L -> 16L, 16L -> 14L)
+    val seeds = Communities.labelPropagation(standing, "src", "dst", iterations = 4)
+      .withColumnRenamed("label", "label")
+    // ingest: a bridge 3-14 joins the cliques
+    val union = edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      14L -> 15L, 15L -> 16L, 16L -> 14L, 3L -> 14L)
+    val full = runFrom(union, seeds, iters = 4)
+    val local = runLocal(union, seeds, nodesDf(3L, 14L), hops = 4, iters = 4)
+    assert(local == full,
+      s"blast-radius refresh diverged from the full refresh:\n $local\n vs $full")
+  }
+
+  test("labelPropagationLocal freezes nodes outside the blast radius by definition") {
+    // long chain 1-2-...-8; seeds deliberately weird (all label 99 won't
+    // appear: use per-node marker labels) — dirty only at node 1 with
+    // hops=1 and 1 round, so nodes 3..8 MUST keep their seeds verbatim
+    val chain = edges((1L to 7L).map(i => i -> (i + 1)): _*)
+    val seeds = seedsDf((1L to 8L).map(i => i -> (100L + i)): _*)
+    val out = runLocal(chain, seeds, nodesDf(1L), hops = 1, iters = 1)
+    (3L to 8L).foreach { n =>
+      assert(out(n) == 100L + n, s"node $n outside the frontier moved: $out")
+    }
+    // inside the frontier (nodes 1, 2) the vote ran: node 1 sees labels
+    // {101 (self), 102 (nbr 2)} -> tie 1-1, smallest = 101
+    assert(out(1L) == 101L, s"got $out")
+    assert(out(2L) == 101L, s"node 2 sees {102 self, 101, 103} -> min on tie: $out")
+  }
+
+  test("labelPropagationLocal: dirty ids outside the graph are ignored " +
+      "(empty frontier returns the seeds verbatim)") {
+    val e = edges(1L -> 2L, 2L -> 3L)
+    val seeds = seedsDf(1L -> 7L, 2L -> 7L, 3L -> 7L)
+    val out = runLocal(e, seeds, nodesDf(999L), hops = 2, iters = 2)
+    assert(out == Map(1L -> 7L, 2L -> 7L, 3L -> 7L), s"got $out")
+  }
+
+  test("labelPropagationLocal is bit-exact under any partitioning") {
+    val rnd = new scala.util.Random(59)
+    val es = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val ns = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val seeds = seedsDf(ns.map(n => n -> (n % 7)): _*)
+    val base = runLocal(edges(es: _*), seeds, nodesDf(0L, 1L, 2L), hops = 2, iters = 3)
+    for (p <- Seq(1, 3, 13)) {
+      val out = runLocal(edges(es: _*).repartition(p), seeds,
+        nodesDf(0L, 1L, 2L), hops = 2, iters = 3)
+      assert(out == base, s"partitioning $p changed the local refresh")
+    }
+  }
 }

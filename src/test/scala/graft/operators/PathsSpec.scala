@@ -155,4 +155,126 @@ class PathsSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  // ---- walkSkipgramPairs ---------------------------------------------------
+
+  test("walkSkipgramPairs: counts match a hand fold over the walk corpus, " +
+      "and the scan prunes step partitions") {
+    val e = (1L to 20L).flatMap(i => Seq(i -> (i % 20 + 1), i -> ((i + 3) % 20 + 1)))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("walks_sg").toString
+    Paths.randomWalksToSink(e, "src", "dst", walksPerNode = 2, steps = 4, path = dir)
+    val corpus = walks(e, 2, 4).toSeq // (start, walk_no, step, node)
+    // hand fold: all same-walk position pairs within window 2
+    val byWalk = corpus.groupBy(r => (r._1, r._2))
+    val expected = byWalk.values.flatMap { ps =>
+      for {
+        c <- ps; x <- ps
+        if c._3 != x._3 && math.abs(c._3 - x._3) <= 2
+      } yield (c._4, x._4)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val full = Paths.walkSkipgramPairs(spark, dir, window = 2,
+      centerLo = 0, centerHi = 4)
+    val got = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"pair counts diverged from the hand fold")
+    // restricted center range reads only [t-w, t+w]: the scan must carry
+    // a partition filter, and the result must equal the hand fold's
+    // center-restricted slice
+    val one = Paths.walkSkipgramPairs(spark, dir, window = 1,
+      centerLo = 2, centerHi = 2)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("step"),
+      s"the sink read must prune step partitions:\n$plan")
+    val expOne = byWalk.values.flatMap { ps =>
+      for {
+        c <- ps; x <- ps
+        if c._3 == 2 && x._3 != 2 && math.abs(x._3 - 2) <= 1
+      } yield (c._4, x._4)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val gotOne = one.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotOne == expOne, "center-restricted pairs diverged")
+  }
+
+  // ---- randomWalksBiased ---------------------------------------------------
+
+  /** Independent replica of the biased interval pick. */
+  private def biasedReplica(
+      adj: Map[Long, Seq[Long]], und: Set[(Long, Long)],
+      walksPerNode: Int, steps: Int,
+      wr: Long, wc: Long, wo: Long): Set[(Long, Int, Int, Long)] = {
+    def md5Mod(start: Long, walk: Int, step: Int, cur: Long, m: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$start|$walk|$step|$cur".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % m
+    }
+    def hasEdge(a: Long, b: Long) = und.contains((math.min(a, b), math.max(a, b)))
+    adj.keys.flatMap { start =>
+      (0 until walksPerNode).flatMap { w =>
+        var prev = start
+        var cur = start
+        (start, w, 0, cur) +: (1 to steps).map { t =>
+          val ns = adj(cur)
+          val nxt = if (t == 1) ns(md5Mod(start, w, 1, cur, ns.length).toInt)
+          else {
+            val wts = ns.map { x =>
+              if (x == prev) wr else if (hasEdge(x, prev)) wc else wo
+            }
+            val r = md5Mod(start, w, t, cur, wts.sum)
+            val cums = wts.scanLeft(0L)(_ + _).tail
+            ns(cums.indexWhere(r < _))
+          }
+          prev = cur; cur = nxt
+          (start, w, t, cur)
+        }
+      }
+    }.toSet
+  }
+
+  test("randomWalksBiased: every transition replays the weighted interval pick") {
+    // a graph with real 2nd-order structure: a square with one diagonal
+    // (1-2, 2-3, 3-4, 4-1, 1-3) plus a pendant 5 on 4
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L, 4L -> 5L)
+    val adj = Map(
+      1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L, 4L),
+      4L -> Seq(1L, 3L, 5L), 5L -> Seq(4L))
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val out = Paths.randomWalksBiased(es.toDF("src", "dst"), "src", "dst",
+        walksPerNode = 2, steps = 4, wReturn = 4, wCommon = 2, wOut = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val expected = biasedReplica(adj, und, 2, 4, 4L, 2L, 1L)
+    assert(out == expected,
+      s"biased walks diverged from the replica:\n got ${out.toSeq.sorted}\n exp ${expected.toSeq.sorted}")
+  }
+
+  test("randomWalksBiased: shape and partitioning independence") {
+    val e = (1L to 24L).flatMap(i => Seq(i -> (i % 24 + 1), i -> ((i + 5) % 24 + 1)))
+      .toDF("src", "dst")
+    val a = Paths.randomWalksBiased(e.repartition(1), "src", "dst", 2, 3, 3, 2, 1)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Paths.randomWalksBiased(e.repartition(7), "src", "dst", 2, 3, 3, 2, 1)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq, "biased walks drifted across partitionings")
+    assert(a.length == 24 * 2 * 4, s"got ${a.length} rows")
+  }
+
+  test("randomWalksBiasedToSink: rows identical to union mode, stale sink cleared") {
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    val dir = java.nio.file.Files.createTempDirectory("walks_biased_sink").toString
+    // plant a stale corpse the run must clear
+    Seq((99L, 0, 99L, 9)).toDF("start", "walk_no", "node", "step")
+      .write.partitionBy("step").mode("overwrite").parquet(dir)
+    val sink = Paths.randomWalksBiasedToSink(es.toDF("src", "dst"), "src", "dst",
+        walksPerNode = 2, steps = 3, wReturn = 4, wCommon = 2, wOut = 1, path = dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val union = Paths.randomWalksBiased(es.toDF("src", "dst"), "src", "dst",
+        walksPerNode = 2, steps = 3, wReturn = 4, wCommon = 2, wOut = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(sink == union, "sink-mode biased rows must equal union-mode rows")
+    assert(!sink.exists(_._1 == 99L), "stale rows must be gone")
+  }
 }
