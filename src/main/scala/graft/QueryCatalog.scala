@@ -1793,6 +1793,17 @@ object QueryCatalog {
         signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    // Width-dispatching FRONT DOOR (r16 verdict #4): one sizing count,
+    // packed-vs-wide chosen at the saturation boundary. At gate scale
+    // it dispatches packed at the same auto width, so the packed twin's
+    // oracle prices the dispatch being right; the boundary itself is
+    // spec-walked on both sides (WidthDispatchSpec).
+    "embedding_neardup_auto" -> ((s, dir) =>
+      Similarity.cosineNearDupAuto(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", threshold = 0.9,
+        dim = 64, bands = 2)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
     // Wide (multi-long) twin of embedding_neardup_lsh: per-band md5
     // buckets at the uncapped auto width — the near-dup pair operator
     // stays occupancy-pinned past the packed signature's 62-bit
@@ -1846,6 +1857,16 @@ object QueryCatalog {
         .select(col("id"), col("nbr"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("id", "rank")),
+    // kNN front door (r16 verdict #4): dispatches packed here (below
+    // saturation), at exactly the width knn_graph_quantized auto-sizes
+    // to — same oracle; the boundary crossing is WidthDispatchSpec's.
+    "knn_graph_auto" -> ((s, dir) =>
+      Similarity.knnGraphAuto(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
+        bands = 2, rerankFactor = 4)
+        .select(col("id"), col("nbr"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("id", "rank")),
     // The semantic-graph flagship — the graph analogue of
     // curation_pipeline: embeddings -> quantized kNN edges ->
     // label-propagation communities over semantic neighbors -> the
@@ -1854,10 +1875,13 @@ object QueryCatalog {
     // twin replays edge generation AND the 4 LPA vote rounds CTE for
     // CTE, so the hash gate prices the COMPOSITION, not just the parts.
     "semantic_communities" -> ((s, dir) => {
-      val edges = Similarity.knnGraphQuantized(
-        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
-        nBits = 0, bands = 2, rerankFactor = 4,
-        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+      // the width-dispatching front door: ONE sizing count, threaded
+      // (a second auto operator on this corpus would reuse `w`, not
+      // re-count — the r16-flagged composition pattern)
+      val corpus = plantedEmbeddings(s, dir)
+      val w = Similarity.knnWidthFor(corpus, bands = 2)
+      val edges = Similarity.knnGraphAuto(corpus, "vec_id", "embedding",
+        k = 3, dim = 64, bands = 2, rerankFactor = 4, width = Some(w))
       val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
       Communities.communitySizes(labels).orderBy("label")
     }),
@@ -1868,10 +1892,10 @@ object QueryCatalog {
     // reproducible slice of every semantic neighborhood" — the
     // diversity-sampling output the knnGraph scaladoc names.
     "semantic_quota_sample" -> ((s, dir) => {
-      val edges = Similarity.knnGraphQuantized(
-        plantedEmbeddings(s, dir), "vec_id", "embedding", k = 3, dim = 64,
-        nBits = 0, bands = 2, rerankFactor = 4,
-        signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+      val corpus = plantedEmbeddings(s, dir)
+      val w = Similarity.knnWidthFor(corpus, bands = 2)
+      val edges = Similarity.knnGraphAuto(corpus, "vec_id", "embedding",
+        k = 3, dim = 64, bands = 2, rerankFactor = 4, width = Some(w))
       val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
       Shuffling.sampleNPerStratum(labels, "node", "label", n = 2, seed = 7L)
         .orderBy("label", "node")
@@ -5029,6 +5053,7 @@ object QueryCatalog {
          |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
          |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
+    "embedding_neardup_auto" -> embeddingNeardupLshSql,
     "embedding_neardup_lsh_wide" -> embeddingNeardupLshWideSql,
     // semantic_dedup*: recall is exact on the planted corpus (see the
     // catalog comment), so the cell pruning is invisible to the oracle
@@ -5423,6 +5448,7 @@ object QueryCatalog {
     "random_walks_biased_sink" -> randomWalksBiasedSql,
     "knn_graph" -> knnGraphSql,
     "knn_graph_quantized" -> knnGraphQuantizedSql,
+    "knn_graph_auto" -> knnGraphQuantizedSql,
     "knn_graph_quantized_wide" -> knnGraphQuantizedWideSql,
     "semantic_communities" -> semanticCommunitiesSql,
     "semantic_quota_sample" -> semanticQuotaSampleSql,

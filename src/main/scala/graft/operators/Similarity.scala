@@ -582,6 +582,106 @@ object Similarity {
     math.max(suggestedNBits(n, bands, targetBucketSize), floor16)
   }
 
+  /** A resolved LSH banding width + the family it dispatches to — the
+    * record an index builder persists next to its frames so probes band
+    * at the BUILD width and compositions invoking several banded
+    * operators on the same corpus pay the sizing count ONCE
+    * ([[knnWidthFor]]) instead of once per call.
+    *
+    * `packed` is the dispatch decision: true while the total width fits
+    * the single-long shift budget (`rowsPerBand · bands <=`
+    * [[MaxSignatureBits]]), i.e. up to `targetBucketSize ·
+    * 2^(MaxSignatureBits/bands)` vectors; past that the packed
+    * signature would saturate (bucket occupancy, and with it the
+    * candidate join, doubling per corpus doubling — the r16 width
+    * ladder measured 18.8B candidate rows at the saturated width where
+    * the wide family generates 124M) and the wide multi-long family is
+    * the only occupancy-pinned choice. */
+  final case class KnnWidth(n: Long, bands: Int, rowsPerBand: Int, packed: Boolean) {
+    /** Total packed width; callers must only consume it when `packed`. */
+    def nBits: Int = {
+      require(packed, s"nBits is a packed-family width; this corpus " +
+        s"(n=$n) resolved to the wide family at rowsPerBand=$rowsPerBand")
+      rowsPerBand * bands
+    }
+  }
+
+  /** Width resolution from a known corpus size — pure, integer-exact
+    * (the [[suggestedRowsPerBandWide]] ceil-log2 with the packed
+    * family's 16-bit-total floor), so a SQL oracle replays it and a
+    * spec can walk the saturation boundary without building 2^31
+    * vectors. Dispatch rule: packed while `rowsPerBand · bands <=`
+    * [[MaxSignatureBits]], wide after. */
+  def resolveKnnWidth(n: Long, bands: Int = 4, targetBucketSize: Int = 16): KnnWidth = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64], got $bands")
+    val rpb = math.max(suggestedRowsPerBandWide(n, targetBucketSize),
+      (16 + bands - 1) / bands)
+    KnnWidth(n, bands, rpb, packed = rpb.toLong * bands <= MaxSignatureBits)
+  }
+
+  /** [[resolveKnnWidth]] over a one-job corpus count — the ONE count a
+    * composition should pay: resolve here, then thread the width
+    * through every banded family member and persist it with any index
+    * built at it. */
+  def knnWidthFor(df: DataFrame, bands: Int = 4, targetBucketSize: Int = 16): KnnWidth =
+    resolveKnnWidth(math.max(df.count(), 1L), bands, targetBucketSize)
+
+  /** Width-dispatching front door for the quantized kNN graph
+    * (r16 verdict #4): resolves the width (or takes a pre-resolved
+    * [[KnnWidth]] so compositions don't re-count), then dispatches —
+    * packed md5 signature below the saturation boundary,
+    * [[knnGraphQuantizedWide]] above it. Both sides band identically at
+    * shared widths (the spec-gated family equivalence), so crossing
+    * the boundary changes the plan's signature layout, not the
+    * semantics; output contract is the family's:
+    * `(id, nbr, cosine, rank)`, exact-cosine top-k among the
+    * SQ8-top-(k·rerankFactor) banded candidates, md5-replayable. */
+  def knnGraphAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      bands: Int = 4,
+      rerankFactor: Int = 4,
+      width: Option[KnnWidth] = None
+  ): DataFrame = {
+    val w = width.getOrElse(knnWidthFor(df, bands))
+    require(w.bands == bands,
+      s"knnGraphAuto: width was resolved at bands=${w.bands}, called with $bands")
+    if (w.packed)
+      knnGraphQuantized(df, idCol, vecCol, k, dim, nBits = w.nBits, bands,
+        rerankFactor, signature = (c, n, d) => lshSignatureMd5(c, n, d.get))
+    else
+      knnGraphQuantizedWide(df, idCol, vecCol, k, dim,
+        rowsPerBand = w.rowsPerBand, bands, rerankFactor)
+  }
+
+  /** Width-dispatching front door for embedding near-dup pairs — the
+    * [[knnGraphAuto]] rule applied to [[cosineNearDupPairs]] /
+    * [[cosineNearDupPairsWide]]: same resolution, same boundary, same
+    * md5 banding on both sides, `(id_a, id_b, cosine)` out. */
+  def cosineNearDupAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bands: Int = 4,
+      width: Option[KnnWidth] = None
+  ): DataFrame = {
+    val w = width.getOrElse(knnWidthFor(df, bands))
+    require(w.bands == bands,
+      s"cosineNearDupAuto: width was resolved at bands=${w.bands}, called with $bands")
+    if (w.packed)
+      cosineNearDupPairs(df, idCol, vecCol, threshold, nBits = w.nBits, bands,
+        dim = Some(dim), signature = (c, n, d) => lshSignatureMd5(c, n, d.get))
+    else
+      cosineNearDupPairsWide(df, idCol, vecCol, threshold, dim,
+        rowsPerBand = w.rowsPerBand, bands)
+  }
+
   /** Resolve the family's `nBits = 0` auto sentinel: one count job over
     * the corpus (documented cost; pass an explicit width to skip it),
     * then [[autoNBits]]. Explicit widths pass through untouched but are

@@ -747,6 +747,57 @@ object ScalingProbe {
       }
     }
 
+    // ---- localized LPA refresh: bounded blast radius, growing corpus --
+    // The incremental_lpa drill's kNN graph is an EXPANDER (k=5, ball
+    // diagnostic: 4 hops covers 100% of the graph at every decade), so
+    // a blast-radius refresh structurally CANNOT beat the full one
+    // there. This drill isolates the claim the local operator actually
+    // makes — per-batch refresh cost ~flat in corpus size WHEN
+    // components are bounded — on the graph shape curation communities
+    // really have (near-dup clusters, mutual-kNN islands): 100-node
+    // blocks with internal chain+skip structure, a FIXED 250-edge
+    // ingest batch, seeds persisted from the standing 4-round LPA.
+    if (opFilter.forall("local_lpa".contains)) {
+      import spark.implicits._
+      val newEdges = (0 until 250)
+        .map(i => (20L * i + 3, (20L * i + 153) % 5000)).toDF("src", "dst")
+      for (nx <- Seq(1, 10, 100)) {
+        val n = 5000L * nx
+        val ids = spark.range(n)
+        val standingEdges = ids.where(col("id") % 100 =!= 99)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+          .union(ids.where(col("id") % 100 < 98)
+            .select(col("id").as("src"), (col("id") + 2).as("dst")))
+        val pre = s"graft_scaling_locallpa_${nx}x"
+        val t0 = System.nanoTime()
+        graft.sources.IndexStore.writeTable(
+          Communities.labelPropagation(standingEdges, "src", "dst", iterations = 4),
+          pre + "_labels")
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val all = standingEdges.unionByName(newEdges)
+        val dirty = newEdges.select(col("src").as("node"))
+          .union(newEdges.select(col("dst").as("node"))).distinct()
+        def seeds = graft.sources.IndexStore.read(spark, pre + "_labels")
+          .select(col("node"), col("label"))
+        def full(): Unit = Communities.communitySizes(
+            Communities.labelPropagationFrom(all, "src", "dst", seeds,
+              iterations = 4))
+          .write.format("noop").mode("overwrite").save()
+        def local(): Unit = Communities.communitySizes(
+            Communities.labelPropagationLocal(all, "src", "dst", seeds,
+              dirty, hops = 4, iterations = 4))
+          .write.format("noop").mode("overwrite").save()
+        full(); local() // warmups
+        val tf = math.min(time(full()), time(full()))
+        val tl = math.min(time(local()), time(local()))
+        val nBall = graft.operators.Paths.bfsDistances(
+          all, "src", "dst", dirty, "node", maxHops = 4).count()
+        println(f"[scaling] local_lpa corpus ${nx}%3dx nodes=$n%d " +
+          f"seed_build=$tBuild%7.2fs full_refresh=$tf%7.2fs " +
+          f"local_refresh=$tl%7.2fs ball=$nBall%d/$n%d")
+      }
+    }
+
     // ---- width ladder: packed saturation vs the wide family's pin -----
     // The packed signature caps TOTAL width at 62 bits, so at bands=8
     // it saturates at 7 bits/band — i.e. at 16*2^7 = 2048 vectors —
