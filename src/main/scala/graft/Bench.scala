@@ -135,9 +135,27 @@ object Bench {
       graft.tree.Predict.predictMany(model, wide)
         .write.format("noop").mode("overwrite").save()
     }
+    // Exact-threshold (scalable prefix-sum) fit at the reference's 190
+    // width, on 10% of rows: the FULL-row run measures 256 s (SCALING.md
+    // r17 fan-out note — the ~47 l_extendedprice-derived clones each
+    // re-pay that column's ~200k distinct thresholds, which is the
+    // exact path's inherent cost at width; bins32_wide190 is the
+    // designed full-data wide path). 10% keeps the per-round gate
+    // honest about the exact path's width shape without doubling the
+    // sweep; the sample is seeded, so the line is stable.
     val wideEntries: Seq[(String, () => Unit)] = Seq(
       ("fit_depth4_entropy_bins32_wide24", () => wideFit(20)),
-      ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)))
+      ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)),
+      ("fit_depth4_entropy_scalable_wide190_10pct", () => {
+        val wide = graft.tools.WideFrame.frame(spark, sfDir, 186,
+          repartitionTo = Some(spark.sparkContext.defaultParallelism),
+          rowFraction = 0.1)
+        val model = DecisionTreeClassifier(maxDepth = Some(4),
+          criterion = Criterion.Entropy, maxBins = None,
+          exactCumulativePartitions = Some(32)).fit(wide, "l_returnflag")
+        graft.tree.Predict.predictMany(model, wide)
+          .write.format("noop").mode("overwrite").save()
+      }))
 
     // documents with each token deterministically suffixed into ~500
     // variants — the vocabulary-rich corpus the realistic-merge-count
@@ -319,6 +337,7 @@ object Bench {
     val headline = Seq(
       "fit_depth4_entropy", "fit_depth4_entropy_scalable",
       "fit_depth4_entropy_bins32", "fit_depth4_entropy_bins32_wide190",
+      "fit_depth4_entropy_scalable_wide190_10pct",
       "jaccard_pairs", "dedup_drop", "dedup_clusters", "minhash_lsh_pairs",
       "winnow_pairs", "simhash_pairs", "fuzzy_clusters", "sessionize",
       "event_hopping_distinct", "knn_classify", "bm25_topk_indexed",

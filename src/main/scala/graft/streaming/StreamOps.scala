@@ -660,6 +660,50 @@ object StreamOps {
         ()
       }
 
+  /** Streaming kNN ingest against a persisted WIDE-width index — the
+    * micro-batch twin of [[graft.operators.Similarity
+    * .knnGraphAgainstIndexWide]] (the r16 wide family's last missing
+    * delivery mode): every arriving vector gets its exact-cosine top-k
+    * standing-corpus neighbors by banding at the index's BUILD width,
+    * equi-joining the bkey-bucketed banding table, ADC-scoring 1-byte
+    * codes, and exact-re-ranking only the survivors — the standing side
+    * is never re-scanned beyond its banded candidates, so per-batch
+    * cost is batch-proportional (the flat-probe shape ScalingProbe
+    * `incremental_knn` measures for the packed twin).
+    *
+    * Same [[incrementalDedup]] contract: `foreachBatch`, because the
+    * probe needs the checkpoint/join machinery a pure stream-static
+    * plan can't express; per-id independence makes the union of
+    * micro-batch outputs IDENTICAL to one batch run on the
+    * concatenation (stream == batch, spec-gated). Pass the index
+    * frames by name so each micro-batch re-reads the (cheap, bucketed)
+    * table handles rather than capturing a stale plan.
+    *
+    * @param rowsPerBand the index's BUILD width — no auto here; a
+    *        mismatched probe bands into the wrong buckets */
+  def knnIngestWide(
+      vectors: DataFrame,
+      banding: => DataFrame,
+      payload: => DataFrame,
+      params: => DataFrame,
+      dim: Int,
+      rowsPerBand: Int,
+      bands: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 3,
+      rerankFactor: Int = 4
+  )(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Similarity.knnGraphAgainstIndexWide(
+          banding, payload, params, batch, idCol, vecCol, k, dim,
+          rowsPerBand, bands, rerankFactor), batchId)
+        ()
+      }
+
   /** Streaming count-min sketch: the running depth x width counter table
     * over an unbounded item stream, as ONE stateful streaming aggregation
     * (state bounded at depth*width rows — the sketch's whole point, and

@@ -38,10 +38,35 @@ object WideScalingProbe {
       spark.catalog.clearCache()
     }
 
-    run(20, 1.0)    // warm the session on the cheap shape
-    run(186, 0.1)   // width at 10% rows: plan-bound if still slow
-    run(93, 1.0)    // half width at full rows: superlinear-in-width check
-    run(186, 1.0)   // the bench entry itself
+    def runScalable(nDerived: Int, fraction: Double): Unit = {
+      val wide = WideFrame.frame(spark, sfDir, nDerived,
+        repartitionTo = Some(cpus), rowFraction = fraction)
+      val t0 = System.nanoTime()
+      val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
+        maxBins = None, exactCumulativePartitions = Some(32)).fit(wide, "l_returnflag")
+      val tFit = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.tree.Predict.predictMany(model, wide)
+        .write.format("noop").mode("overwrite").save()
+      val tPred = (System.nanoTime() - t1) / 1e9
+      println(f"[wideprobe] SCALABLE nDerived=$nDerived%4d fraction=$fraction%.2f fit=$tFit%.1fs predict=$tPred%.1fs")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+
+    if (args.lift(1).contains("scalable")) {
+      // the exact-threshold path at width: per-feature distincts are
+      // inherited from the 4 base columns (affine derivations), so the
+      // fan-out multiplies the extendedprice threshold volume by ~47
+      runScalable(20, 1.0)  // warm + sanity at narrow width
+      runScalable(186, 0.1)
+      runScalable(186, 1.0)
+    } else {
+      run(20, 1.0)    // warm the session on the cheap shape
+      run(186, 0.1)   // width at 10% rows: plan-bound if still slow
+      run(93, 1.0)    // half width at full rows: superlinear-in-width check
+      run(186, 1.0)   // the bench entry itself
+    }
     spark.stop()
   }
 }

@@ -361,6 +361,48 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming wide-width kNN ingest: micro-batch union equals one batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val standing = emb.where(col("vec_id") >= 100)
+    val rpb = math.max(
+      Similarity.suggestedRowsPerBandWide(standing.count()), 8)
+    val (banded, payload, params) = Similarity.knnGraphIndexWide(
+      standing, "vec_id", "embedding", dim = 64, rowsPerBand = rpb, bands = 2)
+    val b = banded.localCheckpoint(true)
+    val p = payload.localCheckpoint(true)
+    val pr = params.localCheckpoint(true)
+    val ingested = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    val edges = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.knnIngestWide(
+        input.toDF().toDF("vec_id", "embedding"), b, p, pr,
+        dim = 64, rowsPerBand = rpb, bands = 2, k = 3) { (out, _) =>
+        val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        edges.synchronized { edges ++= got }
+        ()
+      }
+      .start()
+    try {
+      def rows(ids: Long*) = emb.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val b1 = rows(1L, 7L)
+      val b2 = rows(23L, 42L)
+      ingested ++= b1; input.addData(b1: _*); q.processAllAvailable()
+      ingested ++= b2; input.addData(b2: _*); q.processAllAvailable()
+      val batchRun = Similarity.knnGraphAgainstIndexWide(b, p, pr,
+          ingested.toSeq.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 3, dim = 64, rowsPerBand = rpb, bands = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(edges.toSet == batchRun,
+        s"stream union must equal the one-shot batch probe:\n ${edges.toSet}\n vs $batchRun")
+      assert(edges.nonEmpty, "the probe must produce edges for this corpus")
+    } finally q.stop()
+  }
+
   test("IVF-pruned streaming PQ probe equals the batch celled-codes ADC best match") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, transform}
