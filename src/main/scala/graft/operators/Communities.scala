@@ -291,6 +291,154 @@ object Communities {
     out
   }
 
+  /** The persistable LPA adjacency — `(node, nbr)`, bidirectional with
+    * one self-loop per node (the self-vote) — so an ingest pipeline can
+    * build it ONCE from the standing edges, store it bucketed on `nbr`
+    * ([[graft.sources.IndexStore.writeBucketed]]), and hand it to
+    * [[labelPropagationLocalOnAdj]] per batch instead of re-paying the
+    * canonicalize + checkpoint rebuild that keeps
+    * [[labelPropagationLocal]] from being flat (SCALING.md r17: the
+    * rebuild is the local refresh's residual growth term). */
+  def lpaAdjacency(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = Triangles.canonicalEdges(edges, srcCol, dstCol)
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .distinct()
+    und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      .union(nodes.select(col("node"), col("node").as("nbr")))
+  }
+
+  /** [[labelPropagationLocal]] against a PERSISTED standing adjacency —
+    * the flat-per-batch form: the standing corpus is touched ONLY
+    * through scans (every restriction and expansion join broadcasts the
+    * small side), never shuffled, never re-checkpointed. What a batch
+    * pays: the delta-adjacency derivation (new pairs + new-node
+    * self-loops, broadcast probes against the standing table),
+    * `hops` expansion scans, one restriction scan, two seed-table
+    * scans, and vote rounds over the blast radius's edges only.
+    *
+    * Contract differences vs [[labelPropagationLocal]] (both
+    * spec-gated):
+    *   - `standingAdj` must be [[lpaAdjacency]] output for the standing
+    *     edges (bidirectional + self-loops, deduplicated) — a raw edge
+    *     list here double-counts votes;
+    *   - `seeds` must be EXACTLY the standing labeling (one row per
+    *     standing node, e.g. the persisted [[labelPropagation]]
+    *     output): non-frontier output rows are taken from `seeds`
+    *     verbatim without a graph-membership check (checking would
+    *     cost the corpus-sized join this variant exists to avoid);
+    *   - `dirty` must cover the batch's genuinely-new node ids (it
+    *     naturally does — pass the new edges' endpoints): a new node
+    *     outside the frontier has no seed row to fall back on and
+    *     would be dropped from the output;
+    *   - the frontier must fit the broadcast gate — past it this
+    *     REFUSES (use [[labelPropagationLocal]], whose shuffle path is
+    *     the right plan for an effectively-global refresh). */
+  def labelPropagationLocalOnAdj(
+      standingAdj: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      dirty: DataFrame,
+      hops: Int = 4,
+      iterations: Int = 4
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    require(hops >= 1 && hops <= 20, s"hops must be in [1, 20], got $hops")
+    val seedLbl = seeds.select(col("node"), col("label").as("lbl"))
+    // delta adjacency: batch pairs not already standing (probe the
+    // standing table with the BROADCAST batch — find existing, then
+    // anti against that small result; the standing side only scans),
+    // plus self-loops for genuinely new nodes
+    val batchPairs = Triangles.canonicalEdges(newEdges, srcCol, dstCol)
+      .localCheckpoint(true)
+    val existingPairs = standingAdj
+      .join(broadcast(batchPairs),
+        standingAdj("node") === batchPairs("a") &&
+          standingAdj("nbr") === batchPairs("b"), "inner")
+      .select(col("a"), col("b"))
+    val deltaPairs = batchPairs
+      .join(broadcast(existingPairs), Seq("a", "b"), "left_anti")
+      .localCheckpoint(true)
+    val batchNodes = batchPairs.select(col("a").as("node"))
+      .union(batchPairs.select(col("b").as("node"))).distinct()
+    val standingBatchNodes = standingAdj
+      .where(col("node") === col("nbr"))
+      .join(broadcast(batchNodes), Seq("node"), "left_semi")
+      .select("node")
+    val newNodes = batchNodes
+      .join(broadcast(standingBatchNodes), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val deltaAdj = deltaPairs.select(col("a").as("node"), col("b").as("nbr"))
+      .union(deltaPairs.select(col("b").as("node"), col("a").as("nbr")))
+      .union(newNodes.select(col("node"), col("node").as("nbr")))
+      .localCheckpoint(true)
+    def adjScan = standingAdj.unionByName(deltaAdj)
+    // frontier = ball(dirty ∩ graph, hops), every hop a broadcast scan
+    var frontier = standingAdj.where(col("node") === col("nbr")).select("node")
+      .unionByName(newNodes)
+      .join(broadcast(dirty.select(col(dirty.columns.head).as("node")).distinct()),
+        Seq("node"), "left_semi")
+      .distinct()
+      .localCheckpoint(true)
+    def requireGate(): Unit = require(
+      frontier.count() <= BroadcastFrontierMaxRows,
+      s"labelPropagationLocalOnAdj: the frontier outgrew the broadcast " +
+        s"gate ($BroadcastFrontierMaxRows rows) — an effectively-global " +
+        s"refresh; use labelPropagationLocal's shuffle path")
+    requireGate()
+    for (_ <- 1 to hops) {
+      val next = adjScan
+        .join(broadcast(frontier.select(col("node").as("nbr"))), Seq("nbr"))
+        .select("node").distinct()
+        .localCheckpoint(true)
+      CheckpointBridge.release(frontier)
+      frontier = next
+      requireGate()
+    }
+    val bf = broadcast(frontier)
+    val adjF = adjScan.join(bf, Seq("node"), "left_semi")
+      .repartition(col("nbr"))
+      .sortWithinPartitions("nbr")
+      .localCheckpoint(true) // blast-radius-sized
+    val nbrSet = adjF.select(col("nbr").as("node")).distinct().localCheckpoint(true)
+    // labels ever consulted: frontier nodes (voted) + frozen neighbors
+    val frozenNbr = seedLbl
+      .join(broadcast(nbrSet), Seq("node"), "left_semi")
+      .join(bf, Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    var cur = seedLbl.join(bf, Seq("node"), "left_semi")
+      .unionByName(newNodes.join(bf, Seq("node"), "left_semi")
+        .select(col("node"), col("node").as("lbl")))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val lab = cur.unionByName(frozenNbr)
+      val votes = adjF
+        .join(lab.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      val next = votes
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("lbl"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(cur)
+      cur = next
+    }
+    // output: refreshed frontier + the seed rows outside it, verbatim
+    // (the seeds-are-exactly-the-standing-labeling contract)
+    val out = cur
+      .unionByName(seedLbl.join(bf, Seq("node"), "left_anti"))
+      .select(col("node"), col("lbl").as("label"))
+      .localCheckpoint(true)
+    Seq(cur, frozenNbr, nbrSet, adjF, frontier, deltaAdj, newNodes,
+      deltaPairs, batchPairs).foreach(CheckpointBridge.release)
+    out
+  }
+
   /** Weakly connected components: `(node, component)` where `component`
     * is the COMPONENT-MINIMUM node id — the general-graph face of the
     * dedup pipeline's cluster machinery ([[Dedup.duplicateClusters]]'s

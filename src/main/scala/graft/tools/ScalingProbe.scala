@@ -773,6 +773,11 @@ object ScalingProbe {
         graft.sources.IndexStore.writeTable(
           Communities.labelPropagation(standingEdges, "src", "dst", iterations = 4),
           pre + "_labels")
+        // the persisted-adjacency rung: bucketed on the expansion join
+        // key so every per-batch touch of the standing side is a scan
+        graft.sources.IndexStore.writeBucketed(
+          Communities.lpaAdjacency(standingEdges, "src", "dst"),
+          pre + "_adj", "nbr", 8)
         val tBuild = (System.nanoTime() - t0) / 1e9
         val all = standingEdges.unionByName(newEdges)
         val dirty = newEdges.select(col("src").as("node"))
@@ -787,14 +792,20 @@ object ScalingProbe {
             Communities.labelPropagationLocal(all, "src", "dst", seeds,
               dirty, hops = 4, iterations = 4))
           .write.format("noop").mode("overwrite").save()
-        full(); local() // warmups
+        def localOnAdj(): Unit = Communities.communitySizes(
+            Communities.labelPropagationLocalOnAdj(
+              graft.sources.IndexStore.read(spark, pre + "_adj"),
+              newEdges, "src", "dst", seeds, dirty, hops = 4, iterations = 4))
+          .write.format("noop").mode("overwrite").save()
+        full(); local(); localOnAdj() // warmups
         val tf = math.min(time(full()), time(full()))
         val tl = math.min(time(local()), time(local()))
+        val ta = math.min(time(localOnAdj()), time(localOnAdj()))
         val nBall = graft.operators.Paths.bfsDistances(
           all, "src", "dst", dirty, "node", maxHops = 4).count()
         println(f"[scaling] local_lpa corpus ${nx}%3dx nodes=$n%d " +
           f"seed_build=$tBuild%7.2fs full_refresh=$tf%7.2fs " +
-          f"local_refresh=$tl%7.2fs ball=$nBall%d/$n%d")
+          f"local_refresh=$tl%7.2fs local_on_adj=$ta%7.2fs ball=$nBall%d/$n%d")
       }
     }
 

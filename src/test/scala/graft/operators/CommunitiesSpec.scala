@@ -222,6 +222,28 @@ class CommunitiesSpec extends AnyFunSuite {
     assert(out == Map(1L -> 7L, 2L -> 7L, 3L -> 7L), s"got $out")
   }
 
+  test("labelPropagationLocalOnAdj equals labelPropagationLocal on the union graph " +
+      "(persisted adjacency, overlapping batch edges deduplicated)") {
+    val rnd = new scala.util.Random(67)
+    val es = (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val standing = edges(es: _*)
+    val seeds = Communities.labelPropagation(standing, "src", "dst", iterations = 4)
+    // batch: two genuinely new edges to new nodes, one new edge between
+    // standing nodes, and one edge that ALREADY stands (the
+    // double-vote trap the dedup contract must close)
+    val batch = edges(100L -> 101L, 5L -> 100L, 7L -> 11L, es.head)
+    val dirty = nodesDf(100L, 101L, 5L, 7L, 11L, es.head._1, es.head._2)
+    val viaAdj = Communities.labelPropagationLocalOnAdj(
+        Communities.lpaAdjacency(standing, "src", "dst"),
+        batch, "src", "dst", seeds, dirty, hops = 3, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = runLocal(standing.unionByName(batch), seeds, dirty,
+      hops = 3, iters = 3)
+    assert(viaAdj == direct,
+      s"persisted-adjacency refresh diverged:\n $viaAdj\n vs $direct")
+  }
+
   test("labelPropagationLocal is bit-exact under any partitioning") {
     val rnd = new scala.util.Random(59)
     val es = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
