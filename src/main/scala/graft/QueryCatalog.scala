@@ -2021,6 +2021,47 @@ object QueryCatalog {
         seeds, dirty, hops = 4, iterations = 4)
       Communities.communitySizes(labels).orderBy("label")
     }),
+    // The PERSISTED-ADJACENCY form of the localized refresh — the
+    // flat-ingest flagship: the standing adjacency and labels are
+    // stored once with the index (bucketed on the expansion key), and
+    // the batch's refresh touches the standing corpus only through
+    // broadcast-probe scans (zero corpus shuffles/checkpoints —
+    // SCALING.md r17 on-adj column). Same labeling as the local
+    // variant by contract (spec-gated equality), so the same oracle
+    // prices it; timing honestly includes the adjacency/label writes.
+    "semantic_communities_incremental_local_adj" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val standing = e.where(col("vec_id") >= 100)
+      val batch = e.where(col("vec_id") < 100)
+      val md5Sig = (c: Column, n: Int, d: Option[Int]) =>
+        Similarity.lshSignatureMd5(c, n, d.get)
+      val nb = Similarity.autoNBits(standing.count(), bands = 2)
+      val standingEdges = Similarity.knnGraphQuantized(
+        standing, "vec_id", "embedding", k = 3, dim = 64,
+        nBits = nb, bands = 2, rerankFactor = 4, signature = md5Sig)
+      val (banded, payload, params) = Similarity.knnGraphIndex(
+        standing, "vec_id", "embedding", dim = 64, nBits = nb, bands = 2,
+        signature = md5Sig)
+      val batchEdges = Similarity.knnGraphAgainstIndex(
+        banded, payload, params, batch, "vec_id", "embedding",
+        k = 3, dim = 64, nBits = nb, bands = 2, rerankFactor = 4,
+        signature = md5Sig)
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      IndexStore.writeBucketed(
+        Communities.lpaAdjacency(standingEdges, "id", "nbr"),
+        "graft_lpa_adj_" + suffix, "nbr", 8)
+      IndexStore.writeTable(
+        Communities.labelPropagation(standingEdges, "id", "nbr", iterations = 4),
+        "graft_lpa_labels_" + suffix)
+      val dirty = batchEdges.select(col("id").as("node"))
+        .union(batchEdges.select(col("nbr").as("node"))).distinct()
+      val labels = Communities.labelPropagationLocalOnAdj(
+        IndexStore.read(s, "graft_lpa_adj_" + suffix),
+        batchEdges, "id", "nbr",
+        IndexStore.read(s, "graft_lpa_labels_" + suffix),
+        dirty, hops = 4, iterations = 4)
+      Communities.communitySizes(labels).orderBy("label")
+    }),
     // k-occurrence hubness over the quantized kNN graph (Radovanovic
     // et al. 2010): how many other vectors list each vector among
     // their top-k — the curse-of-dimensionality diagnostic. Anti-hubs
@@ -5456,6 +5497,7 @@ object QueryCatalog {
     "knn_graph_incremental_wide" -> knnGraphIncrementalWideSql,
     "semantic_communities_incremental" -> semanticCommunitiesIncrementalSql,
     "semantic_communities_incremental_local" -> semanticCommunitiesIncrementalLocalSql,
+    "semantic_communities_incremental_local_adj" -> semanticCommunitiesIncrementalLocalSql,
     "knn_hubness" -> knnHubnessSql,
     "semantic_communities_hubcapped" -> semanticCommunitiesHubcappedSql,
     "knn_graph_mutual" -> knnGraphMutualSql,
