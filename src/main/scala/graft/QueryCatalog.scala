@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StringType
 
 import graft.tree._
 import graft.operators.{AsOfJoin, Chunking, Communities, CountMin, Decontamination, Dedup,
-  Eval, FuzzyJoin, HeavyHitters, Hits, Keyphrases, KMeans, LinkPrediction, Multimodal,
+  Eval, FuzzyJoin, HeavyHitters, Hits, Keyphrases, KMeans, LinkPrediction, Multimodal, NaiveBayes,
   Packing, PageRank, Paths, Profile, RangeJoin, Scoring, Sessionize, Shuffling, Similarity,
   SkewJoin, SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
@@ -1383,6 +1383,70 @@ object QueryCatalog {
           docs.where(col("doc_id") % 10 === 0),
           "doc_id", "text", n = 3, minCommon = 3)
         .orderBy("doc_id", "bench_id")
+    }),
+    // SEMANTIC decontamination (r17): the leak the n-gram pass can't see.
+    // The first 100 base embeddings stand in for the benchmark; the
+    // corpus is the rest PLUS their planted near-dup twins (paraphrase
+    // stand-ins). Benchmark buckets + vectors broadcast; the corpus is
+    // scanned once with cosine verified in the map stage — the only
+    // exchange is the already-filtered pair collapse.
+    "semantic_decontaminate" -> ((s, dir) => {
+      val planted = plantedEmbeddings(s, dir)
+      Decontamination.semanticPairs(
+          planted.where(col("vec_id") >= 100),
+          planted.where(col("vec_id") < 100),
+          "vec_id", "embedding", threshold = 0.9,
+          nBits = 0, bands = 2, dim = Some(64),
+          signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+        .select(col("vec_id"), col("bench_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("vec_id", "bench_id")
+    }),
+    // Per-doc rollup of the semantic leak table: the drop list.
+    "semantic_decontaminate_flag" -> ((s, dir) => {
+      val planted = plantedEmbeddings(s, dir)
+      Decontamination.semanticFlag(
+          planted.where(col("vec_id") >= 100),
+          planted.where(col("vec_id") < 100),
+          "vec_id", "embedding", threshold = 0.9,
+          nBits = 0, bands = 2, dim = Some(64),
+          signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+        .select(col("vec_id"), col("n_bench_matches"),
+          round(col("max_cosine"), 6).as("max_cosine"))
+        .orderBy("vec_id")
+    }),
+    // Multinomial Naive Bayes (r17) — the count-based fastText-filter
+    // analogue. Train on 2/3 of the corpus predicting lang (one
+    // map-side-combined (label, token) aggregate + a TakeOrdered
+    // vocabulary cut), emit the DENSE model grid: every cell's count,
+    // Laplace-smoothed log-likelihood in integer nano-nats, and the
+    // quantized log prior — the whole fitted artifact is hash-gated.
+    "nb_train_lang" -> ((s, dir) =>
+      NaiveBayes.train(
+          documents(s, dir).where(col("doc_id") % 3 =!= 0),
+          "lang", "text", vocabSize = 500)
+        .orderBy("label", "token")),
+    // Score the held-out third with the broadcast model: per-doc argmax
+    // of exact integer score sums (prior + per-occurrence smoothed log
+    // likelihoods), ties label-asc, zero-evidence docs fall back to the
+    // prior-argmax label — row-level gate over every prediction.
+    "nb_classify_lang" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = NaiveBayes.train(
+        docs.where(col("doc_id") % 3 =!= 0), "lang", "text", vocabSize = 500)
+      NaiveBayes.classify(
+          docs.where(col("doc_id") % 3 === 0), model, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Confusion rollup of the same run: the |labels|^2 eval table a
+    // filter-training pipeline reads before shipping the model.
+    "nb_confusion_lang" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = NaiveBayes.train(
+        docs.where(col("doc_id") % 3 =!= 0), "lang", "text", vocabSize = 500)
+      NaiveBayes.confusion(
+          docs.where(col("doc_id") % 3 === 0), model, "doc_id", "text", "lang")
+        .orderBy("actual", "predicted")
     }),
     // Deterministic global shuffle + sharding: content-hash order key
     // (reproducible across engines/layouts/retries — rand() is neither)
@@ -5249,6 +5313,11 @@ object QueryCatalog {
     "decontaminate" -> decontaminateSql,
     "split_leakage" -> splitLeakageSql,
     "contamination_pairs" -> contaminationPairsSql,
+    "semantic_decontaminate" -> semanticDecontaminateSql,
+    "semantic_decontaminate_flag" -> semanticDecontaminateFlagSql,
+    "nb_train_lang" -> nbTrainSql,
+    "nb_classify_lang" -> nbClassifySql,
+    "nb_confusion_lang" -> nbConfusionSql,
     "global_shuffle" -> globalShuffleSql,
     "dataset_split" -> datasetSplitSql,
     "sample_n_per_stratum" ->
@@ -6286,6 +6355,131 @@ object QueryCatalog {
        |  FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY 1, 2)
        |SELECT doc_id, bench_id, n_common FROM p
        |WHERE n_common >= 3 ORDER BY doc_id, bench_id""".stripMargin
+
+  /** Shared CTEs for the semantic-decontamination twins: the planted
+    * corpus sliced into bench (base vec_id < 100) and corpus (the rest +
+    * twins), md5-plane signatures at the corpus-sized auto width
+    * (bands = 2), banded buckets on BOTH sides, distinct cross-side
+    * candidates, exact cosine. */
+  private lazy val semanticDecontaminateCtes = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""$plantedCorpusCte,
+       |corp AS (SELECT vec_id, v FROM corpus WHERE vec_id >= 100),
+       |bench AS (SELECT vec_id AS bench_id, v FROM corpus WHERE vec_id < 100),
+       |${autoRpbCte("corp")},
+       |cproj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corp c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
+       |csig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM cproj GROUP BY vec_id),
+       |cbanded AS (
+       |  SELECT vec_id, b.b AS band,
+       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
+       |  FROM csig, w, range(0, 2) b(b)),
+       |bproj AS (
+       |  SELECT c.bench_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM bench c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
+       |bsig AS (
+       |  SELECT bench_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM bproj GROUP BY bench_id),
+       |bbanded AS (
+       |  SELECT bench_id, b.b AS band,
+       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
+       |  FROM bsig, w, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id, bb.bench_id
+       |  FROM cbanded c JOIN bbanded bb USING (band, bucket)),
+       |sem AS (
+       |  SELECT cand.vec_id, cand.bench_id, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM cand
+       |  JOIN corp ca ON ca.vec_id = cand.vec_id
+       |  JOIN bench cb ON cb.bench_id = cand.bench_id)""".stripMargin
+  }
+
+  private lazy val semanticDecontaminateSql =
+    s"""WITH $semanticDecontaminateCtes
+       |SELECT vec_id, bench_id, round(cos, 6) AS cosine
+       |FROM sem WHERE cos >= 0.9 ORDER BY vec_id, bench_id""".stripMargin
+
+  private lazy val semanticDecontaminateFlagSql =
+    s"""WITH $semanticDecontaminateCtes
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+       |  round(max(cos), 6) AS max_cosine
+       |FROM sem WHERE cos >= 0.9 GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  /** Naive Bayes model CTEs (twin of [[graft.operators.NaiveBayes.train]]
+    * on the 2/3 train split predicting lang, vocabSize 500): (label,
+    * token) counts, TakeOrdered vocabulary (count desc, token asc), dense
+    * labels x vocab grid with Laplace-smoothed quantized log-likelihoods
+    * (`floor(ln((cnt+1)/(tot+vused)) * 1e9)`) and quantized log priors. */
+  private lazy val nbModelCtes =
+    """train AS (SELECT lang AS lbl, text FROM documents WHERE doc_id % 3 <> 0),
+      |ntok AS (SELECT lbl, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t FROM train),
+      |ntc AS (SELECT lbl, t, count(*) AS c FROM ntok WHERE length(t) > 0 GROUP BY 1, 2),
+      |nvocab AS (SELECT t FROM (SELECT t, sum(c) AS ct FROM ntc GROUP BY 1)
+      |  ORDER BY ct DESC, t ASC LIMIT 500),
+      |ndt AS (SELECT lbl, count(*) AS docs FROM train GROUP BY 1),
+      |ngrand AS (SELECT sum(docs) AS alldocs FROM ndt),
+      |ndense AS (
+      |  SELECT ndt.lbl, v.t, ndt.docs, coalesce(ntc.c, 0) AS cnt
+      |  FROM ndt CROSS JOIN nvocab v
+      |  LEFT JOIN ntc ON ntc.lbl = ndt.lbl AND ntc.t = v.t),
+      |nlt AS (SELECT lbl, sum(cnt) AS tot, count(*) AS vused FROM ndense GROUP BY 1),
+      |model AS (
+      |  SELECT ndense.lbl AS label, ndense.t AS token, CAST(cnt AS BIGINT) AS cnt,
+      |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + vused AS DOUBLE)) * 1e9) AS BIGINT) AS logp_q,
+      |    CAST(floor(ln(CAST(docs AS DOUBLE) / CAST(alldocs AS DOUBLE)) * 1e9) AS BIGINT) AS prior_q
+      |  FROM ndense JOIN nlt USING (lbl), ngrand)""".stripMargin
+
+  /** Classification CTEs over the held-out third: per-(doc, label) exact
+    * integer score sums, argmax via (score desc, label asc) row_number,
+    * prior-argmax fallback for zero-evidence docs. */
+  private lazy val nbClassifyCtes =
+    """ntest AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |nttok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t FROM ntest),
+      |npl AS (
+      |  SELECT tt.doc_id, m.label, min(m.prior_q) + sum(m.logp_q) AS score, count(*) AS known
+      |  FROM (SELECT doc_id, t FROM nttok WHERE length(t) > 0) tt
+      |  JOIN model m ON m.token = tt.t
+      |  GROUP BY 1, 2),
+      |nranked AS (
+      |  SELECT doc_id, label, score, known,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+      |  FROM npl),
+      |nfb AS (SELECT label AS fl, prior_q AS fn
+      |  FROM (SELECT DISTINCT label, prior_q FROM model)
+      |  ORDER BY prior_q DESC, label ASC LIMIT 1),
+      |cls AS (
+      |  SELECT t.doc_id,
+      |    coalesce(b.label, nfb.fl) AS predicted,
+      |    CAST(coalesce(b.score, nfb.fn) AS BIGINT) AS score_q,
+      |    CAST(coalesce(b.known, 0) AS BIGINT) AS n_known
+      |  FROM ntest t
+      |  LEFT JOIN (SELECT * FROM nranked WHERE rn = 1) b ON b.doc_id = t.doc_id, nfb)""".stripMargin
+
+  private lazy val nbTrainSql =
+    s"""WITH $nbModelCtes
+       |SELECT label, token, cnt, logp_q, prior_q FROM model
+       |ORDER BY label, token""".stripMargin
+
+  private lazy val nbClassifySql =
+    s"""WITH $nbModelCtes,
+       |$nbClassifyCtes
+       |SELECT doc_id, predicted, score_q, n_known FROM cls ORDER BY doc_id""".stripMargin
+
+  private lazy val nbConfusionSql =
+    s"""WITH $nbModelCtes,
+       |$nbClassifyCtes
+       |SELECT d.lang AS actual, cls.predicted, count(*) AS n
+       |FROM cls JOIN (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0) d
+       |  USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private lazy val globalShuffleSql = {
     val key = "md5(CAST(doc_id AS VARCHAR) || ':42')"

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share word
@@ -82,4 +82,87 @@ object Decontamination {
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= lit(minCommon))
   }
+
+  /** SEMANTIC decontamination: flag training documents whose EMBEDDING is
+    * near-duplicate (cosine >= `threshold`) of any benchmark embedding —
+    * the leak the n-gram pass cannot see (paraphrased eval questions,
+    * translated answers, re-worded problems; public methodology: the
+    * embedding-similarity decontamination used alongside n-gram overlap
+    * in open LLM data pipelines). Returns the pair audit table
+    * `(doc_id, bench_id, cosine)` — `doc_id` named after `idCol` — for
+    * every (corpus, benchmark) candidate pair at or above the threshold.
+    *
+    * Scale shape, the [[flagContaminated]] contract transplanted to
+    * embeddings: the BENCHMARK side is tiny, so its banded LSH buckets
+    * AND its raw vectors broadcast; the corpus side computes signatures
+    * as pure column algebra (no exchange), candidates come from the
+    * broadcast `(band, bucket)` equi-join, and the exact cosine is
+    * verified IN the map stage — a candidate that fails the threshold
+    * dies before any shuffle. The only exchange in the whole operator is
+    * the final `(doc, bench)` max-cosine collapse of multi-band
+    * collisions, whose input is already filtered to actual leaks. The
+    * corpus is scanned exactly once and never re-keyed: the
+    * 100 TB-correct decontamination pass.
+    *
+    * The signature width follows the kNN family's occupancy rule: `nBits
+    * = 0` (default) auto-sizes from a one-job CORPUS count via
+    * [[Similarity.autoNBits]], so the per-band bucket space grows with
+    * the corpus and broadcast-join fan-out stays pinned. Recall follows
+    * the OR-of-ANDs S-curve of `bands` (a leak sharing no band bucket
+    * with its source is missed — the standard LSH trade; raise `bands`
+    * for recall). `signature` defaults to [[Similarity.lshSignature]];
+    * pass the md5 flavor for cross-engine replay. */
+  def semanticPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 0,
+      bands: Int = 2,
+      dim: Option[Int] = None,
+      signature: (Column, Int, Option[Int]) => Column = Similarity.lshSignature
+  ): DataFrame = {
+    val nb = Similarity.resolveNBits(corpus, nBits, bands, "semanticPairs")
+    val rowsPerBand = nb / bands
+    val bandMask = (1L << rowsPerBand) - 1
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          transform(col(vecCol), x => x.cast("double")).as(vecAs),
+          signature(col(vecCol), nb, dim).as("__sig"))
+        .select(col(idAs), col(vecAs),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))
+            .as(Seq("band", "bucket")))
+    val corpusBanded = banded(corpus, "__doc", "__va")
+    val benchBanded = banded(benchmark, "bench_id", "__vb")
+    corpusBanded
+      .join(broadcast(benchBanded), Seq("band", "bucket"))
+      .withColumn("__cos", Similarity.cosine(col("__va"), col("__vb")))
+      .where(col("__cos") >= lit(threshold))
+      .groupBy(col("__doc"), col("bench_id"))
+      .agg(max(col("__cos")).as("cosine"))
+      .select(col("__doc").as(idCol), col("bench_id"), col("cosine"))
+  }
+
+  /** Per-document rollup of [[semanticPairs]]: `(doc_id, n_bench_matches,
+    * max_cosine)` for every corpus document semantically contaminated by
+    * at least one benchmark document — the drop list. Same single-scan
+    * broadcast shape; the rollup re-keys only the already-tiny pair
+    * table. */
+  def semanticFlag(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 0,
+      bands: Int = 2,
+      dim: Option[Int] = None,
+      signature: (Column, Int, Option[Int]) => Column = Similarity.lshSignature
+  ): DataFrame =
+    semanticPairs(corpus, benchmark, idCol, vecCol, threshold, nBits, bands,
+        dim, signature)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("cosine")).as("max_cosine"))
 }

@@ -686,7 +686,7 @@ object Similarity {
     * the corpus (documented cost; pass an explicit width to skip it),
     * then [[autoNBits]]. Explicit widths pass through untouched but are
     * validated against the shift budget either way. */
-  private def resolveNBits(df: DataFrame, nBits: Int, bands: Int,
+  private[operators] def resolveNBits(df: DataFrame, nBits: Int, bands: Int,
       label: String): Int = {
     require(bands >= 1, s"$label: bands must be >= 1, got $bands")
     val nb = if (nBits == 0) autoNBits(math.max(df.count(), 1L), bands) else nBits

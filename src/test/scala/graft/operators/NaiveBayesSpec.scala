@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class NaiveBayesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, l, t) => Row(i, l, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType))))
+
+  private def lq(p: Double): Long = math.floor(math.log(p) * 1e9).toLong
+
+  // spam: tokens buy(3) pills(1) now(1); ham: hello(3) dear(1) friend(1)
+  private val train = docs(
+    (1L, "spam", "buy buy pills"),
+    (2L, "spam", "buy now"),
+    (3L, "ham", "hello dear friend"),
+    (4L, "ham", "hello hello"))
+
+  test("train: dense grid, exact counts, Laplace-smoothed quantized logs") {
+    val m = NaiveBayes.train(train, "lang", "text", vocabSize = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // vocab = {buy, dear, friend, hello, now, pills}: 6 tokens, dense 2x6
+    assert(m.size == 12)
+    // spam totals: 5 tokens over the vocab, vused = 6
+    assert(m(("spam", "buy"))._1 == 3L)
+    assert(m(("spam", "hello"))._1 == 0L)
+    assert(m(("ham", "hello"))._1 == 3L)
+    assert(m(("spam", "buy"))._2 == lq(4.0 / 11.0))   // (3+1)/(5+6)
+    assert(m(("spam", "hello"))._2 == lq(1.0 / 11.0)) // (0+1)/(5+6)
+    assert(m(("ham", "dear"))._2 == lq(2.0 / 11.0))   // (1+1)/(5+6)
+    // priors: 2 docs each of 4
+    assert(m(("spam", "buy"))._3 == lq(0.5))
+    assert(m(("ham", "hello"))._3 == lq(0.5))
+  }
+
+  test("classify: argmax of exact integer score sums, hand-replayed") {
+    val model = NaiveBayes.train(train, "lang", "text", vocabSize = 100)
+    val test = docs((10L, "?", "buy pills now"), (11L, "?", "hello dear"))
+    val out = NaiveBayes.classify(test, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val spamScore10 = lq(0.5) + lq(4.0 / 11.0) + lq(2.0 / 11.0) + lq(2.0 / 11.0)
+    val hamScore10 = lq(0.5) + lq(1.0 / 11.0) * 3
+    assert(out(10L) == (("spam", math.max(spamScore10, hamScore10), 3L)))
+    assert(spamScore10 > hamScore10)
+    assert(out(11L)._1 == "ham")
+  }
+
+  test("zero-evidence docs fall back to the prior-argmax label, never drop") {
+    val model = NaiveBayes.train(train, "lang", "text", vocabSize = 100)
+    val test = docs((20L, "?", "zzz unseen tokens only"), (21L, "?", ""))
+    val out = NaiveBayes.classify(test, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 2)
+    // equal priors -> tie broken label-asc: "ham"
+    assert(out(20L) == (("ham", lq(0.5), 0L)))
+    assert(out(21L) == (("ham", lq(0.5), 0L)))
+  }
+
+  test("score ties break label-ascending") {
+    val sym = docs((1L, "b", "x"), (2L, "a", "x"))
+    val model = NaiveBayes.train(sym, "lang", "text", vocabSize = 100)
+    val out = NaiveBayes.classify(docs((9L, "?", "x x")), model, "doc_id", "text").collect()
+    assert(out.head.getString(1) == "a")
+  }
+
+  test("vocabulary cut keeps top-N by count, ties token-ascending") {
+    val t = docs((1L, "l", "x x x y y z z w"))
+    val m = NaiveBayes.train(t, "lang", "text", vocabSize = 2)
+      .collect().map(_.getString(1)).toSet
+    // counts: x=3, y=2, z=2, w=1 -> top-2 = {x, y} (y < z at the tie)
+    assert(m == Set("x", "y"))
+  }
+
+  test("classification is partitioning-independent bit for bit") {
+    val model = NaiveBayes.train(train, "lang", "text", vocabSize = 100)
+    val test = docs((10L, "?", "buy pills now"), (11L, "?", "hello dear"),
+      (12L, "?", "nothing known"))
+    val a = NaiveBayes.classify(test, model, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = NaiveBayes.classify(test.repartition(7), model, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("confusion matrix matches a manual rollup of classify") {
+    val model = NaiveBayes.train(train, "lang", "text", vocabSize = 100)
+    val test = docs((10L, "spam", "buy pills now"), (11L, "spam", "hello dear"),
+      (12L, "ham", "hello hello friend"))
+    val conf = NaiveBayes.confusion(test, model, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc 10 -> spam (right), doc 11 -> ham (wrong), doc 12 -> ham (right)
+    assert(conf == Map(("spam", "spam") -> 1L, ("spam", "ham") -> 1L, ("ham", "ham") -> 1L))
+  }
+
+  test("vocabSize out of range fails loudly") {
+    intercept[IllegalArgumentException] {
+      NaiveBayes.train(train, "lang", "text", vocabSize = 0)
+    }
+    intercept[IllegalArgumentException] {
+      NaiveBayes.train(train, "lang", "text", vocabSize = 10001)
+    }
+  }
+}
