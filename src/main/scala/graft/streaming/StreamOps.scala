@@ -590,6 +590,67 @@ object StreamOps {
       .drop("__toks", "__buckets")
   }
 
+  /** Streaming Naive Bayes scoring: classify a document stream against a
+    * fitted [[graft.operators.NaiveBayes.train]] model — the
+    * quality/language routing gate applied AT INGEST instead of in a
+    * nightly batch. The model (dense `labels x vocab` grid, <= 10k
+    * tokens by the train contract) is collapsed to plan-literal lookup
+    * tables ([[dsirScore]]'s LUT rule): one `token -> per-label logp_q
+    * array` map and one prior array, so scoring is a pure per-row
+    * codegen'd fold — stateless, no state store, no stream-static join,
+    * identical on any micro-batch slicing.
+    *
+    * Exact identity with the batch twin: scores are the same integer
+    * nano-nat sums ([[graft.operators.NaiveBayes.classify]]'s quantized
+    * contract), so stream == batch holds bit for bit, including the
+    * (score desc, label asc) argmax tie-break — the in-row argmax takes
+    * the FIRST maximal index of the label-ascending array — and the
+    * prior-argmax fallback for docs with no in-vocabulary token.
+    * Appends `(predicted, score_q, n_known)` to each row. */
+  def nbClassify(
+      docs: DataFrame,
+      model: DataFrame,
+      textCol: String = "text"
+  ): DataFrame = {
+    val rows = model.select(col("label"), col("token"),
+      col("logp_q").cast("long"), col("prior_q").cast("long")).collect()
+    require(rows.nonEmpty, "nbClassify: empty model")
+    val labels = rows.map(_.getString(0)).distinct.sorted.toSeq
+    val priorByLabel = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val priors: Seq[Long] = labels.map(priorByLabel)
+    val byToken = rows.groupBy(_.getString(1))
+    val tokens = byToken.keys.toSeq.sorted
+    val mat: Seq[Seq[Long]] = tokens.map { t =>
+      val m = byToken(t).map(r => r.getString(0) -> r.getLong(2)).toMap
+      require(m.size == labels.size,
+        s"nbClassify: model is not a dense labels x vocab grid at token '$t'")
+      labels.map(m)
+    }
+    val lut = map_from_arrays(typedLit(tokens), typedLit(mat))
+    val labelArr = typedLit(labels)
+    val toks = split(
+      regexp_replace(lower(trim(coalesce(col(textCol), lit("")))), "\\s+", " "), " ")
+    val acc0 = struct(typedLit(priors).as("s"), lit(0L).as("k"))
+    val folded = aggregate(
+      filter(toks, t => length(t) > lit(0)),
+      acc0,
+      (acc, t) => {
+        val hit = element_at(lut, t)
+        when(hit.isNotNull,
+          struct(
+            zip_with(acc.getField("s"), hit, (a, b) => a + b).as("s"),
+            (acc.getField("k") + lit(1L)).as("k")))
+          .otherwise(acc)
+      })
+    docs
+      .withColumn("__nb", folded)
+      .withColumn("score_q", array_max(col("__nb.s")))
+      .withColumn("predicted",
+        element_at(labelArr, array_position(col("__nb.s"), col("score_q")).cast("int")))
+      .withColumn("n_known", col("__nb.k"))
+      .drop("__nb")
+  }
+
   /** Streaming curation: the batch curation pipeline's STATELESS stages —
     * quality / token-count / repetition / symbol filters, then PII
     * scrubbing — verbatim on a stream (pure codegen'd projections and

@@ -518,6 +518,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NB classification equals the batch classifier bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "spam", "buy buy pills"), (2L, "spam", "buy now"),
+      (3L, "ham", "hello dear friend"), (4L, "ham", "hello hello"))
+      .toDF("doc_id", "lang", "text")
+    val model = graft.operators.NaiveBayes.train(train, "lang", "text", vocabSize = 100)
+    val testRows = Seq((10L, "buy pills now"), (11L, "hello dear"),
+      (12L, "zzz nothing known"), (13L, ""))
+    val batch = graft.operators.NaiveBayes
+      .classify(testRows.toDF("doc_id", "text"), model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamOps.nbClassify(input.toDF().toDF("doc_id", "text"), model)
+    val q = scored.writeStream.format("memory").queryName("nb_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(testRows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(testRows.drop(2): _*) // second micro-batch: same LUT
+      q.processAllAvailable()
+      val streamed = spark.table("nb_out")
+        .select("doc_id", "predicted", "score_q", "n_known").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed == batch)
+      assert(streamed(10L)._1 == "spam") // sanity: not vacuously equal
+      assert(streamed(12L)._3 == 0L)     // zero-evidence doc kept via fallback
+    } finally q.stop()
+  }
+
   test("repetition signals are stateless: stream output equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
