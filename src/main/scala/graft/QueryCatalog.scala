@@ -721,6 +721,29 @@ object QueryCatalog {
       Paths.walkSkipgramPairs(s, sink, window = 2, centerLo = 0, centerHi = 3)
         .orderBy("center", "context")
     }),
+    // Node embeddings from the walk corpus (r17): walks -> skip-gram
+    // counts -> PPMI -> deterministic md5 JL projection. The closed-form
+    // DeepWalk stand-in (Levy & Goldberg 2014 PPMI factorization): no
+    // SGD, no seed state, every component an exact integer micro-unit
+    // sum — the oracle replays walks, pairing, PPMI, and projection.
+    "walk_node_embeddings" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val sink = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_walk_emb_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Paths.randomWalksToSink(pairs, "src", "dst", walksPerNode = 2,
+        steps = 3, path = sink)
+      val sg = Paths.walkSkipgramPairs(s, sink, window = 2,
+        centerLo = 0, centerHi = 3)
+      Paths.skipgramNodeEmbeddings(sg, dim = 16)
+        .select(col("node"), col("j"), round(col("weight"), 6).as("weight"))
+        .orderBy("node", "j")
+    }),
     // Biased (node2vec, Grover & Leskovec 2016) walks with integer
     // return/common/out weights 4/2/1 (p=0.5, q=2 scaled by 4): the
     // 2nd-order interval pick over cumulative weights, md5-deterministic
@@ -1447,6 +1470,34 @@ object QueryCatalog {
       NaiveBayes.confusion(
           docs.where(col("doc_id") % 3 === 0), model, "doc_id", "text", "lang")
         .orderBy("actual", "predicted")
+    }),
+    // Hashing-trick document vectors (r17): feature hashing with sign
+    // correction — a 64-d embedding for every document WITHOUT an
+    // external encoder, as a pure in-row fold (no shuffle; the
+    // explode/groupBy shape would shuffle tokens x corpus). Exploded to
+    // long form so every component is row-level hash-gated.
+    "hashed_doc_vectors" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+          posexplode(TextFunctions.hashedVector(col("text"), 64,
+            g => Dedup.md5TokenHash60(g))).as(Seq("bucket", "weight")))
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          col("weight"))
+        .orderBy("doc_id", "bucket")),
+    // The self-contained text -> embedding -> ANN path: kNN graph over
+    // the hashed vectors (banded md5 LSH candidates + exact cosine
+    // top-3). Proves the embedding machinery runs end to end on
+    // embeddings the engine MADE, not just ones it was handed.
+    "hashed_doc_knn" -> ((s, dir) => {
+      val vecs = documents(s, dir).select(col("doc_id"),
+          TextFunctions.hashedVector(col("text"), 64,
+            g => Dedup.md5TokenHash60(g)).as("hvec"))
+        .where(Similarity.dot(col("hvec"), col("hvec")) > 0)
+      Similarity.knnGraph(vecs, "doc_id", "hvec", k = 3,
+          nBits = 0, bands = 2, dim = Some(64),
+          signature = (c, n, d) => Similarity.lshSignatureMd5(c, n, d.get))
+        .select(col("id"), col("nbr"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("id", "rank")
     }),
     // Deterministic global shuffle + sharding: content-hash order key
     // (reproducible across engines/layouts/retries — rand() is neither)
@@ -3868,6 +3919,39 @@ object QueryCatalog {
        |  AND x.step <> c.step AND abs(x.step - c.step) <= 2
        |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
 
+  /** Twin of [[graft.operators.Paths.skipgramNodeEmbeddings]] over the
+    * walk corpus: the skip-gram rollup, PPMI quantized to nano-nats,
+    * each cell exploded over 16 projection dims with md5 weights in
+    * [-1, 1), micro-unit integer term sums. */
+  private lazy val walkNodeEmbeddingsSql =
+    s"""WITH $randomWalkCtes,
+       |sg AS (
+       |  SELECT c.node AS center, x.node AS context, count(*) AS n_pairs
+       |  FROM wlk c JOIN wlk x
+       |    ON c.start = x.start AND c.walk_no = x.walk_no
+       |    AND x.step <> c.step AND abs(x.step - c.step) <= 2
+       |  GROUP BY 1, 2),
+       |egt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS N FROM sg),
+       |ect AS (SELECT center, CAST(sum(n_pairs) AS BIGINT) AS nc FROM sg GROUP BY 1),
+       |ext AS (SELECT context, CAST(sum(n_pairs) AS BIGINT) AS nx FROM sg GROUP BY 1),
+       |eppmi AS (
+       |  SELECT center, context,
+       |    greatest(0, CAST(floor(ln((CAST(n_pairs AS DOUBLE) * N)
+       |      / (CAST(nc AS DOUBLE) * nx)) * 1e9) AS BIGINT)) AS ppmi_q
+       |  FROM sg JOIN ect USING (center) JOIN ext USING (context), egt),
+       |enz AS (SELECT center, context, ppmi_q FROM eppmi WHERE ppmi_q > 0),
+       |eterm AS (
+       |  SELECT center, j.j AS j,
+       |    CAST(floor(((CAST(ppmi_q AS DOUBLE) / 1e9)
+       |      * (('0x' || substr(md5(context::VARCHAR || '_' || j.j::VARCHAR), 1, 15))::BIGINT
+       |         / 576460752303423488.0 - 1.0))
+       |      * 1e6) AS BIGINT) AS tq
+       |  FROM enz, range(0, 16) j(j)),
+       |eemb AS (SELECT center, j, CAST(sum(tq) AS BIGINT) AS sq FROM eterm GROUP BY 1, 2)
+       |SELECT center AS node, CAST(j AS BIGINT) AS j,
+       |  round(CAST(sq AS DOUBLE) / 1e6, 6) AS weight
+       |FROM eemb ORDER BY node, j""".stripMargin
+
   /** SQL twin of [[graft.operators.Paths.randomWalksBiased]] (2 walks x
     * 3 steps, wReturn=4, wCommon=2, wOut=1): step 1 is the uniform
     * index pick; each later step classifies every neighbor of `cur`
@@ -5318,6 +5402,8 @@ object QueryCatalog {
     "nb_train_lang" -> nbTrainSql,
     "nb_classify_lang" -> nbClassifySql,
     "nb_confusion_lang" -> nbConfusionSql,
+    "hashed_doc_vectors" -> hashedDocVectorsSql,
+    "hashed_doc_knn" -> hashedDocKnnSql,
     "global_shuffle" -> globalShuffleSql,
     "dataset_split" -> datasetSplitSql,
     "sample_n_per_stratum" ->
@@ -5554,6 +5640,7 @@ object QueryCatalog {
     // identical rows by contract: sink mode only changes the delivery
     "random_walks_sink" -> randomWalksSql,
     "walk_skipgram_pairs" -> walkSkipgramPairsSql,
+    "walk_node_embeddings" -> walkNodeEmbeddingsSql,
     "random_walks_biased" -> randomWalksBiasedSql,
     "random_walks_biased_sink" -> randomWalksBiasedSql,
     "knn_graph" -> knnGraphSql,
@@ -6480,6 +6567,71 @@ object QueryCatalog {
        |FROM cls JOIN (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0) d
        |  USING (doc_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Hashed-document-vector CTEs (twin of
+    * [[graft.functions.TextFunctions.hashedVector]] at dim 64 with the
+    * md5 token hash): signed token buckets, per-(doc, bucket) sums,
+    * dense 64-slot grid. */
+  private lazy val hashedVectorCtes =
+    """hvtok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+      |  FROM documents),
+      |hvsg AS (SELECT doc_id,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS bucket,
+      |    CASE WHEN ('0x' || substr(md5(t || '#sgn'), 1, 15))::BIGINT % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM hvtok WHERE length(t) > 0),
+      |hvagg AS (SELECT doc_id, bucket, sum(sgn) AS w FROM hvsg GROUP BY 1, 2),
+      |hvgrid AS (SELECT doc_id, j.j AS bucket
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) j(j)),
+      |hvlong AS (
+      |  SELECT doc_id, bucket, coalesce(CAST(w AS DOUBLE), 0.0) AS weight
+      |  FROM hvgrid LEFT JOIN hvagg USING (doc_id, bucket))""".stripMargin
+
+  private lazy val hashedDocVectorsSql =
+    s"""WITH $hashedVectorCtes
+       |SELECT doc_id, bucket, weight FROM hvlong ORDER BY doc_id, bucket""".stripMargin
+
+  /** Twin of the hashed_doc_knn composition: the hashed vectors as dense
+    * lists (zero vectors dropped, matching the Spark-side dot > 0
+    * filter), then the knnGraphSql machinery — md5 plane weights,
+    * auto-sized signature, 2 bands, per-node (cos DESC, nbr ASC) top-3. */
+  private lazy val hashedDocKnnSql = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH $hashedVectorCtes,
+       |hvcorpus AS (
+       |  SELECT doc_id AS vec_id, list(weight ORDER BY bucket) AS v
+       |  FROM hvlong GROUP BY doc_id),
+       |corpus AS (SELECT vec_id, v FROM hvcorpus WHERE list_inner_product(v, v) > 0),
+       |${autoRpbCte("corpus")},
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corpus c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b.b AS band,
+       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
+       |  FROM sig, w, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
+       |  FROM banded a JOIN banded bb USING (band, bucket)
+       |  WHERE a.vec_id <> bb.vec_id),
+       |scored AS (
+       |  SELECT id, nbr, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM cand
+       |  JOIN corpus ca ON ca.vec_id = id
+       |  JOIN corpus cb ON cb.vec_id = nbr),
+       |ranked AS (
+       |  SELECT id, nbr, cos,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
+       |  FROM scored)
+       |SELECT id, nbr, round(cos, 6) AS cosine, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY id, rank""".stripMargin
+  }
 
   private lazy val globalShuffleSql = {
     val key = "md5(CAST(doc_id AS VARCHAR) || ':42')"

@@ -225,4 +225,41 @@ object TextFunctions {
     md5(
       trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
         .cast("binary"))
+
+  /** Hashing-trick document vector (feature hashing with sign correction,
+    * Weinberger et al. 2009): each token lands in `hash(token) mod dim`
+    * with a ±1 sign drawn from an independent hash bit, so the corpus
+    * gets a `dim`-dimensional embedding WITHOUT an external encoder —
+    * the self-contained entry point into the whole embedding machinery
+    * (near-dup LSH, kNN graphs, communities, ANN indexes). Components
+    * are exact signed token counts (integers as doubles), deliberately
+    * UN-normalized: cosine is scale-invariant and raw counts replay
+    * exactly in any engine.
+    *
+    * Pure in-row fold over the token array — a projection at scan speed
+    * with NO shuffle (the explode/groupBy shape would shuffle
+    * tokens x corpus); per-token cost is O(dim), so keep `dim` in the
+    * tens-to-hundreds (64 matches the testdata embedding width).
+    * `hash` defaults to `xxhash64`; pass [[graft.operators.Dedup.md5TokenHash60]]
+    * for cross-engine replay. */
+  def hashedVector(
+      text: Column,
+      dim: Int,
+      hash: Column => Column = c => xxhash64(c)
+  ): Column = {
+    require(dim >= 2 && dim <= 4096,
+      s"hashedVector dim must be in [2, 4096] (O(dim) per-token in-row cost), got $dim")
+    val toks = filter(
+      split(regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " "), " "),
+      t => length(t) > lit(0))
+    aggregate(
+      toks,
+      array_repeat(lit(0.0d), dim),
+      (acc, tok) => {
+        val bucket = pmod(hash(tok), lit(dim.toLong)).cast("int")
+        val sign = when(pmod(hash(concat(tok, lit("#sgn"))), lit(2L)) === 0, lit(1.0d))
+          .otherwise(lit(-1.0d))
+        transform(acc, (x, i) => when(i === bucket, x + sign).otherwise(x))
+      })
+  }
 }

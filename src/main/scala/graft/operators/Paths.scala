@@ -320,6 +320,82 @@ object Paths {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Node embeddings from skip-gram co-occurrence counts — the walk
+    * pipeline's closer: [[randomWalks]]/[[randomWalksToSink]] →
+    * [[walkSkipgramPairs]] → THIS → the whole embedding machinery
+    * ([[Similarity]] kNN graphs, communities, ANN indexes) now runs on
+    * a graph that never had embeddings. Public methodology: Levy &
+    * Goldberg 2014 (skip-gram factorizes the PPMI matrix) + the
+    * Johnson–Lindenstrauss random projection that replaces the SGD
+    * factorization with a closed form — each node's embedding is its
+    * sparse PPMI context row projected through a deterministic md5
+    * random matrix, so the output is REPLAYABLE (no SGD, no seed
+    * state, no iteration order).
+    *
+    * Exactness contract (the [[PageRank]] integer rule): PPMI is
+    * quantized once per (center, context) cell to
+    * `max(0, floor(ln(n·N / (nc·nx)) · 1e9))` nano-nats, each projected
+    * term is quantized once to micro-units
+    * (`floor((ppmi_q/1e9) · w(context, j) · 1e6)` with
+    * `w = md5(context_j) / 2^59 − 1 ∈ [−1, 1)`), and the embedding
+    * component is the exact integer sum of those micro-terms — one
+    * closed-form double per output row, partitioning-independent bit
+    * for bit. Returns LONG FORM `(node, j, weight)`, `dim` rows per
+    * node with any positive-PPMI context; assemble arrays downstream
+    * when feeding cosine machinery.
+    *
+    * Scale shape: the pairs table is checkpointed once and read for
+    * three bounded aggregates (grand total, per-center totals,
+    * per-context totals) plus the main pass; the projection explodes
+    * each positive-PPMI cell `dim` ways into ONE map-side-combined
+    * `(center, j)` aggregate — cost is `nnz(PPMI) · dim` rows through
+    * a combiner, never a collected matrix. Keep `dim` in the tens
+    * (16–64): JL distortion falls as 1/sqrt(dim) while the explode
+    * cost grows linearly. */
+  def skipgramNodeEmbeddings(pairs: DataFrame, dim: Int = 32): DataFrame = {
+    require(dim >= 2 && dim <= 256,
+      s"dim must be in [2, 256] (explode fan-out is nnz * dim), got $dim")
+    val dec = "decimal(38,0)"
+    val p = pairs.select(col("center"), col("context"),
+      col("n_pairs").cast("long").as("__n"))
+      .localCheckpoint(true) // read twice: grand total + the main pass
+    // the grand pair total is ONE exact long — a driver scalar (the
+    // PageRank dangling-floor rule), not a corpus-sized artifact
+    val grandN: Long = {
+      val r = p.agg(sum(col("__n").cast(dec)).cast("long")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty pairs -> empty output
+    }
+    // per-center / per-context totals as PARTITIONED windows (keyed
+    // exchanges, skew bounded by a node's pair multiplicity — never a
+    // global window), sidestepping a three-way self-join of the
+    // checkpointed frame
+    val wC = Window.partitionBy("center")
+    val wX = Window.partitionBy("context")
+    val ppmi = p
+      .withColumn("__nc", sum(col("__n").cast(dec)).over(wC).cast("long"))
+      .withColumn("__nx", sum(col("__n").cast(dec)).over(wX).cast("long"))
+      .select(col("center"), col("context"),
+        greatest(lit(0L),
+          floor(log((col("__n").cast("double") * lit(grandN))
+              / (col("__nc").cast("double") * col("__nx"))) * lit(1e9))
+            .cast("long")).as("__ppmi_q"))
+      .where(col("__ppmi_q") > 0)
+    ppmi
+      .select(col("center"), col("__ppmi_q"), col("context"),
+        explode(sequence(lit(0), lit(dim - 1))).as("j"))
+      .select(col("center"), col("j"),
+        floor(((col("__ppmi_q").cast("double") / lit(1e9))
+            * (Dedup.md5TokenHash60(
+                concat(col("context").cast("string"), lit("_"), col("j").cast("string")))
+                  .cast("double") / lit(576460752303423488.0) - lit(1.0)))
+            * lit(1e6))
+          .cast("long").as("__tq"))
+      .groupBy(col("center"), col("j"))
+      .agg(sum(col("__tq").cast(dec)).cast("long").as("__sq"))
+      .select(col("center").as("node"), col("j").cast("long").as("j"),
+        (col("__sq").cast("double") / lit(1e6)).as("weight"))
+  }
+
   /** BIASED (node2vec) walks — [[randomWalks]] with the Grover &
     * Leskovec 2016 (public) 2nd-order transition: from `cur` with
     * previous node `prev`, each neighbor `x` of `cur` weighs

@@ -193,4 +193,78 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(q >= 0.0 && q <= 1.0)
     }
   }
+
+  // ---- hashing-trick document vectors --------------------------------------
+
+  private def hv(text: String, dim: Int = 16): Seq[Double] = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(text)), 1),
+      StructType(Seq(StructField("text", StringType))))
+    df.select(TextFunctions.hashedVector(col("text"), dim).as("v"))
+      .collect().head.getSeq[Double](0)
+  }
+
+  test("hashedVector matches an explode/groupBy reference computation") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("the cat sat on the mat", "one two three two one",
+      "  Mixed   CASE  tokens  ", "")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val dim = 16
+    val got = df.select(col("id"), TextFunctions.hashedVector(col("text"), dim).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // reference: explode tokens, bucket/sign via the same hash, sum
+    val ref = df.select(col("id"),
+        explode_outer(filter(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
+          t => length(t) > lit(0))).as("t"))
+      .select(col("id"),
+        when(col("t").isNotNull, pmod(xxhash64(col("t")), lit(dim.toLong))).as("b"),
+        when(pmod(xxhash64(concat(col("t"), lit("#sgn"))), lit(2L)) === 0, lit(1.0))
+          .otherwise(lit(-1.0)).as("s"))
+      .groupBy("id", "b").agg(sum("s").as("w"))
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+        val m = rows.filter(!_.isNullAt(1)).map(r => r.getLong(1).toInt -> r.getDouble(2)).toMap
+        id -> (0 until dim).map(i => m.getOrElse(i, 0.0))
+      }
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) == ref(i.toLong), s"doc $i")
+    }
+    assert(got(3L).forall(_ == 0.0), "empty text -> zero vector")
+  }
+
+  test("hashedVector: repeated tokens accumulate, sign is per-token-stable") {
+    val a = hv("alpha alpha alpha")
+    val b = hv("alpha")
+    assert(a.map(math.abs).sum == 3.0)
+    assert(b.map(math.abs).sum == 1.0)
+    assert(a.indexWhere(_ != 0.0) == b.indexWhere(_ != 0.0), "same bucket")
+    assert(math.signum(a.find(_ != 0.0).get) == math.signum(b.find(_ != 0.0).get))
+  }
+
+  test("hashedVector feeds the ANN machinery: planted duplicate is top-1") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+      3L -> "completely different words about spark engines and parquet files",
+      4L -> "yet another unrelated sentence mentioning benchmarks and tokens")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.map { case (i, t) => Row(i, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val vecs = df.select(col("doc_id"),
+      TextFunctions.hashedVector(col("text"), 32).as("hvec"))
+    val knn = graft.operators.Similarity
+      .knnGraph(vecs, "doc_id", "hvec", k = 1, nBits = 16, bands = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(knn(1L)._1 == 2L && math.abs(knn(1L)._2 - 1.0) < 1e-12)
+    assert(knn(2L)._1 == 1L && math.abs(knn(2L)._2 - 1.0) < 1e-12)
+  }
+
+  test("hashedVector dim bounds fail loudly") {
+    import org.apache.spark.sql.functions.col
+    intercept[IllegalArgumentException] { TextFunctions.hashedVector(col("text"), 1) }
+    intercept[IllegalArgumentException] { TextFunctions.hashedVector(col("text"), 5000) }
+  }
 }

@@ -277,4 +277,90 @@ class PathsSpec extends AnyFunSuite {
     assert(sink == union, "sink-mode biased rows must equal union-mode rows")
     assert(!sink.exists(_._1 == 99L), "stale rows must be gone")
   }
+
+  // ---- skip-gram node embeddings -------------------------------------------
+
+  private def sgPairs(rows: (Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("center", "context", "n_pairs")
+  }
+
+  /** Independent replica of the md5 projection weight w(context, j). */
+  private def projWeight(context: Long, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${context}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16).toDouble / 576460752303423488.0 - 1.0
+  }
+
+  test("skipgramNodeEmbeddings replays PPMI + projection hand computation") {
+    // counts: (1,2)=4, (1,3)=1, (2,2)=1 -> N=6
+    val pairs = sgPairs((1L, 2L, 4L), (1L, 3L, 1L), (2L, 2L, 1L))
+    val dim = 4
+    val out = Paths.skipgramNodeEmbeddings(pairs, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // independent replica
+    val n = Map((1L, 2L) -> 4L, (1L, 3L) -> 1L, (2L, 2L) -> 1L)
+    val nN = 6L
+    val nc = Map(1L -> 5L, 2L -> 1L)
+    val nx = Map(2L -> 5L, 3L -> 1L)
+    val ppmiQ = n.map { case ((c, x), v) =>
+      (c, x) -> math.max(0L,
+        math.floor(math.log((v.toDouble * nN) / (nc(c).toDouble * nx(x))) * 1e9).toLong)
+    }.filter(_._2 > 0L)
+    assert(ppmiQ.keySet == Set((1L, 3L), (2L, 2L)),
+      s"(1,2) has PMI ln(24/25) < 0 and must drop; got $ppmiQ")
+    val expected = (for {
+      ((c, x), pq) <- ppmiQ.toSeq
+      j <- 0 until dim
+    } yield (c, j.toLong) ->
+      math.floor(((pq.toDouble / 1e9) * projWeight(x, j)) * 1e6).toLong)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum / 1e6 }
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (k, v) =>
+      assert(out(k) == v, s"component $k: ${out(k)} vs $v")
+    }
+  }
+
+  test("skipgramNodeEmbeddings: uniform co-occurrence has no positive PPMI") {
+    // every (c, x) cell equal -> PMI = ln(1) = 0 everywhere -> empty output
+    val pairs = sgPairs((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 2L), (2L, 2L, 2L))
+    assert(Paths.skipgramNodeEmbeddings(pairs, 4).collect().isEmpty)
+  }
+
+  test("skipgramNodeEmbeddings is partitioning-independent bit for bit") {
+    val rows = (1L to 20L).flatMap(c => (1L to 5L).map(x => (c, x, (c * x) % 7 + 1)))
+    val a = Paths.skipgramNodeEmbeddings(sgPairs(rows: _*), 8)
+      .orderBy("node", "j").collect().toSeq
+    val b = Paths.skipgramNodeEmbeddings(sgPairs(rows: _*).repartition(13), 8)
+      .orderBy("node", "j").collect().toSeq
+    assert(a == b)
+  }
+
+  test("skipgramNodeEmbeddings: similar context rows get similar embeddings") {
+    // nodes 1 and 2 share context profile; node 3 is disjoint
+    val pairs = sgPairs(
+      (1L, 10L, 6L), (1L, 11L, 1L),
+      (2L, 10L, 6L), (2L, 11L, 1L),
+      (3L, 20L, 6L), (3L, 21L, 1L))
+    val emb = Paths.skipgramNodeEmbeddings(pairs, 16)
+      .collect().groupBy(_.getLong(0)).map { case (node, rs) =>
+        node -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(emb(1L), emb(2L)) > 0.999, "identical context rows -> identical embeddings")
+    assert(cos(emb(1L), emb(3L)) < 0.9, "disjoint context rows stay apart")
+  }
+
+  test("skipgramNodeEmbeddings dim bounds fail loudly") {
+    intercept[IllegalArgumentException] {
+      Paths.skipgramNodeEmbeddings(sgPairs((1L, 2L, 1L)), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Paths.skipgramNodeEmbeddings(sgPairs((1L, 2L, 1L)), 300)
+    }
+  }
 }
