@@ -1487,10 +1487,16 @@ object QueryCatalog {
     // the hashed vectors (banded md5 LSH candidates + exact cosine
     // top-3). Proves the embedding machinery runs end to end on
     // embeddings the engine MADE, not just ones it was handed.
+    // The vector column is MATERIALIZED before the graph: downstream
+    // consumers expand their input column expression per plane
+    // projection, which would re-run the per-token fold ~2·nBits times
+    // per row (compute embeddings once, then index — the production
+    // shape anyway).
     "hashed_doc_knn" -> ((s, dir) => {
       val vecs = documents(s, dir).select(col("doc_id"),
           TextFunctions.hashedVector(col("text"), 64,
             g => Dedup.md5TokenHash60(g)).as("hvec"))
+        .localCheckpoint(true)
         .where(Similarity.dot(col("hvec"), col("hvec")) > 0)
       Similarity.knnGraph(vecs, "doc_id", "hvec", k = 3,
           nBits = 0, bands = 2, dim = Some(64),

@@ -241,7 +241,14 @@ object TextFunctions {
     * tokens x corpus); per-token cost is O(dim), so keep `dim` in the
     * tens-to-hundreds (64 matches the testdata embedding width).
     * `hash` defaults to `xxhash64`; pass [[graft.operators.Dedup.md5TokenHash60]]
-    * for cross-engine replay. */
+    * for cross-engine replay.
+    *
+    * MATERIALIZE before feeding expression-expanding consumers: LSH
+    * signatures and similar operators substitute their input column
+    * expression into every plane projection, which would re-run this
+    * fold ~2·nBits times per row. Compute once
+    * (`localCheckpoint`/persist — the production "embed once, index
+    * many" shape), then index. */
   def hashedVector(
       text: Column,
       dim: Int,

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Communities, Dedup, Eval, FuzzyJoin, HeavyHitters, Hits,
-  Keyphrases, LinkPrediction, Multimodal, Packing, PageRank, Paths, Profile,
-  Scoring, Sessionize, Similarity, SnapshotDiff, Tfidf, Triangles}
+  Keyphrases, LinkPrediction, Multimodal, NaiveBayes, Packing, PageRank, Paths,
+  Profile, Scoring, Sessionize, Similarity, SnapshotDiff, Tfidf, Triangles}
 import graft.functions.TextFunctions
 import graft.tree.{Criterion, DecisionTreeClassifier}
 
@@ -530,6 +530,34 @@ object ScalingProbe {
           criterion = Criterion.Entropy, exactCumulativePartitions = Some(32))
           .fit(df, "l_returnflag")
         graft.tree.Predict.predictMany(model, df)
+          .write.format("noop").mode("overwrite").save()
+      }),
+      // r17: NB scoring curve — model trained ONCE at 1x (fixed
+      // broadcast artifact, the production shape: train on seeds, score
+      // the world), then the corpus pass at each decade. Expect ~linear:
+      // one tokenize + broadcast-join + (doc, label) combine per decade.
+      ("nb_classify", Seq(1, 10, 100), {
+        lazy val model = NaiveBayes
+          .train(docs(1).withColumn("lbl",
+              (col("doc_id") % 5).cast("string")),
+            "lbl", "text", vocabSize = 2000)
+          .localCheckpoint(true)
+        nx =>
+          NaiveBayes.classify(docs(nx), model, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+      }),
+      // r17: the self-made-embedding ANN curve — hashedVector is a pure
+      // projection (scan-speed), so this measures whether the kNN graph
+      // over ENGINE-MADE vectors keeps the auto-width occupancy pin
+      // across decades like the given-embedding twins do.
+      ("hashed_knn", Seq(1, 10, 100), nx => {
+        // materialize the vectors before the graph (the entry's rule:
+        // consumers expand input column expressions per plane)
+        val vecs = docs(nx).select(col("doc_id"),
+            TextFunctions.hashedVector(col("text"), 64).as("hvec"))
+          .localCheckpoint(true)
+          .where(Similarity.dot(col("hvec"), col("hvec")) > 0)
+        Similarity.knnGraph(vecs, "doc_id", "hvec", k = 3, nBits = 0, bands = 2)
           .write.format("noop").mode("overwrite").save()
       }))
 
