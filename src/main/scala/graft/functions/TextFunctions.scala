@@ -259,14 +259,17 @@ object TextFunctions {
     val toks = filter(
       split(regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " "), " "),
       t => length(t) > lit(0))
+    // hash each token ONCE into (bucket, sign) BEFORE the fold: the fold
+    // lambda's body is re-evaluated per accumulator SLOT, so hashing
+    // inside it would run 2*dim hashes per token instead of 2
+    val keyed = transform(toks, tok => struct(
+      pmod(hash(tok), lit(dim.toLong)).cast("int").as("b"),
+      when(pmod(hash(concat(tok, lit("#sgn"))), lit(2L)) === 0, lit(1.0d))
+        .otherwise(lit(-1.0d)).as("s")))
     aggregate(
-      toks,
+      keyed,
       array_repeat(lit(0.0d), dim),
-      (acc, tok) => {
-        val bucket = pmod(hash(tok), lit(dim.toLong)).cast("int")
-        val sign = when(pmod(hash(concat(tok, lit("#sgn"))), lit(2L)) === 0, lit(1.0d))
-          .otherwise(lit(-1.0d))
-        transform(acc, (x, i) => when(i === bucket, x + sign).otherwise(x))
-      })
+      (acc, e) => transform(acc, (x, i) =>
+        when(i === e.getField("b"), x + e.getField("s")).otherwise(x)))
   }
 }
