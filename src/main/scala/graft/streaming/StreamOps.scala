@@ -590,6 +590,76 @@ object StreamOps {
       .drop("__toks", "__buckets")
   }
 
+  /** Streaming SEMANTIC decontamination: flag stream documents whose
+    * embedding is near-duplicate (cosine >= `threshold`) of any benchmark
+    * embedding — [[graft.operators.Decontamination.semanticPairs]] AT
+    * INGEST. The benchmark's banded LSH table (band, bucket, bench_id,
+    * vector) collapses to ONE broadcast row ([[decontaminate]]'s
+    * bounded-bench rule, guarded by `maxBenchRows`); each stream row
+    * computes its own signature, probes the in-row bench array for
+    * band-bucket collisions, verifies exact cosine, and dedups multi-band
+    * hits with `array_distinct` — completely STATELESS (no state store,
+    * no aggregation), so any micro-batch slicing gives the batch
+    * operator's exact pair rows.
+    *
+    * `nBits` is REQUIRED explicit (no auto default): a stream cannot
+    * count its corpus, and the probe must band at the width the batch
+    * pass resolved — the [[graft.operators.Similarity.knnGraphAgainstIndex]]
+    * frozen-width rule. Emits `(idCol, bench_id, cosine)` per
+    * contaminated pair; clean documents emit nothing. */
+  def semanticDecontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int,
+      bands: Int = 2,
+      dim: Option[Int] = None,
+      signature: (Column, Int, Option[Int]) => Column = Similarity.lshSignature,
+      maxBenchRows: Long = 100000L
+  ): DataFrame = {
+    require(nBits >= bands && nBits <= 62 && nBits % bands == 0,
+      s"semanticDecontaminate: explicit nBits in [bands, 62] divisible by " +
+        s"bands required (band at the batch pass's resolved width), got $nBits")
+    require(maxBenchRows >= 1, s"maxBenchRows must be >= 1, got $maxBenchRows")
+    val rpb = nBits / bands
+    val mask = (1L << rpb) - 1
+    val benchBanded = benchmark
+      .select(col(idCol).cast("long").as("bench_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        signature(col(vecCol), nBits, dim).as("__sig"))
+      .select(col("bench_id"), col("v"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("__sig"), b * rpb).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bucket")))
+      .agg(collect_list(struct(col("band"), col("bucket"),
+        col("bench_id"), col("v"))).as("__bench"))
+      .select(when(size(col("__bench")) > maxBenchRows,
+          raise_error(concat(
+            lit("StreamOps.semanticDecontaminate: benchmark banded table "),
+            size(col("__bench")).cast("string"),
+            lit(s" rows exceeds maxBenchRows=$maxBenchRows — use the batch " +
+              "Decontamination.semanticPairs broadcast-join shape"))))
+        .otherwise(col("__bench")).as("__bench"))
+    docs
+      .withColumn("__vd", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__sig", signature(col(vecCol), nBits, dim))
+      .withColumn("__bk", array((0 until bands).map(b =>
+        shiftright(col("__sig"), b * rpb).bitwiseAND(lit(mask))): _*))
+      .crossJoin(broadcast(benchBanded))
+      .withColumn("__hits", array_distinct(transform(
+        filter(col("__bench"), e =>
+          element_at(col("__bk"), e.getField("band") + 1) === e.getField("bucket")),
+        e => struct(e.getField("bench_id").as("bench_id"),
+          Similarity.cosine(col("__vd"), e.getField("v")).as("cosine")))))
+      .select(col(idCol),
+        explode(filter(col("__hits"), h =>
+          h.getField("cosine") >= lit(threshold))).as("__m"))
+      .select(col(idCol), col("__m.bench_id").as("bench_id"),
+        col("__m.cosine").as("cosine"))
+  }
+
   /** Streaming Naive Bayes scoring: classify a document stream against a
     * fitted [[graft.operators.NaiveBayes.train]] model — the
     * quality/language routing gate applied AT INGEST instead of in a

@@ -518,6 +518,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic decontamination equals the batch pair operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (100L, Seq(0.3, -1.2, 0.7, 2.0)),
+      (200L, Seq(1.0, 1.0, -1.0, 0.5))).toDF("vec_id", "embedding")
+    val docRows = Seq(
+      (1L, Seq(0.6, -2.4, 1.4, 4.0)),   // scaled copy of bench 100
+      (2L, Seq(-0.3, 1.2, -0.7, -2.0)), // sign-flip of 100: cosine -1
+      (3L, Seq(2.0, 2.0, -2.0, 1.0)),   // scaled copy of bench 200
+      (4L, Seq(0.1, 0.2, 0.3, 0.4)))    // unrelated
+    val batch = graft.operators.Decontamination
+      .semanticPairs(docRows.toDF("vec_id", "embedding"), bench,
+        "vec_id", "embedding", threshold = 0.9, nBits = 16, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val input = MemoryStream[(Long, Seq[Double])]
+    val flagged = StreamOps.semanticDecontaminate(
+      input.toDF().toDF("vec_id", "embedding"), bench,
+      "vec_id", "embedding", threshold = 0.9, nBits = 16, bands = 2)
+    val q = flagged.writeStream.format("memory").queryName("semdecon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docRows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docRows.drop(2): _*) // second micro-batch: same LUT row
+      q.processAllAvailable()
+      val streamed = spark.table("semdecon_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(t => (t._1, t._2)) == Set((1L, 100L), (3L, 200L)),
+        s"planted copies flagged, nothing else: $streamed")
+    } finally q.stop()
+  }
+
   test("streaming NB classification equals the batch classifier bit for bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
