@@ -111,7 +111,13 @@ object Decontamination {
     * the OR-of-ANDs S-curve of `bands` (a leak sharing no band bucket
     * with its source is missed — the standard LSH trade; raise `bands`
     * for recall). `signature` defaults to [[Similarity.lshSignature]];
-    * pass the md5 flavor for cross-engine replay. */
+    * pass the md5 flavor for cross-engine replay.
+    *
+    * Zero-vector contract: rows whose embedding has zero norm are
+    * DROPPED on both sides (cosine against them is 0/0 = NaN, and
+    * Spark orders NaN above all doubles, so they would otherwise
+    * surface as spurious "contaminated" pairs with NaN cosine). A
+    * zero embedding carries no semantic signal to leak. */
   def semanticPairs(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -126,10 +132,15 @@ object Decontamination {
     val nb = Similarity.resolveNBits(corpus, nBits, bands, "semanticPairs")
     val rowsPerBand = nb / bands
     val bandMask = (1L << rowsPerBand) - 1
+    // zero-norm vectors are dropped on BOTH sides before the verify:
+    // their cosine is 0/0 = NaN, and Spark orders NaN above every
+    // double, so an unguarded `NaN >= threshold` would report a
+    // zero vector that bucket-collides as contaminated
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs),
           transform(col(vecCol), x => x.cast("double")).as(vecAs),
           signature(col(vecCol), nb, dim).as("__sig"))
+        .where(Similarity.dot(col(vecAs), col(vecAs)) > 0)
         .select(col(idAs), col(vecAs),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*))

@@ -625,8 +625,15 @@ object StreamOps {
     require(maxBenchRows >= 1, s"maxBenchRows must be >= 1, got $maxBenchRows")
     val rpb = nBits / bands
     val mask = (1L << rpb) - 1
+    // bench_id keeps the benchmark id's ORIGINAL type (the batch
+    // Decontamination.semanticPairs contract) — a cast("long") here
+    // silently nulled every non-numeric id; zero-norm vectors are
+    // dropped on both sides (cosine is 0/0 = NaN, and NaN compares
+    // ABOVE every double, so an unguarded NaN >= threshold is TRUE)
     val benchBanded = benchmark
-      .select(col(idCol).cast("long").as("bench_id"),
+      .where(Similarity.dot(transform(col(vecCol), x => x.cast("double")),
+        transform(col(vecCol), x => x.cast("double"))) > 0)
+      .select(col(idCol).as("bench_id"),
         transform(col(vecCol), x => x.cast("double")).as("v"),
         signature(col(vecCol), nBits, dim).as("__sig"))
       .select(col("bench_id"), col("v"),
@@ -644,6 +651,7 @@ object StreamOps {
         .otherwise(col("__bench")).as("__bench"))
     docs
       .withColumn("__vd", transform(col(vecCol), x => x.cast("double")))
+      .where(Similarity.dot(col("__vd"), col("__vd")) > 0)
       .withColumn("__sig", signature(col(vecCol), nBits, dim))
       .withColumn("__bk", array((0 until bands).map(b =>
         shiftright(col("__sig"), b * rpb).bitwiseAND(lit(mask))): _*))
@@ -685,7 +693,24 @@ object StreamOps {
     val rows = model.select(col("label"), col("token"),
       col("logp_q").cast("long"), col("prior_q").cast("long")).collect()
     require(rows.nonEmpty, "nbClassify: empty model")
-    val labels = rows.map(_.getString(0)).distinct.sorted.toSeq
+    // label order must be Spark's UTF8String BINARY order (unsigned
+    // UTF-8 bytes), not Scala's UTF-16 code-unit order — the batch
+    // twin's min(struct) tie-break compares labels as UTF-8 bytes, and
+    // the two orders diverge on supplementary-plane characters
+    val utf8 = Ordering.comparatorToOrdering(new java.util.Comparator[String] {
+      def compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    })
+    val labels = rows.map(_.getString(0)).distinct.sorted(utf8).toSeq
     val priorByLabel = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
     val priors: Seq[Long] = labels.map(priorByLabel)
     val byToken = rows.groupBy(_.getString(1))

@@ -537,11 +537,19 @@ object ScalingProbe {
       // the world), then the corpus pass at each decade. Expect ~linear:
       // one tokenize + broadcast-join + (doc, label) combine per decade.
       ("nb_classify", Seq(1, 10, 100), {
-        lazy val model = NaiveBayes
-          .train(docs(1).withColumn("lbl",
+        // the model is collected to a driver-local literal frame at
+        // first use (inside the DISCARDED warmup), so the timed decades
+        // measure ONLY the classify pass — a localCheckpoint here was
+        // not enough: release() between runs drops checkpoint blocks,
+        // so the first TIMED 1x run silently re-paid the train
+        lazy val model = {
+          val m = NaiveBayes.train(docs(1).withColumn("lbl",
               (col("doc_id") % 5).cast("string")),
             "lbl", "text", vocabSize = 2000)
-          .localCheckpoint(true)
+          val rows = m.collect().toIndexedSeq
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), m.schema)
+        }
         nx =>
           NaiveBayes.classify(docs(nx), model, "doc_id", "text")
             .write.format("noop").mode("overwrite").save()

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The community-refresh front door ([[Communities.communityRefreshAuto]])
+  * — the WidthDispatchSpec pattern applied to refresh strategy: the
+  * ball-fraction boundary is walked from BOTH sides on the same graph,
+  * and each side's output is pinned to the branch it must have taken
+  * (the two branches' outputs genuinely differ under non-converged
+  * seeds, so equality identifies the branch).
+  */
+class RefreshDispatchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+  private def nodesDf(ns: Long*) = ns.toDF("node")
+  private def seedsDf(rows: (Long, Long)*) = rows.toDF("node", "label")
+  private def toMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // chain 1-2-...-10: bounded-diameter, so a small-hop ball around one
+  // dirty node covers a controllable fraction; marker seeds (100+i) are
+  // deliberately NON-converged so the frozen-outside-the-ball local
+  // semantic and the re-vote-everything full semantic disagree
+  private val chain = edges((1L to 9L).map(i => i -> (i + 1)): _*)
+  private lazy val standingAdj = Communities.lpaAdjacency(chain, "src", "dst")
+    .localCheckpoint(true)
+  private val markerSeeds = seedsDf((1L to 10L).map(i => i -> (100L + i)): _*)
+  // batch re-sends an already-standing edge: no new nodes, no delta —
+  // the graph under refresh IS the chain (10 nodes)
+  private val noopBatch = edges(1L -> 2L)
+
+  test("small ball dispatches LOCAL: output equals labelPropagationLocalOnAdj " +
+      "and differs from the full seeded refresh") {
+    // dirty = {1}, hops = 1 -> ball = {1, 2}: fraction 0.2
+    val auto = toMap(Communities.communityRefreshAuto(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, nodesDf(1L),
+      hops = 1, iterations = 1))
+    val local = toMap(Communities.labelPropagationLocalOnAdj(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, nodesDf(1L),
+      hops = 1, iterations = 1))
+    val full = toMap(Communities.labelPropagationFromOnAdj(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, iterations = 1))
+    assert(auto == local, s"auto must take the local branch:\n $auto\n vs $local")
+    assert(auto != full,
+      "branches must be distinguishable here or the dispatch is unverified")
+    // and the local semantic itself: nodes outside ball keep markers
+    (3L to 10L).foreach(n => assert(auto(n) == 100L + n, s"node $n moved: $auto"))
+  }
+
+  test("large ball dispatches FULL: output equals labelPropagationFromOnAdj " +
+      "and differs from the localized refresh") {
+    // dirty = {1}, hops = 5 -> ball = {1..6}: fraction 0.6 > default 0.5
+    val auto = toMap(Communities.communityRefreshAuto(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, nodesDf(1L),
+      hops = 5, iterations = 1))
+    val local = toMap(Communities.labelPropagationLocalOnAdj(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, nodesDf(1L),
+      hops = 5, iterations = 1))
+    val full = toMap(Communities.labelPropagationFromOnAdj(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, iterations = 1))
+    assert(auto == full, s"auto must take the full branch:\n $auto\n vs $full")
+    assert(auto != local,
+      "branches must be distinguishable here or the dispatch is unverified")
+  }
+
+  test("the boundary is walked from both sides by the threshold alone") {
+    // same ball (6 of 10 nodes = 0.6); only maxLocalBallFraction moves
+    def auto(th: Double) = toMap(Communities.communityRefreshAuto(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, nodesDf(1L),
+      hops = 5, iterations = 1, maxLocalBallFraction = th))
+    val local = toMap(Communities.labelPropagationLocalOnAdj(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, nodesDf(1L),
+      hops = 5, iterations = 1))
+    val full = toMap(Communities.labelPropagationFromOnAdj(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, iterations = 1))
+    assert(auto(0.65) == local, "0.6 <= 0.65 must stay local")
+    assert(auto(0.55) == full, "0.6 > 0.55 must go full")
+  }
+
+  test("batch with genuinely new nodes: auto (local side) handles the delta " +
+      "like labelPropagationLocalOnAdj") {
+    val batch = edges(1L -> 20L, 20L -> 21L)
+    val dirty = nodesDf(1L, 20L, 21L)
+    val auto = toMap(Communities.communityRefreshAuto(
+      standingAdj, batch, "src", "dst", markerSeeds, dirty,
+      hops = 1, iterations = 2))
+    val local = toMap(Communities.labelPropagationLocalOnAdj(
+      standingAdj, batch, "src", "dst", markerSeeds, dirty,
+      hops = 1, iterations = 2))
+    assert(auto == local, s"delta handling diverged:\n $auto\n vs $local")
+    assert(auto.keySet == (1L to 10L).toSet + 20L + 21L,
+      s"new nodes must be labeled, standing nodes kept: ${auto.keySet}")
+  }
+
+  test("labelPropagationFromOnAdj equals labelPropagationFrom on the union " +
+      "graph (persisted adjacency, duplicate batch edges deduplicated)") {
+    val rnd = new scala.util.Random(83)
+    val es = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val standing = edges(es: _*)
+    val seeds = Communities.labelPropagation(standing, "src", "dst", iterations = 4)
+    val batch = edges(200L -> 201L, 5L -> 200L, 7L -> 11L, es.head)
+    val viaAdj = toMap(Communities.labelPropagationFromOnAdj(
+      Communities.lpaAdjacency(standing, "src", "dst"),
+      batch, "src", "dst", seeds, iterations = 3))
+    val direct = toMap(Communities.labelPropagationFrom(
+      standing.unionByName(batch), "src", "dst", seeds, iterations = 3))
+    assert(viaAdj == direct,
+      s"persisted-adjacency full refresh diverged:\n $viaAdj\n vs $direct")
+  }
+}
