@@ -135,27 +135,20 @@ object Bench {
       graft.tree.Predict.predictMany(model, wide)
         .write.format("noop").mode("overwrite").save()
     }
-    // Exact-threshold (scalable prefix-sum) fit at the reference's 190
-    // width, on 10% of rows: the FULL-row run measures 256 s (SCALING.md
-    // r17 fan-out note — the ~47 l_extendedprice-derived clones each
-    // re-pay that column's ~200k distinct thresholds, which is the
-    // exact path's inherent cost at width; bins32_wide190 is the
-    // designed full-data wide path). 10% keeps the per-round gate
-    // honest about the exact path's width shape without doubling the
-    // sweep; the sample is seeded, so the line is stable.
+    // The exact-threshold (scalable prefix-sum) fit at width moved OUT
+    // of the per-round gate entirely (r17 verdict #1: the 10%-row
+    // entry alone was 75.8 s — 12% of every sweep — and the 219-entry
+    // x 4-sweep gate outgrew the driver budget, rc 124). A cheaper
+    // in-gate proxy was MEASURED not to exist (r18 receipts,
+    // WideScalingProbe `proxy` mode): 2% rows 50 s, width-96 79 s,
+    // width-48 138 s — the exact path at width is PLAN/stage-bound,
+    // not row-bound, so no sample or width cut buys a cheap line. The
+    // shape's receipts live in WideScalingProbe `scalable` mode (75.8 s
+    // at 10% rows, 256 s full-row — SCALING.md); the gate keeps the
+    // DESIGNED wide path, bins32_wide190.
     val wideEntries: Seq[(String, () => Unit)] = Seq(
       ("fit_depth4_entropy_bins32_wide24", () => wideFit(20)),
-      ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)),
-      ("fit_depth4_entropy_scalable_wide190_10pct", () => {
-        val wide = graft.tools.WideFrame.frame(spark, sfDir, 186,
-          repartitionTo = Some(spark.sparkContext.defaultParallelism),
-          rowFraction = 0.1)
-        val model = DecisionTreeClassifier(maxDepth = Some(4),
-          criterion = Criterion.Entropy, maxBins = None,
-          exactCumulativePartitions = Some(32)).fit(wide, "l_returnflag")
-        graft.tree.Predict.predictMany(model, wide)
-          .write.format("noop").mode("overwrite").save()
-      }))
+      ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)))
 
     // documents with each token deterministically suffixed into ~500
     // variants — the vocabulary-rich corpus the realistic-merge-count
@@ -337,7 +330,6 @@ object Bench {
     val headline = Seq(
       "fit_depth4_entropy", "fit_depth4_entropy_scalable",
       "fit_depth4_entropy_bins32", "fit_depth4_entropy_bins32_wide190",
-      "fit_depth4_entropy_scalable_wide190_10pct",
       "jaccard_pairs", "dedup_drop", "dedup_clusters", "minhash_lsh_pairs",
       "winnow_pairs", "simhash_pairs", "fuzzy_clusters", "sessionize",
       "event_hopping_distinct", "knn_classify", "bm25_topk_indexed",

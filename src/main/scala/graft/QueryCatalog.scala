@@ -744,6 +744,45 @@ object QueryCatalog {
         .select(col("node"), col("j"), round(col("weight"), 6).as("weight"))
         .orderBy("node", "j")
     }),
+    // The walk pipeline's CLOSER (r17 verdict missing #3): a graph with
+    // NO embeddings gets them FROM ITS OWN STRUCTURE and the whole
+    // semantic machinery runs on top — walks -> skip-gram pairs ->
+    // PPMI + md5 JL projection (closed form, no SGD) -> assembled
+    // arrays -> width-dispatched kNN graph -> LPA -> community sizes.
+    // The Paths.skipgramNodeEmbeddings scaladoc promise made
+    // executable end to end; the oracle replays every stage — walk
+    // draw for draw, PPMI cell for cell, plane for plane, vote for
+    // vote.
+    "graph_semantic_communities" -> ((s, dir) => {
+      val li = lineitem(s, dir).where(col("l_quantity") >= 50)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      val sink = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_walk_gsc_" + sfx(dir)
+      Paths.randomWalksToSink(pairs, "src", "dst", walksPerNode = 2,
+        steps = 3, path = sink)
+      val sg = Paths.walkSkipgramPairs(s, sink, window = 2,
+        centerLo = 0, centerHi = 3)
+      val emb = Paths.skipgramNodeEmbeddings(sg, dim = 16)
+      // long form -> per-node arrays ordered by j, MATERIALIZED before
+      // the graph (the hashed_doc_knn rule: banded consumers expand
+      // their input expression per plane projection), zero-norm guard
+      // before any cosine
+      val vecs = emb.groupBy(col("node"))
+        .agg(array_sort(collect_list(struct(col("j"), col("weight")))).as("__jw"))
+        .select(col("node"),
+          transform(col("__jw"), e => e.getField("weight")).as("vec"))
+        .localCheckpoint(true)
+        .where(Similarity.dot(col("vec"), col("vec")) > 0)
+      val w = Similarity.knnWidthFor(vecs, bands = 2)
+      val edges = Similarity.knnGraphAuto(vecs, "node", "vec", k = 3,
+        dim = 16, bands = 2, rerankFactor = 4, width = Some(w))
+      val labels = Communities.labelPropagation(edges, "id", "nbr", iterations = 4)
+      Communities.communitySizes(labels).orderBy("label")
+    }),
     // Biased (node2vec, Grover & Leskovec 2016) walks with integer
     // return/common/out weights 4/2/1 (p=0.5, q=2 scaled by 4): the
     // 2nd-order interval pick over cumulative weights, md5-deterministic
@@ -1472,6 +1511,28 @@ object QueryCatalog {
           docs.where(col("doc_id") % 3 === 0), model, "doc_id", "text", "lang")
         .orderBy("actual", "predicted")
     }),
+    // HASHED-BIGRAM flavor (r18, fastText parity for the filter
+    // family): adjacent token pairs hash into 64 md5 buckets and ride
+    // the same vocabulary cut / dense grid / scoring fold as synthetic
+    // bg#<bucket> tokens — word-order evidence with a bounded feature
+    // space. Same TakeOrdered + broadcast scale shape; the grid is
+    // hash-gated cell for cell like the unigram model.
+    "nb_train_lang_bigram" -> ((s, dir) =>
+      NaiveBayes.train(
+          documents(s, dir).where(col("doc_id") % 3 =!= 0),
+          "lang", "text", vocabSize = 500, bigramBuckets = 64)
+        .orderBy("label", "token")),
+    // Held-out confusion of the bigram model (model persisted once per
+    // session; the unigram-vs-bigram accuracy delta is recorded in
+    // COVERAGE.md).
+    "nb_confusion_lang_bigram" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = IndexStore.read(s, "graft_nb_bg_model_" + ensureNbBigramModel(s, dir))
+      NaiveBayes.confusion(
+          docs.where(col("doc_id") % 3 === 0), model, "doc_id", "text", "lang",
+          bigramBuckets = 64)
+        .orderBy("actual", "predicted")
+    }),
     // Hashing-trick document vectors (r17): feature hashing with sign
     // correction — a 64-d embedding for every document WITHOUT an
     // external encoder, as a pure in-row fold (no shuffle; the
@@ -2082,7 +2143,10 @@ object QueryCatalog {
       val x = ensureSemanticStanding(s, dir)
       val standingEdges = IndexStore.read(s, "graft_sem_edges_" + x)
         .select(col("id"), col("nbr"))
+      // materialized once: LPA's adjacency build consumes its edge
+      // input three times, which would re-run the banded probe 3x
       val batchEdges = semanticBatchEdges(s, dir, x).select(col("id"), col("nbr"))
+        .localCheckpoint(true)
       val labels = Communities.labelPropagation(
         standingEdges.unionByName(batchEdges), "id", "nbr", iterations = 4)
       Communities.communitySizes(labels).orderBy("label")
@@ -2101,7 +2165,10 @@ object QueryCatalog {
     // RefreshDispatchSpec walks the boundary both ways.
     "semantic_communities_incremental_auto" -> ((s, dir) => {
       val x = ensureSemanticStanding(s, dir)
+      // materialized once: consumed by the delta derivation AND twice
+      // for the dirty set — lazy, the banded probe would re-run 3x
       val batchEdges = semanticBatchEdges(s, dir, x).select(col("id"), col("nbr"))
+        .localCheckpoint(true)
       val dirty = batchEdges.select(col("id").as("node"))
         .union(batchEdges.select(col("nbr").as("node"))).distinct()
       val labels = Communities.communityRefreshAuto(
@@ -2112,17 +2179,20 @@ object QueryCatalog {
     }),
     // The front door on the graph the LOCAL branch is FOR: near-dup
     // clusters over documents (bounded components — a dup group is a
-    // handful of docs, so the 4-hop ball around an ingest batch's new
-    // pairs stays batch-sized: measured fraction 0.23 at sf0.01 / 0.02
-    // at sf0.1, both under the 0.5 dispatch line). Standing shingle
+    // handful of docs with diameter <= 2, so hops=2 / iterations=2 is
+    // the right radius and the ball around an ingest batch's new pairs
+    // stays batch-sized: measured fraction 0.23 at sf0.01 / 0.02 at
+    // sf0.1, both under the 0.5 dispatch line). Standing shingle
     // index + pair edges + cluster labels + adjacency persist once per
     // session; the entry times the per-batch reality: batch-side
     // shingle probe (corpus side scans its bucketed index, no corpus
     // shuffle), within-batch pairs, then the blast-radius re-vote with
     // everything outside frozen — the flat-per-batch cluster
-    // maintenance a live dedup pipeline pays. Oracle replays standing
-    // pairs, standing LPA, batch pairs, frontier expansion, and the
-    // restricted rounds CTE for CTE.
+    // maintenance a live dedup pipeline pays (flatness receipt:
+    // ScalingProbe incremental_lpa; at sf0.1 the entry's absolute time
+    // is its constant ~15-job overhead, not data). Oracle replays
+    // standing pairs, standing LPA, batch pairs, frontier expansion,
+    // and the restricted rounds CTE for CTE.
     "dedup_clusters_incremental_auto" -> ((s, dir) => {
       val x = ensureDupClusterStanding(s, dir)
       val batch = documents(s, dir).where(col("doc_id") < 50)
@@ -2133,13 +2203,15 @@ object QueryCatalog {
       val within = Dedup.jaccardPairs(batch, "doc_id", "text",
           n = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"))
-      val batchEdges = vsStanding.unionByName(within)
+      // materialized once: consumed by the delta derivation AND twice
+      // for the dirty set — lazy, both shingle probes would re-run 3x
+      val batchEdges = vsStanding.unionByName(within).localCheckpoint(true)
       val dirty = batchEdges.select(col("id_a").as("node"))
         .union(batchEdges.select(col("id_b").as("node"))).distinct()
       val labels = Communities.communityRefreshAuto(
         IndexStore.read(s, "graft_dup_adj_" + x), batchEdges, "id_a", "id_b",
         IndexStore.read(s, "graft_dup_labels_" + x), dirty,
-        hops = 4, iterations = 4)
+        hops = 2, iterations = 2)
       Communities.communitySizes(labels).orderBy("label")
     }),
     // k-occurrence hubness over the quantized kNN graph (Radovanovic
@@ -3055,6 +3127,20 @@ object QueryCatalog {
     x
   }
 
+  /** The hashed-bigram flavor of [[ensureNbModel]] (bg#<bucket>
+    * features, 64 buckets — nb_train_lang_bigram times this build). */
+  private def ensureNbBigramModel(s: SparkSession, dir: String): String = {
+    val x = sfx(dir)
+    ensureOnce(s, "nbbg:" + x) {
+      IndexStore.writeTable(
+        NaiveBayes.train(
+          documents(s, dir).where(col("doc_id") % 3 =!= 0),
+          "lang", "text", vocabSize = 500, bigramBuckets = 64),
+        "graft_nb_bg_model_" + x)
+    }
+    x
+  }
+
   /** 60 deterministic lowercase tokens — the planted "license header" the
     * substring-dedup entries must catch across otherwise-different docs. */
   private val LicenseHeader: String = (0 until 60).map(i => s"lichdr$i").mkString(" ")
@@ -3878,18 +3964,18 @@ object QueryCatalog {
        |  UNION ALL SELECT node, node FROM nodes),
        |dirty AS (SELECT a AS node FROM pB UNION SELECT b FROM pB),
        |f0 AS (SELECT node FROM nodes WHERE node IN (SELECT node FROM dirty)),
-       |${frontierCtes(4)},
-       |fr AS MATERIALIZED (SELECT node FROM f4),
+       |${frontierCtes(2)},
+       |fr AS MATERIALIZED (SELECT node FROM f2),
        |l0 AS MATERIALIZED (
        |  SELECT n.node, coalesce(s.lbl, n.node) AS lbl
        |  FROM nodes n LEFT JOIN sl4 s ON s.node = n.node),
        |adjf AS MATERIALIZED (
        |  SELECT adj.node, adj.nbr FROM adj
        |  WHERE adj.node IN (SELECT node FROM fr)),
-       |${lpaLocalRoundCtes(4)}
+       |${lpaLocalRoundCtes(2)}
        |SELECT lbl AS label, count(*) AS n_members,
        |  min(node) AS min_member, max(node) AS max_member
-       |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
+       |FROM l2 GROUP BY 1 ORDER BY label""".stripMargin
 
   /** SQL twin of [[graft.operators.Similarity.hubness]] over the
     * quantized kNN edges: the edge CTEs + a nbr-keyed count + the
@@ -4092,6 +4178,112 @@ object QueryCatalog {
        |SELECT center AS node, CAST(j AS BIGINT) AS j,
        |  round(CAST(sq AS DOUBLE) / 1e6, 6) AS weight
        |FROM eemb ORDER BY node, j""".stripMargin
+
+  /** The walk-embedding chain (sg/PPMI/projection at dim 16) as
+    * reusable CTEs — shared by the walk_node_embeddings twin above and
+    * the graph_semantic_communities composition twin below. */
+  private lazy val walkEmbeddingCtes =
+    s"""sg AS (
+       |  SELECT c.node AS center, x.node AS context, count(*) AS n_pairs
+       |  FROM wlk c JOIN wlk x
+       |    ON c.start = x.start AND c.walk_no = x.walk_no
+       |    AND x.step <> c.step AND abs(x.step - c.step) <= 2
+       |  GROUP BY 1, 2),
+       |egt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS N FROM sg),
+       |ect AS (SELECT center, CAST(sum(n_pairs) AS BIGINT) AS nc FROM sg GROUP BY 1),
+       |ext AS (SELECT context, CAST(sum(n_pairs) AS BIGINT) AS nx FROM sg GROUP BY 1),
+       |eppmi AS (
+       |  SELECT center, context,
+       |    greatest(0, CAST(floor(ln((CAST(n_pairs AS DOUBLE) * N)
+       |      / (CAST(nc AS DOUBLE) * nx)) * 1e9) AS BIGINT)) AS ppmi_q
+       |  FROM sg JOIN ect USING (center) JOIN ext USING (context), egt),
+       |enz AS (SELECT center, context, ppmi_q FROM eppmi WHERE ppmi_q > 0),
+       |eterm AS (
+       |  SELECT center, j.j AS j,
+       |    CAST(floor(((CAST(ppmi_q AS DOUBLE) / 1e9)
+       |      * (('0x' || substr(md5(context::VARCHAR || '_' || j.j::VARCHAR), 1, 15))::BIGINT
+       |         / 576460752303423488.0 - 1.0))
+       |      * 1e6) AS BIGINT) AS tq
+       |  FROM enz, range(0, 16) j(j)),
+       |eemb AS (SELECT center, j, CAST(sum(tq) AS BIGINT) AS sq FROM eterm GROUP BY 1, 2)""".stripMargin
+
+  /** SQL twin of the graph_semantic_communities composition: the walk
+    * corpus, the dim-16 PPMI/JL embeddings assembled into lists
+    * (zero-norm dropped, the Spark dot > 0 guard), the md5-banded
+    * auto-width kNN machinery at dim 16 (SQ8 verify at rerank 4, exact
+    * cosine top-3), then 4 LPA vote rounds and the size rollup —
+    * embeddings the engine MADE from pure graph structure, clustered
+    * by the same machinery the given-embedding entries use. */
+  private lazy val graphSemanticCommunitiesSql = {
+    val weight = """(('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT
+      | / 576460752303423488.0 - 1.0)""".stripMargin
+    s"""WITH $randomWalkCtes,
+       |$walkEmbeddingCtes,
+       |corpus0 AS (
+       |  SELECT center AS vec_id, list(CAST(sq AS DOUBLE) / 1e6 ORDER BY j) AS v
+       |  FROM eemb GROUP BY center),
+       |corpus AS (SELECT vec_id, v FROM corpus0 WHERE list_inner_product(v, v) > 0),
+       |${autoRpbCte("corpus")},
+       |proj AS (
+       |  SELECT c.vec_id, p.p,
+       |    list_sum([c.v[i + 1] * $weight FOR i IN range(0, len(c.v))]) AS pr
+       |  FROM corpus c, w, range(0, 62) p(p) WHERE p.p < 2 * w.rpb),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b.b AS band,
+       |    (sig >> (b.b * w.rpb)) & ((1::BIGINT << w.rpb) - 1) AS bucket
+       |  FROM sig, w, range(0, 2) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id, bb.vec_id AS nbr
+       |  FROM banded a JOIN banded bb USING (band, bucket)
+       |  WHERE a.vec_id <> bb.vec_id),
+       |prm AS (
+       |  SELECT i, min(v[i]) AS mn, max(v[i]) - min(v[i]) AS wd
+       |  FROM corpus CROSS JOIN generate_series(1, 16) AS t(i) GROUP BY i),
+       |pm AS (SELECT list(mn ORDER BY i) AS mins, list(wd ORDER BY i) AS wds FROM prm),
+       |dq AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 17), i ->
+       |      mins[i] + CAST(CASE WHEN wds[i] = 0 THEN 0 ELSE
+       |          least(255.0, greatest(0.0,
+       |            floor((v[i] - mins[i]) / wds[i] * 255.0 + 0.5)))
+       |        END AS DOUBLE) * wds[i] / 255.0) AS cv
+       |  FROM corpus CROSS JOIN pm),
+       |qs AS (
+       |  SELECT cand.id, cand.nbr, ${cosSql("da.cv", "db.cv")} AS qcos
+       |  FROM cand
+       |  JOIN dq da ON da.vec_id = cand.id
+       |  JOIN dq db ON db.vec_id = cand.nbr),
+       |sv AS (
+       |  SELECT id, nbr FROM (
+       |    SELECT id, nbr,
+       |      row_number() OVER (PARTITION BY id ORDER BY qcos DESC, nbr) AS qr
+       |    FROM qs) WHERE qr <= 12),
+       |scored AS (
+       |  SELECT id, nbr, ${cosSql("ca.v", "cb.v")} AS cos
+       |  FROM sv
+       |  JOIN corpus ca ON ca.vec_id = id
+       |  JOIN corpus cb ON cb.vec_id = nbr),
+       |ranked AS (
+       |  SELECT id, nbr, cos,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS INT) AS rank
+       |  FROM scored),
+       |cp AS MATERIALIZED (
+       |  SELECT DISTINCT least(id, nbr) AS a, greatest(id, nbr) AS b
+       |  FROM ranked WHERE rank <= 3 AND id <> nbr),
+       |cnodes AS (SELECT a AS node FROM cp UNION SELECT b FROM cp),
+       |cadj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM cp
+       |  UNION ALL SELECT b, a FROM cp
+       |  UNION ALL SELECT node, node FROM cnodes),
+       |l0 AS (SELECT node, node AS lbl FROM cnodes),
+       |${lpaRoundCtes(4, adj = "cadj")}
+       |SELECT lbl AS label, count(*) AS n_members,
+       |  min(node) AS min_member, max(node) AS max_member
+       |FROM l4 GROUP BY 1 ORDER BY label""".stripMargin
+  }
 
   /** SQL twin of [[graft.operators.Paths.randomWalksBiased]] (2 walks x
     * 3 steps, wReturn=4, wCommon=2, wOut=1): step 1 is the uniform
@@ -5543,6 +5735,8 @@ object QueryCatalog {
     "nb_train_lang" -> nbTrainSql,
     "nb_classify_lang" -> nbClassifySql,
     "nb_confusion_lang" -> nbConfusionSql,
+    "nb_train_lang_bigram" -> nbTrainBigramSql,
+    "nb_confusion_lang_bigram" -> nbConfusionBigramSql,
     "hashed_doc_vectors" -> hashedDocVectorsSql,
     "hashed_doc_knn" -> hashedDocKnnSql,
     "global_shuffle" -> globalShuffleSql,
@@ -5782,6 +5976,7 @@ object QueryCatalog {
     "random_walks_sink" -> randomWalksSql,
     "walk_skipgram_pairs" -> walkSkipgramPairsSql,
     "walk_node_embeddings" -> walkNodeEmbeddingsSql,
+    "graph_semantic_communities" -> graphSemanticCommunitiesSql,
     "random_walks_biased" -> randomWalksBiasedSql,
     "random_walks_biased_sink" -> randomWalksBiasedSql,
     "knn_graph" -> knnGraphSql,
@@ -6697,6 +6892,82 @@ object QueryCatalog {
     s"""WITH $nbModelCtes
        |SELECT label, token, cnt, logp_q, prior_q FROM model
        |ORDER BY label, token""".stripMargin
+
+  /** Bigram-model CTEs: the [[nbModelCtes]] chain with the feature
+    * stream extended by hashed bigrams — each adjacent pair of the
+    * FILTERED token array hashes via the md5-prefix hash into one of
+    * 64 buckets as `bg#<bucket>` (the 60-bit hash is non-negative, so
+    * `%` replays Spark's pmod exactly). */
+  private lazy val nbBigramModelCtes = {
+    val tk = """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)"""
+    val bg = """'bg#' || ((('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 15))::BIGINT % 64)::VARCHAR)"""
+    s"""train AS (SELECT lang AS lbl, text FROM documents WHERE doc_id % 3 <> 0),
+       |ntk AS (SELECT lbl, $tk AS tk FROM train),
+       |ntok AS (
+       |  SELECT lbl, unnest(tk) AS t FROM ntk
+       |  UNION ALL
+       |  SELECT lbl, unnest(list_transform(range(1, len(tk)), i -> $bg)) AS t FROM ntk),
+       |ntc AS (SELECT lbl, t, count(*) AS c FROM ntok GROUP BY 1, 2),
+       |nvocab AS (SELECT t FROM (SELECT t, sum(c) AS ct FROM ntc GROUP BY 1)
+       |  ORDER BY ct DESC, t ASC LIMIT 500),
+       |ndt AS (SELECT lbl, count(*) AS docs FROM train GROUP BY 1),
+       |ngrand AS (SELECT sum(docs) AS alldocs FROM ndt),
+       |ndense AS (
+       |  SELECT ndt.lbl, v.t, ndt.docs, coalesce(ntc.c, 0) AS cnt
+       |  FROM ndt CROSS JOIN nvocab v
+       |  LEFT JOIN ntc ON ntc.lbl = ndt.lbl AND ntc.t = v.t),
+       |nlt AS (SELECT lbl, sum(cnt) AS tot, count(*) AS vused FROM ndense GROUP BY 1),
+       |model AS (
+       |  SELECT ndense.lbl AS label, ndense.t AS token, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + vused AS DOUBLE)) * 1e9) AS BIGINT) AS logp_q,
+       |    CAST(floor(ln(CAST(docs AS DOUBLE) / CAST(alldocs AS DOUBLE)) * 1e9) AS BIGINT) AS prior_q
+       |  FROM ndense JOIN nlt USING (lbl), ngrand)""".stripMargin
+  }
+
+  /** Bigram classify CTEs over the held-out third — [[nbClassifyCtes]]
+    * with the same extended feature stream. */
+  private lazy val nbBigramClassifyCtes = {
+    val tk = """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)"""
+    val bg = """'bg#' || ((('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 15))::BIGINT % 64)::VARCHAR)"""
+    s"""ntest AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |nttk AS (SELECT doc_id, $tk AS tk FROM ntest),
+       |nttok AS (
+       |  SELECT doc_id, unnest(tk) AS t FROM nttk
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> $bg)) AS t FROM nttk),
+       |npl AS (
+       |  SELECT tt.doc_id, m.label, min(m.prior_q) + sum(m.logp_q) AS score, count(*) AS known
+       |  FROM nttok tt
+       |  JOIN model m ON m.token = tt.t
+       |  GROUP BY 1, 2),
+       |nranked AS (
+       |  SELECT doc_id, label, score, known,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+       |  FROM npl),
+       |nfb AS (SELECT label AS fl, prior_q AS fn
+       |  FROM (SELECT DISTINCT label, prior_q FROM model)
+       |  ORDER BY prior_q DESC, label ASC LIMIT 1),
+       |cls AS (
+       |  SELECT t.doc_id,
+       |    coalesce(b.label, nfb.fl) AS predicted,
+       |    CAST(coalesce(b.score, nfb.fn) AS BIGINT) AS score_q,
+       |    CAST(coalesce(b.known, 0) AS BIGINT) AS n_known
+       |  FROM ntest t
+       |  LEFT JOIN (SELECT * FROM nranked WHERE rn = 1) b ON b.doc_id = t.doc_id, nfb)""".stripMargin
+  }
+
+  private lazy val nbTrainBigramSql =
+    s"""WITH $nbBigramModelCtes
+       |SELECT label, token, cnt, logp_q, prior_q FROM model
+       |ORDER BY label, token""".stripMargin
+
+  private lazy val nbConfusionBigramSql =
+    s"""WITH $nbBigramModelCtes,
+       |$nbBigramClassifyCtes
+       |SELECT d.lang AS actual, cls.predicted, count(*) AS n
+       |FROM cls JOIN (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0) d
+       |  USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private lazy val nbClassifySql =
     s"""WITH $nbModelCtes,

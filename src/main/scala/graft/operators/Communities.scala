@@ -363,14 +363,25 @@ object Communities {
 
   /** The batch's delta against a persisted standing adjacency: new
     * canonical pairs (standing table probed with the BROADCAST batch —
-    * find existing, then anti against that small result; the standing
-    * side only scans) plus self-loops for genuinely new nodes. All
-    * frames checkpointed; the caller releases them. */
+    * find existing; the standing side only scans) plus self-loops for
+    * genuinely new nodes. DRIVER-RESIDENT (LocalTableScan frames): the
+    * batch is broadcast-bounded by the operators' own contract — every
+    * consumer ships it via `broadcast()`, which collects it to the
+    * driver anyway — so keeping it there costs TWO jobs total (the
+    * canonical-pair collect and the two standing probes fused per
+    * scan) instead of four eager checkpoints plus their re-broadcasts.
+    * Node ids must be atomic comparable types (long/int/string — the
+    * same requirement the equi-joins already impose). A batch whose
+    * canonical pair set exceeds [[BroadcastFrontierMaxRows]] REFUSES:
+    * that is not an incremental batch, rebuild with the batch-side
+    * operators. `CheckpointBridge.release` on these frames is a
+    * documented no-op. */
   private case class Delta(
       batchPairs: DataFrame,
       deltaPairs: DataFrame,
       newNodes: DataFrame,
-      deltaAdj: DataFrame)
+      deltaAdj: DataFrame,
+      newNodeCount: Long)
 
   private def deriveDelta(
       standingAdj: DataFrame,
@@ -378,64 +389,95 @@ object Communities {
       srcCol: String,
       dstCol: String
   ): Delta = {
-    val batchPairs = Triangles.canonicalEdges(newEdges, srcCol, dstCol)
-      .localCheckpoint(true)
-    val existingPairs = standingAdj
-      .join(broadcast(batchPairs),
-        standingAdj("node") === batchPairs("a") &&
-          standingAdj("nbr") === batchPairs("b"), "inner")
-      .select(col("a"), col("b"))
-    val deltaPairs = batchPairs
-      .join(broadcast(existingPairs), Seq("a", "b"), "left_anti")
-      .localCheckpoint(true)
-    val batchNodes = batchPairs.select(col("a").as("node"))
-      .union(batchPairs.select(col("b").as("node"))).distinct()
-    val standingBatchNodes = standingAdj
-      .where(col("node") === col("nbr"))
-      .join(broadcast(batchNodes), Seq("node"), "left_semi")
-      .select("node")
-    val newNodes = batchNodes
-      .join(broadcast(standingBatchNodes), Seq("node"), "left_anti")
-      .localCheckpoint(true)
-    val deltaAdj = deltaPairs.select(col("a").as("node"), col("b").as("nbr"))
-      .union(deltaPairs.select(col("b").as("node"), col("a").as("nbr")))
-      .union(newNodes.select(col("node"), col("node").as("nbr")))
-      .localCheckpoint(true)
-    Delta(batchPairs, deltaPairs, newNodes, deltaAdj)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = standingAdj.sparkSession
+    val nt = standingAdj.schema("node").dataType
+    val pairSchema = StructType(Seq(StructField("a", nt), StructField("b", nt)))
+    val nodeSchema = StructType(Seq(StructField("node", nt)))
+    val adjSchema = StructType(Seq(StructField("node", nt), StructField("nbr", nt)))
+    val gate = BroadcastFrontierMaxRows.toInt
+    val bp = Triangles.canonicalEdges(newEdges, srcCol, dstCol)
+      .limit(gate + 1).collect()
+    require(bp.length <= gate,
+      s"deriveDelta: the batch's canonical pair set exceeds the broadcast " +
+        s"budget ($BroadcastFrontierMaxRows rows) — not an incremental batch")
+    val batchPairs = spark.createDataFrame(bp.toSeq.asJava, pairSchema)
+    // one standing scan: which batch pairs already stand AND which
+    // batch nodes already stand (self-loop rows), distinguished by a
+    // marker — the probe result is batch-bounded either way
+    val bn = bp.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+      .toArray.distinct
+    val probes = spark.createDataFrame(
+      (bp.map(r => Row(r.get(0), r.get(1))) ++ bn.map(v => Row(v, v))).toSeq.asJava,
+      pairSchema)
+    val hits = standingAdj
+      .join(broadcast(probes),
+        standingAdj("node") === probes("a") && standingAdj("nbr") === probes("b"),
+        "left_semi")
+      .select(col("node"), col("nbr")).collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    val dp = bp.filter(r => !hits.contains((r.get(0), r.get(1))))
+    val nn = bn.filterNot(v => hits.contains((v, v)))
+    val deltaAdj = spark.createDataFrame(
+      (dp.flatMap(r => Seq(Row(r.get(0), r.get(1)), Row(r.get(1), r.get(0)))) ++
+        nn.map(v => Row(v, v))).toSeq.asJava,
+      adjSchema)
+    Delta(
+      batchPairs,
+      spark.createDataFrame(dp.toSeq.asJava, pairSchema),
+      spark.createDataFrame(nn.map(Row(_)).toSeq.asJava, nodeSchema),
+      deltaAdj,
+      nn.length.toLong)
   }
 
-  /** Expand `ball(dirty ∩ graph, hops)` over the union adjacency, every
-    * hop a broadcast scan. Returns (frontier, ballRows, withinGate);
-    * when a hop's frontier outgrows [[BroadcastFrontierMaxRows]] the
-    * expansion STOPS (the ball is effectively global — the caller
-    * dispatches accordingly) and `withinGate` is false. The returned
-    * frontier is checkpointed; the caller releases it. */
+  /** Expand `ball(dirty ∩ graph, hops)` over the union adjacency. The
+    * frontier is DRIVER-RESIDENT: it is broadcast-bounded by contract
+    * (every consumer ships it to executors via `broadcast()`, which
+    * collects it to the driver anyway), so each hop is ONE job — scan +
+    * distinct + bounded collect — instead of the checkpoint-then-count
+    * pair the distributed form paid (the dispatch premium is what the
+    * front door charges on the full branch; halving its job count is
+    * what makes the premium ~2 scans). A `LIMIT bail+1` bounds every
+    * collect: when a hop returns more than `bail` rows — the broadcast
+    * gate, or the dispatcher's fraction threshold via `bailRows` (the
+    * ball is monotone, so once crossed the full branch is decided and
+    * further scans are waste) — expansion STOPS, `withinGate` is
+    * false, and the returned frontier is that hop's TRUNCATED sample
+    * (callers must not vote on it; both callers discard it). */
   private def expandBall(
       adjScan: => DataFrame,
       standingAdj: DataFrame,
       d: Delta,
       dirty: DataFrame,
-      hops: Int
+      hops: Int,
+      bailRows: Long = Long.MaxValue
   ): (DataFrame, Long, Boolean) = {
-    var frontier = standingAdj.where(col("node") === col("nbr")).select("node")
+    val spark = standingAdj.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "node", standingAdj.schema("node").dataType)))
+    def toDf(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val bail = math.min(bailRows, BroadcastFrontierMaxRows).toInt
+    var rows = standingAdj.where(col("node") === col("nbr")).select("node")
       .unionByName(d.newNodes)
       .join(broadcast(dirty.select(col(dirty.columns.head).as("node")).distinct()),
         Seq("node"), "left_semi")
       .distinct()
-      .localCheckpoint(true)
-    var rows = frontier.count()
-    if (rows > BroadcastFrontierMaxRows) return (frontier, rows, false)
+      .limit(bail + 1)
+      .collect()
+    if (rows.length > bail) return (toDf(rows), rows.length, false)
     for (_ <- 1 to hops) {
-      val next = adjScan
-        .join(broadcast(frontier.select(col("node").as("nbr"))), Seq("nbr"))
+      rows = adjScan
+        .join(broadcast(toDf(rows).select(col("node").as("nbr"))), Seq("nbr"))
         .select("node").distinct()
-        .localCheckpoint(true)
-      CheckpointBridge.release(frontier)
-      frontier = next
-      rows = frontier.count()
-      if (rows > BroadcastFrontierMaxRows) return (frontier, rows, false)
+        .limit(bail + 1)
+        .collect()
+      if (rows.length > bail) return (toDf(rows), rows.length, false)
     }
-    (frontier, rows, true)
+    (toDf(rows), rows.length, true)
   }
 
   /** The restricted vote rounds over a computed frontier — the shared
@@ -609,11 +651,16 @@ object Communities {
     require(maxLocalBallFraction > 0.0 && maxLocalBallFraction <= 1.0,
       s"maxLocalBallFraction must be in (0, 1], got $maxLocalBallFraction")
     val d = deriveDelta(standingAdj, newEdges, srcCol, dstCol)
-    val (frontier, ballRows, withinGate) =
-      expandBall(standingAdj.unionByName(d.deltaAdj), standingAdj, d, dirty, hops)
     // graph size without an adjacency scan: seeds is one row per
-    // standing node by contract, newNodes is batch-bounded
-    val totalNodes = seeds.count() + d.newNodes.count()
+    // standing node by contract, the new-node count rides the delta
+    // derivation for free; counted FIRST so the expansion can bail the
+    // moment the ball crosses the dispatch line (on an expander that
+    // is hop 1-2 of 4 — the scans after the decision is forced would
+    // be pure overhead)
+    val totalNodes = seeds.count() + d.newNodeCount
+    val (frontier, ballRows, withinGate) =
+      expandBall(standingAdj.unionByName(d.deltaAdj), standingAdj, d, dirty, hops,
+        bailRows = math.floor(maxLocalBallFraction * totalNodes).toLong)
     val local = withinGate &&
       totalNodes > 0 && ballRows <= maxLocalBallFraction * totalNodes
     val out =

@@ -39,6 +39,33 @@ object NaiveBayes {
   private def tokens(textCol: Column): Column =
     split(regexp_replace(lower(trim(coalesce(textCol, lit("")))), "\\s+", " "), " ")
 
+  /** The model's feature stream: non-empty unigrams, plus — when
+    * `bigramBuckets > 0` — HASHED BIGRAM features (the fastText n-gram
+    * hashing trick, Joulin et al. 2016, public): each adjacent token
+    * pair hashes through the md5-prefix token hash into one of
+    * `bigramBuckets` buckets and surfaces as the synthetic token
+    * `bg#<bucket>` alongside the unigrams, so the SAME vocabulary cut,
+    * dense grid, and scoring fold carry word-order evidence with a
+    * BOUNDED feature space — the hashing caps distinct bigram features
+    * at `bigramBuckets` regardless of corpus size, which is what keeps
+    * the model grid broadcastable at 100 TB. Bucket ids are
+    * md5-replayable in any engine ([[Dedup.md5TokenHash60]] mod
+    * buckets; the hash is 60 non-negative bits, so `%` == `pmod`).
+    * Shared with the streaming twin so stream == batch stays bit-exact
+    * under bigrams too. */
+  private[graft] def features(textCol: Column, bigramBuckets: Int): Column = {
+    val toks = filter(tokens(textCol), t => length(t) > 0)
+    if (bigramBuckets <= 0) toks
+    else {
+      val bigrams = transform(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        (t, i) => concat(lit("bg#"),
+          pmod(Dedup.md5TokenHash60(concat(t, lit(" "), element_at(toks, i + lit(2)))),
+            lit(bigramBuckets.toLong)).cast("string")))
+      concat(toks, bigrams)
+    }
+  }
+
   /** Fit the model: returns the DENSE `labels x vocabulary` grid
     * `(label, token, cnt, logp_q, prior_q)` where
     *  - `cnt` is the exact token count for (label, token) over the
@@ -58,14 +85,16 @@ object NaiveBayes {
       df: DataFrame,
       labelCol: String,
       textCol: String,
-      vocabSize: Int = 2000
+      vocabSize: Int = 2000,
+      bigramBuckets: Int = 0
   ): DataFrame = {
     require(vocabSize >= 1 && vocabSize <= 10000,
       s"vocabSize must be in [1, 10000] (TakeOrdered cut + broadcast model stay driver-safe), got $vocabSize")
+    require(bigramBuckets >= 0 && bigramBuckets <= 65536,
+      s"bigramBuckets must be in [0, 65536], got $bigramBuckets")
     val dec = "decimal(38,0)"
     val tok = df.select(col(labelCol).as("__lbl"),
-      explode(tokens(col(textCol))).as("__t"))
-      .where(length(col("__t")) > 0)
+      explode(features(col(textCol), bigramBuckets)).as("__t"))
     // the one corpus-sized exchange: map-side-combined (label, token) counts
     val tokCounts = tok.groupBy("__lbl", "__t").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // read 2x: vocabulary cut + dense-grid join
@@ -117,13 +146,14 @@ object NaiveBayes {
       df: DataFrame,
       model: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      bigramBuckets: Int = 0
   ): DataFrame = {
     val dec = "decimal(38,0)"
     val m = model.select(col("label").as("__lbl"), col("token").as("__t"),
       col("logp_q"), col("prior_q"))
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .where(length(col("__t")) > 0)
+    val tok = df.select(col(idCol),
+      explode(features(col(textCol), bigramBuckets)).as("__t"))
     val perLabel = tok
       .join(broadcast(m), Seq("__t"))
       .groupBy(col(idCol), col("__lbl"))
@@ -159,9 +189,10 @@ object NaiveBayes {
       model: DataFrame,
       idCol: String,
       textCol: String,
-      labelCol: String
+      labelCol: String,
+      bigramBuckets: Int = 0
   ): DataFrame = {
-    val scored = classify(df, model, idCol, textCol)
+    val scored = classify(df, model, idCol, textCol, bigramBuckets)
     scored
       .join(df.select(col(idCol), col(labelCol).as("actual")), Seq(idCol))
       .groupBy(col("actual"), col("predicted"))

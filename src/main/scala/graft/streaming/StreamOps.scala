@@ -684,11 +684,17 @@ object StreamOps {
     * (score desc, label asc) argmax tie-break — the in-row argmax takes
     * the FIRST maximal index of the label-ascending array — and the
     * prior-argmax fallback for docs with no in-vocabulary token.
-    * Appends `(predicted, score_q, n_known)` to each row. */
+    * `bigramBuckets` must match the value the model was trained with
+    * ([[graft.operators.NaiveBayes.train]]'s hashed-bigram features —
+    * the shared feature builder keeps the streams' feature sequence
+    * identical to the batch pass's, so the bigram flavor inherits the
+    * same bit-exact identity). Appends `(predicted, score_q, n_known)`
+    * to each row. */
   def nbClassify(
       docs: DataFrame,
       model: DataFrame,
-      textCol: String = "text"
+      textCol: String = "text",
+      bigramBuckets: Int = 0
   ): DataFrame = {
     val rows = model.select(col("label"), col("token"),
       col("logp_q").cast("long"), col("prior_q").cast("long")).collect()
@@ -723,11 +729,12 @@ object StreamOps {
     }
     val lut = map_from_arrays(typedLit(tokens), typedLit(mat))
     val labelArr = typedLit(labels)
-    val toks = split(
-      regexp_replace(lower(trim(coalesce(col(textCol), lit("")))), "\\s+", " "), " ")
+    // the batch twin's feature builder: filtered unigrams, plus hashed
+    // bg#<bucket> bigram features when the model was trained with them
+    val feats = graft.operators.NaiveBayes.features(col(textCol), bigramBuckets)
     val acc0 = struct(typedLit(priors).as("s"), lit(0L).as("k"))
     val folded = aggregate(
-      filter(toks, t => length(t) > lit(0)),
+      feats,
       acc0,
       (acc, t) => {
         val hit = element_at(lut, t)

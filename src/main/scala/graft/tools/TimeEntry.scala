@@ -16,6 +16,10 @@ object TimeEntry {
       val t0 = System.nanoTime()
       graft.QueryCatalog.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"[time] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // match Bench's between-entry hygiene, or accumulated checkpoint
+      // blocks from run1 (e.g. a standing-artifact build) poison run2+
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -54,12 +54,24 @@ object WideScalingProbe {
       spark.catalog.clearCache()
     }
 
-    if (args.lift(1).contains("scalable")) {
+    if (args.lift(1).contains("proxy")) {
+      // The r17 gate entry's shape as a dedicated receipt, plus the
+      // proxy candidates that RULED OUT a cheaper in-gate line (r18):
+      // 2% rows measured 50-98 s and narrower widths got SLOWER
+      // (width-96 79 s, width-48 138 s) — the exact path at width is
+      // PLAN/stage-bound, not row-bound, so no sample or width cut
+      // buys a cheap gate proxy and the line lives here instead.
+      runScalable(186, 0.1)
+      runScalable(186, 0.1)
+      runScalable(186, 0.02)
+      runScalable(92, 0.1)
+      runScalable(44, 0.1)
+    } else if (args.lift(1).contains("scalable")) {
       // the exact-threshold path at width: per-feature distincts are
       // inherited from the 4 base columns (affine derivations), so the
       // fan-out multiplies the extendedprice threshold volume by ~47
-      runScalable(20, 1.0)  // warm + sanity at narrow width
-      runScalable(186, 0.1)
+      runScalable(20, 1.0)   // warm + sanity at narrow width
+      runScalable(186, 0.1)  // the r17 gate entry's shape (75.8 s in-sweep)
       runScalable(186, 1.0)
     } else {
       run(20, 1.0)    // warm the session on the cheap shape

@@ -110,4 +110,56 @@ class NaiveBayesSpec extends AnyFunSuite {
       NaiveBayes.train(train, "lang", "text", vocabSize = 10001)
     }
   }
+
+  test("bigram features: the grid carries bg#<bucket> tokens and the " +
+      "unigram cells are unchanged by their presence") {
+    val m = NaiveBayes.train(train, "lang", "text", vocabSize = 100,
+        bigramBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bg = m.keys.map(_._2).filter(_.startsWith("bg#")).toSet
+    assert(bg.nonEmpty, "hashed bigram features must enter the vocabulary")
+    assert(bg.forall { t =>
+      val b = t.stripPrefix("bg#").toLong; b >= 0 && b < 64
+    }, s"bucket ids must be in [0, 64): $bg")
+    // "buy buy pills" + "buy now" = 3 bigrams; "hello dear friend" +
+    // "hello hello" = 3 bigrams -> per-label bigram occurrence totals
+    val spamBg = m.collect { case ((l, t), c) if l == "spam" && t.startsWith("bg#") => c }.sum
+    assert(spamBg == 3L, s"spam bigram occurrences: $spamBg")
+    // unigram counts identical to the unigram-only model
+    assert(m(("spam", "buy")) == 3L && m(("ham", "hello")) == 3L)
+  }
+
+  test("bigram features separate docs the unigram model provably cannot") {
+    // same unigram multiset {a, b}, opposite order; labels follow order
+    val ordTrain = docs(
+      (1L, "ab", "aa bb"), (2L, "ab", "aa bb"),
+      (3L, "ba", "bb aa"), (4L, "ba", "bb aa"))
+    val uni = NaiveBayes.train(ordTrain, "lang", "text", vocabSize = 100)
+    val big = NaiveBayes.train(ordTrain, "lang", "text", vocabSize = 100,
+      bigramBuckets = 64)
+    val test = docs((10L, "?", "aa bb"), (11L, "?", "bb aa"))
+    val uo = NaiveBayes.classify(test, uni, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bo = NaiveBayes.classify(test, big, "doc_id", "text", bigramBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // unigram scores are order-blind: both docs get the SAME label
+    assert(uo(10L) == uo(11L), s"unigram model must be order-blind: $uo")
+    // the bigram model recovers the order signal exactly
+    assert(bo == Map(10L -> "ab", 11L -> "ba"), s"got $bo")
+  }
+
+  test("bigram classification is partitioning-independent bit for bit") {
+    val model = NaiveBayes.train(train, "lang", "text", vocabSize = 100,
+      bigramBuckets = 64)
+    val test = docs((10L, "?", "buy pills now"), (11L, "?", "hello dear friend"),
+      (12L, "?", "buy hello"), (13L, "?", ""))
+    val base = NaiveBayes.classify(test, model, "doc_id", "text", bigramBuckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    for (p <- Seq(1, 3, 7)) {
+      val out = NaiveBayes.classify(test.repartition(p), model, "doc_id", "text",
+          bigramBuckets = 64)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(out == base, s"partitioning $p changed bigram scores")
+    }
+  }
 }

@@ -582,6 +582,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NB with hashed bigrams equals the batch classifier bit for bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "ab", "aa bb"), (2L, "ab", "aa bb"),
+      (3L, "ba", "bb aa"), (4L, "ba", "bb aa"))
+      .toDF("doc_id", "lang", "text")
+    val model = graft.operators.NaiveBayes.train(train, "lang", "text",
+      vocabSize = 100, bigramBuckets = 64)
+    val testRows = Seq((10L, "aa bb"), (11L, "bb aa"), (12L, ""))
+    val batch = graft.operators.NaiveBayes
+      .classify(testRows.toDF("doc_id", "text"), model, "doc_id", "text",
+        bigramBuckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamOps.nbClassify(input.toDF().toDF("doc_id", "text"), model,
+      bigramBuckets = 64)
+    val q = scored.writeStream.format("memory").queryName("nb_bg_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(testRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("nb_bg_out")
+        .select("doc_id", "predicted", "score_q", "n_known").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed == batch)
+      // order-separation sanity: the bigram signal survives the LUT fold
+      assert(streamed(10L)._1 == "ab" && streamed(11L)._1 == "ba")
+    } finally q.stop()
+  }
+
   test("repetition signals are stateless: stream output equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
