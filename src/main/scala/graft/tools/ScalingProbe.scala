@@ -833,15 +833,25 @@ object ScalingProbe {
               graft.sources.IndexStore.read(spark, pre + "_adj"),
               newEdges, "src", "dst", seeds, dirty, hops = 4, iterations = 4))
           .write.format("noop").mode("overwrite").save()
-        full(); local(); localOnAdj() // warmups
+        // the r18 front door: on this bounded-component shape the ball
+        // fraction stays tiny, so auto must track local_on_adj plus
+        // only its dispatch bookkeeping (the measured premium column)
+        def auto(): Unit = Communities.communitySizes(
+            Communities.communityRefreshAuto(
+              graft.sources.IndexStore.read(spark, pre + "_adj"),
+              newEdges, "src", "dst", seeds, dirty, hops = 4, iterations = 4))
+          .write.format("noop").mode("overwrite").save()
+        full(); local(); localOnAdj(); auto() // warmups
         val tf = math.min(time(full()), time(full()))
         val tl = math.min(time(local()), time(local()))
         val ta = math.min(time(localOnAdj()), time(localOnAdj()))
+        val tu = math.min(time(auto()), time(auto()))
         val nBall = graft.operators.Paths.bfsDistances(
           all, "src", "dst", dirty, "node", maxHops = 4).count()
         println(f"[scaling] local_lpa corpus ${nx}%3dx nodes=$n%d " +
           f"seed_build=$tBuild%7.2fs full_refresh=$tf%7.2fs " +
-          f"local_refresh=$tl%7.2fs local_on_adj=$ta%7.2fs ball=$nBall%d/$n%d")
+          f"local_refresh=$tl%7.2fs local_on_adj=$ta%7.2fs " +
+          f"auto=$tu%7.2fs ball=$nBall%d/$n%d")
       }
     }
 
