@@ -391,9 +391,15 @@ object Communities {
   ): Delta = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
     val spark = standingAdj.sparkSession
     val nt = standingAdj.schema("node").dataType
+    // the driver-side dedup below compares collected values with Scala
+    // equality; Array[Byte] compares by REFERENCE there, which would
+    // silently keep duplicate pairs (double votes) — refuse loudly
+    require(nt != BinaryType,
+      "deriveDelta: binary node ids are not supported (driver-side pair " +
+        "dedup compares by value — use long/int/string ids)")
     val pairSchema = StructType(Seq(StructField("a", nt), StructField("b", nt)))
     val nodeSchema = StructType(Seq(StructField("node", nt)))
     val adjSchema = StructType(Seq(StructField("node", nt), StructField("nbr", nt)))

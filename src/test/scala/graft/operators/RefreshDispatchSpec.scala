@@ -97,6 +97,41 @@ class RefreshDispatchSpec extends AnyFunSuite {
       s"new nodes must be labeled, standing nodes kept: ${auto.keySet}")
   }
 
+  test("a batch that only re-sends standing edges with an out-of-graph dirty " +
+      "set returns the seeds verbatim (empty ball, local branch)") {
+    val auto = toMap(Communities.communityRefreshAuto(
+      standingAdj, noopBatch, "src", "dst", markerSeeds, nodesDf(999L),
+      hops = 2, iterations = 2))
+    assert(auto == (1L to 10L).map(i => i -> (100L + i)).toMap,
+      s"nothing dirty in-graph must change nothing: $auto")
+  }
+
+  test("string node ids dispatch and refresh like longs, and a re-sent " +
+      "standing pair cannot double a vote (driver-resident delta dedups by value)") {
+    import spark.implicits._
+    val sChain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val sAdj = Communities.lpaAdjacency(sChain, "src", "dst")
+    // seeds chosen so a DOUBLE-COUNTED (a,b) edge would flip b's vote:
+    // correct votes at b are {w3 (a), w1 (self), w2 (c)} — a 3-way tie
+    // won by "w1"; a duplicated edge makes it {w3 x2, ...} -> "w3"
+    val sSeeds = Seq("a" -> "w3", "b" -> "w1", "c" -> "w2", "d" -> "w4",
+      "e" -> "w5").toDF("node", "label")
+    val batch = Seq(("a", "b")).toDF("src", "dst") // already standing
+    val dirty = Seq("a").toDF("node") // ball(1 hop) = {a, b}: 0.4 of 5
+    val auto = Communities.communityRefreshAuto(
+        sAdj, batch, "src", "dst", sSeeds, dirty, hops = 1, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = Communities.labelPropagationLocalOnAdj(
+        sAdj, batch, "src", "dst", sSeeds, dirty, hops = 1, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(auto == local, s"string-id dispatch diverged:\n $auto\n vs $local")
+    assert(auto("b") == "w1", s"duplicate pair double-counted a vote: $auto")
+    // outside the ball: seeds verbatim
+    assert(auto("c") == "w2" && auto("d") == "w4" && auto("e") == "w5",
+      s"frozen nodes moved: $auto")
+  }
+
   test("labelPropagationFromOnAdj equals labelPropagationFrom on the union " +
       "graph (persisted adjacency, duplicate batch edges deduplicated)") {
     val rnd = new scala.util.Random(83)
