@@ -35,6 +35,20 @@ import graft.tree.{Criterion, DecisionTreeClassifier}
   * the high-water mark of exactly one entry's window) and reported as
   * `peaks_gb`, so a raised session peak is attributable to a named entry
   * instead of a round-over-round mystery.
+  *
+  * Anomaly bracketing (r19 — the r18 verdict's #1: the driver record's
+  * wide190 read 460.8 s against a same-code 15.6 s gate with NO second
+  * sample in that environment to attribute it): the warmup sweep's
+  * per-entry times are RECORDED (not used for the min — cold start still
+  * lands there by design) and emitted as `warmup` in the full JSON, so
+  * every run carries at least two same-JVM samples per entry. Per-entry
+  * GC-time deltas ride along (`gc_ms`) — a 30x sample with its time in
+  * collections is a heap event, one without is JIT/scheduler. After the
+  * sweeps, entries whose measured MIN still sits over 4x their own warmup
+  * get ONE bounded re-run each (budget-guarded, cheapest first): a fast
+  * retry re-dates the min to box phase in-record; a slow retry is the
+  * regression receipt. The compact stdout line carries only the anomalous
+  * brackets (`anomalies`) — the full maps stay in the provenance file.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -252,13 +266,31 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }))
 
-    val entries = queryEntries ++ fitEntries ++ wideEntries ++ bpeEntries
+    // Dev knob (NOT set by the driver): comma-separated entry names to
+    // restrict the sweep to — lets a JSON-shape or single-entry check run
+    // in seconds instead of a full 220-entry sweep.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val entries = (queryEntries ++ fitEntries ++ wideEntries ++ bpeEntries)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val warmups = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val retries = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gcMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val peaks = scala.collection.mutable.LinkedHashMap[String, Long]()
     val livePeaks = scala.collection.mutable.LinkedHashMap[String, Long]()
     var globalPeak = 0L
     var globalLive = 0L
+
+    /** Cumulative stop-the-world collection time across all collectors —
+      * the per-entry delta attributes an anomalous wall-clock sample to
+      * heap pressure (GC-dominated) vs JIT/scheduler (not). */
+    def totalGcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
 
     /** One trivial job through the scheduler so any pending cleanup RPCs
       * (block removals, broadcast destroys, ContextCleaner work) drain
@@ -268,6 +300,7 @@ object Bench {
     def sweep(measured: Boolean): Unit = entries.foreach { case (name, body) =>
       globalPeak = math.max(globalPeak, heap.drain()) // pre-entry residue → global only
       globalLive = math.max(globalLive, heap.drainLive())
+      val gc0 = totalGcMs()
       val t = timeOnce(body())
       val p = heap.drain()
       val lv = heap.drainLive()
@@ -275,8 +308,15 @@ object Bench {
       globalLive = math.max(globalLive, lv)
       if (measured) {
         samples(name) = samples.getOrElse(name, Nil) :+ t
+        gcMs(name) = math.max(gcMs.getOrElse(name, 0L), totalGcMs() - gc0)
         peaks(name) = math.max(peaks.getOrElse(name, 0L), p)
         livePeaks(name) = math.max(livePeaks.getOrElse(name, 0L), lv)
+      } else {
+        // warmup times are recorded but never enter the min: cold start
+        // (session/codegen/parquet footers + the ensure* standing-artifact
+        // builds) lands here by design — the value of the record is the
+        // second same-JVM sample it gives every measured min
+        warmups(name) = t
       }
       release()
       gcIfPiled()
@@ -292,9 +332,14 @@ object Bench {
     // using the last completed pass's duration as the estimate. A
     // record that says "min over 1-2 warm interleaved sweeps, sweeps
     // count recorded in the JSON" beats a timeout that says nothing.
-    // Budget via SPARK_GRAFT_BENCH_DEADLINE_S; the default leaves
-    // headroom under a ~30 min harness cap after JVM+sbt startup.
-    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1680").toDouble
+    // Budget via SPARK_GRAFT_BENCH_DEADLINE_S. Default re-based r19: the
+    // r18 driver run completed at 3182 s sbt wall (rc 0), so the harness
+    // cap is >= ~53 min and the old 1680 s default was leaving sweeps on
+    // the table — a fast-phase box (warmup+sweep ~550 s each) now fits
+    // warmup + 3 measured sweeps with retry headroom, while a slow-phase
+    // box degrades to the same forced warmup+1 the r18 run already
+    // survived.
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "2600").toDouble
     val bench0 = System.nanoTime()
     def spent(): Double = (System.nanoTime() - bench0) / 1e9
     def timedSweep(measured: Boolean): Double = {
@@ -310,10 +355,36 @@ object Bench {
       sweepsRun += 1
     }
 
-    val results = samples.map { case (name, ts) =>
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    // ---- anomaly retries (r18 verdict #1): an entry whose measured MIN
+    // sits over 4x its own same-JVM warmup is carrying a sample that
+    // reconciles with nothing — one bounded re-run each (cheapest
+    // expected cost first, warmup-estimated, budget-guarded so a real
+    // regression's slow retry can't starve the rest) either re-dates the
+    // min to box phase in-record or stands as the regression receipt.
+    def minOf(ts: List[Double]): Double = if (ts.exists(_ < 0)) -1.0 else ts.min
+    val anomalous = samples.toSeq
+      .map { case (n, ts) => (n, minOf(ts)) }
+      .filter { case (n, m) =>
+        m >= 0 && warmups.get(n).exists(w => w >= 0 && m > 4.0 * w) }
+      .sortBy { case (n, _) => warmups(n) }
+    anomalous.foreach { case (name, _) =>
+      // estimate = the warmup time (the claim under test is "the entry is
+      // actually that fast here"); 1.5x margin + the sweep hygiene cost
+      if (spent() + warmups(name) * 1.5 + 10 <= deadlineS) {
+        entries.find(_._1 == name).foreach { case (_, body) =>
+          val t = timeOnce(body())
+          retries(name) = t
+          if (t >= 0) samples(name) = samples(name) :+ t
+          release(); gcIfPiled(); settle()
+        }
+      }
     }
+
+    val results = samples.map { case (name, ts) => name -> minOf(ts) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val wu = warmups.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val rt = retries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val gcj = gcMs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val pk = peaks.map { case (k, v) => "\"" + k + "\":" + f"${v / 1e9}%.2f" }.mkString("{", ",", "}")
     // post-GC live peaks: the harness-independent memory number (raw
     // sampled peaks scale with the harness's -Xmx via G1 young-gen and
@@ -344,7 +415,7 @@ object Bench {
           f"""{"peak_mb":$peakMb%.0f,"max_mb":$maxJson}"""
       }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""sweeps":$sweepsRun,""" +
+      f""""sweeps":$sweepsRun,"warmup":$wu,"retries":$rt,"gc_ms":$gcj,""" +
       f""""peak_heap_gb":$peakGb%.2f,"peak_live_gb":$liveGb%.2f,"peaks_gb":$pk,""" +
       f""""peaks_live_gb":$lv,"code_cache":$codePools,"sf":"$sfDir"}"""
     // The driver's stdout capture keeps only a ~2 KB tail: the full
@@ -368,9 +439,21 @@ object Bench {
       System.err.println(s"[bench] headline entry missing from results: $k"))
     val hqs = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
+    // the compact line carries the anomaly BRACKETS only (warmup w,
+    // measured-min m, retry r, gc seconds) — expected empty; the full
+    // warmup/retry/gc maps stay in the provenance file under the ~2 KB
+    // stdout-capture cap
+    val anoJson = anomalous.map { case (k, m) =>
+      val parts = Seq(
+        Some(f""""w":${warmups(k)}%.2f"""),
+        Some(f""""m":$m%.2f"""),
+        retries.get(k).map(r => f""""r":$r%.2f"""),
+        gcMs.get(k).map(g => f""""gc_s":${g / 1e3}%.1f""")).flatten
+      "\"" + k + "\":" + parts.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""queries":$hqs,"n_entries":${results.size},"sweeps":$sweepsRun,""" +
-      f""""peak_heap_gb":$peakGb%.2f,""" +
+      f""""anomalies":$anoJson,"peak_heap_gb":$peakGb%.2f,""" +
       f""""peak_live_gb":$liveGb%.2f,"full":"target/bench_latest.json","sf":"$sfDir"}"""
     println(compact)
     // Provenance copy: the driver captures stdout, but BENCH_r06's
