@@ -1244,13 +1244,16 @@ object QueryCatalog {
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy("query_id", "rank")
     }),
-    // Incremental-ingest flavor: the index is built from the even-id
-    // half and the odd-id half MERGES in (tf/dl append, df term-keyed
-    // add, stats refold) — structurally identical to a full rebuild, so
-    // it shares the bm25 oracle. The corpus is never re-tokenized.
+    // Incremental-ingest flavor: the standing even-id half's index
+    // persists once per session (ensureBm25HalfIndex — the between-epoch
+    // artifact the incremental story implies) and the odd-id half MERGES
+    // in (tf/dl append, df term-keyed add, stats refold) — structurally
+    // identical to a full rebuild, so it shares the bm25 oracle. The
+    // standing corpus is never re-tokenized; the entry times the
+    // per-batch merge + probe.
     "bm25_topk_merged" -> ((s, dir) => {
       val docs = documents(s, dir)
-      val standing = Tfidf.bm25Index(docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      val standing = bm25HalfIndex(s, ensureBm25HalfIndex(s, dir))
       val merged = Tfidf.bm25IndexMerge(standing,
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
       val probes = docs.where(col("doc_id") < 3)
@@ -2618,8 +2621,11 @@ object QueryCatalog {
     // and greedy provably coincide — so the greedy SQL is an exact oracle
     // here; the semantics that differ on chains are pinned by DedupSpec.
     "dedup_drop_exact" -> ((s, dir) => {
+      // over the PERSISTED prefix-arm pair graph (ensureJaccardPrefixPairs):
+      // what this entry times is the MIS drop rounds it adds over the
+      // dedup_drop flagship, which keeps the end-to-end build
       val docs0 = documents(s, dir)
-      val pairs = Dedup.jaccardPairsPrefix(docs0, "doc_id", "text", n = 3, threshold = 0.8)
+      val pairs = IndexStore.read(s, "graft_jpp_" + ensureJaccardPrefixPairs(s, dir))
       Dedup.dropDuplicatePairsExact(docs0, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
     // Cluster-id materialization: connected-component label (min reachable
@@ -3137,6 +3143,53 @@ object QueryCatalog {
           documents(s, dir).where(col("doc_id") % 3 =!= 0),
           "lang", "text", vocabSize = 500, bigramBuckets = 64),
         "graft_nb_bg_model_" + x)
+    }
+    x
+  }
+
+  /** The standing HALF-CORPUS BM25 index (even doc_ids) as persisted
+    * tables — what bm25_topk_merged's incremental-ingest story implies a
+    * production pipeline keeps between epochs: tf bucketed by `term`
+    * (the probe key), df/dl/stats plain. The entry then times ONLY the
+    * per-batch reality — tokenize the odd half, merge, probe — instead
+    * of re-paying the standing build every sweep (r18 verdict #5); the
+    * full-build cost stays timed by bm25_topk_indexed. */
+  private def ensureBm25HalfIndex(s: SparkSession, dir: String): String = {
+    val x = sfx(dir)
+    ensureOnce(s, "bm25half:" + x) {
+      val half = Tfidf.bm25Index(
+        documents(s, dir).where(col("doc_id") % 2 === 0), "doc_id", "text")
+      IndexStore.writeBucketed(half.tf, "graft_bm25h_tf_" + x, "term", 8)
+      IndexStore.writeTable(half.df, "graft_bm25h_df_" + x)
+      IndexStore.writeTable(half.dl, "graft_bm25h_dl_" + x)
+      IndexStore.writeTable(half.stats, "graft_bm25h_stats_" + x)
+    }
+    x
+  }
+
+  private def bm25HalfIndex(s: SparkSession, x: String): Tfidf.Bm25Index =
+    Tfidf.Bm25Index(
+      IndexStore.read(s, "graft_bm25h_tf_" + x),
+      IndexStore.read(s, "graft_bm25h_df_" + x),
+      IndexStore.read(s, "graft_bm25h_dl_" + x),
+      IndexStore.read(s, "graft_bm25h_stats_" + x))
+
+  /** The full-corpus prefix-arm near-dup pair graph as a persisted
+    * table — the standing artifact the drop-policy entries share:
+    * dedup_drop (end-to-end flagship) keeps timing candidate generation
+    * + greedy drop from raw text; dedup_drop_exact times what it ADDS
+    * over that flagship — the lexicographic-MIS drop rounds — over the
+    * persisted graph (r18 verdict #5: the two entries re-paid the same
+    * pair build, and the exact entry's 46.5 s driver sample was ~90%
+    * redundant candidate generation). */
+  private def ensureJaccardPrefixPairs(s: SparkSession, dir: String): String = {
+    val x = sfx(dir)
+    ensureOnce(s, "jpp:" + x) {
+      IndexStore.writeTable(
+        Dedup.jaccardPairsPrefix(documents(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b")),
+        "graft_jpp_" + x)
     }
     x
   }
