@@ -1536,6 +1536,38 @@ object QueryCatalog {
           bigramBuckets = 64)
         .orderBy("actual", "predicted")
     }),
+    // ORDER-SEPARATION receipt (r18 verdict #3): a planted corpus whose
+    // two classes differ ONLY by token order — fwd docs repeat the
+    // cycle "ord0 ord2 ord3", rev docs the reversed cycle — with
+    // IDENTICAL per-doc unigram counts, so the unigram model is
+    // order-blind by construction while the hashed-bigram features
+    // split the classes into disjoint bucket sets ({10,47,42} vs
+    // {12,59,24} at 64 buckets — collision-checked against the md5
+    // hash). Both confusions are hash-gated, so the gate itself now
+    // prices the bigram feature where word order carries the signal
+    // (the lang-corpus delta stays the honest negative recorded in
+    // COVERAGE.md r18); NaiveBayesSpec asserts bigram-diagonal >
+    // unigram-diagonal across the two entries.
+    "nb_confusion_order_unigram" -> ((s, dir) => {
+      val corpus = orderCorpus(s, dir)
+      val model = NaiveBayes.train(
+        corpus.where(pmod(col("doc_id"), lit(3)) =!= 0), "cls", "text",
+        vocabSize = 16)
+      NaiveBayes.confusion(
+          corpus.where(pmod(col("doc_id"), lit(3)) === 0), model,
+          "doc_id", "text", "cls")
+        .orderBy("actual", "predicted")
+    }),
+    "nb_confusion_order_bigram" -> ((s, dir) => {
+      val corpus = orderCorpus(s, dir)
+      val model = NaiveBayes.train(
+        corpus.where(pmod(col("doc_id"), lit(3)) =!= 0), "cls", "text",
+        vocabSize = 16, bigramBuckets = 64)
+      NaiveBayes.confusion(
+          corpus.where(pmod(col("doc_id"), lit(3)) === 0), model,
+          "doc_id", "text", "cls", bigramBuckets = 64)
+        .orderBy("actual", "predicted")
+    }),
     // Hashing-trick document vectors (r17): feature hashing with sign
     // correction — a 64-d embedding for every document WITHOUT an
     // external encoder, as a pure in-row fold (no shuffle; the
@@ -3146,6 +3178,22 @@ object QueryCatalog {
     }
     x
   }
+
+  /** The ORDER-SEPARATION planted corpus: classes `fwd`/`rev` by doc_id
+    * parity, text = the 3-token cycle (or its reversal) repeated
+    * `3 + doc_id % 5` times — per-doc unigram counts are identical
+    * across classes, the ordered bigrams are disjoint. Derived from the
+    * documents table so row count scales with sf; exactly replayed by
+    * the `ocorp` CTE in [[nbOrderSql]]. */
+  private def orderCorpus(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("fwd"))
+        .otherwise(lit("rev")).as("cls"),
+      concat_ws("", array_repeat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("ord0 ord2 ord3 "))
+          .otherwise(lit("ord3 ord2 ord0 ")),
+        (lit(3) + pmod(col("doc_id"), lit(5))).cast("int"))).as("text"))
 
   /** The standing HALF-CORPUS BM25 index (even doc_ids) as persisted
     * tables — what bm25_topk_merged's incremental-ingest story implies a
@@ -5790,6 +5838,8 @@ object QueryCatalog {
     "nb_confusion_lang" -> nbConfusionSql,
     "nb_train_lang_bigram" -> nbTrainBigramSql,
     "nb_confusion_lang_bigram" -> nbConfusionBigramSql,
+    "nb_confusion_order_unigram" -> nbOrderSql(bigram = false),
+    "nb_confusion_order_bigram" -> nbOrderSql(bigram = true),
     "hashed_doc_vectors" -> hashedDocVectorsSql,
     "hashed_doc_knn" -> hashedDocKnnSql,
     "global_shuffle" -> globalShuffleSql,
@@ -6946,18 +6996,29 @@ object QueryCatalog {
        |SELECT label, token, cnt, logp_q, prior_q FROM model
        |ORDER BY label, token""".stripMargin
 
+  /** [[graft.operators.NaiveBayes.features]]'s namespace guard, DuckDB
+    * side: in bigram mode a REAL token that looks like a bucket id
+    * (`bg#7`) escapes to `t#bg#7` in the emitted unigram stream so it
+    * can never merge counts with a synthetic bigram feature. */
+  // def, NOT val: the oracle map val is declared earlier in the file and
+  // forces the CTE lazy vals during object init, before later plain vals
+  // initialize — a val here interpolates as null into every consumer
+  private def escBg =
+    """CASE WHEN regexp_matches(x, '^bg#\d+$') THEN 't#' || x ELSE x END"""
+
   /** Bigram-model CTEs: the [[nbModelCtes]] chain with the feature
     * stream extended by hashed bigrams — each adjacent pair of the
     * FILTERED token array hashes via the md5-prefix hash into one of
     * 64 buckets as `bg#<bucket>` (the 60-bit hash is non-negative, so
-    * `%` replays Spark's pmod exactly). */
+    * `%` replays Spark's pmod exactly), and the emitted unigrams pass
+    * the [[escBg]] namespace guard. */
   private lazy val nbBigramModelCtes = {
     val tk = """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)"""
     val bg = """'bg#' || ((('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 15))::BIGINT % 64)::VARCHAR)"""
     s"""train AS (SELECT lang AS lbl, text FROM documents WHERE doc_id % 3 <> 0),
        |ntk AS (SELECT lbl, $tk AS tk FROM train),
        |ntok AS (
-       |  SELECT lbl, unnest(tk) AS t FROM ntk
+       |  SELECT lbl, unnest(list_transform(tk, x -> $escBg)) AS t FROM ntk
        |  UNION ALL
        |  SELECT lbl, unnest(list_transform(range(1, len(tk)), i -> $bg)) AS t FROM ntk),
        |ntc AS (SELECT lbl, t, count(*) AS c FROM ntok GROUP BY 1, 2),
@@ -6985,7 +7046,7 @@ object QueryCatalog {
     s"""ntest AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
        |nttk AS (SELECT doc_id, $tk AS tk FROM ntest),
        |nttok AS (
-       |  SELECT doc_id, unnest(tk) AS t FROM nttk
+       |  SELECT doc_id, unnest(list_transform(tk, x -> $escBg)) AS t FROM nttk
        |  UNION ALL
        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> $bg)) AS t FROM nttk),
        |npl AS (
@@ -7007,6 +7068,76 @@ object QueryCatalog {
        |    CAST(coalesce(b.known, 0) AS BIGINT) AS n_known
        |  FROM ntest t
        |  LEFT JOIN (SELECT * FROM nranked WHERE rn = 1) b ON b.doc_id = t.doc_id, nfb)""".stripMargin
+  }
+
+  /** Parameterized NB train + confusion chain over the planted ORDER
+    * corpus ([[orderCorpus]]'s CTE twin): `bigram` toggles the hashed-
+    * bigram feature stream, everything else — vocabulary cut, dense
+    * grid, quantized logs, argmax, fallback — replays the lang-corpus
+    * CTEs verbatim at vocabSize 16. */
+  private def nbOrderSql(bigram: Boolean): String = {
+    val tk = """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)"""
+    val bg = """'bg#' || ((('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 15))::BIGINT % 64)::VARCHAR)"""
+    val trainFeat =
+      if (bigram)
+        s"""SELECT lbl, unnest(list_transform(tk, x -> $escBg)) AS t FROM ntk
+           |  UNION ALL
+           |  SELECT lbl, unnest(list_transform(range(1, len(tk)), i -> $bg)) AS t FROM ntk""".stripMargin
+      else "SELECT lbl, unnest(tk) AS t FROM ntk"
+    val testFeat =
+      if (bigram)
+        s"""SELECT doc_id, unnest(list_transform(tk, x -> $escBg)) AS t FROM nttk
+           |  UNION ALL
+           |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> $bg)) AS t FROM nttk""".stripMargin
+      else "SELECT doc_id, unnest(tk) AS t FROM nttk"
+    s"""WITH ocorp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'fwd' ELSE 'rev' END AS cls,
+       |    repeat(CASE WHEN doc_id % 2 = 0 THEN 'ord0 ord2 ord3 '
+       |           ELSE 'ord3 ord2 ord0 ' END,
+       |      CAST(3 + doc_id % 5 AS INT)) AS text
+       |  FROM documents),
+       |train AS (SELECT cls AS lbl, text FROM ocorp WHERE doc_id % 3 <> 0),
+       |ntk AS (SELECT lbl, $tk AS tk FROM train),
+       |ntok AS ($trainFeat),
+       |ntc AS (SELECT lbl, t, count(*) AS c FROM ntok GROUP BY 1, 2),
+       |nvocab AS (SELECT t FROM (SELECT t, sum(c) AS ct FROM ntc GROUP BY 1)
+       |  ORDER BY ct DESC, t ASC LIMIT 16),
+       |ndt AS (SELECT lbl, count(*) AS docs FROM train GROUP BY 1),
+       |ngrand AS (SELECT sum(docs) AS alldocs FROM ndt),
+       |ndense AS (
+       |  SELECT ndt.lbl, v.t, ndt.docs, coalesce(ntc.c, 0) AS cnt
+       |  FROM ndt CROSS JOIN nvocab v
+       |  LEFT JOIN ntc ON ntc.lbl = ndt.lbl AND ntc.t = v.t),
+       |nlt AS (SELECT lbl, sum(cnt) AS tot, count(*) AS vused FROM ndense GROUP BY 1),
+       |model AS (
+       |  SELECT ndense.lbl AS label, ndense.t AS token, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + vused AS DOUBLE)) * 1e9) AS BIGINT) AS logp_q,
+       |    CAST(floor(ln(CAST(docs AS DOUBLE) / CAST(alldocs AS DOUBLE)) * 1e9) AS BIGINT) AS prior_q
+       |  FROM ndense JOIN nlt USING (lbl), ngrand),
+       |ntest AS (SELECT doc_id, text FROM ocorp WHERE doc_id % 3 = 0),
+       |nttk AS (SELECT doc_id, $tk AS tk FROM ntest),
+       |nttok AS ($testFeat),
+       |npl AS (
+       |  SELECT tt.doc_id, m.label, min(m.prior_q) + sum(m.logp_q) AS score, count(*) AS known
+       |  FROM nttok tt
+       |  JOIN model m ON m.token = tt.t
+       |  GROUP BY 1, 2),
+       |nranked AS (
+       |  SELECT doc_id, label, score, known,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+       |  FROM npl),
+       |nfb AS (SELECT label AS fl, prior_q AS fn
+       |  FROM (SELECT DISTINCT label, prior_q FROM model)
+       |  ORDER BY prior_q DESC, label ASC LIMIT 1),
+       |clsout AS (
+       |  SELECT t.doc_id, coalesce(b.label, nfb.fl) AS predicted
+       |  FROM ntest t
+       |  LEFT JOIN (SELECT * FROM nranked WHERE rn = 1) b ON b.doc_id = t.doc_id, nfb)
+       |SELECT d.cls AS actual, clsout.predicted, count(*) AS n
+       |FROM clsout JOIN (SELECT doc_id, cls FROM ocorp WHERE doc_id % 3 = 0) d
+       |  USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   private lazy val nbTrainBigramSql =

@@ -52,17 +52,27 @@ object NaiveBayes {
     * md5-replayable in any engine ([[Dedup.md5TokenHash60]] mod
     * buckets; the hash is 60 non-negative bits, so `%` == `pmod`).
     * Shared with the streaming twin so stream == batch stays bit-exact
-    * under bigrams too. */
+    * under bigrams too.
+    *
+    * Namespace guard (r18 ADVICE): in bigram mode a REAL corpus token
+    * that happens to look like a bucket id (`bg#7`) would silently merge
+    * its unigram counts with bigram bucket 7, so such tokens are escaped
+    * to `t#bg#7` in the emitted unigram stream (bigram hashing still
+    * sees the raw pair — only the emitted feature name is rewritten, and
+    * `t#`-prefixed features can never collide with `bg#` ones). Unigram
+    * mode has no synthetic namespace and emits tokens verbatim. */
   private[graft] def features(textCol: Column, bigramBuckets: Int): Column = {
     val toks = filter(tokens(textCol), t => length(t) > 0)
     if (bigramBuckets <= 0) toks
     else {
+      val unigrams = transform(toks, t =>
+        when(t.rlike("^bg#[0-9]+$"), concat(lit("t#"), t)).otherwise(t))
       val bigrams = transform(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         (t, i) => concat(lit("bg#"),
           pmod(Dedup.md5TokenHash60(concat(t, lit(" "), element_at(toks, i + lit(2)))),
             lit(bigramBuckets.toLong)).cast("string")))
-      concat(toks, bigrams)
+      concat(unigrams, bigrams)
     }
   }
 

@@ -148,6 +148,46 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(bo == Map(10L -> "ab", 11L -> "ba"), s"got $bo")
   }
 
+  test("gate twin: bigram beats unigram on the planted order corpus") {
+    // the catalog's nb_confusion_order_* entries, asserted as an
+    // inequality the hash gate can't express: diagonal mass (accuracy)
+    // of the bigram confusion strictly exceeds the unigram one on the
+    // corpus where ONLY token order separates the classes
+    def diag(name: String): (Long, Long) = {
+      val rows = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      (rows.collect { case (a, p, n) if a == p => n }.sum,
+        rows.map(_._3).sum)
+    }
+    val (uniDiag, uniTot) = diag("nb_confusion_order_unigram")
+    val (bigDiag, bigTot) = diag("nb_confusion_order_bigram")
+    assert(uniTot == bigTot && bigTot > 0)
+    assert(bigDiag == bigTot,
+      s"bigram must separate the order corpus perfectly: $bigDiag/$bigTot")
+    assert(uniDiag < bigDiag,
+      s"unigram must under-perform where only order carries signal: " +
+        s"$uniDiag vs $bigDiag of $bigTot")
+  }
+
+  test("real tokens that look like bucket ids never merge with bigram features") {
+    // 'bg#7' as CORPUS TEXT must not pool its counts with synthetic
+    // bigram bucket 7 (r18 ADVICE): in bigram mode it surfaces escaped
+    val t = docs((1L, "x", "bg#7 other"), (2L, "y", "plain words"))
+    val m = NaiveBayes.train(t, "lang", "text", vocabSize = 100,
+      bigramBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val toks = m.keys.map(_._2).toSet
+    assert(toks.contains("t#bg#7"), s"escaped unigram missing: $toks")
+    // every bare bg#<n> in the vocab is a synthetic bigram (count comes
+    // only from adjacent-pair hashing, never from the literal token)
+    assert(!m.exists { case ((_, tok), c) => tok == "bg#7" && c > 1 },
+      "literal bg#7 leaked into the synthetic namespace")
+    // unigram mode has no synthetic namespace: the literal passes through
+    val u = NaiveBayes.train(t, "lang", "text", vocabSize = 100)
+      .collect().map(r => r.getString(1)).toSet
+    assert(u.contains("bg#7") && !u.contains("t#bg#7"))
+  }
+
   test("bigram classification is partitioning-independent bit for bit") {
     val model = NaiveBayes.train(train, "lang", "text", vocabSize = 100,
       bigramBuckets = 64)
