@@ -2249,6 +2249,35 @@ object QueryCatalog {
         hops = 2, iterations = 2)
       Communities.communitySizes(labels).orderBy("label")
     }),
+    // The refresh front door's STREAMING delivery mode (r18 verdict
+    // #4): the identical 50-doc ingest arrives as ONE micro-batch
+    // through StreamOps.communityRefresh (foreachBatch → per-batch
+    // shingle probe + within-batch pairs + communityRefreshAuto against
+    // the same persisted artifacts), so it shares the
+    // dedup_clusters_incremental_auto oracle row for row — the hash
+    // gate prices the streaming plumbing (column renames, dirty
+    // derivation, by-name artifact re-reads), and the multi-batch
+    // sequential-composition identity is StreamOpsSpec's.
+    "dedup_clusters_refresh_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val x = ensureDupClusterStanding(s, dir)
+      val batchRows = documents(s, dir).where(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      @volatile var out: DataFrame = null
+      val q = graft.streaming.StreamOps.communityRefresh(
+          input.toDF().toDF("doc_id", "text"),
+          IndexStore.read(s, "graft_dup_shidx_" + x),
+          IndexStore.read(s, "graft_dup_adj_" + x),
+          IndexStore.read(s, "graft_dup_labels_" + x),
+          hops = 2, iterations = 2) { (labels, _) => out = labels; () }
+        .start()
+      try { input.addData(batchRows: _*); q.processAllAvailable() }
+      finally q.stop()
+      Communities.communitySizes(out).orderBy("label")
+    }),
     // k-occurrence hubness over the quantized kNN graph (Radovanovic
     // et al. 2010): how many other vectors list each vector among
     // their top-k — the curse-of-dimensionality diagnostic. Anti-hubs
@@ -6093,6 +6122,9 @@ object QueryCatalog {
     "semantic_communities_incremental" -> semanticCommunitiesIncrementalSql,
     "semantic_communities_incremental_auto" -> semanticCommunitiesIncrementalAutoSql,
     "dedup_clusters_incremental_auto" -> dedupClustersIncrementalAutoSql,
+    // single-micro-batch stream of the SAME ingest == the batch front
+    // door, so the streaming entry shares its oracle verbatim
+    "dedup_clusters_refresh_stream" -> dedupClustersIncrementalAutoSql,
     "knn_hubness" -> knnHubnessSql,
     "semantic_communities_hubcapped" -> semanticCommunitiesHubcappedSql,
     "knn_graph_mutual" -> knnGraphMutualSql,

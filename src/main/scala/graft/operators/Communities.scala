@@ -391,20 +391,31 @@ object Communities {
   ): Delta = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     val spark = standingAdj.sparkSession
     val nt = standingAdj.schema("node").dataType
     // the driver-side dedup below compares collected values with Scala
-    // equality; Array[Byte] compares by REFERENCE there, which would
-    // silently keep duplicate pairs (double votes) — refuse loudly
-    require(nt != BinaryType,
-      "deriveDelta: binary node ids are not supported (driver-side pair " +
-        "dedup compares by value — use long/int/string ids)")
+    // equality, so node ids must be an ALLOWLISTED atomic type (r18
+    // ADVICE): Array[Byte] compares by reference (silent double votes),
+    // BigDecimal.equals is scale-sensitive (silently missed standing
+    // pairs) — refuse anything but the types the scaladoc promises
+    require(Seq(LongType, IntegerType, StringType).contains(nt),
+      s"deriveDelta: node ids must be long/int/string (driver-side pair " +
+        s"dedup compares by value), got $nt")
     val pairSchema = StructType(Seq(StructField("a", nt), StructField("b", nt)))
     val nodeSchema = StructType(Seq(StructField("node", nt)))
     val adjSchema = StructType(Seq(StructField("node", nt), StructField("nbr", nt)))
     val gate = BroadcastFrontierMaxRows.toInt
-    val bp = Triangles.canonicalEdges(newEdges, srcCol, dstCol)
+    // batch ids cast to the STANDING node type BEFORE canonicalization
+    // (r18 ADVICE: an int-typed batch against a long-typed standing
+    // table used to coerce through the join-based path; the collected
+    // probe compares values driver-side, where Int != Long) — int->long
+    // is order-preserving, so the canonical a<b orientation is the one
+    // the standing table uses
+    val bp = Triangles.canonicalEdges(
+        newEdges.select(col(srcCol).cast(nt).as(srcCol),
+          col(dstCol).cast(nt).as(dstCol)),
+        srcCol, dstCol)
       .limit(gate + 1).collect()
     require(bp.length <= gate,
       s"deriveDelta: the batch's canonical pair set exceeds the broadcast " +

@@ -867,6 +867,68 @@ object StreamOps {
         ()
       }
 
+  /** Streaming COMMUNITY-REFRESH front door — the per-micro-batch twin
+    * of the `dedup_clusters_incremental_auto` composition (the r18
+    * verdict's missing streaming delivery mode for
+    * [[graft.operators.Communities.communityRefreshAuto]]): each
+    * arriving document batch probes the PERSISTED standing shingle
+    * index ([[Dedup.jaccardPairsAgainstIndex]] — the corpus never
+    * re-shingles, never shuffles), pairs within itself, and feeds the
+    * union through the refresh front door, which measures the
+    * `hops`-hop blast radius and dispatches local restricted rounds vs
+    * the full seeded refresh per batch.
+    *
+    * `foreachBatch` for the usual reason (multi-aggregation dataflow +
+    * the front door's bounded driver-resident collects). All standing
+    * artifacts are BY-NAME: a pipeline that writes back the refreshed
+    * labeling (and appends the batch's pairs to the standing
+    * adjacency/index) between batches composes sequentially — the
+    * spec-gated identity: N micro-batches with write-back equal N
+    * sequential batch-side refreshes (StreamOpsSpec).
+    *
+    * @param sink called once per micro-batch with (labels, batchId);
+    *             labels has columns (node, label), is eagerly
+    *             checkpointed (valid after the callback returns), and
+    *             is OWNED by the sink — release via CheckpointBridge
+    *             when done with it
+    */
+  def communityRefresh(
+      docs: DataFrame,
+      shingleIndex: => DataFrame,
+      standingAdj: => DataFrame,
+      seeds: => DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.8,
+      hops: Int = 2,
+      iterations: Int = 2,
+      maxLocalBallFraction: Double = 0.5
+  )(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val vsStanding = Dedup.jaccardPairsAgainstIndex(
+            batch, shingleIndex, idCol, textCol, n, threshold)
+          .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+        val within = Dedup.jaccardPairs(batch, idCol, textCol, n, threshold)
+          .select(col("id_a"), col("id_b"))
+        // materialized once: the delta derivation and the dirty set
+        // would otherwise re-run both shingle probes
+        val batchEdges = vsStanding.unionByName(within).localCheckpoint(true)
+        val dirty = batchEdges.select(col("id_a").as("node"))
+          .union(batchEdges.select(col("id_b").as("node"))).distinct()
+        val labels = graft.operators.Communities.communityRefreshAuto(
+          standingAdj, batchEdges, "id_a", "id_b", seeds, dirty,
+          hops, iterations, maxLocalBallFraction)
+        // the refresh consumed batchEdges eagerly (driver-resident
+        // delta); its checkpoint blocks must not accumulate per batch
+        org.apache.spark.sql.graft.CheckpointBridge.release(batchEdges)
+        sink(labels, batchId)
+        ()
+      }
+
   /** Streaming count-min sketch: the running depth x width counter table
     * over an unbounded item stream, as ONE stateful streaming aggregation
     * (state bounded at depth*width rows — the sketch's whole point, and

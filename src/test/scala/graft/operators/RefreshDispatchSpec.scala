@@ -132,6 +132,34 @@ class RefreshDispatchSpec extends AnyFunSuite {
       s"frozen nodes moved: $auto")
   }
 
+  test("an int-typed batch against a long-typed standing adjacency coerces " +
+      "to the standing type (a re-sent standing pair stays a no-op)") {
+    // r18 ADVICE: before the cast, the driver-side probe compared
+    // Int != Long and a re-sent standing edge counted as NEW — here
+    // that would re-vote node 2 off its marker seed
+    val intBatch = Seq((1, 2)).toDF("src", "dst") // IntegerType columns
+    val auto = toMap(Communities.communityRefreshAuto(
+      standingAdj, intBatch, "src", "dst", markerSeeds, nodesDf(999L),
+      hops = 2, iterations = 2))
+    assert(auto == (1L to 10L).map(i => i -> (100L + i)).toMap,
+      s"int batch of a standing pair must change nothing: $auto")
+  }
+
+  test("non-allowlisted node id types refuse loudly (decimal ids)") {
+    import org.apache.spark.sql.functions.col
+    val decAdj = standingAdj.select(
+      col("node").cast("decimal(10,2)").as("node"),
+      col("nbr").cast("decimal(10,2)").as("nbr"))
+    val e = intercept[IllegalArgumentException] {
+      Communities.communityRefreshAuto(
+        decAdj, noopBatch, "src", "dst",
+        markerSeeds.select(col("node").cast("decimal(10,2)").as("node"),
+          col("label")),
+        nodesDf(1L), hops = 1, iterations = 1)
+    }
+    assert(e.getMessage.contains("long/int/string"), e.getMessage)
+  }
+
   test("labelPropagationFromOnAdj equals labelPropagationFrom on the union " +
       "graph (persisted adjacency, duplicate batch edges deduplicated)") {
     val rnd = new scala.util.Random(83)

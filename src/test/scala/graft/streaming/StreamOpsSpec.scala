@@ -361,6 +361,94 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming community refresh: micro-batches with write-back equal " +
+      "sequential batch-side refreshes") {
+    import spark.implicits._
+    import graft.operators.{Communities, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus: two near-dup clusters {1,2} and {3,4} (n=1
+    // shingles, threshold 0.5); the pair graph IS the standing graph
+    val corpus = Seq((1L, "a b c d"), (2L, "a b c e"),
+      (3L, "p q r s"), (4L, "p q r t")).toDF("doc_id", "text")
+    val tbl = "graft_test_stream_refresh_index"
+    graft.sources.IndexStore.writeBucketed(
+      Dedup.shingleIndex(corpus, "doc_id", "text", n = 1), tbl, "shingle", 4)
+    val standingPairs = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        n = 1, threshold = 0.5)
+      .select($"id_a", $"id_b").localCheckpoint(true)
+    // write-back state the by-name thunks re-read each micro-batch
+    @volatile var adj = Communities.lpaAdjacency(standingPairs, "id_a", "id_b")
+      .localCheckpoint(true)
+    @volatile var seeds = Communities.labelPropagation(
+      standingPairs, "id_a", "id_b", iterations = 2).localCheckpoint(true)
+    def refreshBatchSide(docs: org.apache.spark.sql.DataFrame) = {
+      val vs = Dedup.jaccardPairsAgainstIndex(docs,
+          graft.sources.IndexStore.read(spark, tbl),
+          "doc_id", "text", n = 1, threshold = 0.5)
+        .select($"id_new".as("id_a"), $"id_corpus".as("id_b"))
+      val within = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 1, threshold = 0.5).select($"id_a", $"id_b")
+      val edges = vs.unionByName(within).localCheckpoint(true)
+      val dirty = edges.select($"id_a".as("node"))
+        .union(edges.select($"id_b".as("node"))).distinct()
+      (Communities.communityRefreshAuto(adj, edges, "id_a", "id_b",
+        seeds, dirty, hops = 2, iterations = 2), edges)
+    }
+    def writeBack(labels: org.apache.spark.sql.DataFrame,
+        edges: org.apache.spark.sql.DataFrame): Unit = {
+      seeds = labels
+      adj = Communities.lpaAdjacency(
+        standingPairs.unionByName(edges), "id_a", "id_b").localCheckpoint(true)
+    }
+    // expected: two SEQUENTIAL batch-side refreshes with write-back
+    val b1 = Seq((10L, "a b c f"))   // joins cluster {1,2}
+    val b2 = Seq((11L, "p q r u"))   // joins cluster {3,4}
+    val (l1, e1) = refreshBatchSide(b1.toDF("doc_id", "text"))
+    val exp1 = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    writeBack(l1, e1)
+    val (l2, _) = refreshBatchSide(b2.toDF("doc_id", "text"))
+    val exp2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reset the write-back state and stream the same two micro-batches
+    adj = Communities.lpaAdjacency(standingPairs, "id_a", "id_b")
+      .localCheckpoint(true)
+    seeds = Communities.labelPropagation(
+      standingPairs, "id_a", "id_b", iterations = 2).localCheckpoint(true)
+    val got = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val pending = scala.collection.mutable.ArrayBuffer[Seq[(Long, String)]](b1, b2)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.communityRefresh(
+        input.toDF().toDF("doc_id", "text"),
+        graft.sources.IndexStore.read(spark, tbl),
+        adj, seeds, n = 1, threshold = 0.5,
+        hops = 2, iterations = 2) { (labels, _) =>
+        got.synchronized {
+          got += labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // write-back: the batch's edges re-derive from the docs just
+          // processed (the pipeline knows its own ingest)
+          val docs = pending.remove(0).toDF("doc_id", "text")
+          val vs = Dedup.jaccardPairsAgainstIndex(docs,
+              graft.sources.IndexStore.read(spark, tbl),
+              "doc_id", "text", n = 1, threshold = 0.5)
+            .select($"id_new".as("id_a"), $"id_corpus".as("id_b"))
+          val within = Dedup.jaccardPairs(docs, "doc_id", "text",
+              n = 1, threshold = 0.5).select($"id_a", $"id_b")
+          writeBack(labels, vs.unionByName(within))
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSeq == Seq(exp1, exp2),
+      s"stream with write-back diverged from sequential batch refreshes:\n" +
+        s" got $got\n expected ${Seq(exp1, exp2)}")
+    // sanity: the new docs joined their clusters' labels
+    assert(exp1(10L) == exp1(1L) && exp2(11L) == exp2(3L),
+      s"ingested docs must adopt their cluster labels: $exp1 / $exp2")
+  }
+
   test("streaming wide-width kNN ingest: micro-batch union equals one batch probe") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
