@@ -35,11 +35,27 @@ import org.apache.spark.sql.graft.CheckpointBridge
 object Communities {
 
   /** Frontier size above which [[labelPropagationLocal]] stops
-    * broadcasting the frontier set into its restriction joins (2M ids ≈
-    * 16 MB of longs — comfortably under executor broadcast budgets; a
+    * broadcasting the frontier set into its restriction joins (1M ids ≈
+    * 8 MB of longs — comfortably under executor broadcast budgets; a
     * blast radius bigger than this is effectively a global refresh and
-    * the shuffle path is the right plan for it). */
-  private val BroadcastFrontierMaxRows = 1L << 21
+    * the shuffle path is the right plan for it). Lowered 2^21 -> 2^20 in
+    * r19: tools/RefreshHeapProbe measured 3.94 GB post-GC live driver
+    * heap at a 2^21-node frontier on an 8 GB heap (the boxed
+    * GenericRow LocalRelation copies the driver-resident path holds) —
+    * half the heap for one frontier is not headroom, and past the gate
+    * the full seeded refresh is correct and usually cheaper anyway. */
+  private val BroadcastFrontierMaxRows = 1L << 20
+
+  /** Canonical-pair budget of the DRIVER-RESIDENT delta ([[deriveDelta]])
+    * — deliberately tighter than the frontier gate: at the refuse
+    * boundary the driver concurrently holds the canonical pairs, a
+    * ~3x-batch probe frame, the new-node self-loops, and a ~2x deltaAdj
+    * (tools/RefreshHeapProbe, r19: 6.96 GB post-GC live at 2^21 pairs
+    * on an 8 GB heap — effectively exhausted). 2^19 pairs measures
+    * ~1/4 of that, leaving real headroom, and a batch beyond half a
+    * million novel pairs is not an incremental batch — the refusal
+    * message routes it to the batch-side rebuild operators. */
+  private val DriverDeltaMaxPairs = 1L << 19
 
   /** `(node, label)` after `iterations` synchronous vote rounds over the
     * canonical undirected graph (direction, duplicates, and self-loops
@@ -372,7 +388,7 @@ object Communities {
     * scan) instead of four eager checkpoints plus their re-broadcasts.
     * Node ids must be atomic comparable types (long/int/string — the
     * same requirement the equi-joins already impose). A batch whose
-    * canonical pair set exceeds [[BroadcastFrontierMaxRows]] REFUSES:
+    * canonical pair set exceeds [[DriverDeltaMaxPairs]] REFUSES:
     * that is not an incremental batch, rebuild with the batch-side
     * operators. `CheckpointBridge.release` on these frames is a
     * documented no-op. */
@@ -405,7 +421,7 @@ object Communities {
     val pairSchema = StructType(Seq(StructField("a", nt), StructField("b", nt)))
     val nodeSchema = StructType(Seq(StructField("node", nt)))
     val adjSchema = StructType(Seq(StructField("node", nt), StructField("nbr", nt)))
-    val gate = BroadcastFrontierMaxRows.toInt
+    val gate = DriverDeltaMaxPairs.toInt
     // batch ids cast to the STANDING node type BEFORE canonicalization
     // (r18 ADVICE: an int-typed batch against a long-typed standing
     // table used to coerce through the join-based path; the collected
@@ -418,8 +434,9 @@ object Communities {
         srcCol, dstCol)
       .limit(gate + 1).collect()
     require(bp.length <= gate,
-      s"deriveDelta: the batch's canonical pair set exceeds the broadcast " +
-        s"budget ($BroadcastFrontierMaxRows rows) — not an incremental batch")
+      s"deriveDelta: the batch's canonical pair set exceeds the driver-" +
+        s"resident delta budget ($DriverDeltaMaxPairs pairs) — not an " +
+        s"incremental batch; rebuild with the batch-side operators")
     val batchPairs = spark.createDataFrame(bp.toSeq.asJava, pairSchema)
     // one standing scan: which batch pairs already stand AND which
     // batch nodes already stand (self-loop rows), distinguished by a
