@@ -2197,7 +2197,12 @@ object QueryCatalog {
     // seeds, then 4 seeded vote rounds over the whole union adjacency.
     // The LOCAL branch's gate entry lives on the graph shape it is FOR
     // (dedup_clusters_incremental_auto's bounded components);
-    // RefreshDispatchSpec walks the boundary both ways.
+    // RefreshDispatchSpec walks the boundary both ways. The oracle
+    // HARDCODES the full branch, which is safe because the measured
+    // fraction sits far past the 0.5 dispatch line at every gated sf
+    // (tools/BallFractionProbe, r19: 0.984 at sf0.01, 1.000 at sf0.1) —
+    // if a future corpus drifts it toward 0.5, a gate failure here is
+    // dispatch drift, not an operator bug.
     "semantic_communities_incremental_auto" -> ((s, dir) => {
       val x = ensureSemanticStanding(s, dir)
       // materialized once: consumed by the delta derivation AND twice
@@ -2216,8 +2221,11 @@ object QueryCatalog {
     // clusters over documents (bounded components — a dup group is a
     // handful of docs with diameter <= 2, so hops=2 / iterations=2 is
     // the right radius and the ball around an ingest batch's new pairs
-    // stays batch-sized: measured fraction 0.23 at sf0.01 / 0.02 at
-    // sf0.1, both under the 0.5 dispatch line). Standing shingle
+    // stays batch-sized: measured fraction 0.234 at sf0.01 / 0.021 at
+    // sf0.1 (tools/BallFractionProbe, r19 — both far under the 0.5
+    // dispatch line at every gated sf, so the oracle's hardcoded LOCAL
+    // branch is safe; drift toward 0.5 is a corpus-shape change, not an
+    // operator bug). Standing shingle
     // index + pair edges + cluster labels + adjacency persist once per
     // session; the entry times the per-batch reality: batch-side
     // shingle probe (corpus side scans its bucketed index, no corpus
