@@ -35,7 +35,15 @@ object MiniBench {
     }
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
-        case None => println(f"[minibench] $name%-44s MISSING")
+        case None =>
+          // Bench-only entries (the wide fits, BPE, pq_topk_trained,
+          // batch_ivf_topk_nlist4096) have no catalog row; isolate them
+          // with the SAME harness via the Bench dev knob instead:
+          //   SPARK_GRAFT_BENCH_ONLY=<name> sbt "runMain graft.Bench"
+          // (fresh JVM, warmup + min-of-3, warmup/gc_ms provenance).
+          println(f"[minibench] $name%-44s MISSING from the catalog — " +
+            "if bench-only, use SPARK_GRAFT_BENCH_ONLY=" + name +
+            " runMain graft.Bench")
         case Some(fn) =>
           def once(): Double = {
             val t0 = System.nanoTime()
