@@ -117,6 +117,11 @@ def changed_entries(repo, base):
     for f in files:
         if f in (cat_path, bench_path):
             continue
+        # Dev probes (graft/tools/) never sit in an entry's timed path —
+        # a changed probe is measurement tooling, not measured code, so
+        # it neither marks entries changed nor warns as unmapped.
+        if "/graft/tools/" in f:
+            continue
         ident = os.path.splitext(os.path.basename(f))[0]
         mention_ids.append(ident)
         for prefix, extras in EXTRA_MENTIONS.items():
