@@ -7039,12 +7039,16 @@ object QueryCatalog {
   /** [[graft.operators.NaiveBayes.features]]'s namespace guard, DuckDB
     * side: in bigram mode a REAL token that looks like a bucket id
     * (`bg#7`) escapes to `t#bg#7` in the emitted unigram stream so it
-    * can never merge counts with a synthetic bigram feature. */
+    * can never merge counts with a synthetic bigram feature. Matches
+    * the Spark side's injective form (r19 ADVICE): every token matching
+    * `^(t#)*bg#\d+$` — including already-`t#`-prefixed look-alikes like
+    * a real corpus token `t#bg#7` — gets one more `t#`, so no two raw
+    * tokens map to the same feature name. */
   // def, NOT val: the oracle map val is declared earlier in the file and
   // forces the CTE lazy vals during object init, before later plain vals
   // initialize — a val here interpolates as null into every consumer
   private def escBg =
-    """CASE WHEN regexp_matches(x, '^bg#\d+$') THEN 't#' || x ELSE x END"""
+    """CASE WHEN regexp_matches(x, '^(t#)*bg#\d+$') THEN 't#' || x ELSE x END"""
 
   /** Bigram-model CTEs: the [[nbModelCtes]] chain with the feature
     * stream extended by hashed bigrams — each adjacent pair of the

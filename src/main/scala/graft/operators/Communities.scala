@@ -427,7 +427,20 @@ object Communities {
     // table used to coerce through the join-based path; the collected
     // probe compares values driver-side, where Int != Long) — int->long
     // is order-preserving, so the canonical a<b orientation is the one
-    // the standing table uses
+    // the standing table uses. The cast is only safe when it cannot
+    // change a value (r19 ADVICE): a long batch against an int standing
+    // table wraps under the non-ANSI cast (4294967297 -> 1, merging
+    // distinct nodes), and string->numeric yields nulls that flow into
+    // canonical pairs — so the batch side must MATCH the standing type
+    // exactly, or be the one lossless widening int->long
+    Seq(srcCol, dstCol).foreach { c =>
+      val bt = newEdges.schema(c).dataType
+      require(bt == nt || (bt == IntegerType && nt == LongType),
+        s"deriveDelta: batch column '$c' is $bt but the standing node " +
+          s"type is $nt — casting would be lossy (long->int wraps, " +
+          s"string->numeric nulls). Supply the batch with the standing " +
+          s"node type (int->long widening is the only accepted mismatch)")
+    }
     val bp = Triangles.canonicalEdges(
         newEdges.select(col(srcCol).cast(nt).as(srcCol),
           col(dstCol).cast(nt).as(dstCol)),

@@ -698,10 +698,15 @@ object Dedup {
     val n = math.max(1L, expectedItems.getOrElse(corpusFp.count()))
     val bloom = corpusFp.stat.bloomFilter("__fp", n, fpp)
     val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+    // native codegen probe (r19 verdict #7) — this was the repo's last
+    // Scala UDF; see BloomMightContainString's scaladoc for the parity
+    // argument (mightContainString == mightContainBinary over UTF-8)
+    val mightContain = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContainString(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__fp")), bc))
     val batch = newDf
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("__maybe", mightContain(col("__fp")))
+      .withColumn("__maybe", mightContain)
     val definitelyNew = batch.where(!col("__maybe"))
     // exact confirm for the fpp sliver: broadcast the maybe fingerprints
     // onto ONE corpus scan (semi probe), then keep unconfirmed maybes

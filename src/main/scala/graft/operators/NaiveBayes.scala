@@ -59,14 +59,20 @@ object NaiveBayes {
     * its unigram counts with bigram bucket 7, so such tokens are escaped
     * to `t#bg#7` in the emitted unigram stream (bigram hashing still
     * sees the raw pair — only the emitted feature name is rewritten, and
-    * `t#`-prefixed features can never collide with `bg#` ones). Unigram
+    * `t#`-prefixed features can never collide with `bg#` ones). The
+    * escape must be INJECTIVE (r19 ADVICE): a real corpus token
+    * `t#bg#7` passed through verbatim would collide with the escaped
+    * form of real token `bg#7`, merging two distinct tokens one level
+    * up — so EVERY token matching `^(t#)*bg#[0-9]+$` gets one more `t#`
+    * prepended, making the map a bijection on feature names (each
+    * escape level is reachable from exactly one raw token). Unigram
     * mode has no synthetic namespace and emits tokens verbatim. */
   private[graft] def features(textCol: Column, bigramBuckets: Int): Column = {
     val toks = filter(tokens(textCol), t => length(t) > 0)
     if (bigramBuckets <= 0) toks
     else {
       val unigrams = transform(toks, t =>
-        when(t.rlike("^bg#[0-9]+$"), concat(lit("t#"), t)).otherwise(t))
+        when(t.rlike("^(t#)*bg#[0-9]+$"), concat(lit("t#"), t)).otherwise(t))
       val bigrams = transform(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         (t, i) => concat(lit("bg#"),

@@ -188,6 +188,25 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(u.contains("bg#7") && !u.contains("t#bg#7"))
   }
 
+  test("the bg# escape is injective: literal t#bg#7 never collides with " +
+    "escaped bg#7") {
+    // r19 ADVICE: a corpus token 't#bg#7' passed through verbatim would
+    // equal the ESCAPED form of corpus token 'bg#7', merging two
+    // distinct tokens — both must escape one level up instead
+    val t = docs(
+      (1L, "x", "bg#7 filler"), (2L, "x", "t#bg#7 filler"),
+      (3L, "y", "plain words"))
+    val m = NaiveBayes.train(t, "lang", "text", vocabSize = 100,
+      bigramBuckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cnt = m.collect { case ((l, tok), c) if l == "x" => tok -> c }.toMap
+    // each literal surfaces at its own escape level with count exactly 1
+    assert(cnt.get("t#bg#7").contains(1L),
+      s"escaped bg#7 wrong: ${cnt.get("t#bg#7")}")
+    assert(cnt.get("t#t#bg#7").contains(1L),
+      s"escaped t#bg#7 wrong: ${cnt.get("t#t#bg#7")}")
+  }
+
   test("bigram classification is partitioning-independent bit for bit") {
     val model = NaiveBayes.train(train, "lang", "text", vocabSize = 100,
       bigramBuckets = 64)

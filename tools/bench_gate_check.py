@@ -235,9 +235,16 @@ def main():
         print("\nBREACHES (over 2x the like-for-like era floor):")
         for r, k, v, f in breaches:
             norm = r / drift if drift else None
-            tag = ("box-phase" if norm is not None and norm <= 2.0
+            is_changed = changed is not None and k in changed
+            # A changed entry's breach is ALWAYS signal (r19 ADVICE): the
+            # drift canary is measured over UNCHANGED entries, so it can
+            # excuse uniform box phase but cannot attribute a slowdown
+            # introduced by this round's code change — that needs a human
+            # MiniBench/BENCH_ONLY receipt, not a mechanical excuse.
+            tag = ("SIGNAL" if is_changed
+                   else "box-phase" if norm is not None and norm <= 2.0
                    else "SIGNAL" if norm is not None else "UNATTRIBUTED")
-            chg = " [changed]" if changed is not None and k in changed else ""
+            chg = " [changed]" if is_changed else ""
             nstr = f"  norm {norm:5.2f}x" if norm is not None else ""
             print(f"  {k:45s} {v:7.2f}s  floor {f:7.2f}s  {r:5.2f}x{nstr}  {tag}{chg}")
             if tag != "box-phase":
