@@ -156,6 +156,121 @@ object KMeans {
     rows.toDF("cell", "dim", "c", "n")
   }
 
+  /** GROUPED Lloyd: train an independent k-means per value of `grpCol`
+    * in ONE distributed job per iteration, instead of one [[lloyd]] run
+    * (seed job + iters jobs) per group. The PQ trainer is the motivating
+    * caller (r19 verdict #2): 8 per-subspace trainings were 24 sequential
+    * jobs end-to-end; keyed by subspace they are 3 — and at 100 TB the
+    * job-launch round trips, not the arithmetic, dominate a small-k
+    * trainer, so the grouped shape is the scalable one for ANY
+    * per-partition model family (per-subspace PQ, per-shard quantizers,
+    * per-language centroids).
+    *
+    * Per-group semantics are BIT-IDENTICAL to running [[lloyd]] on that
+    * group's rows alone (PqSpec asserts it against the composed 8-run
+    * path): seeds are the group's hash-ranked top-k (`md5(id:seed)`
+    * rank, ties by id — a per-group window instead of a global limit),
+    * assignment is the same broadcast argmin loop (the
+    * [[lloyd]]-`assignBroadcast` IEEE sequence: left-fold squared L2,
+    * 9-dp rounding, ties to the lower cell — spec-pinned equal to the
+    * literal-expression path), and the centroid update is the same
+    * DECIMAL(18,6) grouped sum, now keyed (grp, cell, dim). Only
+    * m x k x dim statistics reach the driver per iteration.
+    *
+    * `grpCol` must be int-castable; every group needs >= k rows.
+    * Output: one row per (grp, cell, dim) with the trained component
+    * and the cell's final member count. */
+  def lloydGrouped(
+      df: DataFrame,
+      grpCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+    val vecs = df.select(col(grpCol).cast("int").as("__g"), col(idCol).as("__id"),
+      transform(col(vecCol), x => r6(x)).as("__v"))
+
+    // per-group hash-ranked seeds in one window job; cell = rank - 1,
+    // exactly the order lloyd's orderBy+limit assigns
+    val sw = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+      .orderBy(Shuffling.shuffleKey(col("__id"), seed), col("__id"))
+    val seedRows = vecs
+      .withColumn("__rk", row_number().over(sw)).where(col("__rk") <= k)
+      .select(col("__g"), (col("__rk") - 1).as("cell"), col("__v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val groups = seedRows.keys.map(_._1).toArray.distinct.sorted
+    require(groups.nonEmpty, "lloydGrouped: input has no rows")
+    groups.foreach { g =>
+      require((0 until k).forall(c => seedRows.contains((g, c))),
+        s"group $g needs >= $k vectors to seed $k cells")
+    }
+    val dims: Map[Int, Int] = groups.map(g => g -> seedRows((g, 0)).length).toMap
+
+    var centroids: Map[Int, Array[Array[Double]]] =
+      groups.map(g => g -> Array.tabulate(k)(c => seedRows((g, c)))).toMap
+    var lastStats: Map[(Int, Int, Int), (java.math.BigDecimal, Long)] = Map.empty
+    (1 to iters).foreach { _ =>
+      val cb = spark.sparkContext.broadcast(centroids)
+      val assigned = vecs.select(col("__g"), col("__v")).as[(Int, Seq[Double])]
+        .mapPartitions { it =>
+          val cs = cb.value
+          it.map { case (g, v) =>
+            val arr = v.toArray
+            val cents = cs(g)
+            var bestCell = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cents.length) {
+              val cen = cents(c)
+              var d2 = 0.0
+              var j = 0
+              while (j < arr.length) {
+                val t = arr(j) - cen(j); d2 += t * t; j += 1
+              }
+              val d = math.floor(d2 * 1e9 + 0.5) / 1e9
+              if (d < bestD) { bestD = d; bestCell = c } // ties keep lower cell
+              c += 1
+            }
+            (g, bestCell, v)
+          }
+        }
+        .toDF("__g", "cell", "__v")
+      val stats = assigned
+        .select(col("__g"), col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy("__g", "cell", "dim")
+        .agg(sum(col("x").cast("decimal(18,6)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          (r.getDecimal(3), r.getLong(4))).toMap
+      cb.destroy()
+      lastStats = stats
+      centroids = groups.map { g =>
+        g -> Array.tabulate(k, dims(g)) { (cell, d) =>
+          stats.get((g, cell, d)) match {
+            case Some((s, n)) =>
+              math.floor(s.doubleValue() / n * 1e6 + 0.5) / 1e6
+            case None => centroids(g)(cell)(d) // empty cell keeps its centroid
+          }
+        }
+      }.toMap
+    }
+
+    val rows = for {
+      g <- groups.toSeq; cell <- 0 until k; d <- 0 until dims(g)
+    } yield (g, cell, d, centroids(g)(cell)(d),
+      lastStats.get((g, cell, d)).map(_._2).getOrElse(0L))
+    rows.toDF("grp", "cell", "dim", "c", "n")
+  }
+
   /** Collect a [[lloyd]] result back into the centroid-list shape
     * [[Similarity.ivfIndex]]'s `trainedCentroids` takes (k x d values —
     * tiny by construction). */

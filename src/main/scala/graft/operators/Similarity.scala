@@ -1540,10 +1540,17 @@ object Similarity {
     sliceCodebooks(seeds.toIndexedSeq, m)
   }
 
-  /** Trained codebooks: one [[graft.operators.KMeans.lloyd]] run per
-    * subspace over the sliced corpus — the fully-distributed PQ trainer
-    * (m x iters jobs total; only m x k x subDim statistics reach the
-    * driver). Same determinism contract as the seed form. */
+  /** Trained codebooks: ONE [[graft.operators.KMeans.lloydGrouped]] run
+    * keyed by subspace over the exploded slice table — the fully-
+    * distributed PQ trainer in 1 seed job + `iters` jobs TOTAL (the
+    * r19 verdict #2 fold: the previous m sequential [[KMeans.lloyd]]
+    * runs were m x (1 + iters) jobs, and at small k the job round
+    * trips dominate). Per-subspace results are bit-identical to the
+    * composed per-subspace runs (PqSpec asserts it): same hash-ranked
+    * seeds — the slices share one id universe, so per-group rank ==
+    * global rank — same broadcast argmin IEEE sequence, same
+    * DECIMAL(18,6) update, now keyed (sub, cell, dim). Only
+    * m x k x subDim statistics reach the driver per iteration. */
   def pqTrainedCodebooks(
       df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       iters: Int = 2, seed: Long = 42L
@@ -1552,14 +1559,15 @@ object Similarity {
       case d =>
         require(d % m == 0, s"dim $d not divisible by m=$m subspaces"); d / m
     }
-    (0 until m).map { s =>
-      val sliced = df.select(col(idCol).as("vec_id"),
-        slice(transform(col(vecCol), x => x.cast("double")), s * subDim + 1, subDim)
-          .as("embedding"))
-      KMeans.centroidArrays(
-        KMeans.lloyd(sliced, "vec_id", "embedding", k, iters, seed))
-        .map(_.toIndexedSeq).toIndexedSeq
-    }.toIndexedSeq
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val sliced = df.select(col(idCol).as("vec_id"),
+      posexplode(array((0 until m).map(s => slice(v, s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "embedding")))
+    val trained = KMeans.lloydGrouped(
+      sliced, "sub", "vec_id", "embedding", k, iters, seed)
+    val rows = trained.select("grp", "cell", "dim", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    IndexedSeq.tabulate(m, k, subDim)((s, c, d) => rows((s, c, d)))
   }
 
   private def vectorDimOf(df: DataFrame, vecCol: String): Int =

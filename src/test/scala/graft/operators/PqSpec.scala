@@ -245,4 +245,24 @@ class PqSpec extends AnyFunSuite {
       assert(top.contains(id), s"query $id not in its own ADC top-5: $top")
     }
   }
+
+  test("grouped PQ trainer is bit-identical to composed per-subspace lloyd runs") {
+    import org.apache.spark.sql.functions.{col, slice, transform}
+    // r19 verdict #2: pqTrainedCodebooks folded its m sequential lloyd
+    // runs into one lloydGrouped keyed by subspace — the fold must not
+    // move a single bit (same seeds, same IEEE argmin, same decimal
+    // update), so the composed slow path is the differential oracle
+    val trained = Similarity.pqTrainedCodebooks(emb, "vec_id", "embedding", M, K)
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    val subDim = dim / M
+    val composed = (0 until M).map { s =>
+      val sliced = emb.select(col("vec_id"),
+        slice(transform(col("embedding"), x => x.cast("double")), s * subDim + 1, subDim)
+          .as("embedding"))
+      KMeans.centroidArrays(
+        KMeans.lloyd(sliced, "vec_id", "embedding", K, iters = 2, seed = 42L))
+        .map(_.toIndexedSeq).toIndexedSeq
+    }.toIndexedSeq
+    assert(trained == composed)
+  }
 }
