@@ -1140,6 +1140,93 @@ object ScalingProbe {
         }
       }
     }
+    // ---- r20: decade ladder for the r19 additions ---------------------
+    // (r19 verdict #5) dedup_clusters_refresh_stream and the NB order
+    // twins got first bench lines without SCALING receipts. Protocol:
+    // fixed work (one 50-doc streaming refresh batch; the order-corpus
+    // train+confusion) against the 1x/10x corpora, wall + sampled
+    // peaks — the streaming refresh's per-batch cost must track the
+    // batch's ball, not the standing corpus, and the NB twins must
+    // track corpus ~linearly with a FLAT bounded model (16-token
+    // vocab / 64 bigram buckets => broadcastable grid at any corpus).
+    if (opFilter.forall("r20_additions".contains)) {
+      val heap = new graft.PeakHeapSampler(100)
+      def measureR(label: String, rows: Long)(body: => Unit): Unit = {
+        time(body) // discarded warmup
+        val samples = Seq.fill(2) {
+          heap.reset()
+          val t = time(body)
+          (t, heap.drainLive() / 1e9, heap.drain() / 1e9)
+        }
+        val best = samples.minBy(_._1)
+        println(f"[scaling] r20_additions/$label%-24s rows=$rows%9d " +
+          f"${best._1}%7.2fs  peak_live=${best._2}%5.2f GB  peak_heap=${best._3}%5.2f GB")
+      }
+      import graft.sources.IndexStore
+      for (nx <- Seq(1, 10)) {
+        // standing artifacts built OUTSIDE the timer (the entry's
+        // ensureDupClusterStanding shape, on the scaling corpus)
+        val standing = docs(nx).where(col("doc_id") >= 50)
+        IndexStore.writeBucketed(
+          Dedup.shingleIndex(standing, "doc_id", "text", n = 3),
+          s"graft_r20_shidx_$nx", "shingle", 8)
+        val pairs = Dedup.jaccardPairsPrefix(standing, "doc_id", "text",
+            n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        IndexStore.writeTable(
+          Communities.labelPropagation(pairs, "id_a", "id_b", iterations = 4),
+          s"graft_r20_labels_$nx")
+        IndexStore.writeBucketed(
+          Communities.lpaAdjacency(pairs, "id_a", "id_b"),
+          s"graft_r20_adj_$nx", "nbr", 8)
+        org.apache.spark.sql.graft.CheckpointBridge.release(pairs)
+        val batchRows = docs(nx).where(col("doc_id") < 50)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        measureR(s"refresh_stream_${nx}x", docRows(nx)) {
+          import spark.implicits._
+          implicit val sqlCtx = spark.sqlContext
+          val input = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String)]
+          @volatile var out: DataFrame = null
+          val q = graft.streaming.StreamOps.communityRefresh(
+              input.toDF().toDF("doc_id", "text"),
+              IndexStore.read(spark, s"graft_r20_shidx_$nx"),
+              IndexStore.read(spark, s"graft_r20_adj_$nx"),
+              IndexStore.read(spark, s"graft_r20_labels_$nx"),
+              hops = 2, iterations = 2) { (labels, _) => out = labels; () }
+            .start()
+          try { input.addData(batchRows: _*); q.processAllAvailable() }
+          finally q.stop()
+          Communities.communitySizes(out)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      // NB order twins — the entry's corpus construction (same cls/text
+      // synthesis as QueryCatalog.orderCorpus) over the scaling docs
+      def orderC(nx: Int): DataFrame = docs(nx).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("fwd"))
+          .otherwise(lit("rev")).as("cls"),
+        concat_ws("", array_repeat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("ord0 ord2 ord3 "))
+            .otherwise(lit("ord3 ord2 ord0 ")),
+          (lit(3) + pmod(col("doc_id"), lit(5))).cast("int"))).as("text"))
+      for (nx <- Seq(1, 10); bg <- Seq(0, 64)) {
+        val name = if (bg == 0) "unigram" else "bigram"
+        val corpus = orderC(nx)
+        measureR(s"nb_order_${name}_${nx}x", docRows(nx)) {
+          val model = NaiveBayes.train(
+            corpus.where(pmod(col("doc_id"), lit(3)) =!= 0), "cls", "text",
+            vocabSize = 16, bigramBuckets = bg)
+          NaiveBayes.confusion(
+              corpus.where(pmod(col("doc_id"), lit(3)) === 0), model,
+              "doc_id", "text", "cls", bigramBuckets = bg)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
     spark.stop()
   }
 }
