@@ -162,9 +162,24 @@ object Bench {
     // shape's receipts live in WideScalingProbe `scalable` mode (75.8 s
     // at 10% rows, 256 s full-row — SCALING.md); the gate keeps the
     // DESIGNED wide path, bins32_wide190.
+    // r20 verdict #6: the exact-at-width shape RETURNS to the gate via the
+    // melted-histogram pipeline over the per-feature SAMPLED candidate set
+    // (maxBins GK edges — counts at each sampled candidate exact, windows
+    // bounded at 33 rows/feature, so the only width-scaled cost is the
+    // melt itself, now the int-indexed posexplode). Same tree as
+    // bins32_wide190 (WideScalableFitSpec differential on sf0.01).
+    def wideScalableFit(nDerived: Int): Unit = {
+      val wide = graft.tools.WideFrame.frame(spark, sfDir, nDerived,
+        repartitionTo = Some(spark.sparkContext.defaultParallelism))
+      val model = DecisionTreeClassifier(maxDepth = Some(4), criterion = Criterion.Entropy,
+        maxBins = Some(32), useAggregatedHistogram = false).fit(wide, "l_returnflag")
+      graft.tree.Predict.predictMany(model, wide)
+        .write.format("noop").mode("overwrite").save()
+    }
     val wideEntries: Seq[(String, () => Unit)] = Seq(
       ("fit_depth4_entropy_bins32_wide24", () => wideFit(20)),
-      ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)))
+      ("fit_depth4_entropy_bins32_wide190", () => wideFit(186)),
+      ("fit_depth4_entropy_scalable_wide190", () => wideScalableFit(186)))
 
     // documents with each token deterministically suffixed into ~500
     // variants — the vocabulary-rich corpus the realistic-merge-count
@@ -271,14 +286,29 @@ object Bench {
     // in seconds instead of a full 220-entry sweep.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Wide fits run FIRST in every sweep (r19 verdict #1): at the tail
-    // position (~entry 210) their in-sweep sample priced end-of-sweep
-    // heap state and ~200 entries of JIT profile pollution, not the
-    // plan (460.8/396.9 s driver records vs an 18.6 s isolated
-    // receipt, 20.7 s of the 48 s window in GC). Leading the sweep
-    // measures the same plan on the heap/profile state an isolated run
-    // sees; the per-entry gc_ms map stays in the record as the proof.
-    val entries = (wideEntries ++ fitEntries ++ queryEntries ++ bpeEntries)
+    // Wide fits are measured in a LEAD BLOCK on the fresh JVM, before the
+    // warmup sweep ever runs the other ~220 entries (r20, declared
+    // measurement fix; supersedes the r19 in-sweep reorder). The r19
+    // control experiment (SCALING.md) isolated the wide190 premium to
+    // JIT type-profile pollution of shared Spark hot paths after dozens
+    // of distinct generated plans — a 1.7x premium reproduced with only
+    // 64 preceding plans, 2.4 s GC, code cache far under max. Moving the
+    // entry to the FRONT of each sweep (r19) cannot escape that: by the
+    // first measured sweep the warmup sweep has already run every plan
+    // once (r20 before-record: 151.1 s measured vs 81.6 s same-JVM
+    // warmup vs 18.6 s isolated, gc 13 s of 151 — the min got WORSE than
+    // the tail position's 48 s builder gate read). The lead block prices
+    // the same warm capability the isolated `SPARK_GRAFT_BENCH_ONLY`
+    // receipts price, inside the one driver invocation: per wide entry
+    // one discarded cold run (recorded in `warmup`), then up to 3
+    // measured back-to-back passes, min recorded — identical methodology
+    // (noop sink, same hygiene between runs), just sampled before the
+    // JIT state the other 220 plans create. The wide entries are then
+    // EXCLUDED from the interleaved sweeps; every other entry keeps the
+    // warmup + interleaved-min methodology unchanged.
+    val leadEntries = wideEntries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val entries = (fitEntries ++ queryEntries ++ bpeEntries)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
@@ -304,7 +334,7 @@ object Bench {
       * before the next timed region opens — ~ms each, outside timing. */
     def settle(): Unit = spark.range(1).count()
 
-    def sweep(measured: Boolean): Unit = entries.foreach { case (name, body) =>
+    def runEntry(name: String, body: () => Unit, measured: Boolean): Unit = {
       globalPeak = math.max(globalPeak, heap.drain()) // pre-entry residue → global only
       globalLive = math.max(globalLive, heap.drainLive())
       val gc0 = totalGcMs()
@@ -330,6 +360,9 @@ object Bench {
       settle()
     }
 
+    def sweep(measured: Boolean): Unit =
+      entries.foreach { case (name, body) => runEntry(name, body, measured) }
+
     // DEADLINE-AWARE sweep count (r18 — the r17 driver bench died rc 124
     // with NO per-entry record: a fixed warmup+3 schedule at 219+
     // entries exceeded the harness budget whenever the box ran slow).
@@ -354,6 +387,24 @@ object Bench {
       sweep(measured)
       (System.nanoTime() - s0) / 1e9
     }
+    // Lead block (fresh JVM — see the leadEntries comment): per wide
+    // entry one discarded cold pass, then up to 3 measured round-robin
+    // passes, each admitted only while the deadline predicts it fits
+    // (estimate = the entry's last observed duration, cold pass included,
+    // with the same 1.2x margin the anomaly retries use).
+    leadEntries.foreach { case (name, body) => runEntry(name, body, measured = false) }
+    val leadLast = scala.collection.mutable.Map[String, Double]() ++=
+      leadEntries.flatMap { case (n, _) => warmups.get(n).filter(_ >= 0).map(n -> _) }
+    (1 to 3).foreach { _ =>
+      leadEntries.foreach { case (name, body) =>
+        if (spent() + leadLast.getOrElse(name, 60.0) * 1.2 + 10 <= deadlineS) {
+          runEntry(name, body, measured = true)
+          samples.get(name).flatMap(_.lastOption).filter(_ >= 0)
+            .foreach(leadLast(name) = _)
+        }
+      }
+    }
+
     var lastDur = timedSweep(measured = false) // discarded warmup sweep
     var sweepsRun = 0
     while (sweepsRun < 3 &&
@@ -425,8 +476,9 @@ object Bench {
         "\"" + p.getName.replace("'", "") + "\":" +
           f"""{"peak_mb":$peakMb%.0f,"max_mb":$maxJson}"""
       }.mkString("{", ",", "}")
+    val leadJson = leadEntries.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""sweeps":$sweepsRun,"warmup":$wu,"retries":$rt,"gc_ms":$gcj,""" +
+      f""""sweeps":$sweepsRun,"lead":$leadJson,"warmup":$wu,"retries":$rt,"gc_ms":$gcj,""" +
       f""""peak_heap_gb":$peakGb%.2f,"peak_live_gb":$liveGb%.2f,"peaks_gb":$pk,""" +
       f""""peaks_live_gb":$lv,"code_cache":$codePools,"sf":"$sfDir"}"""
     // The driver's stdout capture keeps only a ~2 KB tail: the full
@@ -439,6 +491,7 @@ object Bench {
     val headline = Seq(
       "fit_depth4_entropy", "fit_depth4_entropy_scalable",
       "fit_depth4_entropy_bins32", "fit_depth4_entropy_bins32_wide190",
+      "fit_depth4_entropy_scalable_wide190",
       "jaccard_pairs", "dedup_drop", "dedup_clusters", "minhash_lsh_pairs",
       "winnow_pairs", "simhash_pairs", "fuzzy_clusters", "sessionize",
       "event_hopping_distinct", "knn_classify", "bm25_topk_indexed",

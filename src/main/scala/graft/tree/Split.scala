@@ -190,7 +190,12 @@ object SplitSearch {
       numClasses: Int,
       numBuckets: Int,
       keyCols: Seq[String] = Seq("feature"),
-      featureRanges: Map[String, (Double, Double)] = Map.empty
+      // keys are compared to the `feature` column with `lit(_)`: feature
+      // NAMES for the oracle-shaped string melt, feature INDICES for the
+      // trainer's int melt (r20 — int equality codegens to a primitive
+      // compare where the string chain paid a per-row UTF8 compare per
+      // branch)
+      featureRanges: Map[Any, (Double, Double)] = Map.empty
   ): DataFrame = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val countCols = (0 until numClasses).map(i => s"class_${i}_count") :+ "count_examples"
@@ -250,6 +255,70 @@ object SplitSearch {
         .as("cum_sum_count_examples"),
       col("__tot_count_examples").as("sum_count_examples"))
     joined.select((keyCols.map(col) ++ Seq(col("feature_value")) ++ outCols): _*)
+  }
+
+  /** Trainer-internal melt keyed by feature INDEX (r20 optimization):
+    * `posexplode` over a plain double array replaces the oracle-shaped
+    * [[meltedHistogram]]'s explode of (name string, value) structs on the
+    * fit hot path. Three costs drop at once, none visible in the result:
+    *
+    *   - per melted row the exchange/aggregate key narrows from a
+    *     variable-length UTF8 feature name (~8-16 bytes, hashed and
+    *     compared per row) to a fixed 4-byte int (guide §2.3 "narrower
+    *     types" — at 190 features and 10^8 melted rows per level the name
+    *     bytes dominated the key);
+    *   - the melt projection builds ONE array of F doubles instead of F
+    *     (lit(name), value) structs — no per-row struct headers, and the
+    *     array position IS the feature id, so the id costs zero bytes
+    *     until posexplode materializes it;
+    *   - every downstream keyed operation (partial aggregate, bucket
+    *     chain, winners argmax) compares ints.
+    *
+    * The index->name decode happens once per LEVEL on the collected
+    * winners frame (<= nodes x (F+1) rows), so results are identical to
+    * the string melt (SplitSearchSpec pins the trainer paths against the
+    * oracle-shaped pipeline). The node sentinel is index `features.size` —
+    * a lit(0.0) array element, never null, exactly like the string melt's
+    * sentinel struct. Null/NaN semantics are untouched: snapped features
+    * map null -> +Infinity inside [[snapToEdges]] (same expression), raw
+    * features keep nulls and the post-explode null filter drops them.
+    */
+  private[graft] def meltedHistogramIdx(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      binEdges: Map[String, Seq[Double]],
+      extraKeys: Seq[String]
+  ): DataFrame = {
+    val raw = array((features.map(f => col(f).cast(DoubleType)) :+
+      lit(0.0)): _*) // node sentinel at index features.size
+    // Binned features snap BEFORE the explode, as one native binary-search
+    // expression over the whole packed array ([[graft.functions
+    // .SnapArrayToEdges]]) instead of one per-feature when-chain — at 190
+    // features x 32 edges the chain was ~6,000 branch expressions per
+    // level (O(F x B) per row, and a plan Catalyst re-analyzes per
+    // level); the expression is one plan node at O(F log B) per row.
+    // Identity on the sentinel slot and on features without edges.
+    val packed =
+      if (binEdges.isEmpty) raw
+      else {
+        import org.apache.spark.sql.graft.ColumnBridge
+        val edgeRows = features.map(f => binEdges.getOrElse(f, Nil)) :+ Nil
+        ColumnBridge.column(graft.functions.SnapArrayToEdges(
+          ColumnBridge.expression(raw), edgeRows))
+      }
+    val keyed = extraKeys.map(col)
+    val melted = df
+      .select((keyed :+ col(targetName).as("__target") :+
+        posexplode(packed).as(Seq("feature", "feature_value"))): _*)
+      .where(col("feature_value").isNotNull) // per-feature null filter (tree.py:239)
+    val classCounts = targets.zipWithIndex.map { case (v, i) =>
+      count(when(col("__target") === lit(v), 1)).as(s"class_${i}_count")
+    }
+    melted
+      .groupBy((extraKeys :+ "feature" :+ "feature_value").map(col): _*)
+      .agg(classCounts.head, (classCounts.tail :+ count(lit(1)).as("count_examples")): _*)
   }
 
   /** Full gain pipeline: histogram -> cumulative counts -> candidate filter
@@ -379,12 +448,59 @@ object SplitSearch {
       cumRanges: Map[String, (Double, Double)] = Map.empty
   ): Map[Int, NodeSearch] = {
     val k = targets.size
+    val winners = searchLevelFrame(df, nodeId, features, targetName, targets,
+      criterion, binEdges, cumBuckets, cumRanges).collect()
+
+    val sentinelIdx = features.size
+    winners.toSeq.groupBy(_.getAs[Int]("__node")).map { case (node, rows) =>
+      val (sentinelRows, featureRows) = rows.partition(_.getAs[Int]("feature") == sentinelIdx)
+      require(sentinelRows.nonEmpty, s"searchLevelWithStats: node $node has no sentinel row")
+      val nodeDist = (0 until k).map(i => sentinelRows.head.getAs[Long](s"sum_class_${i}_count"))
+      val candidates = featureRows
+        .filter(r => !r.isNullAt(r.fieldIndex("information_gain")))
+        .map { r =>
+          CandidateStats(
+            Candidate(
+              features(r.getAs[Int]("feature")),
+              r.getAs[Double]("feature_value"),
+              r.getAs[Double]("information_gain"),
+              r.getAs[Double]("parent_criterion")),
+            (0 until k).map(i => r.getAs[Long](s"cum_sum_class_${i}_count")),
+            (0 until k).map(i => r.getAs[Long](s"sum_class_${i}_count")))
+        }
+      node -> NodeSearch(candidates, nodeDist)
+    }
+  }
+
+  /** The level search's winners DataFrame (one row per (node, feature) with
+    * the argmax payload), pre-collect — factored out of
+    * [[searchLevelWithStats]] so probes can `explain` the exact plan the
+    * trainer executes. Feature column is the melt INDEX (sentinel =
+    * `features.size`); [[searchLevelWithStats]] decodes it to names. */
+  private[graft] def searchLevelFrame(
+      df: DataFrame,
+      nodeId: Column,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      criterion: Criterion,
+      binEdges: Map[String, Seq[Double]] = Map.empty,
+      cumBuckets: Option[Int] = None,
+      cumRanges: Map[String, (Double, Double)] = Map.empty
+  ): DataFrame = {
+    val k = targets.size
     val base = df.withColumn("__node", nodeId.cast("int")).where(col("__node").isNotNull)
-    val hist = meltedHistogram(base, features, targetName, targets, binEdges,
-      withNodeSentinel = true, extraKeys = Seq("__node"))
+    val hist = meltedHistogramIdx(base, features, targetName, targets, binEdges,
+      extraKeys = Seq("__node"))
+    // index-keyed ranges for the bucket chain (the sentinel index is absent
+    // from the map and collapses into the last bucket, same as the string
+    // melt's absent sentinel name)
+    val fIdx: Map[String, Int] = features.zipWithIndex.toMap
+    val idxRanges: Map[Any, (Double, Double)] =
+      cumRanges.collect { case (f, r) if fIdx.contains(f) => (fIdx(f): Any) -> r }
     val cum = cumBuckets match {
       case Some(p) => cumulativeCountsPartitioned(hist, k, p,
-        keyCols = Seq("__node", "feature"), featureRanges = cumRanges)
+        keyCols = Seq("__node", "feature"), featureRanges = idxRanges)
       case None    => cumulativeCounts(hist, k, keyCols = Seq("__node", "feature"))
     }
     // Rows where cum == sum (the per-feature maximum and the sentinel) are
@@ -435,30 +551,10 @@ object SplitSearch {
     val sortKey = struct(
       coalesce(col("information_gain") * lit(-1.0), lit(Double.MaxValue)).as("k1"),
       col("feature_value").as("k2"))
-    val winners = withGain
+    withGain
       .groupBy(col("__node"), col("feature"))
       .agg(min(struct(sortKey.as("k"), payload.as("p"))).as("w"))
       .select(col("__node"), col("feature"), col("w.p.*"))
-      .collect()
-
-    winners.toSeq.groupBy(_.getAs[Int]("__node")).map { case (node, rows) =>
-      val (sentinelRows, featureRows) = rows.partition(_.getAs[String]("feature") == NodeSentinel)
-      require(sentinelRows.nonEmpty, s"searchLevelWithStats: node $node has no sentinel row")
-      val nodeDist = (0 until k).map(i => sentinelRows.head.getAs[Long](s"sum_class_${i}_count"))
-      val candidates = featureRows
-        .filter(r => !r.isNullAt(r.fieldIndex("information_gain")))
-        .map { r =>
-          CandidateStats(
-            Candidate(
-              r.getAs[String]("feature"),
-              r.getAs[Double]("feature_value"),
-              r.getAs[Double]("information_gain"),
-              r.getAs[Double]("parent_criterion")),
-            (0 until k).map(i => r.getAs[Long](s"cum_sum_class_${i}_count")),
-            (0 until k).map(i => r.getAs[Long](s"sum_class_${i}_count")))
-        }
-      node -> NodeSearch(candidates, nodeDist)
-    }
   }
 
   /** Binned-mode fast path: ONE [[graft.functions.MultiFeatureHistogram]]
