@@ -86,7 +86,15 @@ object Multimodal {
       // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
       // NegativeArraySize) on malformed payloads, and real crawl bytes
       // WILL be malformed — those must degrade to None, not kill tasks
-      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      // Explicit MemoryCacheImageInputStream: the InputStream overload
+      // consults ImageIO.getUseCache() (default TRUE) and spools every
+      // payload through a FileCacheImageInputStream — one temp file
+      // created, written, read and deleted PER IMAGE PER ROW, i.e. a
+      // hidden disk round trip on a pure in-memory decode (guide §1.2
+      // step 2: per-task work). The decoded pixels are identical.
+      else try Option(javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))))
       catch { case scala.util.control.NonFatal(_) => None }
 
     /** Encode a width x height 8-bit grayscale PNG whose pixel (x, y) is
@@ -104,7 +112,13 @@ object Multimodal {
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
+      // Explicit MemoryCacheImageOutputStream for the same reason as
+      // [[decode]]: the OutputStream overload routes through a
+      // FileCacheImageOutputStream temp file per encode. close() flushes
+      // the cache into `out`; the PNG bytes are identical.
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try javax.imageio.ImageIO.write(img, "png", ios)
+      finally ios.close()
       out.toByteArray
     }
   }
@@ -416,7 +430,10 @@ object Multimodal {
     def encodeGifGray(width: Int, height: Int, nFrames: Int,
         pixel: (Int, Int, Int) => Int): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      // MemoryCacheImageOutputStream, not createImageOutputStream: the
+      // factory consults getUseCache() and spools the GIF sequence
+      // through a temp FILE per encode (see [[ImageCodec.decode]]).
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       try {
         writer.setOutput(ios)
@@ -455,7 +472,10 @@ object Multimodal {
     def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
       if (bytes == null) None
       else try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCacheImageInputStream, not createImageInputStream: the
+        // factory's default is a temp-file-backed cache per decode (see
+        // [[ImageCodec.decode]]).
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
