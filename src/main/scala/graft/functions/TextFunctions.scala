@@ -259,17 +259,23 @@ object TextFunctions {
     val toks = filter(
       split(regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " "), " "),
       t => length(t) > lit(0))
-    // hash each token ONCE into (bucket, sign) BEFORE the fold: the fold
-    // lambda's body is re-evaluated per accumulator SLOT, so hashing
-    // inside it would run 2*dim hashes per token instead of 2
+    // hash each token ONCE into (bucket, sign) BEFORE the scatter-add:
+    // keeping the hashing in Catalyst expressions keeps the `hash`
+    // parameter pluggable (xxhash64 vs md5TokenHash60 cross-engine replay)
     val keyed = transform(toks, tok => struct(
       pmod(hash(tok), lit(dim.toLong)).cast("int").as("b"),
       when(pmod(hash(concat(tok, lit("#sgn"))), lit(2L)) === 0, lit(1.0d))
         .otherwise(lit(-1.0d)).as("s")))
-    aggregate(
-      keyed,
-      array_repeat(lit(0.0d), dim),
-      (acc, e) => transform(acc, (x, i) =>
-        when(i === e.getField("b"), x + e.getField("s")).otherwise(x)))
+    // Dense accumulation is a native codegen expression, NOT a Catalyst
+    // `aggregate` fold: higher-order functions are interpreted, and the
+    // fold's lambda re-evaluated a `when` over ALL `dim` accumulator
+    // slots — plus a fresh dim-element array allocation — per token, an
+    // O(tokens x dim) interpreted inner loop per row. ScatterAddVector
+    // is the same left-to-right out(b) += s (bit-identical FP order,
+    // branch-for-branch null parity — see its scaladoc) in one
+    // O(tokens) loop inside whole-stage codegen.
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ScatterAddVector(
+        org.apache.spark.sql.graft.ColumnBridge.expression(keyed), dim))
   }
 }
