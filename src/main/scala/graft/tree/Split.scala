@@ -291,6 +291,68 @@ object SplitSearch {
       binEdges: Map[String, Seq[Double]],
       extraKeys: Seq[String]
   ): DataFrame = {
+    // Fully binned frames take the FUSED melt+histogram aggregate (r21):
+    // the posexplode of rows x (F+1) melted tuples — and the boxed snap
+    // array feeding it — never materializes; one flat-counter aggregate
+    // per node emits the identical observed cells for `inline` to
+    // explode (see [[graft.functions.PackedHistogramCells]] for the
+    // allocation-rate mechanism the r20 driver record exposed at 32
+    // cores). A +Inf edge would collide with the overflow cell the
+    // melt's group-by kept separate-then-merged, so (never produced by
+    // the quantile sketch) it falls back to the exploded formulation.
+    val fusible = features.nonEmpty && features.forall(f =>
+      binEdges.get(f).exists(es =>
+        es.nonEmpty && es.forall(e => java.lang.Double.isFinite(e))))
+    if (fusible) meltedHistogramIdxFused(df, features, targetName, targets, binEdges, extraKeys)
+    else meltedHistogramIdxExploded(df, features, targetName, targets, binEdges, extraKeys)
+  }
+
+  /** The fused formulation: codegen-projected packed array + class index,
+    * ONE [[graft.functions.PackedHistogramCells]] aggregate per node
+    * group, `inline` of the emitted cells. Output rows identical to
+    * [[meltedHistogramIdxExploded]] (PackedHistogramCellsSpec). */
+  private[graft] def meltedHistogramIdxFused(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      binEdges: Map[String, Seq[Double]],
+      extraKeys: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val raw = array((features.map(f => col(f).cast(DoubleType)) :+
+      lit(0.0)): _*) // node sentinel at index features.size
+    val classIdx = targets.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+      case (chain, (v, i)) => chain.when(col(targetName) === lit(v), lit(i))
+    }.otherwise(lit(-1)).cast("int")
+    // Pre-project through whole-stage codegen so the aggregate's update
+    // reads two bound attributes (primitive array + int) per row instead
+    // of interpreting the 191-element CreateArray per row (interpreted
+    // eval boxes every element — the same allocation rate the fusion is
+    // here to remove).
+    val pre = df.select((extraKeys.map(col) :+ raw.as("__arr") :+ classIdx.as("__cls")): _*)
+    // sentinel slot: one edge at its constant 0.0 value — every row lands
+    // on that edge, reproducing the melt's single sentinel cell
+    val edgeRows = features.map(f => binEdges(f).sorted) :+ Seq(0.0)
+    val agg = graft.functions.PackedHistogramCells(
+      ColumnBridge.expression(col("__arr")),
+      ColumnBridge.expression(col("__cls")), edgeRows, targets.size)
+    pre.groupBy(extraKeys.map(col): _*)
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("__cells"))
+      .select((extraKeys.map(col) :+ inline(col("__cells"))): _*)
+  }
+
+  /** The exploded (posexplode + hash aggregate) formulation — the general
+    * path for exact/mixed candidate sets, and the model the fused
+    * aggregate is differentially pinned against. */
+  private[graft] def meltedHistogramIdxExploded(
+      df: DataFrame,
+      features: Seq[String],
+      targetName: String,
+      targets: Seq[Any],
+      binEdges: Map[String, Seq[Double]],
+      extraKeys: Seq[String]
+  ): DataFrame = {
     val raw = array((features.map(f => col(f).cast(DoubleType)) :+
       lit(0.0)): _*) // node sentinel at index features.size
     // Binned features snap BEFORE the explode, as one native binary-search
@@ -598,10 +660,18 @@ object SplitSearch {
       chain.when(col(targetName) === lit(v), lit(i))
     }.otherwise(lit(-1)).cast("int")
     val agg = graft.functions.MultiFeatureHistogram(
-      ColumnBridge.expression(array(feats.map(f => col(f).cast(DoubleType)): _*)),
-      ColumnBridge.expression(classIdx),
-      ColumnBridge.expression(nodeId.cast("int")), edges, k, numNodes)
+      ColumnBridge.expression(col("__arr")),
+      ColumnBridge.expression(col("__cls")),
+      ColumnBridge.expression(col("__node")), edges, k, numNodes)
+    // Pre-project array/class/node through whole-stage codegen (r21): the
+    // imperative aggregate's update evaluates its children interpreted
+    // per row, so the bare CreateArray boxed every feature of every row
+    // (at 190 features that boxing was the histogram scan's dominant
+    // allocation and fed the 32-core page-churn pathology in the r20
+    // scaling block); bound attribute reads allocate nothing.
     val buffer: Seq[Long] = df
+      .select(array(feats.map(f => col(f).cast(DoubleType)): _*).as("__arr"),
+        classIdx.as("__cls"), nodeId.cast("int").as("__node"))
       .select(ColumnBridge.column(agg.toAggregateExpression()).as("hist"))
       .head().getSeq[Long](0)
 

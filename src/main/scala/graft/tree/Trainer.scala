@@ -168,8 +168,15 @@ final case class DecisionTreeClassifier(
         val probs = 0.0 +: (1 until b).map(_.toDouble / b) :+ 1.0
         val packed = array(featureNames.map(f => col(f).cast("double")): _*)
         val agg = graft.functions.MultiQuantileSketch(
-          ColumnBridge.expression(packed), featureNames.size, 1.0 / (4 * b), probs)
+          ColumnBridge.expression(col("__arr")), featureNames.size, 1.0 / (4 * b), probs)
+        // Pre-project the packed array through whole-stage codegen (r21):
+        // an imperative aggregate evaluates its child expressions with
+        // interpreted eval per row, so the bare CreateArray boxed every
+        // feature of every row (at 190 features the boxing dominated the
+        // pass and its garbage drove the 32-core page-churn pathology the
+        // r20 scaling block exposed). A bound attribute read is free.
         val quantiles: Seq[Seq[Double]] = encoded0
+          .select(packed.as("__arr"))
           .select(ColumnBridge.column(agg.toAggregateExpression()).as("qs"))
           .head().getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
         val absMax: Map[String, Double] = featureNames.zip(quantiles).collect {
